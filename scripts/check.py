@@ -1,0 +1,58 @@
+#!/usr/bin/env python3
+"""Local driver-mimic: compare Verify output parquet against DuckDB oracles.
+
+Usage: python3 scripts/check.py <sf_dir> <verify_out_dir>
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+
+sf_dir, out_dir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+fails, passes, skips = [], [], []
+
+def canon(df):
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+for name in sorted(os.listdir(out_dir)):
+    path = os.path.join(out_dir, name)
+    if not os.path.isdir(path):
+        continue
+    files = glob.glob(f"{path}/*.parquet")
+    if not files:
+        fails.append((name, "no output parquet")); continue
+    mine = pd.read_parquet(files[0])
+    if name not in oracle:
+        skips.append((name, len(mine))); continue
+    try:
+        ref = con.execute(oracle[name]).fetchdf()
+    except Exception as e:
+        fails.append((name, f"oracle SQL error: {str(e)[:200]}")); continue
+    m, r = canon(mine), canon(ref)
+    if list(m.columns) != list(r.columns):
+        fails.append((name, f"columns differ: {list(m.columns)} vs {list(r.columns)}"))
+        continue
+    if len(m) != len(r):
+        fails.append((name, f"row count {len(m)} vs {len(r)}")); continue
+    try:
+        pd.testing.assert_frame_equal(m, r, check_dtype=False, check_exact=False,
+                                      rtol=0, atol=1e-9)
+        passes.append((name, len(m)))
+    except AssertionError as e:
+        fails.append((name, "value mismatch: " + str(e).split("\n")[-2][:200]))
+
+for n, c in passes: print(f"PASS  {n} ({c} rows)")
+for n, c in skips: print(f"SKIP  {n} ({c} rows, no oracle)")
+for n, msg in fails: print(f"FAIL  {n}: {msg}")
+print(f"\n{len(passes)} pass, {len(skips)} rows-only, {len(fails)} fail")
+sys.exit(1 if fails else 0)

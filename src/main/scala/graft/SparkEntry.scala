@@ -1,13 +1,468 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analytics.Queries
+import graft.config.ColumnSpec
+import graft.dedup.{Dedup, MinHashSpec, SimHash}
+import graft.etl.Etl
+import graft.multimodal.Multimodal
+import graft.qa.Qa
+import graft.similarity.Similarity
+import graft.text.Text
+
+/** Driver contract — see SURVEY.md §2 for the operator inventory each
+  * entry implements. Every `queries` key that is SQL-expressible has a
+  * DuckDB oracle in `oracleSql` with identical column names and types.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Queries.starJoin(spark, "/root/testdata/sf0.001")
+
+  // Config used by the ETL-core queries (A1/A4) — exercises the reference's
+  // vars name→type contract including a column absent from the source.
+  private val lineitemVars = Seq(
+    ColumnSpec("l_orderkey", "BIGINT"),
+    ColumnSpec("l_linenumber", "INTEGER"),
+    ColumnSpec("l_quantity", "FLOAT"),
+    ColumnSpec("l_returnflag", "VARCHAR(1)"),
+    ColumnSpec("l_shipdate", "DATE"),
+    ColumnSpec("load_note", "VARCHAR(64)"))
+
+  private val customerVars = Seq(
+    ColumnSpec("c_custkey", "BIGINT"),
+    ColumnSpec("c_name", "VARCHAR(64)"),
+    ColumnSpec("c_acctbal", "FLOAT"),
+    ColumnSpec("c_mktsegment", "VARCHAR(16)"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- A. ETL core ----
+    "etl_load_select" -> ((s, dir) =>
+      Etl.conform(Tables(s, dir, "lineitem"), lineitemVars)
+        .withColumn("l_shipdate", col("l_shipdate").cast("string"))),
+
+    "etl_combine_years" -> { (s, dir) =>
+      val l = Tables(s, dir, "lineitem")
+      val early = l.filter(year(col("l_shipdate")) <= 1997)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val late = l.filter(year(col("l_shipdate")) > 1997)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag"))
+      Etl.combineYears(Seq(early, late))
+    },
+
+    "etl_incremental_load" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders")
+      val archive = o.select(col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"), lit("archive").as("src"))
+      val fresh = o.select(col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"), lit("fresh").as("src"))
+      Etl.incrementalLoad(archive, fresh, "o_orderdate", lit("1998-01-01"))
+    },
+
+    "etl_create_table" -> { (s, dir) =>
+      val empty = Etl.createTable(s, customerVars)
+      empty.unionByName(Etl.conform(Tables(s, dir, "customer"), customerVars))
+    },
+
+    "etl_copy_into" -> { (s, dir) =>
+      Etl.copyInto(Tables(s, dir, "part"), "batch_0001")
+        .select(col("p_partkey"), col("p_name"), col("p_retailprice"),
+          col("etl_batch_id"))
+    },
+
+    "etl_add_index" -> { (s, dir) =>
+      Etl.clusterBy(Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
+        Seq("l_orderkey", "l_linenumber"))
+    },
+
+    "etl_table_duplicate" -> { (s, dir) =>
+      val (copy, qa) = Etl.tableDuplicate(Tables(s, dir, "nation"))
+      copy.crossJoin(broadcast(qa))
+    },
+
+    "etl_table_diff" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders")
+      val a = o.filter(col("o_totalprice") > 100000).select(col("o_orderkey"))
+      val b = o.filter(col("o_totalprice") > 150000 && col("o_orderstatus") === "O")
+        .select(col("o_orderkey"))
+      Etl.tableDiff(a, b)
+    },
+
+    "etl_dedup_keep_latest" -> { (s, dir) =>
+      Etl.dedupKeepLatest(
+        Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+            col("l_quantity")),
+        Seq("l_orderkey"),
+        Seq(col("l_shipdate").desc, col("l_linenumber").desc))
+        .withColumn("l_shipdate", col("l_shipdate").cast("date").cast("string"))
+    },
+
+    // ---- B. QA pipeline ----
+    "qa_missingness" -> { (s, dir) =>
+      val e = Tables(s, dir, "events")
+        .withColumn("period", date_trunc("day", col("ts")).cast("date"))
+      Qa.missingness(e, "period", Seq("event_type", "value", "props"))
+        .withColumn("period", col("period").cast("string"))
+    },
+
+    "qa_continuous" -> { (s, dir) =>
+      val e = Tables(s, dir, "events")
+        .withColumn("period", date_trunc("day", col("ts")).cast("date"))
+      Qa.continuous(e, "period", Seq("value"))
+        .withColumn("period", col("period").cast("string"))
+    },
+
+    "qa_categorical" -> { (s, dir) =>
+      val e = Tables(s, dir, "events")
+        .withColumn("period", date_trunc("day", col("ts")).cast("date"))
+      Qa.categorical(e, "period", Seq("event_type"))
+        .withColumn("period", col("period").cast("string"))
+    },
+
+    "qa_dates" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders")
+        .withColumn("period", year(col("o_orderdate")))
+      Qa.dates(o, "period", Seq("o_orderdate"))
+    },
+
+    "qa_compare_periods" -> { (s, dir) =>
+      val e = Tables(s, dir, "events")
+        .withColumn("period", date_trunc("day", col("ts")).cast("date"))
+      Qa.comparePeriods(Qa.continuous(e, "period", Seq("value")), "period")
+        .withColumn("period", col("period").cast("string"))
+    },
+
+    // ---- C. Analytics core ----
+    "q1_agg" -> ((s, dir) => Queries.q1Agg(s, dir)),
+    "q_join_star" -> ((s, dir) => Queries.starJoin(s, dir)),
+    "q_join_large" -> ((s, dir) => Queries.joinLarge(s, dir)
+      .withColumn("o_orderdate", col("o_orderdate").cast("date").cast("string"))),
+    "q_window_topn" -> ((s, dir) => Queries.windowTopN(s, dir)),
+    "q_rollup" -> ((s, dir) => Queries.rollupAgg(s, dir)),
+    "q_semi_anti" -> ((s, dir) => Queries.semiAnti(s, dir)),
+    "q_events_window" -> ((s, dir) => Queries.eventsWindow(s, dir)
+      .withColumn("window_start", col("window_start").cast("string"))),
+
+    // ---- D. LLM-data-pipeline ----
+    "dedup_exact_docs" -> ((s, dir) => Dedup.exact(Tables(s, dir, "documents"))),
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(Tables(s, dir, "documents"), threshold = 0.8)),
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      MinHashSpec.candidatePairs(Tables(s, dir, "documents"))),
+    "dedup_simhash" -> ((s, dir) =>
+      SimHash.fingerprints(Tables(s, dir, "documents"))),
+    "sim_cosine_topk" -> ((s, dir) =>
+      Similarity.cosineTopK(Tables(s, dir, "embeddings"), (0L until 10L), 5)),
+    "sim_ann_lsh" -> ((s, dir) =>
+      Similarity.annTopK(Tables(s, dir, "embeddings"), (0L until 10L), 5)),
+    "text_quality" -> ((s, dir) =>
+      Text.quality(Tables(s, dir, "documents"))
+        .select("doc_id", "n_chars_calc", "word_count", "punct_count",
+          "stop_count", "punct_ratio", "stop_ratio", "quality_score")),
+    "text_token_count" -> ((s, dir) =>
+      Text.tokenCounts(Tables(s, dir, "documents"))
+        .select("doc_id", "ws_tokens", "bpe_tokens")),
+    "text_lang_id" -> ((s, dir) =>
+      Text.langId(Tables(s, dir, "documents"))
+        .select("doc_id", "lang", "hits_de", "hits_en", "hits_es", "hits_fr",
+          "hits_zh", "pred_lang")),
+    "text_fingerprint" -> ((s, dir) =>
+      Text.fingerprint(Tables(s, dir, "documents"))
+        .select("doc_id", "n_fingerprints", "min_fingerprint")),
+    "mm_binary_meta" -> ((s, dir) =>
+      Multimodal.pipeline(s, Tables(s, dir, "documents"))))
+
+  private def probeList: String = (0 until 10).mkString(", ")
+
+  private val stopList: String =
+    Text.langMarkers.flatMap(_._2).distinct.sorted.map(w => s"'$w'").mkString(", ")
+
+  private def langHitsSql: String = Text.langMarkers.map { case (lang, words) =>
+    val in = words.map(w => s"'$w'").mkString(", ")
+    s"cast(len(list_filter(__toks, t -> t IN ($in))) as int) AS hits_$lang"
+  }.mkString(",\n      ")
+
+  private def langPredSql: String = {
+    val langs = Text.langMarkers.map(_._1)
+    val g = langs.map(l => s"hits_$l").mkString("greatest(", ", ", ")")
+    val cases = langs.map(l =>
+      s"WHEN hits_$l = $g AND $g > 0 THEN '$l'").mkString("\n        ")
+    s"CASE $cases ELSE 'und' END"
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "etl_load_select" ->
+      """SELECT cast(l_orderkey as bigint) AS l_orderkey,
+           cast(l_linenumber as int) AS l_linenumber,
+           cast(l_quantity as double) AS l_quantity,
+           cast(l_returnflag as varchar) AS l_returnflag,
+           cast(cast(l_shipdate as date) as varchar) AS l_shipdate,
+           cast(NULL as varchar) AS load_note
+         FROM lineitem""",
+
+    "etl_combine_years" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+                cast(NULL as varchar) AS l_returnflag
+         FROM lineitem WHERE year(l_shipdate) <= 1997
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+         FROM lineitem WHERE year(l_shipdate) > 1997""",
+
+    "etl_incremental_load" ->
+      """SELECT o_orderkey, o_orderdate, o_totalprice, 'archive' AS src
+         FROM orders WHERE o_orderdate < timestamp '1998-01-01'
+         UNION ALL
+         SELECT o_orderkey, o_orderdate, o_totalprice, 'fresh' AS src
+         FROM orders WHERE o_orderdate >= timestamp '1998-01-01'""",
+
+    "etl_create_table" ->
+      """SELECT cast(c_custkey as bigint) AS c_custkey,
+           cast(c_name as varchar) AS c_name,
+           cast(c_acctbal as double) AS c_acctbal,
+           cast(c_mktsegment as varchar) AS c_mktsegment
+         FROM customer""",
+
+    "etl_copy_into" ->
+      """SELECT p_partkey, p_name, p_retailprice,
+                'batch_0001' AS etl_batch_id
+         FROM part""",
+
+    "etl_add_index" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
+
+    "etl_table_duplicate" ->
+      """SELECT n.*, (SELECT count(*) FROM nation) AS row_cnt FROM nation n""",
+
+    "etl_table_diff" ->
+      """WITH a AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 100000),
+            b AS (SELECT o_orderkey FROM orders
+                  WHERE o_totalprice > 150000 AND o_orderstatus = 'O')
+         SELECT o_orderkey, 'left_only' AS diff_side FROM a
+         WHERE o_orderkey NOT IN (SELECT o_orderkey FROM b)
+         UNION ALL
+         SELECT o_orderkey, 'right_only' AS diff_side FROM b
+         WHERE o_orderkey NOT IN (SELECT o_orderkey FROM a)""",
+
+    "etl_dedup_keep_latest" ->
+      """SELECT l_orderkey, l_linenumber, cast(cast(l_shipdate as date) as varchar) AS l_shipdate,
+                l_quantity
+         FROM lineitem
+         QUALIFY row_number() OVER (PARTITION BY l_orderkey
+           ORDER BY l_shipdate DESC, l_linenumber DESC) = 1""",
+
+    "qa_missingness" ->
+      """WITH e AS (SELECT cast(cast(date_trunc('day', ts) as date) as varchar) AS period, *
+                    FROM events)
+         SELECT period, varname, n_missing,
+                round(n_missing / cast(n as double), 4) AS proportion
+         FROM (
+           SELECT period, 'event_type' AS varname,
+                  sum(cast(event_type IS NULL as bigint)) AS n_missing,
+                  count(*) AS n FROM e GROUP BY period
+           UNION ALL
+           SELECT period, 'value',
+                  sum(cast(value IS NULL as bigint)), count(*)
+           FROM e GROUP BY period
+           UNION ALL
+           SELECT period, 'props',
+                  sum(cast(props IS NULL as bigint)), count(*)
+           FROM e GROUP BY period)""",
+
+    "qa_continuous" ->
+      """SELECT cast(cast(date_trunc('day', ts) as date) as varchar) AS period,
+                'value' AS varname,
+                round(avg(value), 4) AS mean,
+                round(quantile_cont(value, 0.5), 4) AS median,
+                round(cast(min(value) as double), 4) AS min,
+                round(cast(max(value) as double), 4) AS max
+         FROM events GROUP BY 1""",
+
+    "qa_categorical" ->
+      """WITH c AS (
+           SELECT cast(cast(date_trunc('day', ts) as date) as varchar) AS period,
+                  'event_type' AS varname,
+                  cast(event_type as varchar) AS value,
+                  count(*) AS n
+           FROM events GROUP BY 1, 2, 3)
+         SELECT period, varname, value, n,
+                round(n / cast(sum(n) OVER (PARTITION BY period, varname) as double), 4)
+                  AS proportion
+         FROM c""",
+
+    "qa_dates" ->
+      """SELECT cast(year(o_orderdate) as int) AS period,
+                'o_orderdate' AS varname,
+                cast(min(o_orderdate) as varchar) AS min_val,
+                cast(floor(quantile_cont(epoch(o_orderdate) * 1000, 0.5)) as bigint)
+                  AS median_epoch_ms,
+                cast(max(o_orderdate) as varchar) AS max_val
+         FROM orders GROUP BY 1""",
+
+    "qa_compare_periods" ->
+      """WITH c AS (
+           SELECT cast(cast(date_trunc('day', ts) as date) as varchar) AS period,
+                  'value' AS varname, round(avg(value), 4) AS mean
+           FROM events GROUP BY 1),
+         l AS (
+           SELECT period, varname, mean,
+                  lag(mean) OVER (PARTITION BY varname ORDER BY period) AS prev_mean
+           FROM c)
+         SELECT period, varname, mean, prev_mean,
+                round(abs(mean - prev_mean) / abs(prev_mean) * 100, 4) AS rel_change_mean,
+                cast(round(abs(mean - prev_mean) / abs(prev_mean) * 100, 4) > 2.0 as int)
+                  AS flag_mean
+         FROM l WHERE prev_mean IS NOT NULL""",
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+                round(sum(l_quantity), 2) AS sum_qty,
+                round(sum(l_extendedprice), 2) AS sum_base_price,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                round(avg(l_quantity), 4) AS avg_qty,
+                round(avg(l_discount), 4) AS avg_disc,
+                count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= timestamp '1998-09-01'
+         GROUP BY l_returnflag, l_linestatus""",
+
+    "q_join_star" ->
+      """SELECT r_name, n_name,
+                round(sum(o_totalprice), 2) AS revenue,
+                count(*) AS n_orders
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name""",
+
+    "q_join_large" ->
+      """SELECT o_orderkey, cast(cast(o_orderdate as date) as varchar) AS o_orderdate,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                count(*) AS n_lines
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE o_orderstatus <> 'F'
+         GROUP BY o_orderkey, o_orderdate
+         ORDER BY revenue DESC, o_orderkey
+         LIMIT 10""",
+
+    "q_window_topn" ->
+      """SELECT p_brand, p_partkey, p_retailprice,
+                cast(row_number() OVER (PARTITION BY p_brand
+                  ORDER BY p_retailprice DESC, p_partkey) as int) AS rnk
+         FROM part
+         QUALIFY rnk <= 3""",
+
+    "q_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority,
+                round(sum(o_totalprice), 2) AS total_price, count(*) AS n
+         FROM orders
+         GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+
+    "q_semi_anti" ->
+      """SELECT c_custkey AS entity_key, 'cust_open_order' AS tag FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+         UNION ALL
+         SELECT s_suppkey, 'supp_no_lineitem' FROM supplier
+         WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)""",
+
+    "q_events_window" ->
+      """SELECT cast(cast(date_trunc('hour', ts) as timestamp) as varchar) AS window_start,
+                event_type, count(*) AS n_events,
+                round(sum(value), 4) AS sum_value
+         FROM events GROUP BY 1, 2""",
+
+    "dedup_exact_docs" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS text_hash FROM documents),
+            c AS (SELECT text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+                  FROM h GROUP BY text_hash)
+         SELECT doc_id, h.text_hash, keep_id, n_copies,
+                cast(doc_id <> keep_id as int) AS is_duplicate
+         FROM h JOIN c USING (text_hash)""",
+
+    "dedup_ngram_jaccard" ->
+      """WITH words AS (
+           SELECT doc_id AS id, lang AS blk,
+                  unnest(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS w
+           FROM documents),
+         sizes AS (SELECT id, count(*) AS n_words FROM words GROUP BY id),
+         inter AS (
+           SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+           FROM words a JOIN words b ON a.blk = b.blk AND a.w = b.w AND a.id < b.id
+           GROUP BY 1, 2)
+         SELECT id_a AS doc_a, id_b AS doc_b,
+                round(n_common / cast(sa.n_words + sb.n_words - n_common as double), 4)
+                  AS jaccard
+         FROM inter
+         JOIN sizes sa ON id_a = sa.id
+         JOIN sizes sb ON id_b = sb.id
+         WHERE round(n_common / cast(sa.n_words + sb.n_words - n_common as double), 4) >= 0.8""",
+
+    "dedup_minhash_lsh" -> MinHashSpec.duckdbSql(),
+
+    "sim_cosine_topk" ->
+      s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pv
+                    FROM embeddings WHERE vec_id IN ($probeList)),
+            c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+            s AS (
+              SELECT probe_id, cand_id,
+                     round(list_dot_product(pv, cv) /
+                       (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(cv, cv))), 4)
+                       AS cosine
+              FROM p, c WHERE probe_id <> cand_id)
+         SELECT probe_id, cand_id, cosine,
+                cast(row_number() OVER (PARTITION BY probe_id
+                  ORDER BY cosine DESC, cand_id) as int) AS rnk
+         FROM s
+         QUALIFY rnk <= 5""",
+
+    "text_quality" ->
+      s"""WITH t AS (
+           SELECT doc_id,
+                  cast(length(text) as int) AS n_chars_calc,
+                  string_split_regex(trim(lower(text)), '\\s+') AS __toks,
+                  cast(length(regexp_replace(text, '[\\w\\s]', '', 'g')) as int)
+                    AS punct_count
+           FROM documents),
+         u AS (
+           SELECT doc_id, n_chars_calc,
+                  cast(len(__toks) as int) AS word_count, punct_count,
+                  cast(len(list_filter(__toks, x -> x IN ($stopList))) as int)
+                    AS stop_count
+           FROM t)
+         SELECT doc_id, n_chars_calc, word_count, punct_count, stop_count,
+                round(punct_count / cast(n_chars_calc as double), 4) AS punct_ratio,
+                round(stop_count / cast(word_count as double), 4) AS stop_ratio,
+                round(least(word_count / 100.0, 1.0) * 0.5
+                      + (1.0 - punct_count / cast(n_chars_calc as double)) * 0.25
+                      + (stop_count / cast(word_count as double)) * 0.25, 4)
+                  AS quality_score
+         FROM u""",
+
+    "text_token_count" ->
+      """SELECT doc_id,
+                cast(len(string_split_regex(trim(lower(text)), '\s+')) as int)
+                  AS ws_tokens,
+                cast(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) as int)
+                  AS bpe_tokens
+         FROM documents""",
+
+    "text_lang_id" ->
+      s"""WITH t AS (
+           SELECT doc_id, lang,
+                  string_split_regex(trim(lower(text)), '\\s+') AS __toks
+           FROM documents),
+         h AS (
+           SELECT doc_id, lang,
+      $langHitsSql
+           FROM t)
+         SELECT doc_id, lang, hits_de, hits_en, hits_es, hits_fr, hits_zh,
+                $langPredSql AS pred_lang
+         FROM h""")
 }

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table access for the TPC-H-ish test schema (see TESTDATA.md).
+  *
+  * At cluster scale each of these would be a catalog table (or a path
+  * prefix with partition discovery); here they are single parquet files.
+  * Reads are lazy: projection and predicates applied by callers are
+  * pushed into the scan by Catalyst, so every operator built on these
+  * readers inherits column pruning + filter pushdown for free.
+  */
+object Tables {
+  val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // events.ts is parquet TIMESTAMP(NANOS) — Spark reads it only as a
+    // nanosecond long (spark.sql.legacy.parquet.nanosAsLong, set in
+    // Verify/Bench/session builders); normalize back to a timestamp.
+    df.schema.find(f => f.name == "ts" &&
+        f.dataType == org.apache.spark.sql.types.LongType) match {
+      case Some(_) => df.withColumn("ts",
+        org.apache.spark.sql.functions.expr("timestamp_micros(cast(ts / 1000 as bigint))"))
+      case None => df
+    }
+  }
+
+  /** Local session with scale-appropriate defaults. Shuffle partitions are
+    * sized to cores (the driver/bench set their own); AQE coalesces further.
+    */
+  def session(appName: String = "graft", cores: Int = 32): SparkSession = {
+    val b = SparkSession.builder()
+      .appName(appName)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+    val withMaster =
+      if (SparkSession.getActiveSession.isEmpty) b.master(s"local[$cores]")
+        .config("spark.sql.shuffle.partitions", cores.toString)
+      else b
+    withMaster.getOrCreate()
+  }
+}

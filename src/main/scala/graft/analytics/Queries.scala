@@ -1,0 +1,118 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational analytics core — proves the engine runs full star-schema
+  * workloads with plans that survive scale-up:
+  *  - dimension joins are explicitly `broadcast()` (region/nation/customer
+  *    stay small relative to facts at any TPC-H-style scale),
+  *  - fact-fact joins shuffle on the join key and aggregate with map-side
+  *    partials,
+  *  - top-N uses rank-window or TakeOrderedAndProject, never a full sort
+  *    of the fact table.
+  */
+object Queries {
+
+  /** TPC-H Q1-style pricing summary: one scan, one shuffle, map-side
+    * partial aggregation. Sums rounded so engines agree to the digit.
+    */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir, "lineitem")
+    l.filter(col("l_shipdate") <= lit("1998-09-01"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** Star join: fact(orders) ⨝ broadcast dims (customer ⨝ nation ⨝ region),
+    * aggregated revenue per region/nation. The dims are forced broadcast —
+    * at 100 TB the orders side never shuffles for this join.
+    */
+  def starJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val c = Tables(spark, dir, "customer")
+    val n = Tables(spark, dir, "nation")
+    val r = Tables(spark, dir, "region")
+    val dims = c
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select(col("c_custkey"), col("n_name"), col("r_name"))
+    o.join(broadcast(dims), o("o_custkey") === dims("c_custkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+  }
+
+  /** Fact-fact join (orders ⨝ lineitem) + aggregation + top-N by revenue.
+    * Shuffle join on orderkey (AQE picks SMJ/shuffled-hash); the top-10 is
+    * a TakeOrderedAndProject, not a global sort.
+    */
+  def joinLarge(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders").filter(col("o_orderstatus") =!= "F")
+    val l = Tables(spark, dir, "lineitem")
+    o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** Window top-N: top 3 parts by retail price within each brand. */
+  def windowTopN(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables(spark, dir, "part")
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    p.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"), col("rnk"))
+  }
+
+  /** ROLLUP: order totals at (status, priority), (status), and grand-total
+    * levels in one pass — partial aggregation handles all grouping sets
+    * without re-scanning.
+    */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    o.rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(round(sum(col("o_totalprice")), 2).as("total_price"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Semi + anti join semantics: customers with ≥1 open order (semi) and
+    * suppliers with no lineitem (anti), unioned with a tag. Both sides are
+    * existence joins — Spark plans them as broadcast/shuffled semi joins
+    * with no row duplication.
+    */
+  def semiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val o = Tables(spark, dir, "orders").filter(col("o_orderstatus") === "O")
+    val s = Tables(spark, dir, "supplier")
+    val l = Tables(spark, dir, "lineitem")
+    val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey").as("entity_key"), lit("cust_open_order").as("tag"))
+    val anti = s.join(l, s("s_suppkey") === l("l_suppkey"), "left_anti")
+      .select(col("s_suppkey").as("entity_key"), lit("supp_no_lineitem").as("tag"))
+    semi.unionByName(anti)
+  }
+
+  /** Batch twin of the streaming path: tumbling 1-hour windows per
+    * event_type over `events` (count, sum(value)). The streaming version
+    * (graft.streaming) runs the same aggregation with a watermark.
+    */
+  def eventsWindow(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    e.groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+  }
+}

@@ -1,0 +1,194 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.text.Text
+
+/** Deduplication operators for LLM training-data pipelines:
+  * exact (hash-groupBy), n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design: nothing ever materializes the O(n²) pair space — every
+  * near-dup operator first buckets (length/lang block, LSH band, SimHash
+  * band) and only joins within buckets. The bucket join shuffles on the
+  * bucket key; bucket sizes are bounded by construction.
+  */
+object Dedup {
+
+  /** Exact dedup via content hash. One shuffle on the 128-bit hash.
+    * Output: every row tagged with its content hash, the canonical
+    * (minimum) doc id of its duplicate class, and whether it would be
+    * dropped by `keep-first` policy.
+    */
+  def exact(df: DataFrame, idCol: String = "doc_id",
+            textCol: String = "text"): DataFrame = {
+    val hashed = df.select(col(idCol), md5(col(textCol)).as("text_hash"))
+    val classes = hashed.groupBy(col("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+    hashed.join(classes, "text_hash")
+      .select(col(idCol), col("text_hash"), col("keep_id"), col("n_copies"),
+        (col(idCol) =!= col("keep_id")).cast("int").as("is_duplicate"))
+  }
+
+  /** N-gram (word-set) Jaccard similarity over candidate pairs.
+    * Blocking on `blockCol` bounds the pair space; within a block the
+    * intersection is computed by exploding distinct tokens and joining on
+    * the token — one shuffle on (block, token), never a cross product.
+    */
+  def ngramJaccard(df: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", blockCol: String = "lang",
+                   threshold: Double = 0.5, digits: Int = 4): DataFrame = {
+    val words = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+        explode(array_distinct(Text.tokens(col(textCol)))).as("w"))
+    val sizes = words.groupBy(col("id")).agg(count(lit(1)).as("n_words"))
+    val a = words.select(col("blk"), col("id").as("id_a"), col("w"))
+    val b = words.select(col("blk"), col("id").as("id_b"), col("w"))
+    val inter = a.join(b, Seq("blk", "w"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("n_words", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("n_words", "n_b"), "id_b")
+      .withColumn("jaccard", round(col("n_common") /
+        (col("n_a") + col("n_b") - col("n_common")), digits))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("jaccard"))
+  }
+}
+
+/** MinHash + LSH specification shared by the Spark implementation and the
+  * DuckDB oracle — both are generated from the same constants so the two
+  * engines compute bit-identical signatures.
+  *
+  * Hash: H(w) = little-endian u64 of the LOWER 8 bytes of md5(w)
+  * (DuckDB's `md5_number_lower`), reduced mod P = 2^31-1. Permutation i:
+  * h_i(x) = (a_i * x + b_i) mod P. Signature = K minima over the
+  * document's distinct tokens; LSH groups signatures into BANDS bands of
+  * ROWS values; docs sharing any full band are candidate pairs.
+  */
+object MinHashSpec {
+  val P: Long = 2147483647L // 2^31 - 1
+  val K: Int = 16
+  val BANDS: Int = 4
+  val ROWS: Int = K / BANDS
+
+  // Deterministic permutation constants (Knuth multiplicative step).
+  val a: Seq[Long] = (0 until K).map(i => ((i + 1) * 2654435761L) % (P - 1) + 1)
+  val b: Seq[Long] = (0 until K).map(i => ((i + 1) * 40503L * 65537L + 17) % P)
+
+  /** Spark SQL expression for H(w) mod P given a token column name.
+    * Reverses the hex byte pairs of md5 chars 17..32 (the lower 8 bytes)
+    * to match md5_number_lower's little-endian read, then conv → mod.
+    */
+  def sparkHashExpr(tok: String): String = {
+    val pairs = (0 until 8).map(i => s"substring(__h, ${31 - 2 * i}, 2)").mkString(", ")
+    s"""cast(cast(conv(concat($pairs), 16, 10) as decimal(20,0)) % $P as bigint)""" +
+      s"""""".stripMargin // __h must be bound by caller as md5($tok)
+  }
+
+  /** Per-document K-column minhash signature. One explode + one groupBy. */
+  def signatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = df.select(col(idCol),
+        explode(array_distinct(Text.tokens(col(textCol)))).as("w"))
+      .withColumn("__h", md5(col("w")))
+      .withColumn("__hp", expr(sparkHashExpr("w")))
+    val aggs = (0 until K).map(i =>
+      min(expr(s"(__hp * ${a(i)}L + ${b(i)}L) % $P")).as(s"mh_$i"))
+    words.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Candidate near-dup pairs via banded LSH + estimated Jaccard
+    * (fraction of equal signature positions). Shuffles: one groupBy for
+    * signatures, one self-join keyed on (band, band-signature), one join
+    * back to signatures for the estimate. No cross product anywhere.
+    */
+  def candidatePairs(df: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text", digits: Int = 4): DataFrame = {
+    val sig = signatures(df, idCol, textCol).cache()
+    val bandFrames = (0 until BANDS).map { j =>
+      val cs = (j * ROWS until (j + 1) * ROWS).map(i => col(s"mh_$i"))
+      sig.select(col(idCol).as("id"), lit(j).as("band"),
+        concat_ws("_", cs: _*).as("bsig"))
+    }
+    val bands = bandFrames.reduce(_.unionByName(_))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
+      .distinct()
+    val eq = (0 until K).map(i =>
+      when(col(s"sa.mh_$i") === col(s"sb.mh_$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(sig.as("sa"), col("doc_a") === col(s"sa.$idCol"))
+      .join(sig.as("sb"), col("doc_b") === col(s"sb.$idCol"))
+      .select(col("doc_a"), col("doc_b"),
+        round(eq.cast("double") / K, digits).as("est_jaccard"))
+  }
+
+  /** DuckDB oracle mirroring [[candidatePairs]] exactly. */
+  def duckdbSql(table: String = "documents", idCol: String = "doc_id",
+                textCol: String = "text"): String = {
+    val mh = (0 until K).map(i =>
+      s"min((h * ${a(i)} + ${b(i)}) % $P) AS mh_$i").mkString(",\n      ")
+    val bandSelects = (0 until BANDS).map { j =>
+      val cs = (j * ROWS until (j + 1) * ROWS).map(i => s"mh_$i").mkString(", ")
+      s"SELECT $idCol AS id, $j AS band, concat_ws('_', $cs) AS bsig FROM sig"
+    }.mkString("\n      UNION ALL ")
+    val eqSum = (0 until K).map(i =>
+      s"CASE WHEN sa.mh_$i = sb.mh_$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH toks AS (
+      SELECT $idCol, unnest(list_distinct(string_split_regex(trim(lower($textCol)), '\\s+'))) AS w
+      FROM $table
+    ), hashed AS (
+      SELECT $idCol, CAST(md5_number_lower(w) % $P AS BIGINT) AS h FROM toks
+    ), sig AS (
+      SELECT $idCol,
+      $mh
+      FROM hashed GROUP BY $idCol
+    ), bands AS (
+      $bandSelects
+    ), cand AS (
+      SELECT DISTINCT x.id AS doc_a, y.id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.bsig = y.bsig AND x.id < y.id
+    )
+    SELECT cand.doc_a, cand.doc_b,
+           round(($eqSum) / ${K}.0, 4) AS est_jaccard
+    FROM cand
+    JOIN sig sa ON cand.doc_a = sa.$idCol
+    JOIN sig sb ON cand.doc_b = sb.$idCol"""
+  }
+}
+
+/** SimHash: 64-bit-family fingerprint restricted to 48 bits (keeps the
+  * value positive in both engines' signed BIGINT). Bit j of the
+  * fingerprint is the sign of Σ_tokens (bit j of xxhash64(token) ? +1 : -1).
+  * Near-dup candidates share one of 4 12-bit bands.
+  */
+object SimHash {
+  val BITS = 48
+  val BANDS = 4
+  val BAND_BITS: Int = BITS / BANDS
+
+  def fingerprints(df: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val words = df.select(col(idCol),
+        explode(array_distinct(Text.tokens(col(textCol)))).as("w"))
+      .withColumn("__h", xxhash64(col("w")))
+    val bitSums = (0 until BITS).map(j =>
+      sum(when(expr(s"(__h >> $j) & 1") === 1, 1).otherwise(-1)).as(s"__s_$j"))
+    val agg = words.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until BITS).map(j =>
+      when(col(s"__s_$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val withSim = agg.select(col(idCol), sim.as("simhash"))
+    val bandCols = (0 until BANDS).map(j =>
+      expr(s"(simhash >> ${j * BAND_BITS}) & ${(1L << BAND_BITS) - 1}")
+        .as(s"band_$j"))
+    withSim.select(col(idCol) +: col("simhash") +: bandCols: _*)
+  }
+}

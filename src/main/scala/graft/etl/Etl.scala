@@ -1,0 +1,149 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.config.{ColumnSpec, TableConfig}
+
+/** Config-driven ETL core: the Spark-first re-expression of the reference's
+  * table load / create / copy / index / diff / dedup surface.
+  *
+  * Every operator is a pure `DataFrame => DataFrame` (or reader) so chains
+  * stay one Catalyst plan: projection pruning and predicate pushdown reach
+  * the parquet scan no matter how many operators compose. Nothing here
+  * collects to the driver — all operators are safe at 100 TB.
+  */
+object Etl {
+
+  /** Map a reference SQL type name to a Spark cast target.
+    * (reference: create_table.R vars map — VARCHAR(x)/INTEGER/BIGINT/
+    * NUMERIC/DATE/DATETIME...)
+    */
+  def sparkType(sqlType: String): String = {
+    val t = sqlType.trim.toUpperCase
+    if (t.startsWith("VARCHAR") || t.startsWith("NVARCHAR") || t.startsWith("CHAR")) "string"
+    else if (t.startsWith("INTEGER") || t == "INT") "int"
+    else if (t.startsWith("BIGINT")) "bigint"
+    else if (t.startsWith("SMALLINT")) "smallint"
+    else if (t.startsWith("TINYINT")) "tinyint"
+    else if (t.startsWith("NUMERIC") || t.startsWith("DECIMAL")) {
+      val args = t.dropWhile(_ != '(')
+      if (args.nonEmpty) "decimal" + args else "decimal(18,2)"
+    }
+    else if (t.startsWith("FLOAT") || t.startsWith("DOUBLE")) "double"
+    else if (t.startsWith("REAL")) "float"
+    else if (t == "DATE") "date"
+    else if (t.startsWith("DATETIME") || t.startsWith("TIMESTAMP")) "timestamp"
+    else if (t.startsWith("BIT") || t.startsWith("BOOL")) "boolean"
+    else if (t.startsWith("VARBINARY") || t.startsWith("BINARY")) "binary"
+    else "string"
+  }
+
+  /** `load_table_from_file` / `create_table` core: conform a frame to the
+    * config's ordered column list, casting each column to its declared
+    * type. Missing columns materialize as typed NULLs (the reference pads
+    * year-specific columns the same way, load_table_from_file.R:641-647).
+    * This is a single projection — Catalyst prunes unreferenced source
+    * columns out of the scan.
+    */
+  def conform(df: DataFrame, vars: Seq[ColumnSpec]): DataFrame = {
+    val existing = df.columns.toSet
+    val cols = vars.map { c =>
+      if (existing.contains(c.name)) col(c.name).cast(sparkType(c.sqlType)).as(c.name)
+      else lit(null).cast(sparkType(c.sqlType)).as(c.name)
+    }
+    df.select(cols: _*)
+  }
+
+  /** Empty typed frame from a config — `create_table` without a source. */
+  def createTable(spark: SparkSession, vars: Seq[ColumnSpec]): DataFrame = {
+    val schema = StructType(vars.map(c =>
+      org.apache.spark.sql.types.StructField(
+        c.name, org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+          .parseDataType(sparkType(c.sqlType)), nullable = true)))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** `load_table_from_file(ind_yr=TRUE, combine_yr=TRUE)`: union
+    * year-partitioned frames by NAME, padding columns absent in a given
+    * year with NULL (reference: load_table_from_file.R:557-666 builds
+    * `SELECT ..., NULL AS missing_col ... UNION ALL ...`).
+    * `unionByName(allowMissingColumns=true)` is the Spark-native
+    * equivalent: a metadata-only union, no shuffle.
+    */
+  def combineYears(frames: Seq[DataFrame]): DataFrame =
+    frames.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** `load_table_from_sql(truncate_date=TRUE)`: incremental load = archive
+    * rows strictly before the cutpoint plus new rows at/after it
+    * (reference: load_table_from_sql.R:63-76). Both filters are pushed to
+    * the scans; on a date-partitioned lake layout this prunes partitions.
+    */
+  def incrementalLoad(archive: DataFrame, fresh: DataFrame,
+                      dateVar: String, cutpoint: Column): DataFrame =
+    archive.filter(col(dateVar) < cutpoint)
+      .unionByName(fresh.filter(col(dateVar) >= cutpoint))
+
+  /** `copy_into`: lake→warehouse ingest with load-audit columns
+    * (reference: copy_into.R). Audit values must be deterministic for
+    * replay, so the batch id is caller-supplied, not wall-clock.
+    */
+  def copyInto(source: DataFrame, batchId: String): DataFrame =
+    source
+      .withColumn("etl_batch_id", lit(batchId))
+      .withColumn("etl_load_row", monotonically_increasing_id())
+
+  /** `add_index`: the Spark-native meaning of a clustered index is physical
+    * layout — range-partition by the index keys and sort within partitions
+    * so downstream range scans and merge joins read clustered data
+    * (reference: add_index.R:238-247 CREATE CLUSTERED [COLUMNSTORE] INDEX).
+    * Parquet min/max page stats then give the same skipping behavior a
+    * columnstore index provides.
+    */
+  def clusterBy(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val kcols = keys.map(col)
+    df.repartitionByRange(kcols: _*).sortWithinPartitions(kcols: _*)
+  }
+
+  /** `table_duplicate`: copy with row-count verification metadata
+    * (reference: table_duplicate.R:231-237 SELECT * + row-count compare).
+    * Returns (copy, qa) — qa is a 1-row frame with the source count.
+    */
+  def tableDuplicate(df: DataFrame): (DataFrame, DataFrame) =
+    (df, df.agg(count(lit(1)).as("row_cnt")))
+
+  /** `external_table_check` / address-table `sync`: symmetric difference of
+    * two tables, tagged by side (reference: external_table_check.R:50-100,
+    * deduplicate_addresses.R sync()). Implemented as two hash anti-joins —
+    * one shuffle per side on the full-row hash, no driver collection.
+    */
+  def tableDiff(a: DataFrame, b: DataFrame): DataFrame = {
+    val cols = a.columns.toSeq
+    val an = a.join(b, cols, "left_anti").withColumn("diff_side", lit("left_only"))
+    val bn = b.join(a, cols, "left_anti").withColumn("diff_side", lit("right_only"))
+    an.unionByName(bn)
+  }
+
+  /** `deduplicate_addresses` dedup(): keep exactly one row per key,
+    * preferring the most recent by `orderCol` (reference:
+    * deduplicate_addresses.R:72-106 — sort by (key, last_run), keep first).
+    * One shuffle on the key; ties broken deterministically by the full
+    * ordering so reruns are stable.
+    */
+  def dedupKeepLatest(df: DataFrame, keys: Seq[String],
+                      order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** `table_duplicate_delete`: drop tables whose name matches a suffix
+    * pattern — catalog-level operation, modeled over the session catalog.
+    */
+  def tablesWithSuffix(spark: SparkSession, suffix: String): Seq[String] =
+    spark.catalog.listTables().collect()
+      .map(_.name).filter(_.endsWith(suffix)).toSeq
+}

@@ -1,0 +1,72 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * payloads with typed metadata, processed per-partition in batches.
+  *
+  * The decode step is a clearly-marked deterministic STUB (the real
+  * codec libraries are not in this container); everything around it —
+  * schema, partitioning, batch iteration shape, feature column contract —
+  * is the real design: at scale the stub body is replaced by a JNI/codec
+  * call and nothing else changes.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, payload: Array[Byte], mime: String,
+                      payload_len: Int)
+  case class MediaFeatures(doc_id: Long, mime: String, payload_len: Int,
+                           frame_count: Int, features: Array[Double])
+
+  /** Wrap a text corpus as fake media payloads (UTF-8 bytes + metadata).
+    * In production this column comes straight from parquet `binary`.
+    */
+  def asMedia(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      concat(lit("application/x-fake-"), col("source")).as("mime"),
+      length(encode(col("text"), "UTF-8")).as("payload_len"))
+
+  /** Per-partition batch "decode" + feature extraction.
+    *
+    * STUB: a real implementation decodes the codec here (image resize,
+    * audio resample, frame sampling). The deterministic fake derives
+    * 4 features from payload bytes so tests can assert exact values.
+    * `mapPartitions` keeps the batch shape of a real decoder (amortized
+    * per-partition init — where a codec context / model handle would be
+    * created once per partition, not per row).
+    */
+  def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"), col("mime"), col("payload_len"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        // >>> per-partition init would happen here (codec context) <<<
+        rows.map { r =>
+          val bytes = r.payload
+          val n = bytes.length
+          // STUB decode: deterministic pseudo-features from the payload.
+          val f0 = if (n == 0) 0.0 else bytes.map(_.toInt & 0xff).sum.toDouble / n
+          val f1 = n.toDouble
+          val f2 = if (n == 0) 0.0 else (bytes.head & 0xff).toDouble
+          val f3 = if (n == 0) 0.0 else (bytes.last & 0xff).toDouble
+          val frames = math.max(1, n / 64) // fake "frame sampling" stride
+          MediaFeatures(r.doc_id, r.mime, r.payload_len, frames,
+            Array(f0, f1, f2, f3))
+        }
+      }
+  }
+
+  /** End-to-end: documents → media payloads → decoded feature frame. */
+  def pipeline(spark: SparkSession, documents: DataFrame): DataFrame = {
+    val feats = decodeFeatures(spark, asMedia(documents))
+    feats.toDF()
+      .select(col("doc_id"), col("mime"), col("payload_len"),
+        col("frame_count"),
+        round(element_at(col("features"), 1), 4).as("mean_byte"),
+        element_at(col("features"), 3).cast("int").as("first_byte"),
+        element_at(col("features"), 4).cast("int").as("last_byte"))
+  }
+}

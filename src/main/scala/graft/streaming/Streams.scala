@@ -1,0 +1,114 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming twins of the batch operators: the same windowed
+  * aggregation as `Queries.eventsWindow`, plus stateful sessionization.
+  * Streams are late-data-safe via watermarks; state is bounded by the
+  * watermark + session timeout, so a 1000-executor deployment holds only
+  * in-flight sessions, never history.
+  */
+object Streams {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over an events directory (parquet). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+
+  /** Streaming twin of the batch hourly rollup: watermark + tumbling
+    * window. With the same input, produces the same rows as
+    * `Queries.eventsWindow` (asserted in the spec).
+    */
+  def hourlyRollup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class SessionState(start: Long, end: Long, n: Int, sum: Double)
+  case class SessionOut(user_id: Long, session_start: Timestamp,
+                        session_end: Timestamp, n_events: Int, sum_value: Double)
+
+  /** Per-user session windows via flatMapGroupsWithState: a session closes
+    * after `gapMinutes` of inactivity (processing-time timeout). State per
+    * user is O(1) — start/end/counters only.
+    */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, new Timestamp(s.start),
+              new Timestamp(s.end), s.n, s.sum))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(s.copy(end = t, n = s.n + 1, sum = s.sum + e.value))
+                case Some(s) =>
+                  closed ::= SessionOut(userId, new Timestamp(s.start),
+                    new Timestamp(s.end), s.n, s.sum)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutDuration(gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Batch-mode sessionization with identical semantics (gap-based
+    * session windows) for verification: a session boundary is any gap
+    * > `gapMinutes`; implemented with lag + running sum windows.
+    */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapMs = gapMinutes * 60L * 1000L
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    events
+      .withColumn("__prev_ms", lag(expr("cast(ts as double) * 1000"), 1).over(byUser))
+      .withColumn("__new_session",
+        when(col("__prev_ms").isNull ||
+          expr("cast(ts as double) * 1000") - col("__prev_ms") > gapMs, 1)
+          .otherwise(0))
+      .withColumn("__session_id", sum(col("__new_session")).over(byUser))
+      .groupBy(col("user_id"), col("__session_id"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).cast("int").as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .drop("__session_id")
+  }
+}

@@ -1,0 +1,108 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines: quality
+  * scoring, token counting, language ID, fingerprinting. All are pure
+  * column expressions (whole-stage-codegen'd, no UDFs) so they fuse into
+  * the scan — at 100 TB these run at parquet read speed.
+  */
+object Text {
+
+  /** Deterministic whitespace tokenization shared by every operator (and
+    * mirrored 1:1 in the DuckDB oracles).
+    */
+  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** Per-language marker-word lists for the language-ID heuristic.
+    * Deliberately tiny: the operator's value is the *shape* (argmax over
+    * per-class token-hit counts, computable in one pass); swapping in real
+    * n-gram profiles is a data change, not a code change.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "en" -> Seq("the", "a", "and", "is", "of", "to"),
+    "es" -> Seq("el", "la", "los", "y", "es", "que"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "ne"),
+    "zh" -> Seq("de", "shi", "bu", "le", "zai", "you"))
+
+  private def inList(t: String, words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString(s"$t IN (", ", ", ")")
+
+  /** Quality scoring: length, word count, punctuation ratio, stopword
+    * ratio, and a composite score. One projection, no shuffle.
+    */
+  def quality(df: DataFrame, textCol: String = "text", digits: Int = 4): DataFrame = {
+    val stop = langMarkers.flatMap(_._2).distinct.sorted
+    df.withColumn("__toks", tokens(col(textCol)))
+      .withColumn("n_chars_calc", length(col(textCol)))
+      .withColumn("word_count", size(col("__toks")))
+      .withColumn("punct_count",
+        length(regexp_replace(col(textCol), "[\\w\\s]", "")))
+      .withColumn("stop_count",
+        expr(s"size(filter(__toks, t -> ${inList("t", stop)}))"))
+      .withColumn("punct_ratio",
+        round(col("punct_count") / col("n_chars_calc"), digits))
+      .withColumn("stop_ratio",
+        round(col("stop_count") / col("word_count"), digits))
+      // Composite uses the RAW ratios (not the display-rounded columns):
+      // rounding pre-rounded values lands exactly on .00005 decimal
+      // boundaries where engines' double-rounding can disagree by 1 ulp.
+      .withColumn("quality_score", round(
+        least(col("word_count") / lit(100.0), lit(1.0)) * 0.5
+          + (lit(1.0) - col("punct_count") / col("n_chars_calc")) * 0.25
+          + (col("stop_count") / col("word_count")) * 0.25, digits))
+      .drop("__toks")
+  }
+
+  /** Token counting: whitespace tokens + a BPE-ish segmentation count
+    * (letter runs / digit runs / single punctuation marks — the classic
+    * pre-tokenizer regex).
+    */
+  def tokenCounts(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("ws_tokens", size(tokens(col(textCol))))
+      .withColumn("bpe_tokens",
+        regexp_count(lower(col(textCol)), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")))
+
+  /** Language ID: argmax of marker-word hit counts, ties broken by
+    * language-code order. Single pass; the per-language counts are
+    * independent filters over the same token array.
+    */
+  def langId(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val withToks = df.withColumn("__toks", tokens(col(textCol)))
+    val withHits = langMarkers.foldLeft(withToks) { case (d, (lang, words)) =>
+      d.withColumn(s"hits_$lang",
+        expr(s"size(filter(__toks, t -> ${inList("t", words)}))"))
+    }
+    val langs = langMarkers.map(_._1)
+    val best = langs.map(l => col(s"hits_$l")).reduce((a, b) => greatest(a, b))
+    val pred = langs.foldRight(lit("und"): Column) { (l, acc) =>
+      when(col(s"hits_$l") === best && best > 0, lit(l)).otherwise(acc)
+    }
+    // foldRight gives earlier languages priority on ties (deterministic).
+    withHits.withColumn("pred_lang", pred).drop("__toks")
+  }
+
+  /** Document fingerprinting by winnowing (Schleimer et al., SIGMOD '03):
+    * k-token shingles → 64-bit hashes → min hash per sliding window of w.
+    * Emits the distinct fingerprint count and the global min fingerprint
+    * per document — a compact near-dup signal. Pure expressions; the
+    * rolling structure is built with `sequence`/`transform` so it stays in
+    * codegen.
+    */
+  def fingerprint(df: DataFrame, textCol: String = "text",
+                  k: Int = 3, w: Int = 4): DataFrame =
+    df.withColumn("__toks", tokens(col(textCol)))
+      .withColumn("__shingle_hashes",
+        expr(s"""transform(
+             sequence(1, greatest(size(__toks) - ${k - 1}, 1)),
+             i -> xxhash64(concat_ws(' ', slice(__toks, i, $k))))"""))
+      .withColumn("__window_mins",
+        expr(s"""transform(
+             sequence(1, greatest(size(__shingle_hashes) - ${w - 1}, 1)),
+             i -> array_min(slice(__shingle_hashes, i, $w)))"""))
+      .withColumn("n_fingerprints", size(array_distinct(col("__window_mins"))))
+      .withColumn("min_fingerprint", array_min(col("__window_mins")))
+      .drop("__toks", "__shingle_hashes", "__window_mins")
+}
