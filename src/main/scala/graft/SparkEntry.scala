@@ -99,7 +99,8 @@ object SparkEntry {
           .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
             col("l_quantity")),
         Seq("l_orderkey"),
-        Seq(col("l_shipdate").desc, col("l_linenumber").desc))
+        Seq(col("l_shipdate").desc, col("l_linenumber").desc,
+          col("l_quantity").desc))
         .withColumn("l_shipdate", col("l_shipdate").cast("date").cast("string"))
     },
 
@@ -152,7 +153,7 @@ object SparkEntry {
     // ---- D. LLM-data-pipeline ----
     "dedup_exact_docs" -> ((s, dir) => Dedup.exact(Tables(s, dir, "documents"))),
     "dedup_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccard(Tables(s, dir, "documents"), threshold = 0.8)),
+      Dedup.ngramJaccard(Tables(s, dir, "documents"), threshold = 0.5)),
     "dedup_minhash_lsh" -> ((s, dir) =>
       MinHashSpec.candidatePairs(Tables(s, dir, "documents"))),
     "dedup_simhash" -> ((s, dir) =>
@@ -254,7 +255,7 @@ object SparkEntry {
                 l_quantity
          FROM lineitem
          QUALIFY row_number() OVER (PARTITION BY l_orderkey
-           ORDER BY l_shipdate DESC, l_linenumber DESC) = 1""",
+           ORDER BY l_shipdate DESC, l_linenumber DESC, l_quantity DESC) = 1""",
 
     "qa_missingness" ->
       """WITH e AS (SELECT cast(cast(date_trunc('day', ts) as date) as varchar) AS period, *
@@ -387,9 +388,9 @@ object SparkEntry {
          FROM h JOIN c USING (text_hash)""",
 
     "dedup_ngram_jaccard" ->
-      """WITH words AS (
+      s"""WITH words AS (
            SELECT doc_id AS id, lang AS blk,
-                  unnest(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS w
+                  unnest(${Text.shingleSql("text", 3)}) AS w
            FROM documents),
          sizes AS (SELECT id, count(*) AS n_words FROM words GROUP BY id),
          inter AS (
@@ -402,7 +403,7 @@ object SparkEntry {
          FROM inter
          JOIN sizes sa ON id_a = sa.id
          JOIN sizes sb ON id_b = sb.id
-         WHERE round(n_common / cast(sa.n_words + sb.n_words - n_common as double), 4) >= 0.8""",
+         WHERE round(n_common / cast(sa.n_words + sb.n_words - n_common as double), 4) >= 0.5""",
 
     "dedup_minhash_lsh" -> MinHashSpec.duckdbSql(),
 

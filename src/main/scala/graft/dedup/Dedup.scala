@@ -30,16 +30,21 @@ object Dedup {
         (col(idCol) =!= col("keep_id")).cast("int").as("is_duplicate"))
   }
 
-  /** N-gram (word-set) Jaccard similarity over candidate pairs.
+  /** N-gram Jaccard similarity over k-token shingle sets.
     * Blocking on `blockCol` bounds the pair space; within a block the
-    * intersection is computed by exploding distinct tokens and joining on
-    * the token — one shuffle on (block, token), never a cross product.
+    * intersection is computed by exploding distinct shingles and joining
+    * on the shingle — one shuffle on (block, shingle), never a cross
+    * product. Shingles (not unigrams) keep the join sparse: bucket size
+    * is docs-per-shingle, which stays small even for tiny vocabularies.
     */
   def ngramJaccard(df: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text", blockCol: String = "lang",
-                   threshold: Double = 0.5, digits: Int = 4): DataFrame = {
-    val words = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
-        explode(array_distinct(Text.tokens(col(textCol)))).as("w"))
+                   k: Int = 3, threshold: Double = 0.5,
+                   digits: Int = 4): DataFrame = {
+    val words = df
+      .withColumn("__toks", Text.tokens(col(textCol)))
+      .select(col(idCol).as("id"), col(blockCol).as("blk"),
+        explode(expr(Text.shingleExpr("__toks", k))).as("w"))
     val sizes = words.groupBy(col("id")).agg(count(lit(1)).as("n_words"))
     val a = words.select(col("blk"), col("id").as("id_a"), col("w"))
     val b = words.select(col("blk"), col("id").as("id_b"), col("w"))
@@ -89,10 +94,17 @@ object MinHashSpec {
       s"""""".stripMargin // __h must be bound by caller as md5($tok)
   }
 
-  /** Per-document K-column minhash signature. One explode + one groupBy. */
+  /** Shingle width fed to the signatures (see [[Text.shingleExpr]]). */
+  val SHINGLE_K: Int = 3
+
+  /** Per-document K-column minhash signature over distinct 3-token
+    * shingles. One explode + one groupBy.
+    */
   def signatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val words = df.select(col(idCol),
-        explode(array_distinct(Text.tokens(col(textCol)))).as("w"))
+    val words = df
+      .withColumn("__toks", Text.tokens(col(textCol)))
+      .select(col(idCol),
+        explode(expr(Text.shingleExpr("__toks", SHINGLE_K))).as("w"))
       .withColumn("__h", md5(col("w")))
       .withColumn("__hp", expr(sparkHashExpr("w")))
     val aggs = (0 until K).map(i =>
@@ -141,7 +153,7 @@ object MinHashSpec {
     val eqSum = (0 until K).map(i =>
       s"CASE WHEN sa.mh_$i = sb.mh_$i THEN 1 ELSE 0 END").mkString(" + ")
     s"""WITH toks AS (
-      SELECT $idCol, unnest(list_distinct(string_split_regex(trim(lower($textCol)), '\\s+'))) AS w
+      SELECT $idCol, unnest(${graft.text.Text.shingleSql(textCol, SHINGLE_K)}) AS w
       FROM $table
     ), hashed AS (
       SELECT $idCol, CAST(md5_number_lower(w) % $P AS BIGINT) AS h FROM toks

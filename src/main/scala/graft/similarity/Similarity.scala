@@ -43,37 +43,52 @@ object Similarity {
       .select(col("probe_id"), col("cand_id"), col("cosine"), col("rnk"))
   }
 
-  /** Random-hyperplane LSH bucketing: `nBits` deterministic pseudo-random
-    * hyperplanes; bucket id = sign bits of the projections. Hyperplane
-    * component (j, d) is +1/-1 from the parity of xxhash64(j * dim + d) —
-    * reproducible with no stored model.
+  /** Random-hyperplane LSH with `nTables` independent hash tables
+    * (OR-amplification: a pair is a candidate if it collides in ANY
+    * table — recall 1-(1-p^b)^T instead of p^b). Hyperplane component
+    * (t, j, d) is +1/-1 from the parity of xxhash64((t*nBits+j)*dim+d) —
+    * deterministic, no stored model. Output: one row per (vector, table)
+    * with that table's bucket id.
     */
-  def lshBuckets(embeddings: DataFrame, nBits: Int = 8, dim: Int = 64,
-                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val bitCols = (0 until nBits).map { j =>
-      val proj =
-        s"""aggregate(zip_with($vecCol, transform(sequence(0, ${dim - 1}), d -> CASE WHEN xxhash64(${j} * $dim + d) % 2 = 0 THEN 1.0 ELSE -1.0 END),
-           (x, r) -> cast(x as double) * r), cast(0.0 as double), (acc, v) -> acc + v)"""
-      when(expr(proj) >= 0, lit(1L << j)).otherwise(lit(0L))
+  def lshBuckets(embeddings: DataFrame, nBits: Int = 6, nTables: Int = 8,
+                 dim: Int = 64, idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    val tableBuckets = (0 until nTables).map { t =>
+      (0 until nBits).map { j =>
+        val proj =
+          s"""aggregate(zip_with($vecCol, transform(sequence(0, ${dim - 1}),
+             d -> CASE WHEN xxhash64(${(t * nBits + j) * dim}L + d) % 2 = 0 THEN 1.0 ELSE -1.0 END),
+             (x, r) -> cast(x as double) * r), cast(0.0 as double), (acc, v) -> acc + v)"""
+        when(expr(proj) >= 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
     }
-    embeddings.withColumn("bucket", bitCols.reduce(_ + _))
+    embeddings
+      .withColumn("__buckets", array(tableBuckets: _*))
+      .select(col(idCol), col(vecCol),
+        posexplode(col("__buckets")).as(Seq("table", "bucket")))
   }
 
-  /** ANN via LSH buckets: probes only compare against corpus vectors in
-    * the same bucket. Returns per-probe top-k within bucket. Recall vs
-    * [[cosineTopK]] is asserted in the spec, not oracle-gated.
+  /** ANN via multi-table LSH: probes compare only against corpus vectors
+    * sharing a bucket in at least one table. Candidates are deduped
+    * before scoring so each pair is scored once. At scale the join is
+    * keyed on (table, bucket) — cost is Σ bucket², never n².
     */
   def annTopK(embeddings: DataFrame, probeIds: Seq[Long], k: Int,
-              nBits: Int = 8, dim: Int = 64,
+              nBits: Int = 6, nTables: Int = 8, dim: Int = 64,
               idCol: String = "vec_id", vecCol: String = "embedding",
               digits: Int = 4): DataFrame = {
-    val bucketed = lshBuckets(embeddings, nBits, dim, idCol, vecCol)
+    val bucketed = lshBuckets(embeddings, nBits, nTables, dim, idCol, vecCol)
     val probes = bucketed.filter(col(idCol).isInCollection(probeIds))
-      .select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"), col("bucket"))
+      .select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
+        col("table"), col("bucket"))
     val cands = bucketed.select(col(idCol).as("cand_id"),
-      col(vecCol).as("cand_vec"), col("bucket"))
-    val scored = cands.join(broadcast(probes), Seq("bucket"))
+      col(vecCol).as("cand_vec"), col("table"), col("bucket"))
+    val pairs = cands.join(broadcast(probes), Seq("table", "bucket"))
       .filter(col("probe_id") =!= col("cand_id"))
+      .groupBy(col("probe_id"), col("cand_id"))
+      .agg(first(col("probe_vec")).as("probe_vec"),
+        first(col("cand_vec")).as("cand_vec"))
+    val scored = pairs
       .withColumn("cosine", round(expr(cosineExpr("probe_vec", "cand_vec")), digits))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("cand_id"))
@@ -83,17 +98,21 @@ object Similarity {
   }
 
   /** Embedding-cosine near-dup pairs: all pairs above `threshold`,
-    * LSH-blocked so the pair space never materializes.
+    * multi-table-LSH-blocked so the pair space never materializes.
     */
   def cosineNearDup(embeddings: DataFrame, threshold: Double = 0.95,
-                    nBits: Int = 8, dim: Int = 64,
+                    nBits: Int = 6, nTables: Int = 8, dim: Int = 64,
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     digits: Int = 4): DataFrame = {
-    val bucketed = lshBuckets(embeddings, nBits, dim, idCol, vecCol)
-    val a = bucketed.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("vec_a"))
-    val b = bucketed.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vec_b"))
-    a.join(b, Seq("bucket"))
+    val bucketed = lshBuckets(embeddings, nBits, nTables, dim, idCol, vecCol)
+    val a = bucketed.select(col("table"), col("bucket"),
+      col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = bucketed.select(col("table"), col("bucket"),
+      col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.join(b, Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(col("vec_a")).as("vec_a"), first(col("vec_b")).as("vec_b"))
       .withColumn("cosine", round(expr(cosineExpr("vec_a", "vec_b")), digits))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))

@@ -49,15 +49,20 @@ object Streams {
                         session_end: Timestamp, n_events: Int, sum_value: Double)
 
   /** Per-user session windows via flatMapGroupsWithState: a session closes
-    * after `gapMinutes` of inactivity (processing-time timeout). State per
+    * after `gapMinutes` of event-time inactivity. Event-time timeout (vs
+    * processing-time) makes the operator deterministic and replayable —
+    * sessions close when the WATERMARK passes session_end + gap, so a
+    * backfill produces byte-identical output to the live run. State per
     * user is O(1) — start/end/counters only.
     */
   def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60L * 1000L
-    events.groupByKey(_.user_id)
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
@@ -83,7 +88,8 @@ object Streams {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutDuration(gapMs)
+              // close when the watermark passes the inactivity horizon
+              state.setTimeoutTimestamp(s.end + gapMs)
             }
             closed.reverseIterator
           }

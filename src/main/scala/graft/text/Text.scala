@@ -15,6 +15,23 @@ object Text {
     */
   def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
 
+  /** k-token shingles over a token array column (distinct). The standard
+    * unit for n-gram Jaccard / MinHash: shingle cardinality is ~|vocab|^k,
+    * so shingle-keyed joins stay sparse even when the vocabulary is tiny.
+    */
+  def shingleExpr(toksCol: String, k: Int): String =
+    s"""array_distinct(transform(
+       sequence(1, greatest(size($toksCol) - ${k - 1}, 1)),
+       i -> concat_ws(' ', slice($toksCol, i, $k))))"""
+
+  /** DuckDB twin of [[shingleExpr]] over a text expression. */
+  def shingleSql(textExpr: String, k: Int): String = {
+    val toks = s"string_split_regex(trim(lower($textExpr)), '\\s+')"
+    s"""list_distinct(list_transform(
+       range(1, greatest(len($toks) - ${k - 1}, 1) + 1),
+       i -> array_to_string(($toks)[i:i+${k - 1}], ' ')))"""
+  }
+
   /** Per-language marker-word lists for the language-ID heuristic.
     * Deliberately tiny: the operator's value is the *shape* (argmax over
     * per-class token-hit counts, computable in one pass); swapping in real

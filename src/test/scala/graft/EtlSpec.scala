@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.config.{ColumnSpec, TableConfig}
+import graft.etl.Etl
+
+class EtlSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("conform casts declared types and pads missing columns with NULL") {
+    val src = Seq((1L, "a", 2.5)).toDF("k", "s", "v")
+    val vars = Seq(ColumnSpec("k", "INTEGER"), ColumnSpec("v", "VARCHAR(10)"),
+      ColumnSpec("extra", "BIGINT"))
+    val out = Etl.conform(src, vars)
+    assert(out.schema.map(f => (f.name, f.dataType)) ==
+      Seq(("k", IntegerType), ("v", StringType), ("extra", LongType)))
+    val row = out.collect().head
+    assert(row.getInt(0) == 1 && row.getString(1) == "2.5" && row.isNullAt(2))
+  }
+
+  test("combineYears unions by name, padding year-specific columns") {
+    val y1 = Seq((1L, 10.0)).toDF("k", "v")
+    val y2 = Seq((2L, 20.0, "x")).toDF("k", "v", "extra")
+    val out = Etl.combineYears(Seq(y1, y2)).orderBy("k").collect()
+    assert(out.length == 2)
+    assert(out(0).isNullAt(2) && out(1).getString(2) == "x")
+  }
+
+  test("incrementalLoad splits archive/fresh at the cutpoint") {
+    val archive = Seq(("2020-01-01", "old"), ("2020-06-01", "old"))
+      .toDF("d", "src").withColumn("d", col("d").cast("date"))
+    val fresh = Seq(("2020-01-01", "new"), ("2020-06-01", "new"))
+      .toDF("d", "src").withColumn("d", col("d").cast("date"))
+    val out = Etl.incrementalLoad(archive, fresh, "d", lit("2020-03-01"))
+      .collect().map(r => (r.getDate(0).toString, r.getString(1))).toSet
+    assert(out == Set(("2020-01-01", "old"), ("2020-06-01", "new")))
+  }
+
+  test("dedupKeepLatest keeps exactly one deterministic row per key") {
+    val df = Seq((1, 2, "b"), (1, 3, "c"), (1, 1, "a"), (2, 9, "z"))
+      .toDF("k", "ord", "v")
+    val out = Etl.dedupKeepLatest(df, Seq("k"), Seq(col("ord").desc))
+      .orderBy("k").collect()
+    assert(out.map(_.getString(2)).toSeq == Seq("c", "z"))
+  }
+
+  test("tableDiff tags rows unique to each side") {
+    val a = Seq(1, 2, 3).toDF("k")
+    val b = Seq(2, 3, 4).toDF("k")
+    val out = Etl.tableDiff(a, b).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(out == Set((1, "left_only"), (4, "right_only")))
+  }
+
+  test("clusterBy preserves content and sorts within partitions") {
+    val df = Tables(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_linenumber")
+    val clustered = Etl.clusterBy(df, Seq("l_orderkey", "l_linenumber"))
+    assert(clustered.count() == df.count())
+    // every partition must be locally sorted by the cluster keys
+    val violations = clustered.select("l_orderkey", "l_linenumber").rdd
+      .mapPartitions { it =>
+        val rows = it.map(r => (r.getLong(0), r.getInt(1))).toSeq
+        Iterator.single(rows.zip(rows.drop(1)).count { case (x, y) =>
+          x._1 > y._1 || (x._1 == y._1 && x._2 > y._2) })
+      }.sum()
+    assert(violations == 0.0)
+  }
+
+  test("copyInto stamps a deterministic batch id") {
+    val out = Etl.copyInto(Seq(1).toDF("k"), "b1").collect().head
+    assert(out.getString(1) == "b1")
+  }
+
+  test("csv round-trip: custom delimiter + header skip with explicit schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val src = Tables(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      .limit(500)
+    src.coalesce(1).write.mode("overwrite")
+      .option("header", "true").option("sep", "|").csv(dir)
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_linenumber", IntegerType),
+      StructField("l_quantity", DoubleType), StructField("l_returnflag", StringType)))
+    val back = spark.read.schema(schema)
+      .option("header", "true").option("sep", "|").csv(dir)
+    assert(back.count() == 500)
+    assert(back.exceptAll(src).count() == 0 && src.exceptAll(back).count() == 0)
+  }
+
+  test("yaml-subset config parser honors the reference contract") {
+    val cfg = TableConfig.fromYaml(
+      """to_schema: raw
+        |to_table: mcaid_elig
+        |first_row: 2
+        |vars:
+        |    id: BIGINT
+        |    name: VARCHAR(64)
+        |years:
+        |    2014
+        |    2015
+        |vars_2014:
+        |    legacy_flag: INTEGER
+        |""".stripMargin)
+    assert(cfg.toTable == "mcaid_elig" && cfg.toSchema == "raw")
+    assert(cfg.vars.map(_.name).toSet == Set("id", "name"))
+    assert(cfg.years == Seq(2014, 2015))
+    assert(cfg.varsForYear(2014).map(_.name).contains("legacy_flag"))
+    assert(cfg.allVars.map(_.name).distinct.size == cfg.allVars.size)
+  }
+}

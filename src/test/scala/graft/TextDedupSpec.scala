@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.{Dedup, MinHashSpec, SimHash}
+import graft.text.Text
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("quality scores a known string exactly") {
+    val df = Seq((1L, "the quick fox!")).toDF("doc_id", "text")
+    val r = Text.quality(df).collect().head
+    assert(r.getAs[Int]("n_chars_calc") == 14)
+    assert(r.getAs[Int]("word_count") == 3)
+    assert(r.getAs[Int]("punct_count") == 1)   // '!'
+    assert(r.getAs[Int]("stop_count") == 1)    // 'the'
+  }
+
+  test("tokenCounts: whitespace vs BPE-ish segmentation") {
+    val df = Seq((1L, "ab12 cd, e")).toDF("doc_id", "text")
+    val r = Text.tokenCounts(df).collect().head
+    assert(r.getAs[Int]("ws_tokens") == 3)
+    // [ab][12][cd][,][e]
+    assert(r.getAs[Int]("bpe_tokens") == 5)
+  }
+
+  test("langId picks the language with most marker hits, tie → first") {
+    val df = Seq((1L, "der und ist fine"), (2L, "xyz qqq")).toDF("doc_id", "text")
+    val out = Text.langId(df).collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+    assert(out(1L) == "de")
+    assert(out(2L) == "und") // no hits at all
+  }
+
+  test("fingerprint: identical docs share fingerprints, different don't") {
+    val df = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
+      (3L, "z y x w v u t s")).toDF("doc_id", "text")
+    val out = Text.fingerprint(df).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("min_fingerprint")).toMap
+    assert(out(1L) == out(2L))
+    assert(out(1L) != out(3L))
+  }
+
+  test("exact dedup finds planted duplicates and keeps the min id") {
+    val df = Seq((10L, "same text"), (20L, "same text"), (30L, "other"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("keep_id"), r.getAs[Int]("is_duplicate"))).toMap
+    assert(out(10L) == ((10L, 0)) && out(20L) == ((10L, 1)) && out(30L) == ((30L, 0)))
+  }
+
+  test("ngramJaccard finds the planted near-dup pairs on real data") {
+    val pairs = Dedup.ngramJaccard(Tables(spark, sfDir, "documents"),
+      threshold = 0.5).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach(r => assert(r.getAs[Double]("jaccard") >= 0.5))
+    // near-dup pairs at 0.95+ exist in the synthetic corpus
+    assert(pairs.exists(_.getAs[Double]("jaccard") > 0.9))
+  }
+
+  test("minhash LSH candidates contain every true high-jaccard pair") {
+    val docs = Tables(spark, sfDir, "documents")
+    val trueDups = Dedup.ngramJaccard(docs, threshold = 0.9).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val cands = MinHashSpec.candidatePairs(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(trueDups.nonEmpty)
+    assert(trueDups.subsetOf(cands),
+      s"missed: ${trueDups.diff(cands)}")
+    // and the estimate on those pairs is high
+    val est = MinHashSpec.candidatePairs(docs).collect()
+      .filter(r => trueDups.contains((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))))
+    est.foreach(r => assert(r.getAs[Double]("est_jaccard") >= 0.5))
+  }
+
+  test("simhash: identical docs get identical fingerprints; bands split bits") {
+    val df = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "q r s t u"))
+      .toDF("doc_id", "text")
+    val out = SimHash.fingerprints(df).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("simhash")).toMap
+    assert(out(1L) == out(2L) && out(1L) != out(3L))
+    val r = SimHash.fingerprints(df).filter(col("doc_id") === 1L).collect().head
+    val rebuilt = (0 until SimHash.BANDS).map(j =>
+      r.getAs[Long](s"band_$j") << (j * SimHash.BAND_BITS)).sum
+    assert(rebuilt == r.getAs[Long]("simhash"))
+  }
+}
