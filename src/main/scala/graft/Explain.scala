@@ -1,0 +1,21 @@
+package graft
+
+/** Plan-audit utility: prints the formatted physical plan of selected
+  * queries so shuffle/broadcast/pushdown regressions are visible.
+  * Usage: runMain graft.Explain [sfDir] [query ...]
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (args.length > 1) args.tail.toSeq
+      else Seq("etl_load_select", "q1_agg", "q_join_star", "q_join_large",
+        "q_semi_anti", "dedup_minhash_lsh", "sim_cosine_topk")
+    val spark = Tables.session("graft-explain", cores = 4)
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      println(s"\n=================== $n ===================")
+      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -406,6 +406,8 @@ object SparkEntry {
          WHERE round(n_common / cast(sa.n_words + sb.n_words - n_common as double), 4) >= 0.5""",
 
     "dedup_minhash_lsh" -> MinHashSpec.duckdbSql(),
+    "dedup_simhash" -> SimHash.duckdbSql(),
+    "text_fingerprint" -> Text.fingerprintSql(),
 
     "sim_cosine_topk" ->
       s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pv

@@ -84,15 +84,29 @@ object MinHashSpec {
   val a: Seq[Long] = (0 until K).map(i => ((i + 1) * 2654435761L) % (P - 1) + 1)
   val b: Seq[Long] = (0 until K).map(i => ((i + 1) * 40503L * 65537L + 17) % P)
 
-  /** Spark SQL expression for H(w) mod P given a token column name.
-    * Reverses the hex byte pairs of md5 chars 17..32 (the lower 8 bytes)
-    * to match md5_number_lower's little-endian read, then conv → mod.
+  /** Spark SQL expression for H(w) mod P over a pre-bound `__h = md5(tok)`
+    * column. Reverses the hex byte pairs of md5 chars 17..32 (the lower 8
+    * bytes) to match md5_number_lower's little-endian read, then
+    * conv → mod.
     */
   def sparkHashExpr(tok: String): String = {
     val pairs = (0 until 8).map(i => s"substring(__h, ${31 - 2 * i}, 2)").mkString(", ")
-    s"""cast(cast(conv(concat($pairs), 16, 10) as decimal(20,0)) % $P as bigint)""" +
-      s"""""".stripMargin // __h must be bound by caller as md5($tok)
+    s"cast(cast(conv(concat($pairs), 16, 10) as decimal(20,0)) % $P as bigint)"
   }
+
+  /** 32-bit cross-engine hash of a string expression: little-endian read
+    * of md5 bytes 12..15 == DuckDB's `md5_number_lower(x) >> 32`. Fits a
+    * BIGINT in both engines, so bit arithmetic (SimHash, fingerprints)
+    * mirrors exactly.
+    */
+  def sparkH32Expr(strExpr: String): String = {
+    val pairs = (0 until 4).map(i => s"substring(md5($strExpr), ${31 - 2 * i}, 2)").mkString(", ")
+    s"cast(conv(concat($pairs), 16, 10) as bigint)"
+  }
+
+  /** DuckDB twin of [[sparkH32Expr]]. */
+  def duckH32Sql(strExpr: String): String =
+    s"cast((md5_number_lower($strExpr) >> 32) as bigint)"
 
   /** Shingle width fed to the signatures (see [[Text.shingleExpr]]). */
   val SHINGLE_K: Int = 3
@@ -176,31 +190,59 @@ object MinHashSpec {
   }
 }
 
-/** SimHash: 64-bit-family fingerprint restricted to 48 bits (keeps the
-  * value positive in both engines' signed BIGINT). Bit j of the
-  * fingerprint is the sign of Σ_tokens (bit j of xxhash64(token) ? +1 : -1).
-  * Near-dup candidates share one of 4 12-bit bands.
+/** SimHash: 32-bit fingerprint. Bit j of the fingerprint is the sign of
+  * Σ_distinct-tokens (bit j of H32(token) ? +1 : -1), H32 being the
+  * cross-engine md5-derived hash — so the DuckDB oracle reproduces the
+  * fingerprint bit-for-bit. Near-dup candidates share one of 4 8-bit
+  * bands (hamming-band blocking).
   */
 object SimHash {
-  val BITS = 48
+  val BITS = 32
   val BANDS = 4
   val BAND_BITS: Int = BITS / BANDS
 
   def fingerprints(df: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame = {
-    val words = df.select(col(idCol),
-        explode(array_distinct(Text.tokens(col(textCol)))).as("w"))
-      .withColumn("__h", xxhash64(col("w")))
+    val words = df
+      .withColumn("__toks", Text.tokens(col(textCol)))
+      .select(col(idCol), explode(array_distinct(col("__toks"))).as("w"))
+      .withColumn("__h", expr(MinHashSpec.sparkH32Expr("w")))
     val bitSums = (0 until BITS).map(j =>
-      sum(when(expr(s"(__h >> $j) & 1") === 1, 1).otherwise(-1)).as(s"__s_$j"))
+      sum(when(expr(s"shiftright(__h, $j) & 1") === 1, 1).otherwise(-1)).as(s"__s_$j"))
     val agg = words.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
     val sim = (0 until BITS).map(j =>
       when(col(s"__s_$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
     val withSim = agg.select(col(idCol), sim.as("simhash"))
     val bandCols = (0 until BANDS).map(j =>
-      expr(s"(simhash >> ${j * BAND_BITS}) & ${(1L << BAND_BITS) - 1}")
+      expr(s"shiftright(simhash, ${j * BAND_BITS}) & ${(1L << BAND_BITS) - 1}")
         .as(s"band_$j"))
     withSim.select(col(idCol) +: col("simhash") +: bandCols: _*)
+  }
+
+  /** DuckDB oracle mirroring [[fingerprints]] exactly. */
+  def duckdbSql(table: String = "documents", idCol: String = "doc_id",
+                textCol: String = "text"): String = {
+    val sums = (0 until BITS).map(j =>
+      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s_$j")
+      .mkString(",\n      ")
+    val sim = (0 until BITS).map(j =>
+      s"CASE WHEN s_$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    val bands = (0 until BANDS).map(j =>
+      s"(simhash >> ${j * BAND_BITS}) & ${(1L << BAND_BITS) - 1} AS band_$j")
+      .mkString(", ")
+    s"""WITH toks AS (
+      SELECT $idCol, unnest(list_distinct(string_split_regex(trim(lower($textCol)), '\\s+'))) AS w
+      FROM $table
+    ), hashed AS (
+      SELECT $idCol, ${MinHashSpec.duckH32Sql("w")} AS h FROM toks
+    ), sums AS (
+      SELECT $idCol,
+      $sums
+      FROM hashed GROUP BY $idCol
+    ), sim AS (
+      SELECT $idCol, cast($sim as bigint) AS simhash FROM sums
+    )
+    SELECT $idCol, simhash, $bands FROM sim"""
   }
 }

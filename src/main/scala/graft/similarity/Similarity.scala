@@ -50,16 +50,30 @@ object Similarity {
     * deterministic, no stored model. Output: one row per (vector, table)
     * with that table's bucket id.
     */
+  /** Deterministic ±1 hyperplane component for (plane, dim) — a splitmix64
+    * finalizer over the index, evaluated ONCE on the driver. The planes
+    * ship to executors as array literals, so per-row work is just the dot
+    * products (no hashing in the hot loop).
+    */
+  private def planeSign(plane: Int, d: Int): Double = {
+    var z = (plane.toLong << 32 | d.toLong) + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    if ((z & 1L) == 0L) 1.0 else -1.0
+  }
+
   def lshBuckets(embeddings: DataFrame, nBits: Int = 6, nTables: Int = 8,
                  dim: Int = 64, idCol: String = "vec_id",
                  vecCol: String = "embedding"): DataFrame = {
     val tableBuckets = (0 until nTables).map { t =>
       (0 until nBits).map { j =>
-        val proj =
-          s"""aggregate(zip_with($vecCol, transform(sequence(0, ${dim - 1}),
-             d -> CASE WHEN xxhash64(${(t * nBits + j) * dim}L + d) % 2 = 0 THEN 1.0 ELSE -1.0 END),
-             (x, r) -> cast(x as double) * r), cast(0.0 as double), (acc, v) -> acc + v)"""
-        when(expr(proj) >= 0, lit(1L << j)).otherwise(lit(0L))
+        val plane = Array.tabulate(dim)(d => planeSign(t * nBits + j, d))
+        val planeLit = typedLit(plane)
+        val proj = aggregate(
+          zip_with(col(vecCol), planeLit, (x, r) => x.cast("double") * r),
+          lit(0.0), (acc, v) => acc + v)
+        when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
       }.reduce(_ + _)
     }
     embeddings

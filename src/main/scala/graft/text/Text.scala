@@ -102,11 +102,12 @@ object Text {
   }
 
   /** Document fingerprinting by winnowing (Schleimer et al., SIGMOD '03):
-    * k-token shingles → 64-bit hashes → min hash per sliding window of w.
-    * Emits the distinct fingerprint count and the global min fingerprint
-    * per document — a compact near-dup signal. Pure expressions; the
-    * rolling structure is built with `sequence`/`transform` so it stays in
-    * codegen.
+    * k-token shingles → 32-bit cross-engine hashes → min hash per sliding
+    * window of w. Emits the distinct fingerprint count and the global min
+    * fingerprint per document — a compact near-dup signal. Pure
+    * expressions; the rolling structure is built with `sequence`/
+    * `transform` so it stays in codegen, and the hash is the md5-derived
+    * H32 so the DuckDB oracle reproduces it exactly.
     */
   def fingerprint(df: DataFrame, textCol: String = "text",
                   k: Int = 3, w: Int = 4): DataFrame =
@@ -114,7 +115,7 @@ object Text {
       .withColumn("__shingle_hashes",
         expr(s"""transform(
              sequence(1, greatest(size(__toks) - ${k - 1}, 1)),
-             i -> xxhash64(concat_ws(' ', slice(__toks, i, $k))))"""))
+             i -> ${graft.dedup.MinHashSpec.sparkH32Expr(s"concat_ws(' ', slice(__toks, i, $k))")})"""))
       .withColumn("__window_mins",
         expr(s"""transform(
              sequence(1, greatest(size(__shingle_hashes) - ${w - 1}, 1)),
@@ -122,4 +123,29 @@ object Text {
       .withColumn("n_fingerprints", size(array_distinct(col("__window_mins"))))
       .withColumn("min_fingerprint", array_min(col("__window_mins")))
       .drop("__toks", "__shingle_hashes", "__window_mins")
+
+  /** DuckDB oracle for [[fingerprint]]: (doc_id, n_fingerprints,
+    * min_fingerprint) over a documents table.
+    */
+  def fingerprintSql(table: String = "documents", idCol: String = "doc_id",
+                     textCol: String = "text", k: Int = 3, w: Int = 4): String = {
+    val toks = s"string_split_regex(trim(lower($textCol)), '\\s+')"
+    s"""WITH sh AS (
+      SELECT $idCol,
+        list_transform(
+          range(1, greatest(len($toks) - ${k - 1}, 1) + 1),
+          i -> ${graft.dedup.MinHashSpec.duckH32Sql(s"array_to_string(($toks)[i:i+${k - 1}], ' ')")}) AS hs
+      FROM $table
+    ), wm AS (
+      SELECT $idCol,
+        list_transform(
+          range(1, greatest(len(hs) - ${w - 1}, 1) + 1),
+          i -> list_min(hs[i:i+${w - 1}])) AS mins
+      FROM sh
+    )
+    SELECT $idCol,
+           cast(len(list_distinct(mins)) as int) AS n_fingerprints,
+           list_min(mins) AS min_fingerprint
+    FROM wm"""
+  }
 }
