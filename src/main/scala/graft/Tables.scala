@@ -32,6 +32,7 @@ object Tables {
     */
   def session(appName: String = "graft", cores: Int = 32): SparkSession = {
     val b = SparkSession.builder()
+      .withExtensions(graft.functions.GraftFunctions.register)
       .appName(appName)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

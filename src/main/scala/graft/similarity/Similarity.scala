@@ -15,12 +15,19 @@ object Similarity {
 
   /** Cosine similarity between two array<float> columns, computed in
     * double precision in index order (matches DuckDB's list_dot_product
-    * accumulation to the ulp for 64-dim vectors).
+    * accumulation to the ulp for 64-dim vectors). Uses the native fused
+    * `cosine_sim` Catalyst expression when the session registered it
+    * (graft.functions.GraftFunctions); otherwise composes builtins —
+    * identical arithmetic, more per-row allocation.
     */
   private def cosineExpr(a: String, b: String): String =
     s"""aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (acc, v) -> acc + v)
        / (sqrt(aggregate(transform($a, x -> cast(x as double) * cast(x as double)), cast(0.0 as double), (acc, v) -> acc + v))
         * sqrt(aggregate(transform($b, x -> cast(x as double) * cast(x as double)), cast(0.0 as double), (acc, v) -> acc + v)))"""
+
+  private def cosineSql(df: DataFrame, a: String, b: String): String =
+    if (df.sparkSession.catalog.functionExists("cosine_sim")) s"cosine_sim($a, $b)"
+    else cosineExpr(a, b)
 
   /** Brute-force cosine top-k: each probe vector against the full corpus.
     * The probe set is broadcast (it is small by definition); per-probe
@@ -35,7 +42,8 @@ object Similarity {
       .select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
     val cands = embeddings.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"))
     val scored = cands.join(broadcast(probes), col("probe_id") =!= col("cand_id"))
-      .withColumn("cosine", round(expr(cosineExpr("probe_vec", "cand_vec")), digits))
+      .withColumn("cosine",
+        round(expr(cosineSql(embeddings, "probe_vec", "cand_vec")), digits))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("cand_id"))
     scored.withColumn("rnk", row_number().over(w))
@@ -43,13 +51,6 @@ object Similarity {
       .select(col("probe_id"), col("cand_id"), col("cosine"), col("rnk"))
   }
 
-  /** Random-hyperplane LSH with `nTables` independent hash tables
-    * (OR-amplification: a pair is a candidate if it collides in ANY
-    * table — recall 1-(1-p^b)^T instead of p^b). Hyperplane component
-    * (t, j, d) is +1/-1 from the parity of xxhash64((t*nBits+j)*dim+d) —
-    * deterministic, no stored model. Output: one row per (vector, table)
-    * with that table's bucket id.
-    */
   /** Deterministic ±1 hyperplane component for (plane, dim) — a splitmix64
     * finalizer over the index, evaluated ONCE on the driver. The planes
     * ship to executors as array literals, so per-row work is just the dot
@@ -63,6 +64,11 @@ object Similarity {
     if ((z & 1L) == 0L) 1.0 else -1.0
   }
 
+  /** Random-hyperplane LSH with `nTables` independent hash tables
+    * (OR-amplification: a pair is a candidate if it collides in ANY
+    * table — recall 1-(1-p^b)^T instead of p^b). Output: one row per
+    * (vector, table) with that table's bucket id.
+    */
   def lshBuckets(embeddings: DataFrame, nBits: Int = 6, nTables: Int = 8,
                  dim: Int = 64, idCol: String = "vec_id",
                  vecCol: String = "embedding"): DataFrame = {
@@ -103,7 +109,8 @@ object Similarity {
       .agg(first(col("probe_vec")).as("probe_vec"),
         first(col("cand_vec")).as("cand_vec"))
     val scored = pairs
-      .withColumn("cosine", round(expr(cosineExpr("probe_vec", "cand_vec")), digits))
+      .withColumn("cosine",
+        round(expr(cosineSql(embeddings, "probe_vec", "cand_vec")), digits))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("cand_id"))
     scored.withColumn("rnk", row_number().over(w))
@@ -127,7 +134,8 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(first(col("vec_a")).as("vec_a"), first(col("vec_b")).as("vec_b"))
-      .withColumn("cosine", round(expr(cosineExpr("vec_a", "vec_b")), digits))
+      .withColumn("cosine",
+        round(expr(cosineSql(embeddings, "vec_a", "vec_b")), digits))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }

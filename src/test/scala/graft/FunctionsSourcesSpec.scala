@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.config.{ColumnSpec, TableConfig}
+import graft.sources.Sources
+
+class FunctionsSourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native cosine_sim matches hand-computed value and builtin chain") {
+    val df = Seq((Array(1.0f, 0.0f, 1.0f), Array(0.0f, 1.0f, 1.0f)))
+      .toDF("a", "b")
+    val native = df.select(expr("cosine_sim(a, b)")).collect().head.getDouble(0)
+    assert(math.abs(native - 0.5) < 1e-12) // dot=1, |a|=|b|=sqrt(2)
+    val builtin = df.select(
+      expr("""aggregate(zip_with(a, b, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (acc, v) -> acc + v)
+           / (sqrt(aggregate(transform(a, x -> cast(x as double) * cast(x as double)), cast(0.0 as double), (acc, v) -> acc + v))
+            * sqrt(aggregate(transform(b, x -> cast(x as double) * cast(x as double)), cast(0.0 as double), (acc, v) -> acc + v)))"""))
+      .collect().head.getDouble(0)
+    assert(native == builtin)
+  }
+
+  test("cosine_sim is null-safe") {
+    val df = Seq((Some(Array(1.0f)), Option.empty[Array[Float]]))
+      .toDF("a", "b")
+    assert(df.select(expr("cosine_sim(a, b)")).collect().head.isNullAt(0))
+  }
+
+  test("cosine_sim agrees with the full interpreted path on real vectors") {
+    val emb = Tables(spark, sfDir, "embeddings").limit(20).cache()
+    val pairs = emb.select(col("vec_id").as("ia"), col("embedding").as("va"))
+      .crossJoin(emb.select(col("vec_id").as("ib"), col("embedding").as("vb")))
+      .filter(col("ia") < col("ib"))
+    val diff = pairs.select(
+      (expr("cosine_sim(va, vb)") -
+        expr("""aggregate(zip_with(va, vb, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (acc, v) -> acc + v)
+             / (sqrt(aggregate(transform(va, x -> cast(x as double) * cast(x as double)), cast(0.0 as double), (acc, v) -> acc + v))
+              * sqrt(aggregate(transform(vb, x -> cast(x as double) * cast(x as double)), cast(0.0 as double), (acc, v) -> acc + v)))"""))
+        .as("d"))
+    assert(diff.agg(max(abs(col("d")))).collect().head.getDouble(0) == 0.0)
+  }
+
+  test("delimited load honors field terminator, header skip, and schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_src").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/data.csv"),
+      "id|name|amt\n1|alpha|1.5\n2|beta|2.5\n")
+    val cfg = TableConfig(
+      toTable = "t",
+      vars = Seq(ColumnSpec("id", "BIGINT"), ColumnSpec("name", "VARCHAR(10)"),
+        ColumnSpec("amt", "FLOAT")),
+      filePath = Map("overall" -> s"$dir/data.csv"),
+      fieldTerm = Map("overall" -> "|"),
+      firstRow = 2)
+    val out = Sources.loadDelimited(spark, cfg).orderBy("id").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(0) == 1L && out(0).getString(1) == "alpha"
+      && out(0).getDouble(2) == 1.5)
+  }
+
+  test("year-partitioned load pads year-specific columns and unions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_years").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/y2014.csv"), "id,flag\n1,9\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/y2015.csv"), "id\n2\n")
+    val cfg = TableConfig(
+      toTable = "t",
+      vars = Seq(ColumnSpec("id", "BIGINT")),
+      years = Seq(2014, 2015),
+      yearVars = Map(2014 -> Seq(ColumnSpec("flag", "INTEGER"))),
+      filePath = Map("2014" -> s"$dir/y2014.csv", "2015" -> s"$dir/y2015.csv"),
+      fieldTerm = Map("overall" -> ","),
+      firstRow = 2)
+    val out = Sources.loadYears(spark, cfg).orderBy("id").collect()
+    assert(out.length == 2)
+    assert(out(0).getInt(1) == 9 && out(1).isNullAt(1))
+  }
+
+  test("writeTable lays out clustered, partitioned parquet") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_write").toString + "/t"
+    val df = Tables(spark, sfDir, "orders")
+      .withColumn("yr", year(col("o_orderdate")))
+    Sources.writeTable(df, dir, partitionCols = Seq("yr"),
+      clusterKeys = Seq("o_orderkey"))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == df.count())
+    // partition pruning: reading one year touches only that directory
+    val pruned = back.filter(col("yr") === 1995)
+    val scanned = pruned.queryExecution.executedPlan.collectLeaves()
+      .head.metrics.get("numFiles")
+    assert(pruned.count() > 0)
+  }
+}

@@ -9,6 +9,7 @@ import org.scalatest.BeforeAndAfterAll
   */
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSession.builder()
+    .withExtensions(graft.functions.GraftFunctions.register)
     .master("local[4]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
