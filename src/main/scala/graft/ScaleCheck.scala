@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale sanity: replicate sf0.1 N× with shifted keys (≈ sf1) into
+  * target/, then time the heavy queries at both scales. A healthy
+  * operator shows ≈linear growth; super-linear growth flags a plan that
+  * won't survive 100 TB. Usage: runMain graft.ScaleCheck [N]
+  */
+object ScaleCheck {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(10)
+    val src = "/root/testdata/sf0.1"
+    val dst = s"target/scale_x$n"
+    val spark = Tables.session("graft-scale", cores = 32)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def replicate(table: String, keyCols: Map[String, Long]): Unit = {
+      val base = Tables(spark, src, table)
+      val copies = (0 until n).map { i =>
+        keyCols.foldLeft(base) { case (df, (c, stride)) =>
+          df.withColumn(c, col(c) + lit(i * stride))
+        }
+      }
+      copies.reduce(_.unionByName(_))
+        .write.mode("overwrite").parquet(s"$dst/$table.parquet")
+    }
+
+    val t0 = System.nanoTime()
+    replicate("lineitem", Map("l_orderkey" -> 10000000L))
+    replicate("orders", Map("o_orderkey" -> 10000000L, "o_custkey" -> 1000000L))
+    replicate("customer", Map("c_custkey" -> 1000000L))
+    replicate("documents", Map("doc_id" -> 1000000L))
+    replicate("embeddings", Map("vec_id" -> 1000000L))
+    replicate("events", Map("event_id" -> 100000000L, "user_id" -> 1000000L))
+    // small dims unchanged
+    Seq("region", "nation", "supplier", "part").foreach { t =>
+      Tables(spark, src, t).write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
+    println(f"replicated x$n in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+
+    val names = Seq("q1_agg", "q_join_star", "q_join_large", "q_semi_anti",
+      "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+      "sim_cosine_topk", "sim_ann_lsh", "etl_add_index", "qa_categorical",
+      "etl_dedup_keep_latest")
+    def time(dir: String, name: String): Double = {
+      val t = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).write.format("noop")
+        .mode("overwrite").save()
+      (System.nanoTime() - t) / 1e9
+    }
+    // warm both paths once
+    names.foreach(q => time(src, q))
+    println(f"${"query"}%-22s ${"sf0.1"}%8s ${"x" + n}%8s  ratio (linear=$n)")
+    names.foreach { q =>
+      val small = time(src, q)
+      val big = time(dst, q)
+      println(f"$q%-22s $small%8.2f $big%8.2f  ${big / small}%5.1f")
+    }
+    spark.stop()
+  }
+}

@@ -62,6 +62,36 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("jaccard"))
   }
+
+  /** The 100 TB shape of near-dup detection: MinHash-LSH proposes
+    * candidate pairs (cheap, band-bucketed), then exact shingle Jaccard
+    * verifies ONLY those pairs. Cost is Σ_candidates |shingles(A)| —
+    * linear in candidate count — where all-pairs [[ngramJaccard]] grows
+    * quadratically with duplicate-cluster size.
+    */
+  def jaccardOnCandidates(df: DataFrame, idCol: String = "doc_id",
+                          textCol: String = "text", k: Int = 3,
+                          threshold: Double = 0.5, digits: Int = 4): DataFrame = {
+    val cand = MinHashSpec.candidatePairs(df, idCol, textCol)
+      .select(col("doc_a"), col("doc_b"))
+    val words = df
+      .withColumn("__toks", Text.tokens(col(textCol)))
+      .select(col(idCol).as("id"),
+        explode(expr(Text.shingleExpr("__toks", k))).as("w"))
+    val sizes = words.groupBy(col("id")).agg(count(lit(1)).as("n_words"))
+    val inter = cand
+      .join(words.select(col("id").as("doc_a"), col("w")), Seq("doc_a"))
+      .join(words.select(col("id").as("doc_b"), col("w")), Seq("doc_b", "w"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col("id").as("doc_a"), col("n_words").as("n_a")), "doc_a")
+      .join(sizes.select(col("id").as("doc_b"), col("n_words").as("n_b")), "doc_b")
+      .withColumn("jaccard", round(col("n_common") /
+        (col("n_a") + col("n_b") - col("n_common")), digits))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
 }
 
 /** MinHash + LSH specification shared by the Spark implementation and the

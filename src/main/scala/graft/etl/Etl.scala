@@ -146,4 +146,56 @@ object Etl {
   def tablesWithSuffix(spark: SparkSession, suffix: String): Seq[String] =
     spark.catalog.listTables().collect()
       .map(_.name).filter(_.endsWith(suffix)).toSeq
+
+  /** Drop every catalog table/view with the given suffix; returns the
+    * names dropped (reference: table_duplicate.R:467+ deletes tables whose
+    * name matches the `_copy`-style suffix pattern).
+    */
+  def dropTablesWithSuffix(spark: SparkSession, suffix: String): Seq[String] = {
+    val doomed = tablesWithSuffix(spark, suffix)
+    doomed.foreach(t => spark.catalog.dropTempView(t))
+    doomed
+  }
+
+  /** `external_table_check` schema drift: column-level comparison of two
+    * schemas (reference: external_table_check.R:50-100 compares
+    * INFORMATION_SCHEMA of external vs source table). Driver-side only —
+    * schemas are metadata, never data.
+    */
+  def schemaDiff(spark: SparkSession, a: DataFrame, b: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val am = a.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    val bm = b.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    val names = (a.schema.map(_.name) ++ b.schema.map(_.name)).distinct
+    val rows = names.map { n =>
+      val status = (am.get(n), bm.get(n)) match {
+        case (Some(x), Some(y)) if x == y => "match"
+        case (Some(_), Some(_)) => "type_mismatch"
+        case (Some(_), None) => "left_only"
+        case _ => "right_only"
+      }
+      Row(n, am.getOrElse(n, null), bm.getOrElse(n, null), status)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("column_name", StringType),
+        StructField("left_type", StringType),
+        StructField("right_type", StringType),
+        StructField("status", StringType))))
+  }
+
+  /** Recreation DDL from a config — the Spark-SQL equivalent of the
+    * reference's generated CREATE EXTERNAL TABLE script
+    * (external_table_check.R:127, create_table.R:288).
+    */
+  def createTableDdl(schemaName: String, tableName: String,
+                     vars: Seq[graft.config.ColumnSpec],
+                     location: Option[String] = None): String = {
+    val cols = vars.map(c => s"  ${c.name} ${sparkType(c.sqlType).toUpperCase}")
+      .mkString(",\n")
+    val using = location.map(l => s"\nUSING PARQUET\nLOCATION '$l'").getOrElse("\nUSING PARQUET")
+    s"CREATE TABLE $schemaName.$tableName (\n$cols\n)$using"
+  }
 }

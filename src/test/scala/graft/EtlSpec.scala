@@ -91,6 +91,34 @@ class EtlSpec extends SparkSpec {
     assert(back.exceptAll(src).count() == 0 && src.exceptAll(back).count() == 0)
   }
 
+  test("schemaDiff reports match / mismatch / one-sided columns") {
+    val a = Seq((1L, "x", 1.0)).toDF("id", "name", "amt")
+    val b = Seq((1, "x", true)).toDF("id", "name", "active")
+    val out = Etl.schemaDiff(spark, a, b).collect()
+      .map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(out == Map("id" -> "type_mismatch", "name" -> "match",
+      "amt" -> "left_only", "active" -> "right_only"))
+  }
+
+  test("createTableDdl emits parquet DDL from a config") {
+    val ddl = Etl.createTableDdl("raw", "t",
+      Seq(ColumnSpec("id", "BIGINT"), ColumnSpec("name", "VARCHAR(10)")),
+      Some("/data/t"))
+    assert(ddl.contains("CREATE TABLE raw.t"))
+    assert(ddl.contains("id BIGINT") && ddl.contains("name STRING"))
+    assert(ddl.contains("LOCATION '/data/t'"))
+  }
+
+  test("dropTablesWithSuffix removes only matching temp views") {
+    Seq(1).toDF("x").createOrReplaceTempView("keep_me")
+    Seq(1).toDF("x").createOrReplaceTempView("t1_copy")
+    Seq(1).toDF("x").createOrReplaceTempView("t2_copy")
+    val dropped = Etl.dropTablesWithSuffix(spark, "_copy")
+    assert(dropped.toSet == Set("t1_copy", "t2_copy"))
+    assert(spark.catalog.tableExists("keep_me"))
+    assert(!spark.catalog.tableExists("t1_copy"))
+  }
+
   test("yaml-subset config parser honors the reference contract") {
     val cfg = TableConfig.fromYaml(
       """to_schema: raw

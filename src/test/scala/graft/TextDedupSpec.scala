@@ -76,6 +76,20 @@ class TextDedupSpec extends SparkSpec {
     est.foreach(r => assert(r.getAs[Double]("est_jaccard") >= 0.5))
   }
 
+  test("LSH-candidate jaccard finds the same near-dups as all-pairs") {
+    val docs = Tables(spark, sfDir, "documents")
+    val allPairs = Dedup.ngramJaccard(docs, threshold = 0.9).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard"))).toSet
+    val viaLsh = Dedup.jaccardOnCandidates(docs, threshold = 0.9).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard"))).toSet
+    // all-pairs blocks on lang (misses cross-lang dups); the LSH path has
+    // no block, so it finds a superset of the blocked pairs.
+    assert(allPairs.nonEmpty && allPairs.subsetOf(viaLsh))
+    assert(viaLsh.size >= allPairs.size)
+  }
+
   test("simhash: identical docs get identical fingerprints; bands split bits") {
     val df = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "q r s t u"))
       .toDF("doc_id", "text")
