@@ -93,6 +93,48 @@ object Qa {
     counted.withColumn("proportion", round(col("n") / sum(col("n")).over(w), digits))
   }
 
+  /** Full pipeline orchestration mirroring the reference's 4-step flow
+    * (etl_qa_setup_config → initial → final → export,
+    * R/etl_qa_run_pipeline.R:86-89): classify columns by type, run every
+    * stat family, attach the period-over-period comparison, and
+    * optionally export each result table to `outDir` (parquet — the
+    * Spark-native "export"; the reference writes xlsx+plots, which are
+    * presentation concerns downstream of these frames).
+    */
+  def runPipeline(df: DataFrame, timeVar: String, cols: Seq[String],
+                  outDir: Option[String] = None,
+                  relThreshold: Double = 2.0): Map[String, DataFrame] = {
+    import org.apache.spark.sql.types._
+    val schema = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val numeric = cols.filter(c => schema.get(c).exists {
+      case _: NumericType => true; case _ => false
+    })
+    val dates = cols.filter(c => schema.get(c).exists {
+      case DateType | TimestampType | TimestampNTZType => true; case _ => false
+    })
+    val categorical = cols.filterNot(c => numeric.contains(c) || dates.contains(c))
+
+    val results = Seq(
+      "missing_data" -> Some(missingness(df, timeVar, cols)),
+      "vals_continuous" -> (if (numeric.nonEmpty)
+        Some(continuous(df, timeVar, numeric)) else None),
+      "vals_date" -> (if (dates.nonEmpty)
+        Some(this.dates(df, timeVar, dates)) else None),
+      "vals_categorical" -> (if (categorical.nonEmpty)
+        Some(this.categorical(df, timeVar, categorical)) else None),
+      "comparisons" -> (if (numeric.nonEmpty)
+        Some(comparePeriods(continuous(df, timeVar, numeric), timeVar,
+          relThreshold)) else None)
+    ).collect { case (k, Some(v)) => k -> v }.toMap
+
+    outDir.foreach { dir =>
+      results.foreach { case (name, frame) =>
+        frame.write.mode("overwrite").parquet(s"$dir/$name")
+      }
+    }
+    results
+  }
+
   /** Period-over-period change detection on the continuous stats: relative
     * % change in mean/median vs the previous period, flagged when above
     * `relThreshold` (reference: etl_qa_run_pipeline.R abs/rel_threshold,

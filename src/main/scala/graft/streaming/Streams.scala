@@ -42,6 +42,14 @@ object Streams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup: drop repeated event_ids within the watermark
+    * horizon. State holds only ids newer than the watermark — bounded on
+    * an unbounded stream, the streaming twin of `Dedup.exact`.
+    */
+  def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(start: Long, end: Long, n: Int, sum: Double)

@@ -41,6 +41,23 @@ class QaSpec extends SparkSpec {
     sums.foreach(s => assert(math.abs(s - 1.0) < 1e-6))
   }
 
+  test("runPipeline classifies columns and produces every stat family") {
+    val df = Seq(
+      ("p1", 1.0, "a", java.sql.Timestamp.valueOf("2020-01-01 00:00:00")),
+      ("p2", 2.0, "b", java.sql.Timestamp.valueOf("2020-02-01 00:00:00")))
+      .toDF("period", "num", "cat", "when")
+    val dir = java.nio.file.Files.createTempDirectory("graft_qa").toString
+    val out = Qa.runPipeline(df, "period", Seq("num", "cat", "when"),
+      outDir = Some(dir))
+    assert(out.keySet == Set("missing_data", "vals_continuous", "vals_date",
+      "vals_categorical", "comparisons"))
+    assert(out("vals_continuous").collect().map(_.getString(1)).toSet == Set("num"))
+    assert(out("vals_date").collect().map(_.getString(1)).toSet == Set("when"))
+    assert(out("vals_categorical").collect().map(_.getString(1)).toSet == Set("cat"))
+    // export step wrote parquet per family
+    assert(spark.read.parquet(s"$dir/missing_data").count() == 6)
+  }
+
   test("comparePeriods flags relative mean change above threshold") {
     val longDf = Seq(("p1", "x", 100.0), ("p2", "x", 101.0), ("p3", "x", 110.0))
       .toDF("period", "varname", "mean")

@@ -72,6 +72,27 @@ class StreamingSpec extends SparkSpec {
     assert(closed.head.getAs[Int]("n_events") == 1)
   }
 
+  test("streaming dedup drops repeated event_ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val events = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = Streams.dedupEvents(events)
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    val t = Timestamp.valueOf("2024-01-01 10:00:00")
+    input.addData(
+      (1L, t, 1L, "click", 1.0, ""),
+      (1L, t, 1L, "click", 1.0, ""), // exact dup in-batch
+      (2L, t, 2L, "view", 2.0, ""))
+    q.processAllAvailable()
+    input.addData((1L, t, 1L, "click", 1.0, "")) // dup across batches
+    q.processAllAvailable()
+    val got = spark.table("dedup_test").collect()
+    q.stop()
+    assert(got.map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("file-source stream over the events table produces the batch answer") {
     // The events parquet has NANOS timestamps which the file stream source
     // reads via nanosAsLong; normalize through Tables for batch, and
