@@ -146,6 +146,8 @@ object SparkEntry {
       .withColumn("o_orderdate", col("o_orderdate").cast("date").cast("string"))),
     "q_window_topn" -> ((s, dir) => Queries.windowTopN(s, dir)),
     "q_rollup" -> ((s, dir) => Queries.rollupAgg(s, dir)),
+    "q_cube" -> ((s, dir) => Queries.cubeAgg(s, dir)),
+    "q_moving_avg" -> ((s, dir) => Queries.movingAvg(s, dir)),
     "q_semi_anti" -> ((s, dir) => Queries.semiAnti(s, dir)),
     "q_events_window" -> ((s, dir) => Queries.eventsWindow(s, dir)
       .withColumn("window_start", col("window_start").cast("string"))),
@@ -364,6 +366,22 @@ object SparkEntry {
                 round(sum(o_totalprice), 2) AS total_price, count(*) AS n
          FROM orders
          GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+                round(sum(o_totalprice), 2) AS total_price, count(*) AS n
+         FROM orders
+         GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+
+    "q_moving_avg" ->
+      """WITH daily AS (
+           SELECT cast(date_trunc('day', ts) as date) AS day, event_type,
+                  round(sum(value), 4) AS day_value
+           FROM events GROUP BY 1, 2)
+         SELECT cast(day as varchar) AS day, event_type, day_value,
+                round(avg(day_value) OVER (PARTITION BY event_type ORDER BY day
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+         FROM daily""",
 
     "q_semi_anti" ->
       """SELECT c_custkey AS entity_key, 'cust_open_order' AS tag FROM customer

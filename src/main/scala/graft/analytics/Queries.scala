@@ -105,6 +105,31 @@ object Queries {
     semi.unionByName(anti)
   }
 
+  /** CUBE over (status, priority): all four grouping-set combinations in
+    * one pass with partial aggregation.
+    */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    o.cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(round(sum(col("o_totalprice")), 2).as("total_price"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Time-series smoothing: daily event value sums with a 7-day trailing
+    * moving average — one shuffle for the daily rollup, the window reuses
+    * that partitioning.
+    */
+  def movingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    val daily = e.groupBy(date_trunc("day", col("ts")).cast("date").as("day"),
+        col("event_type"))
+      .agg(round(sum(col("value")), 4).as("day_value"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-6, 0)
+    daily.withColumn("ma7", round(avg(col("day_value")).over(w), 4))
+      .withColumn("day", col("day").cast("string"))
+  }
+
   /** Batch twin of the streaming path: tumbling 1-hour windows per
     * event_type over `events` (count, sum(value)). The streaming version
     * (graft.streaming) runs the same aggregation with a watermark.

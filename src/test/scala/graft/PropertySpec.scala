@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.config.ColumnSpec
+import graft.etl.{Etl, Skew}
+import graft.text.Text
+
+/** Property-based invariants over generated inputs — the contracts every
+  * operator must hold regardless of data shape.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic scalacheck sampling (scalatestplus bridge is not in
+    * the offline cache): n samples from fixed seeds.
+    */
+  private def forAll[A](g: Gen[A], n: Int = 10)(body: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      g.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(body)
+    }
+
+  private def whenever(cond: Boolean)(body: => Unit): Unit =
+    if (cond) body
+
+  private val rowsGen = Gen.listOfN(30,
+    Gen.zip(Gen.chooseNum(0L, 8L), Gen.chooseNum(-100.0, 100.0),
+      Gen.oneOf("a", "b", "c")))
+
+  test("saltedSum equals plain aggregation for any data") {
+    forAll(rowsGen) { rows =>
+      whenever(rows.nonEmpty) {
+        val df = rows.toDF("k", "v", "tag")
+        val plain = df.groupBy("k").agg(sum("v").as("s"), count(lit(1)).as("n"))
+          .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+        val salted = Skew.saltedSum(df, Seq("k"), "v", saltFactor = 4)
+          .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+        assert(plain.keySet == salted.keySet)
+        plain.foreach { case (k, (s, n)) =>
+          assert(math.abs(s - salted(k)._1) < 1e-9 && n == salted(k)._2)
+        }
+      }
+    }
+  }
+
+  test("saltedJoin equals plain join for any data") {
+    forAll(rowsGen) { rows =>
+      whenever(rows.nonEmpty) {
+        val fact = rows.toDF("k", "v", "tag")
+        val dim = Seq((0L, "x"), (1L, "y"), (5L, "z")).toDF("k", "name")
+        val plain = fact.join(dim, "k").collect()
+          .map(r => (r.getLong(0), r.getDouble(1), r.getString(3))).sorted.toSeq
+        val salted = Skew.saltedJoin(fact, dim, "k", saltFactor = 4).collect()
+          .map(r => (r.getLong(0), r.getDouble(1), r.getString(3))).sorted.toSeq
+        assert(plain == salted)
+      }
+    }
+  }
+
+  test("conform is idempotent and always yields the declared schema") {
+    val vars = Seq(ColumnSpec("k", "BIGINT"), ColumnSpec("v", "FLOAT"),
+      ColumnSpec("missing", "VARCHAR(8)"))
+    forAll(rowsGen) { rows =>
+      whenever(rows.nonEmpty) {
+        val df = rows.toDF("k", "v", "tag")
+        val once = Etl.conform(df, vars)
+        val twice = Etl.conform(once, vars)
+        assert(once.schema == twice.schema)
+        assert(once.columns.toSeq == Seq("k", "v", "missing"))
+        assert(once.exceptAll(twice).count() == 0)
+      }
+    }
+  }
+
+  test("combineYears preserves total rows and the union of columns") {
+    forAll(Gen.zip(rowsGen, rowsGen)) { case (r1, r2) =>
+      whenever(r1.nonEmpty && r2.nonEmpty) {
+        val a = r1.toDF("k", "v", "tag")
+        val b = r2.toDF("k", "v", "extra")
+        val u = Etl.combineYears(Seq(a, b))
+        assert(u.count() == r1.size + r2.size)
+        assert(u.columns.toSet == Set("k", "v", "tag", "extra"))
+        // rows from a have NULL extra; rows from b have NULL tag
+        assert(u.filter(col("extra").isNull).count() >= r1.size)
+      }
+    }
+  }
+
+  private val textGen = Gen.listOfN(20, Gen.zip(
+    Gen.chooseNum(0L, 1000L),
+    Gen.listOfN(12, Gen.oneOf("the", "fast", "key", "order", "la", "und",
+      "scan", "merge", "12", "x,y")).map(_.mkString(" "))))
+
+  test("quality metrics are bounded and consistent for any text") {
+    forAll(textGen) { docs =>
+      whenever(docs.nonEmpty) {
+        val df = docs.distinctBy(_._1).toDF("doc_id", "text")
+        Text.quality(df).collect().foreach { r =>
+          val wc = r.getAs[Int]("word_count")
+          val sc = r.getAs[Int]("stop_count")
+          assert(wc > 0 && sc >= 0 && sc <= wc)
+          val q = r.getAs[Double]("quality_score")
+          assert(q >= 0.0 && q <= 1.0001)
+        }
+      }
+    }
+  }
+
+  test("jaccard output is bounded, ordered, and self-consistent") {
+    forAll(textGen) { docs =>
+      whenever(docs.size > 1) {
+        val df = docs.distinctBy(_._1).toDF("doc_id", "text")
+          .withColumn("lang", lit("xx"))
+        graft.dedup.Dedup.ngramJaccard(df, threshold = 0.0).collect().foreach { r =>
+          assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+          val j = r.getAs[Double]("jaccard")
+          assert(j >= 0.0 && j <= 1.0)
+        }
+      }
+    }
+  }
+}
