@@ -114,16 +114,6 @@ object MinHashSpec {
   val a: Seq[Long] = (0 until K).map(i => ((i + 1) * 2654435761L) % (P - 1) + 1)
   val b: Seq[Long] = (0 until K).map(i => ((i + 1) * 40503L * 65537L + 17) % P)
 
-  /** Spark SQL expression for H(w) mod P over a pre-bound `__h = md5(tok)`
-    * column. Reverses the hex byte pairs of md5 chars 17..32 (the lower 8
-    * bytes) to match md5_number_lower's little-endian read, then
-    * conv → mod.
-    */
-  def sparkHashExpr(tok: String): String = {
-    val pairs = (0 until 8).map(i => s"substring(__h, ${31 - 2 * i}, 2)").mkString(", ")
-    s"cast(cast(conv(concat($pairs), 16, 10) as decimal(20,0)) % $P as bigint)"
-  }
-
   /** 32-bit cross-engine hash of a string expression: little-endian read
     * of md5 bytes 12..15 == DuckDB's `md5_number_lower(x) >> 32`. Fits a
     * BIGINT in both engines, so bit arithmetic (SimHash, fingerprints)
@@ -138,6 +128,24 @@ object MinHashSpec {
   def duckH32Sql(strExpr: String): String =
     s"cast((md5_number_lower($strExpr) >> 32) as bigint)"
 
+  /** H32 Spark SQL, preferring the native fused expression when the
+    * session registered it (GraftFunctions) — same value either way.
+    */
+  def h32Expr(spark: org.apache.spark.sql.SparkSession, strExpr: String): String =
+    if (spark.catalog.functionExists("md5_h32")) s"md5_h32($strExpr)"
+    else sparkH32Expr(strExpr)
+
+  /** H-mod-P Spark SQL over a raw token column, preferring the native
+    * fused expression.
+    */
+  def hpExpr(spark: org.apache.spark.sql.SparkSession, tok: String): String =
+    if (spark.catalog.functionExists("md5_mod_p")) s"md5_mod_p($tok)"
+    else {
+      val pairs = (0 until 8)
+        .map(i => s"substring(md5($tok), ${31 - 2 * i}, 2)").mkString(", ")
+      s"cast(cast(conv(concat($pairs), 16, 10) as decimal(20,0)) % $P as bigint)"
+    }
+
   /** Shingle width fed to the signatures (see [[Text.shingleExpr]]). */
   val SHINGLE_K: Int = 3
 
@@ -149,8 +157,7 @@ object MinHashSpec {
       .withColumn("__toks", Text.tokens(col(textCol)))
       .select(col(idCol),
         explode(expr(Text.shingleExpr("__toks", SHINGLE_K))).as("w"))
-      .withColumn("__h", md5(col("w")))
-      .withColumn("__hp", expr(sparkHashExpr("w")))
+      .withColumn("__hp", expr(hpExpr(df.sparkSession, "w")))
     val aggs = (0 until K).map(i =>
       min(expr(s"(__hp * ${a(i)}L + ${b(i)}L) % $P")).as(s"mh_$i"))
     words.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
@@ -236,7 +243,7 @@ object SimHash {
     val words = df
       .withColumn("__toks", Text.tokens(col(textCol)))
       .select(col(idCol), explode(array_distinct(col("__toks"))).as("w"))
-      .withColumn("__h", expr(MinHashSpec.sparkH32Expr("w")))
+      .withColumn("__h", expr(MinHashSpec.h32Expr(df.sparkSession, "w")))
     val bitSums = (0 until BITS).map(j =>
       sum(when(expr(s"shiftright(__h, $j) & 1") === 1, 1).otherwise(-1)).as(s"__s_$j"))
     val agg = words.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)

@@ -84,6 +84,19 @@ object GraftFunctions {
     new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
     (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1)))
 
-  def register(ext: SparkSessionExtensions): Unit =
+  val md5ModPDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("md5_mod_p"),
+    new ExpressionInfo(classOf[Md5ModP].getName, "md5_mod_p"),
+    (exprs: Seq[Expression]) => Md5ModP(exprs.head))
+
+  val md5H32Descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("md5_h32"),
+    new ExpressionInfo(classOf[Md5H32].getName, "md5_h32"),
+    (exprs: Seq[Expression]) => Md5H32(exprs.head))
+
+  def register(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(cosineSimDescriptor)
+    ext.injectFunction(md5ModPDescriptor)
+    ext.injectFunction(md5H32Descriptor)
+  }
 }

@@ -115,7 +115,8 @@ object Text {
       .withColumn("__shingle_hashes",
         expr(s"""transform(
              sequence(1, greatest(size(__toks) - ${k - 1}, 1)),
-             i -> ${graft.dedup.MinHashSpec.sparkH32Expr(s"concat_ws(' ', slice(__toks, i, $k))")})"""))
+             i -> ${graft.dedup.MinHashSpec.h32Expr(df.sparkSession,
+               s"concat_ws(' ', slice(__toks, i, $k))")})"""))
       .withColumn("__window_mins",
         expr(s"""transform(
              sequence(1, greatest(size(__shingle_hashes) - ${w - 1}, 1)),

@@ -41,6 +41,32 @@ class FunctionsSourcesSpec extends SparkSpec {
     assert(diff.agg(max(abs(col("d")))).collect().head.getDouble(0) == 0.0)
   }
 
+  test("native md5 hashes equal the string-composition fallbacks") {
+    val df = Seq("abc", "", "the fast key", "x,y z").toDF("w")
+    val p = graft.dedup.MinHashSpec.P
+    val pairs8 = (0 until 8)
+      .map(i => s"substring(md5(w), ${31 - 2 * i}, 2)").mkString(", ")
+    val out = df.select(
+      expr("md5_mod_p(w)").as("native_p"),
+      expr(s"cast(cast(conv(concat($pairs8), 16, 10) as decimal(20,0)) % $p as bigint)")
+        .as("fallback_p"),
+      expr("md5_h32(w)").as("native_h32"),
+      expr(graft.dedup.MinHashSpec.sparkH32Expr("w")).as("fallback_h32"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1))
+      assert(r.getLong(2) == r.getLong(3))
+    }
+    // known value: md5_number_lower('abc') = 8250560606382298838
+    val abc = df.filter(col("w") === "abc").select(expr("md5_h32(w)"))
+    // 8250560606382298838 >>> 32 = 1921049896
+    assert(out.nonEmpty)
+    assert(df.select(expr("md5_h32(w)")).collect()
+      .exists(_.getLong(0) == (8250560606382298838L >>> 32)))
+    assert(df.select(expr("md5_mod_p(w)")).collect()
+      .exists(_.getLong(0) == java.lang.Long.remainderUnsigned(8250560606382298838L, p)))
+  }
+
   test("delimited load honors field terminator, header skip, and schema") {
     val dir = java.nio.file.Files.createTempDirectory("graft_src").toString
     java.nio.file.Files.writeString(
