@@ -91,6 +91,38 @@ class EtlSpec extends SparkSpec {
     assert(back.exceptAll(src).count() == 0 && src.exceptAll(back).count() == 0)
   }
 
+  test("dedupKeepLatestByMax matches the window variant") {
+    val df = Tables(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+    val viaWindow = Etl.dedupKeepLatest(df, Seq("l_orderkey"),
+      Seq(col("l_shipdate").desc, col("l_linenumber").desc, col("l_quantity").desc))
+    val viaMax = Etl.dedupKeepLatestByMax(df, Seq("l_orderkey"),
+      Seq("l_shipdate", "l_linenumber", "l_quantity"))
+    assert(viaWindow.count() == viaMax.count())
+    assert(viaWindow.exceptAll(viaMax).count() == 0)
+  }
+
+  test("config-driven pipeline: load → conform → dedup → qa → write") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pipe").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/in.csv"),
+      "id,period,v\n1,p1,10\n1,p1,20\n2,p2,30\n")
+    val cfg = TableConfig(
+      toTable = "t",
+      vars = Seq(ColumnSpec("id", "BIGINT"), ColumnSpec("period", "VARCHAR(4)"),
+        ColumnSpec("v", "FLOAT")),
+      filePath = Map("overall" -> s"$dir/in.csv"),
+      fieldTerm = Map("overall" -> ","),
+      indexVars = Seq("id"))
+    val res = graft.etl.Pipeline.run(spark, cfg,
+      dedupKeys = Seq("id"), dedupOrder = Seq("v"),
+      qaTimeVar = Some("period"), outPath = Some(s"$dir/out"))
+    assert(res.rowCount == 2) // id=1 deduped to the v=20 row
+    assert(res.table.filter(col("id") === 1).collect().head.getDouble(2) == 20.0)
+    assert(res.qa.contains("missing_data") && res.qa.contains("vals_continuous"))
+    assert(spark.read.parquet(s"$dir/out").count() == 2)
+  }
+
   test("schemaDiff reports match / mismatch / one-sided columns") {
     val a = Seq((1L, "x", 1.0)).toDF("id", "name", "amt")
     val b = Seq((1, "x", true)).toDF("id", "name", "active")
