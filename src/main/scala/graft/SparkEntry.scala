@@ -94,14 +94,15 @@ object SparkEntry {
     },
 
     "etl_dedup_keep_latest" -> { (s, dir) =>
-      Etl.dedupKeepLatest(
+      // sort-free max_by variant; spec-proven equal to the window version
+      Etl.dedupKeepLatestByMax(
         Tables(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
             col("l_quantity")),
         Seq("l_orderkey"),
-        Seq(col("l_shipdate").desc, col("l_linenumber").desc,
-          col("l_quantity").desc))
+        Seq("l_shipdate", "l_linenumber", "l_quantity"))
         .withColumn("l_shipdate", col("l_shipdate").cast("date").cast("string"))
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
     },
 
     // ---- B. QA pipeline ----
@@ -178,6 +179,8 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) =>
       Text.fingerprint(Tables(s, dir, "documents"))
         .select("doc_id", "n_fingerprints", "min_fingerprint")),
+    "text_ngram_freq" -> ((s, dir) =>
+      Text.ngramFreq(Tables(s, dir, "documents"))),
     "mm_binary_meta" -> ((s, dir) =>
       Multimodal.pipeline(s, Tables(s, dir, "documents"))))
 
@@ -426,6 +429,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> MinHashSpec.duckdbSql(),
     "dedup_simhash" -> SimHash.duckdbSql(),
     "text_fingerprint" -> Text.fingerprintSql(),
+    "text_ngram_freq" -> Text.ngramFreqSql(),
 
     "sim_cosine_topk" ->
       s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pv

@@ -140,6 +140,22 @@ object Etl {
       .drop("__rn")
   }
 
+  /** Merge/upsert without a table format: rows from `updates` replace
+    * target rows with the same key; ties resolved by `orderCols` max
+    * (updates win when strictly newer). This is `load_table_from_sql`'s
+    * effective semantics (replace the slice being reloaded) expressed as
+    * one union + one keep-latest aggregation — no per-row lookups, scales
+    * as a single shuffle on the key.
+    */
+  def upsert(target: DataFrame, updates: DataFrame, keys: Seq[String],
+             orderCols: Seq[String]): DataFrame = {
+    val tagged = target.withColumn("__src_rank", lit(0))
+      .unionByName(updates.withColumn("__src_rank", lit(1)),
+        allowMissingColumns = true)
+    dedupKeepLatestByMax(tagged, keys, orderCols :+ "__src_rank")
+      .drop("__src_rank")
+  }
+
   /** Sort-free variant of [[dedupKeepLatest]]: when the ordering columns
     * are all descending-max (the reference's "keep newest" policy), the
     * winner per key is `max_by(row, order_struct)` — one shuffle with

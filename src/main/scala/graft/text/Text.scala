@@ -125,6 +125,26 @@ object Text {
       .withColumn("min_fingerprint", array_min(col("__window_mins")))
       .drop("__toks", "__shingle_hashes", "__window_mins")
 
+  /** Corpus n-gram frequency: top bigrams across all documents — the
+    * vocabulary/statistics pass of a training-data pipeline. One explode
+    * + one shuffle; top-k via TakeOrderedAndProject, never a full sort.
+    */
+  def ngramFreq(df: DataFrame, textCol: String = "text", n: Int = 2,
+                topK: Int = 20): DataFrame =
+    df.withColumn("__toks", tokens(col(textCol)))
+      .select(explode(expr(shingleExpr("__toks", n))).as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("ngram"))
+      .limit(topK)
+
+  /** DuckDB oracle for [[ngramFreq]]. */
+  def ngramFreqSql(table: String = "documents", textCol: String = "text",
+                   n: Int = 2, topK: Int = 20): String =
+    s"""WITH grams AS (
+      SELECT unnest(${shingleSql(textCol, n)}) AS ngram FROM $table)
+    SELECT ngram, count(*) AS n_docs FROM grams
+    GROUP BY ngram ORDER BY n_docs DESC, ngram LIMIT $topK"""
+
   /** DuckDB oracle for [[fingerprint]]: (doc_id, n_fingerprints,
     * min_fingerprint) over a documents table.
     */

@@ -102,6 +102,21 @@ class EtlSpec extends SparkSpec {
     assert(viaWindow.exceptAll(viaMax).count() == 0)
   }
 
+  test("upsert: updates replace target rows by key, new keys append") {
+    val target = Seq((1L, "old", 1), (2L, "keep", 1)).toDF("k", "v", "ver")
+    val updates = Seq((1L, "new", 2), (3L, "add", 1)).toDF("k", "v", "ver")
+    val out = Etl.upsert(target, updates, Seq("k"), Seq("ver"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((1L, "new"), (2L, "keep"), (3L, "add")))
+  }
+
+  test("upsert: same-version update wins over target (source rank)") {
+    val target = Seq((1L, "old", 1)).toDF("k", "v", "ver")
+    val updates = Seq((1L, "new", 1)).toDF("k", "v", "ver")
+    val out = Etl.upsert(target, updates, Seq("k"), Seq("ver")).collect()
+    assert(out.head.getString(1) == "new")
+  }
+
   test("config-driven pipeline: load → conform → dedup → qa → write") {
     val dir = java.nio.file.Files.createTempDirectory("graft_pipe").toString
     java.nio.file.Files.writeString(
