@@ -1,0 +1,35 @@
+package graft.etl
+
+/** Notification surface modeled from the reference's `apde_notify`
+  * (R/notify.R): a stored message template + recipient list, rendered
+  * with runtime `vars` and dispatched on pipeline events. Email/SMTP is
+  * environment plumbing, not analytics — so the engine exposes the
+  * template/render/dispatch contract behind a sink interface; deployments
+  * plug in their transport, tests use [[CollectingNotifier]].
+  */
+trait NotifySink {
+  def notify(msgName: String, vars: Map[String, String]): Unit
+}
+
+/** Template store + render (reference: apde_notify_msg_set/get — messages
+  * with `{var}` placeholders filled at send time).
+  */
+final class Notifier(templates: Map[String, String], sink: NotifySink) {
+  def render(msgName: String, vars: Map[String, String]): String = {
+    val tpl = templates.getOrElse(msgName,
+      sys.error(s"no notify template '$msgName'"))
+    vars.foldLeft(tpl) { case (s, (k, v)) => s.replace(s"{$k}", v) }
+  }
+  def send(msgName: String, vars: Map[String, String]): Unit = {
+    render(msgName, vars) // fail fast on unknown template
+    sink.notify(msgName, vars)
+  }
+}
+
+/** Test/default sink: records every dispatch. */
+final class CollectingNotifier extends NotifySink {
+  val sent: scala.collection.mutable.Buffer[(String, Map[String, String])] =
+    scala.collection.mutable.Buffer.empty
+  def notify(msgName: String, vars: Map[String, String]): Unit =
+    sent += (msgName -> vars)
+}

@@ -59,6 +59,35 @@ object Multimodal {
       }
   }
 
+  case class Frame(doc_id: Long, frame_idx: Int, offset: Int,
+                   frame_hash: Long)
+
+  /** Frame sampling: one output row per sampled "frame" (fixed-stride
+    * byte windows in the stub; keyframes in a real decoder). Shows the
+    * 1→N batch shape of video/audio extraction — the explode happens
+    * inside the partition iterator, so no driver involvement and no
+    * row-array materialization.
+    */
+  def sampleFrames(spark: SparkSession, media: DataFrame,
+                   stride: Int = 64): Dataset[Frame] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"), col("mime"), col("payload_len"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val n = math.max(1, r.payload.length / stride)
+          (0 until n).iterator.map { i =>
+            val off = i * stride
+            val end = math.min(off + stride, r.payload.length)
+            var h = 1125899906842597L // deterministic fake frame hash
+            var j = off
+            while (j < end) { h = 31 * h + (r.payload(j) & 0xff); j += 1 }
+            Frame(r.doc_id, i, off, h)
+          }
+        }
+      }
+  }
+
   /** End-to-end: documents → media payloads → decoded feature frame. */
   def pipeline(spark: SparkSession, documents: DataFrame): DataFrame = {
     val feats = decodeFeatures(spark, asMedia(documents))

@@ -23,4 +23,26 @@ class MultimodalSpec extends SparkSpec {
     val out = Multimodal.pipeline(spark, docs)
     assert(out.count() == docs.count())
   }
+
+  test("frame sampling: one row per stride window, deterministic hashes") {
+    val docs = Seq((1L, "a" * 150, "x", "s1", 150L)).toDF(
+      "doc_id", "text", "lang", "source", "n_chars")
+    val frames = Multimodal.sampleFrames(spark, Multimodal.asMedia(docs),
+      stride = 64).collect().sortBy(_.frame_idx)
+    assert(frames.length == 2) // 150 bytes / 64 = 2 full strides
+    assert(frames.map(_.offset).toSeq == Seq(0, 64))
+    // windows 0 and 1 are both 64×'a' → same hash
+    assert(frames(0).frame_hash == frames(1).frame_hash)
+  }
+
+  test("notifier renders templates and dispatches to the sink") {
+    import graft.etl.{CollectingNotifier, Notifier}
+    val sink = new CollectingNotifier
+    val n = new Notifier(Map("load_done" -> "Loaded {table} ({rows} rows)"), sink)
+    assert(n.render("load_done", Map("table" -> "t", "rows" -> "42"))
+      == "Loaded t (42 rows)")
+    n.send("load_done", Map("table" -> "t", "rows" -> "42"))
+    assert(sink.sent.toList == List("load_done" -> Map("table" -> "t", "rows" -> "42")))
+    intercept[RuntimeException](n.send("nope", Map.empty))
+  }
 }
