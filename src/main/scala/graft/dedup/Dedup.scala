@@ -171,12 +171,14 @@ object MinHashSpec {
   def candidatePairs(df: DataFrame, idCol: String = "doc_id",
                      textCol: String = "text", digits: Int = 4): DataFrame = {
     val sig = signatures(df, idCol, textCol).cache()
-    val bandFrames = (0 until BANDS).map { j =>
+    // one pass over the cached signatures: band signatures as an array,
+    // posexploded — instead of a BANDS-way union re-scanning the cache
+    val bandSigs = (0 until BANDS).map { j =>
       val cs = (j * ROWS until (j + 1) * ROWS).map(i => col(s"mh_$i"))
-      sig.select(col(idCol).as("id"), lit(j).as("band"),
-        concat_ws("_", cs: _*).as("bsig"))
+      concat_ws("_", cs: _*)
     }
-    val bands = bandFrames.reduce(_.unionByName(_))
+    val bands = sig.select(col(idCol).as("id"),
+        posexplode(array(bandSigs: _*)).as(Seq("band", "bsig")))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
           col("x.id") < col("y.id"))
