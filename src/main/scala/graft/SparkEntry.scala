@@ -22,15 +22,20 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Queries.starJoin(spark, "/root/testdata/sf0.001")
 
-  // Config used by the ETL-core queries (A1/A4) — exercises the reference's
-  // vars name→type contract including a column absent from the source.
-  private val lineitemVars = Seq(
-    ColumnSpec("l_orderkey", "BIGINT"),
-    ColumnSpec("l_linenumber", "INTEGER"),
-    ColumnSpec("l_quantity", "FLOAT"),
-    ColumnSpec("l_returnflag", "VARCHAR(1)"),
-    ColumnSpec("l_shipdate", "DATE"),
-    ColumnSpec("load_note", "VARCHAR(64)"))
+  // Config for the ETL-core queries (A1/A4), parsed from YAML exactly as
+  // a reference user would supply it — exercises the vars name→type
+  // contract including a column absent from the source.
+  private val lineitemVars = graft.config.TableConfig.fromYaml(
+    """to_schema: raw
+      |to_table: lineitem_load
+      |vars:
+      |    l_orderkey: BIGINT
+      |    l_linenumber: INTEGER
+      |    l_quantity: FLOAT
+      |    l_returnflag: VARCHAR(1)
+      |    l_shipdate: DATE
+      |    load_note: VARCHAR(64)
+      |""".stripMargin).vars
 
   private val customerVars = Seq(
     ColumnSpec("c_custkey", "BIGINT"),
@@ -126,6 +131,17 @@ object SparkEntry {
       Qa.categorical(e, "period", Seq("event_type"))
         .withColumn("period", col("period").cast("string"))
     },
+
+    "qa_quantiles" -> { (s, dir) =>
+      val e = Tables(s, dir, "events")
+        .withColumn("period", date_trunc("day", col("ts")).cast("date"))
+      Qa.quantiles(e, "period", Seq("value"))
+        .withColumn("period", col("period").cast("string"))
+    },
+
+    "etl_checksum" -> ((s, dir) =>
+      Etl.rowChecksum(Tables(s, dir, "nation"),
+        Seq("n_nationkey", "n_name", "n_regionkey"))),
 
     "qa_dates" -> { (s, dir) =>
       val o = Tables(s, dir, "orders")
@@ -300,6 +316,18 @@ object SparkEntry {
                 round(n / cast(sum(n) OVER (PARTITION BY period, varname) as double), 4)
                   AS proportion
          FROM c""",
+
+    "qa_quantiles" ->
+      """SELECT cast(cast(date_trunc('day', ts) as date) as varchar) AS period,
+                'value' AS varname,
+                round(quantile_cont(value, 0.25), 4) AS p25,
+                round(quantile_cont(value, 0.5), 4) AS p50,
+                round(quantile_cont(value, 0.75), 4) AS p75,
+                round(quantile_cont(value, 0.95), 4) AS p95
+         FROM events GROUP BY 1""",
+
+    "etl_checksum" -> Etl.rowChecksumSql("nation",
+      Seq("n_nationkey", "n_name", "n_regionkey")),
 
     "qa_dates" ->
       """SELECT cast(year(o_orderdate) as int) AS period,

@@ -60,7 +60,7 @@ object TableConfig {
       .toVector
 
     def parseBlock(from: Int, indent: Int): (Map[String, Any], Int) = {
-      var out = Map.empty[String, Any]
+      var out: Map[String, Any] = scala.collection.immutable.VectorMap.empty
       var i = from
       while (i < lines.length) {
         val line = lines(i)

@@ -114,6 +114,30 @@ object Etl {
   def tableDuplicate(df: DataFrame): (DataFrame, DataFrame) =
     (df, df.agg(count(lit(1)).as("row_cnt")))
 
+  /** Order-independent table checksum: Σ H(row) mod P over a canonical
+    * row rendering — the scale-grade upgrade of the reference's
+    * row-count copy verification (equal counts can still hide divergent
+    * rows; equal checksums can't, short of collisions). One pass, one
+    * scalar out; two sides of a copy compare checksums without moving
+    * data. Cross-engine: DuckDB computes the identical value (see
+    * [[rowChecksumSql]]).
+    */
+  def rowChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
+    df.select(expr(graft.dedup.MinHashSpec.hpExpr(df.sparkSession,
+        "concat_ws('|', " + cols.map(c => s"cast($c as string)").mkString(", ") + ")"))
+        .as("__h"))
+      .agg(sum(col("__h")).as("checksum"), count(lit(1)).as("row_cnt"))
+  }
+
+  /** DuckDB twin of [[rowChecksum]]. */
+  def rowChecksumSql(table: String, cols: Seq[String]): String = {
+    val rendered = "concat_ws('|', " +
+      cols.map(c => s"cast($c as varchar)").mkString(", ") + ")"
+    s"""SELECT cast(sum(cast(md5_number_lower($rendered) % ${graft.dedup.MinHashSpec.P} as bigint)) as bigint) AS checksum,
+              count(*) AS row_cnt
+       FROM $table"""
+  }
+
   /** `external_table_check` / address-table `sync`: symmetric difference of
     * two tables, tagged by side (reference: external_table_check.R:50-100,
     * deduplicate_addresses.R sync()). Implemented as two hash anti-joins —

@@ -57,6 +57,24 @@ object Qa {
         round(col("max"), digits).as("max"))
   }
 
+  /** Quantiles per (time period, numeric column): exact interpolated
+    * p25/p50/p75/p95 in ONE pass (Spark's `percentile` takes the whole
+    * probability array — one sort-based aggregate, not four).
+    */
+  def quantiles(df: DataFrame, timeVar: String, cols: Seq[String],
+                digits: Int = 4): DataFrame = {
+    val aggs = cols.map(c =>
+      expr(s"percentile($c, array(0.25, 0.5, 0.75, 0.95))").as(s"__q_$c"))
+    val wide = df.groupBy(col(timeVar)).agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', __q_$c[0], __q_$c[1], __q_$c[2], __q_$c[3]").mkString(", ")
+    wide.select(col(timeVar),
+        expr(s"stack(${cols.size}, $stackArgs) as (varname, p25, p50, p75, p95)"))
+      .select(col(timeVar), col("varname"),
+        round(col("p25"), digits).as("p25"), round(col("p50"), digits).as("p50"),
+        round(col("p75"), digits).as("p75"), round(col("p95"), digits).as("p95"))
+  }
+
   /** Date stats per (time period, date column): min / median / max, with
     * the median reported on the epoch-millis scale so engines agree
     * exactly (reference: etl_qa_run_pipeline.R:726-745).
