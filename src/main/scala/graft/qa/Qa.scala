@@ -75,6 +75,26 @@ object Qa {
         round(col("p75"), digits).as("p75"), round(col("p95"), digits).as("p95"))
   }
 
+  /** Scale path for [[quantiles]]: `approx_percentile` (KLL-style sketch,
+    * bounded memory per group) instead of exact `percentile` (which
+    * buffers every value in the group). Use this when group sizes are
+    * unbounded; accuracy is controlled by `accuracy` (higher = tighter).
+    */
+  def quantilesApprox(df: DataFrame, timeVar: String, cols: Seq[String],
+                      accuracy: Int = 10000, digits: Int = 4): DataFrame = {
+    val aggs = cols.map(c =>
+      expr(s"approx_percentile($c, array(0.25, 0.5, 0.75, 0.95), $accuracy)")
+        .as(s"__q_$c"))
+    val wide = df.groupBy(col(timeVar)).agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', __q_$c[0], __q_$c[1], __q_$c[2], __q_$c[3]").mkString(", ")
+    wide.select(col(timeVar),
+        expr(s"stack(${cols.size}, $stackArgs) as (varname, p25, p50, p75, p95)"))
+      .select(col(timeVar), col("varname"),
+        round(col("p25"), digits).as("p25"), round(col("p50"), digits).as("p50"),
+        round(col("p75"), digits).as("p75"), round(col("p95"), digits).as("p95"))
+  }
+
   /** Date stats per (time period, date column): min / median / max, with
     * the median reported on the epoch-millis scale so engines agree
     * exactly (reference: etl_qa_run_pipeline.R:726-745).

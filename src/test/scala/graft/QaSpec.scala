@@ -41,6 +41,20 @@ class QaSpec extends SparkSpec {
     sums.foreach(s => assert(math.abs(s - 1.0) < 1e-6))
   }
 
+  test("approx quantiles track exact quantiles on real data") {
+    // One pooled group: with ~1000 samples the sketch's nearest-value
+    // answer sits within a tight band of the exact interpolated one.
+    // (Per-tiny-group, interpolation-vs-nearest gaps dominate — that is
+    // inherent to sketches, not an implementation bug.)
+    val e = Tables(spark, sfDir, "events").withColumn("period", lit("all"))
+    def p50(df: org.apache.spark.sql.DataFrame) =
+      df.collect().head.getAs[Double]("p50")
+    val exact = p50(Qa.quantiles(e, "period", Seq("value")))
+    val approx = p50(Qa.quantilesApprox(e, "period", Seq("value")))
+    assert(math.abs(exact - approx) < math.max(0.02 * math.abs(exact), 0.2),
+      s"exact $exact vs approx $approx")
+  }
+
   test("runPipeline classifies columns and produces every stat family") {
     val df = Seq(
       ("p1", 1.0, "a", java.sql.Timestamp.valueOf("2020-01-01 00:00:00")),
