@@ -94,9 +94,17 @@ object GraftFunctions {
     new ExpressionInfo(classOf[Md5H32].getName, "md5_h32"),
     (exprs: Seq[Expression]) => Md5H32(exprs.head))
 
+  val lshBucketsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("lsh_buckets"),
+    new ExpressionInfo(classOf[HyperplaneBuckets].getName, "lsh_buckets"),
+    (exprs: Seq[Expression]) => HyperplaneBuckets(exprs.head,
+      exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int],
+      exprs(3).eval().asInstanceOf[Int]))
+
   def register(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(cosineSimDescriptor)
     ext.injectFunction(md5ModPDescriptor)
     ext.injectFunction(md5H32Descriptor)
+    ext.injectFunction(lshBucketsDescriptor)
   }
 }

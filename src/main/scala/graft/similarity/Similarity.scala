@@ -56,7 +56,7 @@ object Similarity {
     * ship to executors as array literals, so per-row work is just the dot
     * products (no hashing in the hot loop).
     */
-  private def planeSign(plane: Int, d: Int): Double = {
+  private[graft] def planeSign(plane: Int, d: Int): Double = {
     var z = (plane.toLong << 32 | d.toLong) + 0x9E3779B97F4A7C15L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
@@ -72,18 +72,21 @@ object Similarity {
   def lshBuckets(embeddings: DataFrame, nBits: Int = 6, nTables: Int = 8,
                  dim: Int = 64, idCol: String = "vec_id",
                  vecCol: String = "embedding"): DataFrame = {
-    val tableBuckets = (0 until nTables).map { t =>
-      (0 until nBits).map { j =>
-        val plane = Array.tabulate(dim)(d => planeSign(t * nBits + j, d))
-        val planeLit = typedLit(plane)
-        val proj = aggregate(
-          zip_with(col(vecCol), planeLit, (x, r) => x.cast("double") * r),
-          lit(0.0), (acc, v) => acc + v)
-        when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    }
+    val buckets =
+      if (embeddings.sparkSession.catalog.functionExists("lsh_buckets"))
+        // native fused expression: one pass, zero per-projection allocation
+        expr(s"lsh_buckets($vecCol, $nBits, $nTables, $dim)")
+      else array((0 until nTables).map { t =>
+        (0 until nBits).map { j =>
+          val plane = Array.tabulate(dim)(d => planeSign(t * nBits + j, d))
+          val proj = aggregate(
+            zip_with(col(vecCol), typedLit(plane), (x, r) => x.cast("double") * r),
+            lit(0.0), (acc, v) => acc + v)
+          when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
+        }.reduce(_ + _)
+      }: _*)
     embeddings
-      .withColumn("__buckets", array(tableBuckets: _*))
+      .withColumn("__buckets", buckets)
       .select(col(idCol), col(vecCol),
         posexplode(col("__buckets")).as(Seq("table", "bucket")))
   }

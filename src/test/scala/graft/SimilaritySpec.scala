@@ -36,6 +36,25 @@ class SimilaritySpec extends SparkSpec {
     assert(b1.keys.map(_._2).toSet == Set(0, 1, 2, 3))
   }
 
+  test("native lsh_buckets equals the composed-expression fallback") {
+    import org.apache.spark.sql.functions.{expr, typedLit, aggregate, zip_with, lit, when, array, col}
+    val nBits = 6; val nTables = 4; val dim = 64
+    val composed = array((0 until nTables).map { t =>
+      (0 until nBits).map { j =>
+        val plane = Array.tabulate(dim)(d =>
+          Similarity.planeSign(t * nBits + j, d))
+        val proj = aggregate(
+          zip_with(col("embedding"), typedLit(plane), (x, r) => x.cast("double") * r),
+          lit(0.0), (acc, v) => acc + v)
+        when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+    val both = emb.select(
+      expr(s"lsh_buckets(embedding, $nBits, $nTables, $dim)").as("native"),
+      composed.as("fallback"))
+    assert(both.filter(expr("native != fallback")).count() == 0)
+  }
+
   test("annTopK achieves non-trivial recall against brute force") {
     val probes = (0L until 10L)
     val exact = Similarity.cosineTopK(emb, probes, k = 5).collect()
