@@ -42,6 +42,23 @@ object Streams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming QA monitor: per-window missingness counts for the given
+    * columns — the streaming twin of `Qa.missingness`, for catching a
+    * upstream schema/quality regression while the load is running rather
+    * than after. One watermarked window agg; all columns in one pass.
+    */
+  def qaMissingnessStream(events: DataFrame, cols: Seq[String],
+                          window_ : String = "1 hour"): DataFrame = {
+    val aggs = cols.map(c =>
+      sum(when(col(c).isNull, 1).otherwise(0)).as(s"missing_$c")) :+
+      count(lit(1)).as("n_rows")
+    events.withWatermark("ts", window_)
+      .groupBy(window(col("ts"), window_))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("window.start").as("window_start") +: cols.map(c =>
+        col(s"missing_$c")) :+ col("n_rows"): _*)
+  }
+
   /** Streaming exact dedup: drop repeated event_ids within the watermark
     * horizon. State holds only ids newer than the watermark — bounded on
     * an unbounded stream, the streaming twin of `Dedup.exact`.

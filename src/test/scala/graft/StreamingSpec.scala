@@ -72,6 +72,27 @@ class StreamingSpec extends SparkSpec {
     assert(closed.head.getAs[Int]("n_events") == 1)
   }
 
+  test("streaming QA monitor counts nulls per window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String, Option[Double], String)]
+    val events = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = Streams.qaMissingnessStream(events, Seq("value", "props"))
+      .writeStream.format("memory").queryName("qa_stream")
+      .outputMode("complete").start()
+    val t = Timestamp.valueOf("2024-01-01 10:10:00")
+    input.addData(
+      (1L, t, 1L, "click", Some(1.0), "p"),
+      (2L, t, 1L, "click", None, "p"),
+      (3L, t, 2L, "view", None, "p"))
+    q.processAllAvailable()
+    val r = spark.table("qa_stream").collect().head
+    q.stop()
+    assert(r.getAs[Long]("missing_value") == 2L)
+    assert(r.getAs[Long]("missing_props") == 0L)
+    assert(r.getAs[Long]("n_rows") == 3L)
+  }
+
   test("streaming dedup drops repeated event_ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
