@@ -41,10 +41,13 @@ object Dedup {
                    textCol: String = "text", blockCol: String = "lang",
                    k: Int = 3, threshold: Double = 0.5,
                    digits: Int = 4): DataFrame = {
+    // cached: consumed three times (sizes + both sides of the self-join);
+    // without it the tokenize+shingle explode runs three times.
     val words = df
       .withColumn("__toks", Text.tokens(col(textCol)))
       .select(col(idCol).as("id"), col(blockCol).as("blk"),
         explode(expr(Text.shingleExpr("__toks", k))).as("w"))
+      .cache()
     val sizes = words.groupBy(col("id")).agg(count(lit(1)).as("n_words"))
     val a = words.select(col("blk"), col("id").as("id_a"), col("w"))
     val b = words.select(col("blk"), col("id").as("id_b"), col("w"))
