@@ -175,6 +175,8 @@ object SparkEntry {
       Dedup.ngramJaccard(Tables(s, dir, "documents"), threshold = 0.5)),
     "dedup_minhash_lsh" -> ((s, dir) =>
       MinHashSpec.candidatePairs(Tables(s, dir, "documents"))),
+    "dedup_lsh_jaccard" -> ((s, dir) =>
+      Dedup.jaccardOnCandidates(Tables(s, dir, "documents"), threshold = 0.5)),
     "dedup_simhash" -> ((s, dir) =>
       SimHash.fingerprints(Tables(s, dir, "documents"))),
     "sim_cosine_topk" -> ((s, dir) =>
@@ -455,6 +457,7 @@ object SparkEntry {
          WHERE round(n_common / cast(sa.n_words + sb.n_words - n_common as double), 4) >= 0.5""",
 
     "dedup_minhash_lsh" -> MinHashSpec.duckdbSql(),
+    "dedup_lsh_jaccard" -> MinHashSpec.duckdbJaccardSql(),
     "dedup_simhash" -> SimHash.duckdbSql(),
     "text_fingerprint" -> Text.fingerprintSql(),
     "text_ngram_freq" -> Text.ngramFreqSql(),

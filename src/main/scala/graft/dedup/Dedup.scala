@@ -197,17 +197,17 @@ object MinHashSpec {
         round(eq.cast("double") / K, digits).as("est_jaccard"))
   }
 
-  /** DuckDB oracle mirroring [[candidatePairs]] exactly. */
-  def duckdbSql(table: String = "documents", idCol: String = "doc_id",
-                textCol: String = "text"): String = {
+  /** Shared CTE chain (tokens → hashes → signatures → bands → candidate
+    * pairs) reused by [[duckdbSql]] and [[duckdbJaccardSql]].
+    */
+  def duckdbCandidateCtes(table: String, idCol: String,
+                          textCol: String): String = {
     val mh = (0 until K).map(i =>
       s"min((h * ${a(i)} + ${b(i)}) % $P) AS mh_$i").mkString(",\n      ")
     val bandSelects = (0 until BANDS).map { j =>
       val cs = (j * ROWS until (j + 1) * ROWS).map(i => s"mh_$i").mkString(", ")
       s"SELECT $idCol AS id, $j AS band, concat_ws('_', $cs) AS bsig FROM sig"
     }.mkString("\n      UNION ALL ")
-    val eqSum = (0 until K).map(i =>
-      s"CASE WHEN sa.mh_$i = sb.mh_$i THEN 1 ELSE 0 END").mkString(" + ")
     s"""WITH toks AS (
       SELECT $idCol, unnest(${graft.text.Text.shingleSql(textCol, SHINGLE_K)}) AS w
       FROM $table
@@ -223,7 +223,38 @@ object MinHashSpec {
       SELECT DISTINCT x.id AS doc_a, y.id AS doc_b
       FROM bands x JOIN bands y
         ON x.band = y.band AND x.bsig = y.bsig AND x.id < y.id
-    )
+    )"""
+  }
+
+  /** DuckDB oracle for [[jaccardOnCandidates]]: the LSH candidate CTEs
+    * plus an exact shingle-Jaccard verification restricted to those
+    * pairs — the composed scale-path pipeline, cross-engine.
+    */
+  def duckdbJaccardSql(table: String = "documents", idCol: String = "doc_id",
+                       textCol: String = "text",
+                       threshold: Double = 0.5): String = {
+    val jac = "round(nc / cast(sa.n_words + sb.n_words - nc as double), 4)"
+    s"""${duckdbCandidateCtes(table, idCol, textCol)},
+    sizes AS (SELECT $idCol AS id, count(*) AS n_words FROM toks GROUP BY 1),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS nc
+      FROM cand c
+      JOIN toks wa ON c.doc_a = wa.$idCol
+      JOIN toks wb ON c.doc_b = wb.$idCol AND wa.w = wb.w
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, $jac AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.id
+    JOIN sizes sb ON doc_b = sb.id
+    WHERE $jac >= $threshold"""
+  }
+
+  /** DuckDB oracle mirroring [[candidatePairs]] exactly. */
+  def duckdbSql(table: String = "documents", idCol: String = "doc_id",
+                textCol: String = "text"): String = {
+    val eqSum = (0 until K).map(i =>
+      s"CASE WHEN sa.mh_$i = sb.mh_$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""${duckdbCandidateCtes(table, idCol, textCol)}
     SELECT cand.doc_a, cand.doc_b,
            round(($eqSum) / ${K}.0, 4) AS est_jaccard
     FROM cand
