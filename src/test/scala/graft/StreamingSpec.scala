@@ -72,6 +72,33 @@ class StreamingSpec extends SparkSpec {
     assert(closed.head.getAs[Int]("n_events") == 1)
   }
 
+  test("sessionize closes idle sessions via event-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.Event]
+    val q = Streams.sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("session_timeout_test")
+      .outputMode("append").start()
+    // batch 1: one event for user 1 → open session, watermark still low
+    input.addData(
+      Streams.Event(1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "click", 1.0))
+    q.processAllAvailable()
+    assert(spark.table("session_timeout_test").isEmpty)
+    // batch 2: a DIFFERENT user far in the future → advances the
+    // watermark past user 1's inactivity horizon (10:30)
+    input.addData(
+      Streams.Event(2L, Timestamp.valueOf("2024-01-01 20:00:00"), 2L, "click", 2.0))
+    q.processAllAvailable()
+    // batch 3: empty trigger so the registered timeout fires
+    input.addData(
+      Streams.Event(3L, Timestamp.valueOf("2024-01-01 20:01:00"), 2L, "click", 3.0))
+    q.processAllAvailable()
+    val closed = spark.table("session_timeout_test").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("n_events")))
+    q.stop()
+    assert(closed.contains((1L, 1)),
+      s"user 1's idle session should close via timeout, got ${closed.toSeq}")
+  }
+
   test("streaming QA monitor counts nulls per window") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Long, String, Option[Double], String)]
