@@ -183,6 +183,8 @@ object SparkEntry {
       Similarity.cosineTopK(Tables(s, dir, "embeddings"), (0L until 10L), 5)),
     "sim_ann_lsh" -> ((s, dir) =>
       Similarity.annTopK(Tables(s, dir, "embeddings"), (0L until 10L), 5)),
+    "sim_ann_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(Tables(s, dir, "embeddings"), (0L until 10L), 5)),
     "text_quality" -> ((s, dir) =>
       Text.quality(Tables(s, dir, "documents"))
         .select("doc_id", "n_chars_calc", "word_count", "punct_count",

@@ -1,6 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -118,6 +118,85 @@ object Similarity {
       .orderBy(col("cosine").desc, col("cand_id"))
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("cand_id"), col("cosine"), col("rnk"))
+  }
+
+  /** Squared-L2 distance of a vector column to a literal centroid. */
+  private def l2Sq(vecCol: String, centroid: Array[Double]): Column =
+    aggregate(
+      zip_with(col(vecCol), typedLit(centroid),
+        (x, c) => { val d = x.cast("double") - c; d * d }),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** IVF coarse quantizer: k-means centroids trained with deterministic
+    * init (the k lowest vector ids) and a fixed iteration count. Only
+    * the k×dim centroid matrix ever reaches the driver — the classic
+    * IVF "train then probe" shape; assignments and averages stay
+    * distributed.
+    */
+  def ivfCentroids(embeddings: DataFrame, k: Int = 16, iters: Int = 5,
+                   dim: Int = 64, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): Array[Array[Double]] = {
+    var cents: Array[Array[Double]] = embeddings
+      .orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    for (_ <- 1 to iters) {
+      val dists = cents.map(c => l2Sq(vecCol, c))
+      val cluster = array_position(array(dists: _*),
+        array_min(array(dists: _*))).cast("int") - 1
+      // per-cluster mean of every dimension: explode (cluster, dim, x),
+      // one shuffle, k×dim rows back to the driver
+      val sums = embeddings
+        .withColumn("__cluster", cluster)
+        .select(col("__cluster"),
+          posexplode(col(vecCol)).as(Seq("d", "x")))
+        .groupBy(col("__cluster"), col("d"))
+        .agg(avg(col("x").cast("double")).as("m"))
+        .collect()
+      val next = Array.tabulate(k, dim)((c, d) => cents(c)(d))
+      sums.foreach { r =>
+        next(r.getAs[Int]("__cluster"))(r.getAs[Int]("d")) = r.getAs[Double]("m")
+      }
+      cents = next
+    }
+    cents
+  }
+
+  /** ANN via IVF: vectors assigned to their nearest centroid's list;
+    * probes search only the `nprobe` nearest lists. Candidate cost is
+    * (nprobe/k) of the corpus per probe — the standard recall/latency
+    * dial. Centroids are driver-held literals; everything else is joins.
+    */
+  def ivfTopK(embeddings: DataFrame, probeIds: Seq[Long], topK: Int,
+              k: Int = 16, nprobe: Int = 4, iters: Int = 5, dim: Int = 64,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              digits: Int = 4): DataFrame = {
+    val cents = ivfCentroids(embeddings, k, iters, dim, idCol, vecCol)
+    val dists = cents.map(c => l2Sq(vecCol, c))
+    val cluster = (array_position(array(dists.toIndexedSeq: _*),
+      array_min(array(dists.toIndexedSeq: _*))).cast("int") - 1).as("cluster")
+    val assigned = embeddings.select(col(idCol).as("cand_id"),
+      col(vecCol).as("cand_vec"), cluster)
+    // probe side: nprobe nearest centroid ids as an exploded column
+    val distArr = array(dists.toIndexedSeq: _*)
+    val probeClusters = expr(
+      s"""transform(
+         array_sort(transform(__dists, (d, i) -> struct(d as d, i as i))),
+         s -> s.i)""")
+    val probes = embeddings
+      .filter(col(idCol).isInCollection(probeIds))
+      .withColumn("__dists", distArr)
+      .select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
+        explode(slice(probeClusters, 1, nprobe)).as("cluster"))
+    val scored = assigned.join(broadcast(probes), Seq("cluster"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .withColumn("cosine",
+        round(expr(cosineSql(embeddings, "probe_vec", "cand_vec")), digits))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
       .select(col("probe_id"), col("cand_id"), col("cosine"), col("rnk"))
   }
 

