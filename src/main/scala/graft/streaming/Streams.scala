@@ -59,6 +59,31 @@ object Streams {
         col(s"missing_$c")) :+ col("n_rows"): _*)
   }
 
+  /** Time-bounded stream-stream join: for each user, pair a trigger
+    * event with any follow event of another type within `withinMinutes`.
+    * Both sides are watermarked and the join condition carries the time
+    * bound, so Spark can evict state for rows past the horizon — the
+    * state store stays bounded on an unbounded stream.
+    */
+  def followWithin(events: DataFrame, triggerType: String, followType: String,
+                   withinMinutes: Int = 60): DataFrame = {
+    val wm = s"$withinMinutes minutes"
+    val trig = events.filter(col("event_type") === triggerType)
+      .withWatermark("ts", wm)
+      .select(col("user_id").as("t_user"), col("ts").as("t_ts"),
+        col("event_id").as("t_id"))
+    val follow = events.filter(col("event_type") === followType)
+      .withWatermark("ts", wm)
+      .select(col("user_id").as("f_user"), col("ts").as("f_ts"),
+        col("event_id").as("f_id"), col("value").as("f_value"))
+    trig.join(follow,
+      col("t_user") === col("f_user") &&
+        col("f_ts") > col("t_ts") &&
+        col("f_ts") <= col("t_ts") + expr(s"INTERVAL $withinMinutes MINUTES"))
+      .select(col("t_user").as("user_id"), col("t_id"), col("f_id"),
+        col("t_ts"), col("f_ts"), col("f_value"))
+  }
+
   /** Streaming exact dedup: drop repeated event_ids within the watermark
     * horizon. State holds only ids newer than the watermark — bounded on
     * an unbounded stream, the streaming twin of `Dedup.exact`.

@@ -141,6 +141,26 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("stream-stream join pairs trigger/follow events within the bound") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val events = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = Streams.followWithin(events, "click", "purchase", withinMinutes = 60)
+      .writeStream.format("memory").queryName("follow_test")
+      .outputMode("append").start()
+    input.addData(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "click", 0.0, ""),
+      (2L, Timestamp.valueOf("2024-01-01 10:30:00"), 1L, "purchase", 9.99, ""),
+      (3L, Timestamp.valueOf("2024-01-01 12:30:00"), 1L, "purchase", 5.0, ""), // outside 1h
+      (4L, Timestamp.valueOf("2024-01-01 10:15:00"), 2L, "purchase", 3.0, "")) // other user
+    q.processAllAvailable()
+    val got = spark.table("follow_test").collect()
+      .map(r => (r.getAs[Long]("t_id"), r.getAs[Long]("f_id")))
+    q.stop()
+    assert(got.toSeq == Seq((1L, 2L)))
+  }
+
   test("file-source stream over the events table produces the batch answer") {
     // The events parquet has NANOS timestamps which the file stream source
     // reads via nanosAsLong; normalize through Tables for batch, and
