@@ -165,6 +165,7 @@ object SparkEntry {
     "q_rollup" -> ((s, dir) => Queries.rollupAgg(s, dir)),
     "q_cube" -> ((s, dir) => Queries.cubeAgg(s, dir)),
     "q_moving_avg" -> ((s, dir) => Queries.movingAvg(s, dir)),
+    "q_above_class_avg" -> ((s, dir) => Queries.aboveClassAvg(s, dir)),
     "q_semi_anti" -> ((s, dir) => Queries.semiAnti(s, dir)),
     "q_events_window" -> ((s, dir) => Queries.eventsWindow(s, dir)
       .withColumn("window_start", col("window_start").cast("string"))),
@@ -417,6 +418,15 @@ object SparkEntry {
                 round(avg(day_value) OVER (PARTITION BY event_type ORDER BY day
                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
          FROM daily""",
+
+    "q_above_class_avg" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice, class_avg
+         FROM (
+           SELECT o_orderkey, o_orderpriority, o_totalprice,
+                  round(avg(o_totalprice) OVER (PARTITION BY o_orderpriority), 4)
+                    AS class_avg
+           FROM orders)
+         WHERE o_totalprice > class_avg""",
 
     "q_semi_anti" ->
       """SELECT c_custkey AS entity_key, 'cust_open_order' AS tag FROM customer

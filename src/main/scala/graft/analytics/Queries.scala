@@ -105,6 +105,19 @@ object Queries {
     semi.unionByName(anti)
   }
 
+  /** Correlated-aggregate filter: orders priced above their priority
+    * class average — the window formulation reuses one shuffle instead
+    * of the self-join a literal correlated subquery would plan.
+    */
+  def aboveClassAvg(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val w = Window.partitionBy(col("o_orderpriority"))
+    o.withColumn("class_avg", round(avg(col("o_totalprice")).over(w), 4))
+      .filter(col("o_totalprice") > col("class_avg"))
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice"), col("class_avg"))
+  }
+
   /** CUBE over (status, priority): all four grouping-set combinations in
     * one pass with partial aggregation.
     */

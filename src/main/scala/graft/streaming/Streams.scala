@@ -92,6 +92,22 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Exactly-once parquet sink for foreachBatch: each micro-batch lands
+    * in its own `batch_id=N` partition directory with dynamic overwrite,
+    * so a replayed batch (post-failure restart) overwrites its own
+    * partition instead of appending duplicates. Pair with the streaming
+    * checkpoint for end-to-end exactly-once on an at-least-once source.
+    */
+  def idempotentBatchWriter(basePath: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      batch.sparkSession.conf
+        .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      batch.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(basePath)
+    }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(start: Long, end: Long, n: Int, sum: Double)

@@ -104,6 +104,32 @@ class FunctionsSourcesSpec extends SparkSpec {
     assert(out(0).getInt(1) == 9 && out(1).isNullAt(1))
   }
 
+  test("json source applies explicit schema without an inference scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_json").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/d.json"),
+      """{"id": 1, "name": "x", "amt": 1.5}
+        |{"id": 2, "name": "y"}
+        |""".stripMargin)
+    val out = Sources.loadJson(spark,
+      Seq(ColumnSpec("id", "BIGINT"), ColumnSpec("name", "VARCHAR(8)"),
+        ColumnSpec("amt", "FLOAT")), s"$dir/d.json")
+      .orderBy("id").collect()
+    assert(out.length == 2)
+    assert(out(0).getDouble(2) == 1.5 && out(1).isNullAt(2))
+  }
+
+  test("conform maps NUMERIC to decimal with declared precision") {
+    import org.apache.spark.sql.types.DecimalType
+    val df = Seq((1.23456, 2.5)).toDF("a", "b")
+    val out = graft.etl.Etl.conform(df,
+      Seq(ColumnSpec("a", "NUMERIC(10,2)"), ColumnSpec("b", "DECIMAL(5,1)")))
+    assert(out.schema("a").dataType == DecimalType(10, 2))
+    assert(out.schema("b").dataType == DecimalType(5, 1))
+    val r = out.collect().head
+    assert(r.getDecimal(0).toString == "1.23" && r.getDecimal(1).toString == "2.5")
+  }
+
   test("writeTable lays out clustered, partitioned parquet") {
     val dir = java.nio.file.Files.createTempDirectory("graft_write").toString + "/t"
     val df = Tables(spark, sfDir, "orders")

@@ -141,6 +141,19 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("idempotent batch writer: replaying a batch leaves no duplicates") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString + "/out"
+    val writer = Streams.idempotentBatchWriter(dir)
+    writer(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), 0L)
+    writer(Seq((3L, "c")).toDF("id", "v"), 1L)
+    // simulate a post-failure replay of batch 1 with different task output
+    writer(Seq((3L, "c")).toDF("id", "v"), 1L)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 3)
+    assert(back.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("stream-stream join pairs trigger/follow events within the bound") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
