@@ -41,9 +41,11 @@ object ScaleCheck {
     println(f"replicated x$n in ${(System.nanoTime() - t0) / 1e9}%.1f s")
 
     val names = Seq("q1_agg", "q_join_star", "q_join_large", "q_semi_anti",
-      "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
-      "sim_cosine_topk", "sim_ann_lsh", "etl_add_index", "qa_categorical",
-      "etl_dedup_keep_latest")
+      "q_above_class_avg", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+      "dedup_lsh_jaccard", "dedup_simhash", "sim_cosine_topk",
+      "sim_ann_lsh", "sim_ann_ivf", "etl_add_index", "qa_categorical",
+      "qa_quantiles", "etl_dedup_keep_latest", "etl_checksum",
+      "text_ngram_freq")
     def time(dir: String, name: String): Double = {
       val t = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.format("noop")
