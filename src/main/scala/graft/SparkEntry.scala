@@ -74,9 +74,10 @@ object SparkEntry {
     },
 
     "etl_copy_into" -> { (s, dir) =>
-      Etl.copyInto(Tables(s, dir, "part"), "batch_0001")
+      Etl.copyInto(Tables(s, dir, "part"), "batch_0001",
+          idCols = Seq("p_partkey", "p_name"))
         .select(col("p_partkey"), col("p_name"), col("p_retailprice"),
-          col("etl_batch_id"))
+          col("etl_batch_id"), col("etl_load_row"))
     },
 
     "etl_add_index" -> { (s, dir) =>
@@ -154,6 +155,26 @@ object SparkEntry {
         .withColumn("period", date_trunc("day", col("ts")).cast("date"))
       Qa.comparePeriods(Qa.continuous(e, "period", Seq("value")), "period")
         .withColumn("period", col("period").cast("string"))
+    },
+
+    "qa_compare_periods_full" -> { (s, dir) =>
+      val e = Tables(s, dir, "events")
+        .withColumn("period", date_trunc("day", col("ts")).cast("date").cast("string"))
+      Qa.comparePeriodsFull(Qa.continuous(e, "period", Seq("value")), "period")
+    },
+
+    "qa_missingness_change" -> { (s, dir) =>
+      val e = Tables(s, dir, "events")
+        .withColumn("period", date_trunc("day", col("ts")).cast("date").cast("string"))
+      Qa.missingnessChange(
+        Qa.missingness(e, "period", Seq("event_type", "value", "props")), "period")
+    },
+
+    "qa_categorical_top8" -> { (s, dir) =>
+      val l = Tables(s, dir, "lineitem")
+        .withColumn("period", year(col("l_shipdate")))
+        .withColumn("qty", col("l_quantity").cast("int").cast("string"))
+      Qa.categoricalTop8(l, "period", Seq("qty"))
     },
 
     // ---- C. Analytics core ----
@@ -256,8 +277,11 @@ object SparkEntry {
          FROM customer""",
 
     "etl_copy_into" ->
-      """SELECT p_partkey, p_name, p_retailprice,
-                'batch_0001' AS etl_batch_id
+      s"""SELECT p_partkey, p_name, p_retailprice,
+                'batch_0001' AS etl_batch_id,
+                cast(md5_number_lower(concat_ws('|',
+                    cast(p_partkey as varchar), cast(p_name as varchar)))
+                  % ${graft.dedup.MinHashSpec.P} as bigint) AS etl_load_row
          FROM part""",
 
     "etl_add_index" ->
@@ -290,15 +314,15 @@ object SparkEntry {
                 round(n_missing / cast(n as double), 4) AS proportion
          FROM (
            SELECT period, 'event_type' AS varname,
-                  sum(cast(event_type IS NULL as bigint)) AS n_missing,
+                  cast(sum(cast(event_type IS NULL as bigint)) as bigint) AS n_missing,
                   count(*) AS n FROM e GROUP BY period
            UNION ALL
            SELECT period, 'value',
-                  sum(cast(value IS NULL as bigint)), count(*)
+                  cast(sum(cast(value IS NULL as bigint)) as bigint), count(*)
            FROM e GROUP BY period
            UNION ALL
            SELECT period, 'props',
-                  sum(cast(props IS NULL as bigint)), count(*)
+                  cast(sum(cast(props IS NULL as bigint)) as bigint), count(*)
            FROM e GROUP BY period)""",
 
     "qa_continuous" ->
@@ -357,6 +381,86 @@ object SparkEntry {
                 cast(round(abs(mean - prev_mean) / abs(prev_mean) * 100, 4) > 2.0 as int)
                   AS flag_mean
          FROM l WHERE prev_mean IS NOT NULL""",
+
+    "qa_compare_periods_full" ->
+      """WITH c AS (
+           SELECT cast(cast(date_trunc('day', ts) as date) as varchar) AS period,
+                  'value' AS varname, round(avg(value), 4) AS mean,
+                  round(quantile_cont(value, 0.5), 4) AS median
+           FROM events GROUP BY 1),
+         l AS (
+           SELECT period, varname, mean, median,
+                  lag(mean) OVER (PARTITION BY varname ORDER BY period) AS prev_mean,
+                  lag(median) OVER (PARTITION BY varname ORDER BY period) AS prev_median
+           FROM c)
+         SELECT period, varname, mean, prev_mean,
+                round((mean / prev_mean - 1) * 100, 4) AS rel_change_mean,
+                cast(abs(round((mean / prev_mean - 1) * 100, 4)) > 2.0 as int)
+                  AS flag_mean,
+                median, prev_median,
+                round((median / prev_median - 1) * 100, 4) AS rel_change_median,
+                cast(abs(round((median / prev_median - 1) * 100, 4)) > 2.0 as int)
+                  AS flag_median
+         FROM l WHERE prev_mean IS NOT NULL""",
+
+    "qa_missingness_change" ->
+      """WITH e AS (SELECT cast(cast(date_trunc('day', ts) as date) as varchar) AS period, *
+                    FROM events),
+         m AS (
+           SELECT period, varname,
+                  round(n_missing / cast(n as double), 4) AS proportion
+           FROM (
+             SELECT period, 'event_type' AS varname,
+                    cast(sum(cast(event_type IS NULL as bigint)) as bigint) AS n_missing,
+                    count(*) AS n FROM e GROUP BY period
+             UNION ALL
+             SELECT period, 'value',
+                    cast(sum(cast(value IS NULL as bigint)) as bigint), count(*)
+             FROM e GROUP BY period
+             UNION ALL
+             SELECT period, 'props',
+                    cast(sum(cast(props IS NULL as bigint)) as bigint), count(*)
+             FROM e GROUP BY period)),
+         l AS (
+           SELECT period, varname, proportion,
+                  lag(proportion) OVER (PARTITION BY varname ORDER BY period)
+                    AS prev_proportion
+           FROM m)
+         SELECT period, varname, proportion, prev_proportion,
+                round((proportion - prev_proportion) * 100, 4) AS abs_change_pp,
+                cast(abs(round((proportion - prev_proportion) * 100, 4)) > 3.0 as int)
+                  AS flag_missing
+         FROM l WHERE prev_proportion IS NOT NULL""",
+
+    "qa_categorical_top8" ->
+      """WITH base AS (
+           SELECT cast(year(l_shipdate) as int) AS period,
+                  'qty' AS varname,
+                  cast(cast(l_quantity as int) as varchar) AS value
+           FROM lineitem),
+         counted AS (
+           SELECT period, varname, value, count(*) AS n
+           FROM base GROUP BY 1, 2, 3),
+         ranked AS (
+           SELECT period, varname, value, n,
+                  dense_rank() OVER (PARTITION BY period, varname ORDER BY n DESC)
+                    AS rnk
+           FROM counted WHERE value IS NOT NULL
+           UNION ALL
+           SELECT period, varname, value, n, 0 AS rnk
+           FROM counted WHERE value IS NULL),
+         relab AS (
+           SELECT period, varname,
+                  CASE WHEN rnk <= 8 THEN value ELSE 'Other values' END AS value,
+                  n
+           FROM ranked),
+         re AS (
+           SELECT period, varname, value, cast(sum(n) as bigint) AS n
+           FROM relab GROUP BY 1, 2, 3)
+         SELECT period, varname, value, n,
+                round(n / cast(sum(n) OVER (PARTITION BY period, varname) as double), 4)
+                  AS proportion
+         FROM re""",
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -480,9 +584,11 @@ object SparkEntry {
             c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
             s AS (
               SELECT probe_id, cand_id,
-                     round(list_dot_product(pv, cv) /
-                       (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(cv, cv))), 4)
-                       AS cosine
+                     round(CASE WHEN list_dot_product(pv, pv) = 0
+                                  OR list_dot_product(cv, cv) = 0 THEN 0.0
+                           ELSE list_dot_product(pv, cv) /
+                             (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(cv, cv)))
+                           END, 4) AS cosine
               FROM p, c WHERE probe_id <> cand_id)
          SELECT probe_id, cand_id, cosine,
                 cast(row_number() OVER (PARTITION BY probe_id

@@ -17,13 +17,28 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Remove any previous output for the query BEFORE running it: a query
+    // that fails this run must not leave a stale parquet dir behind for
+    // the driver to compare as if it were fresh.
+    def deleteRecursively(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+      f.delete(): Unit
+    }
+    var failures = List.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
+      val dest = new java.io.File(s"$outDir/$name")
+      if (dest.exists()) deleteRecursively(dest)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failures ::= name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // Failure marker: check.py (and any human) can see at a glance which
+    // queries produced no output this run.
+    Files.writeString(Paths.get(s"$outDir/FAILED.txt"),
+      failures.reverse.mkString("\n"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

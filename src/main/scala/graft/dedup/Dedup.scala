@@ -168,8 +168,10 @@ object MinHashSpec {
 
   /** Candidate near-dup pairs via banded LSH + estimated Jaccard
     * (fraction of equal signature positions). Shuffles: one groupBy for
-    * signatures, one self-join keyed on (band, band-signature), one join
-    * back to signatures for the estimate. No cross product anywhere.
+    * signatures, one self-join keyed on (band, band-signature), one
+    * distinct. The full K-value signature (~128 B) rides through the band
+    * explode so the estimate is computed directly on the joined pair —
+    * no joins back to the signature table. No cross product anywhere.
     */
   def candidatePairs(df: DataFrame, idCol: String = "doc_id",
                      textCol: String = "text", digits: Int = 4): DataFrame = {
@@ -180,21 +182,16 @@ object MinHashSpec {
       val cs = (j * ROWS until (j + 1) * ROWS).map(i => col(s"mh_$i"))
       concat_ws("_", cs: _*)
     }
-    val bands = sig.select(col(idCol).as("id"),
+    val sigArr = array((0 until K).map(i => col(s"mh_$i")): _*)
+    val bands = sig.select(col(idCol).as("id"), sigArr.as("sigv"),
         posexplode(array(bandSigs: _*)).as(Seq("band", "bsig")))
-    val cand = bands.as("x").join(bands.as("y"),
+    bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
           col("x.id") < col("y.id"))
-      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
+      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"),
+        round(expr("aggregate(zip_with(x.sigv, y.sigv, (p, q) -> IF(p = q, 1, 0)), 0, (acc, v) -> acc + v)")
+          .cast("double") / K, digits).as("est_jaccard"))
       .distinct()
-    val eq = (0 until K).map(i =>
-      when(col(s"sa.mh_$i") === col(s"sb.mh_$i"), 1).otherwise(0))
-      .reduce(_ + _)
-    cand
-      .join(sig.as("sa"), col("doc_a") === col(s"sa.$idCol"))
-      .join(sig.as("sb"), col("doc_b") === col(s"sb.$idCol"))
-      .select(col("doc_a"), col("doc_b"),
-        round(eq.cast("double") / K, digits).as("est_jaccard"))
   }
 
   /** Shared CTE chain (tokens → hashes → signatures → bands → candidate

@@ -88,12 +88,20 @@ object Etl {
 
   /** `copy_into`: lake→warehouse ingest with load-audit columns
     * (reference: copy_into.R). Audit values must be deterministic for
-    * replay, so the batch id is caller-supplied, not wall-clock.
+    * replay: the batch id is caller-supplied (not wall-clock) and the row
+    * id is content-derived (md5 mod P of the id columns) — stable across
+    * partition layouts, unlike `monotonically_increasing_id()`.
     */
-  def copyInto(source: DataFrame, batchId: String): DataFrame =
+  def copyInto(source: DataFrame, batchId: String,
+               idCols: Seq[String] = Nil): DataFrame = {
+    val cols = if (idCols.nonEmpty) idCols else source.columns.toSeq
+    val rendered = "concat_ws('|', " +
+      cols.map(c => s"cast(`$c` as string)").mkString(", ") + ")"
     source
       .withColumn("etl_batch_id", lit(batchId))
-      .withColumn("etl_load_row", monotonically_increasing_id())
+      .withColumn("etl_load_row",
+        expr(graft.dedup.MinHashSpec.hpExpr(source.sparkSession, rendered)))
+  }
 
   /** `add_index`: the Spark-native meaning of a clustered index is physical
     * layout — range-partition by the index keys and sort within partitions
@@ -123,17 +131,23 @@ object Etl {
     * [[rowChecksumSql]]).
     */
   def rowChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
+    // Sum in decimal(38,0), then reduce mod P: well-defined at any row
+    // count (a raw bigint sum would wrap past ~2^33 rows, diverging from
+    // the DuckDB twin's HUGEINT sum).
     df.select(expr(graft.dedup.MinHashSpec.hpExpr(df.sparkSession,
         "concat_ws('|', " + cols.map(c => s"cast($c as string)").mkString(", ") + ")"))
         .as("__h"))
-      .agg(sum(col("__h")).as("checksum"), count(lit(1)).as("row_cnt"))
+      .agg(
+        (sum(col("__h").cast("decimal(38,0)")) % graft.dedup.MinHashSpec.P)
+          .cast("bigint").as("checksum"),
+        count(lit(1)).as("row_cnt"))
   }
 
-  /** DuckDB twin of [[rowChecksum]]. */
+  /** DuckDB twin of [[rowChecksum]] (HUGEINT sum, same final mod P). */
   def rowChecksumSql(table: String, cols: Seq[String]): String = {
     val rendered = "concat_ws('|', " +
       cols.map(c => s"cast($c as varchar)").mkString(", ") + ")"
-    s"""SELECT cast(sum(cast(md5_number_lower($rendered) % ${graft.dedup.MinHashSpec.P} as bigint)) as bigint) AS checksum,
+    s"""SELECT cast(sum(cast(md5_number_lower($rendered) % ${graft.dedup.MinHashSpec.P} as bigint)) % ${graft.dedup.MinHashSpec.P} as bigint) AS checksum,
               count(*) AS row_cnt
        FROM $table"""
   }
@@ -145,9 +159,30 @@ object Etl {
     */
   def tableDiff(a: DataFrame, b: DataFrame): DataFrame = {
     val cols = a.columns.toSeq
-    val an = a.join(b, cols, "left_anti").withColumn("diff_side", lit("left_only"))
-    val bn = b.join(a, cols, "left_anti").withColumn("diff_side", lit("right_only"))
-    an.unionByName(bn)
+    // Null-safe (<=>) per-column condition: a row containing NULLs still
+    // matches its identical twin (EqualTo would report it on both sides).
+    def anti(l: DataFrame, r: DataFrame): DataFrame = {
+      val lt = l.alias("__dl")
+      val rt = r.alias("__dr")
+      val cond = cols.map(c => col(s"__dl.$c") <=> col(s"__dr.$c")).reduce(_ && _)
+      lt.join(rt, cond, "left_anti")
+    }
+    anti(a, b).withColumn("diff_side", lit("left_only"))
+      .unionByName(anti(b, a).withColumn("diff_side", lit("right_only")))
+  }
+
+  /** `deduplicate_addresses` two-sided sync(): anti-join each way, then
+    * apply the rows missing from each side to that side (reference:
+    * deduplicate_addresses.R:112-124 — collect rows absent from ref /
+    * absent from source, insert into both). Returns both synced frames;
+    * after sync both sides hold the identical union. Null-safe row
+    * comparison throughout (NULL-bearing identical rows are not diffs).
+    */
+  def sync(a: DataFrame, b: DataFrame): (DataFrame, DataFrame) = {
+    val diff = tableDiff(a, b).cache()
+    val onlyA = diff.filter(col("diff_side") === "left_only").drop("diff_side")
+    val onlyB = diff.filter(col("diff_side") === "right_only").drop("diff_side")
+    (a.unionByName(onlyB), b.unionByName(onlyA))
   }
 
   /** `deduplicate_addresses` dedup(): keep exactly one row per key,

@@ -15,6 +15,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * whole-stage codegen with zero allocation — the preferred shape for a
   * 100 TB scan-side operator. Accumulates in double precision in index
   * order, matching the oracle's semantics.
+  *
+  * Degenerate inputs: a zero-norm (or empty) vector yields 0.0 — never
+  * NaN/Infinity — matching the builtin-composition fallback and the
+  * DuckDB oracle's CASE guard. Inputs are expected to be equal-length;
+  * a longer vector's tail is ignored (the loop runs to the shorter
+  * length), so callers must enforce the dimension contract upstream.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -46,7 +52,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -63,7 +70,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  double $y = (double) $b.getFloat($i);
          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0
+         |  : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 

@@ -131,6 +131,40 @@ object Qa {
     counted.withColumn("proportion", round(col("n") / sum(col("n")).over(w), digits))
   }
 
+  /** `keep_top_8` parity: within each (period, column), keep the NULL row
+    * plus values whose dense rank by count is ≤ `topN`; everything else
+    * collapses into a single 'Other values' row, counts re-summed and
+    * proportions recomputed (reference: etl_qa_run_pipeline.R:1042-1062 —
+    * frankv dense rank, NA pinned at rank 0, non-top values relabelled).
+    * This is both reporting parity AND the scale guard [[categorical]]
+    * lacks: output is bounded at topN+2 rows per (period, column) no
+    * matter the column's cardinality. The rank window partitions on
+    * (period, column) — its input is already aggregated to distinct
+    * values, so the window is cardinality-bounded, not data-bounded.
+    */
+  def categoricalTop8(df: DataFrame, timeVar: String, cols: Seq[String],
+                      topN: Int = 8, digits: Int = 4): DataFrame = {
+    val stackArgs = cols.map(c => s"'$c', cast($c as string)").mkString(", ")
+    val long = df.select(col(timeVar),
+      expr(s"stack(${cols.size}, $stackArgs) as (varname, value)"))
+    val counted = long.groupBy(col(timeVar), col("varname"), col("value"))
+      .agg(count(lit(1)).as("n"))
+    // NA is ranked 0 (always kept); dense rank runs over non-null values
+    // only, mirroring frankv over the !is.na subset
+    val wr = Window.partitionBy(col(timeVar), col("varname"))
+      .orderBy(col("n").desc)
+    val ranked = counted.filter(col("value").isNotNull)
+      .withColumn("rnk", dense_rank().over(wr))
+      .unionByName(counted.filter(col("value").isNull)
+        .withColumn("rnk", lit(0)))
+    val relabeled = ranked.withColumn("value",
+      when(col("rnk") <= topN, col("value")).otherwise(lit("Other values")))
+    val re = relabeled.groupBy(col(timeVar), col("varname"), col("value"))
+      .agg(sum(col("n")).as("n"))
+    val w2 = Window.partitionBy(col(timeVar), col("varname"))
+    re.withColumn("proportion", round(col("n") / sum(col("n")).over(w2), digits))
+  }
+
   /** Full pipeline orchestration mirroring the reference's 4-step flow
     * (etl_qa_setup_config → initial → final → export,
     * R/etl_qa_run_pipeline.R:86-89): classify columns by type, run every
@@ -141,15 +175,36 @@ object Qa {
     */
   def runPipeline(df: DataFrame, timeVar: String, cols: Seq[String],
                   outDir: Option[String] = None,
-                  relThreshold: Double = 2.0): Map[String, DataFrame] = {
+                  relThreshold: Double = 2.0,
+                  absThreshold: Double = 3.0,
+                  distinctThreshold: Int = 1): Map[String, DataFrame] = {
     import org.apache.spark.sql.types._
     val schema = df.schema.fields.map(f => f.name -> f.dataType).toMap
-    val numeric = cols.filter(c => schema.get(c).exists {
+    val numericByType = cols.filter(c => schema.get(c).exists {
       case _: NumericType => true; case _ => false
     })
-    val dates = cols.filter(c => schema.get(c).exists {
+    val datesByType = cols.filter(c => schema.get(c).exists {
       case DateType | TimestampType | TimestampNTZType => true; case _ => false
     })
+    // distinct_threshold routing (reference: etl_qa_run_pipeline.R:68-71,
+    // :708, :742): numeric/date columns with fewer distinct values than
+    // the threshold are low-cardinality codes — treat as categorical, gate
+    // min/mean/median/max on passing the threshold. One
+    // approx_count_distinct pass over the candidates (a sketch, bounded
+    // memory at any scale) decides the routing; exactness is irrelevant
+    // here — the threshold is a small constant where HLL is exact anyway.
+    val routed: Set[String] =
+      if (distinctThreshold <= 1 || (numericByType ++ datesByType).isEmpty)
+        (numericByType ++ datesByType).toSet
+      else {
+        val candidates = numericByType ++ datesByType
+        val aggs = candidates.map(c => approx_count_distinct(col(c)).as(c))
+        val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+        candidates.filter(c =>
+          row.getAs[Long](row.fieldIndex(c)) >= distinctThreshold).toSet
+      }
+    val numeric = numericByType.filter(routed.contains)
+    val dates = datesByType.filter(routed.contains)
     val categorical = cols.filterNot(c => numeric.contains(c) || dates.contains(c))
 
     val results = Seq(
@@ -159,10 +214,12 @@ object Qa {
       "vals_date" -> (if (dates.nonEmpty)
         Some(this.dates(df, timeVar, dates)) else None),
       "vals_categorical" -> (if (categorical.nonEmpty)
-        Some(this.categorical(df, timeVar, categorical)) else None),
+        Some(categoricalTop8(df, timeVar, categorical)) else None),
       "comparisons" -> (if (numeric.nonEmpty)
-        Some(comparePeriods(continuous(df, timeVar, numeric), timeVar,
-          relThreshold)) else None)
+        Some(comparePeriodsFull(continuous(df, timeVar, numeric), timeVar,
+          relThreshold)) else None),
+      "missing_changes" -> Some(missingnessChange(
+        missingness(df, timeVar, cols), timeVar, absThreshold))
     ).collect { case (k, Some(v)) => k -> v }.toMap
 
     outDir.foreach { dir =>
@@ -190,5 +247,54 @@ object Qa {
       .filter(col("prev_mean").isNotNull)
       .select(col(timeVar), col("varname"), col("mean"), col("prev_mean"),
         col("rel_change_mean"), col("flag_mean"))
+  }
+
+  /** Full-parity period comparison on continuous stats: signed relative %
+    * change of BOTH mean and median vs the previous period, each flagged
+    * against `relThreshold` (reference: etl_qa_run_pipeline.R:1586-1599 —
+    * rel_mean_change and rel_median_change, `(x/shift(x) - 1) * 100`
+    * against rel_threshold). Input is the long frame from [[continuous]];
+    * changes are derived from the already-rounded stats so both engines
+    * see identical doubles.
+    */
+  def comparePeriodsFull(continuousLong: DataFrame, timeVar: String,
+                         relThreshold: Double = 2.0, digits: Int = 4): DataFrame = {
+    val w = Window.partitionBy(col("varname")).orderBy(col(timeVar))
+    continuousLong
+      .withColumn("prev_mean", lag(col("mean"), 1).over(w))
+      .withColumn("prev_median", lag(col("median"), 1).over(w))
+      .filter(col("prev_mean").isNotNull)
+      .withColumn("rel_change_mean",
+        round((col("mean") / col("prev_mean") - 1) * 100, digits))
+      .withColumn("rel_change_median",
+        round((col("median") / col("prev_median") - 1) * 100, digits))
+      .withColumn("flag_mean",
+        when(abs(col("rel_change_mean")) > relThreshold, 1).otherwise(0))
+      .withColumn("flag_median",
+        when(abs(col("rel_change_median")) > relThreshold, 1).otherwise(0))
+      .select(col(timeVar), col("varname"),
+        col("mean"), col("prev_mean"), col("rel_change_mean"), col("flag_mean"),
+        col("median"), col("prev_median"), col("rel_change_median"),
+        col("flag_median"))
+  }
+
+  /** Missingness period-over-period change: absolute percentage-point
+    * change in the missing proportion vs the previous period, flagged
+    * against `absThreshold` (reference: etl_qa_run_pipeline.R:1531-1537 —
+    * abs_change on missing_data proportions vs abs_threshold, default 3).
+    * Input is the long frame from [[missingness]].
+    */
+  def missingnessChange(missingLong: DataFrame, timeVar: String,
+                        absThreshold: Double = 3.0, digits: Int = 4): DataFrame = {
+    val w = Window.partitionBy(col("varname")).orderBy(col(timeVar))
+    missingLong
+      .withColumn("prev_proportion", lag(col("proportion"), 1).over(w))
+      .filter(col("prev_proportion").isNotNull)
+      .withColumn("abs_change_pp",
+        round((col("proportion") - col("prev_proportion")) * 100, digits))
+      .withColumn("flag_missing",
+        when(abs(col("abs_change_pp")) > absThreshold, 1).otherwise(0))
+      .select(col(timeVar), col("varname"), col("proportion"),
+        col("prev_proportion"), col("abs_change_pp"), col("flag_missing"))
   }
 }

@@ -20,19 +20,44 @@ object Similarity {
     * (graft.functions.GraftFunctions); otherwise composes builtins —
     * identical arithmetic, more per-row allocation.
     */
-  private def cosineExpr(a: String, b: String): String =
-    s"""aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (acc, v) -> acc + v)
-       / (sqrt(aggregate(transform($a, x -> cast(x as double) * cast(x as double)), cast(0.0 as double), (acc, v) -> acc + v))
-        * sqrt(aggregate(transform($b, x -> cast(x as double) * cast(x as double)), cast(0.0 as double), (acc, v) -> acc + v)))"""
+  private def cosineExpr(a: String, b: String): String = {
+    def normSq(v: String) =
+      s"aggregate(transform($v, x -> cast(x as double) * cast(x as double)), cast(0.0 as double), (acc, v) -> acc + v)"
+    // zero-norm guard mirrors the native expression and the DuckDB oracle:
+    // degenerate vectors score 0.0, never NaN/Infinity
+    s"""CASE WHEN ${normSq(a)} = 0.0 OR ${normSq(b)} = 0.0 THEN 0.0
+       ELSE aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (acc, v) -> acc + v)
+       / (sqrt(${normSq(a)}) * sqrt(${normSq(b)})) END"""
+  }
 
   private def cosineSql(df: DataFrame, a: String, b: String): String =
     if (df.sparkSession.catalog.functionExists("cosine_sim")) s"cosine_sim($a, $b)"
     else cosineExpr(a, b)
 
+  /** Scale-safe per-group top-k: phase 1 ranks within (group, salt) —
+    * partitions are corpus/S sized, never the whole corpus per group —
+    * and keeps k per salt; phase 2 ranks the ≤ k×S survivors per group.
+    * A single `Window.partitionBy(group)` over the full candidate set
+    * would funnel every scored row of a group into ONE task — correct at
+    * test scale, a per-group single-reducer at 100×. The two-phase shape
+    * is identical in result (row_number over the same total order) for
+    * any salt count.
+    */
+  private[graft] def topKPerGroup(scored: DataFrame, groupCol: String, k: Int,
+                                  order: Seq[Column], saltCol: Column,
+                                  salts: Int = 32): DataFrame = {
+    val w1 = Window.partitionBy(col(groupCol), pmod(saltCol, lit(salts)))
+      .orderBy(order: _*)
+    val survivors = scored.withColumn("__r1", row_number().over(w1))
+      .filter(col("__r1") <= k).drop("__r1")
+    val w2 = Window.partitionBy(col(groupCol)).orderBy(order: _*)
+    survivors.withColumn("rnk", row_number().over(w2))
+      .filter(col("rnk") <= k)
+  }
+
   /** Brute-force cosine top-k: each probe vector against the full corpus.
-    * The probe set is broadcast (it is small by definition); per-probe
-    * ranking is a window over the probe partition — at scale Spark plans
-    * partial top-k per partition before the final rank.
+    * The probe set is broadcast (it is small by definition); ranking is
+    * the two-phase salted top-k — no per-probe single-partition exchange.
     */
   def cosineTopK(embeddings: DataFrame, probeIds: Seq[Long], k: Int,
                  idCol: String = "vec_id", vecCol: String = "embedding",
@@ -44,10 +69,8 @@ object Similarity {
     val scored = cands.join(broadcast(probes), col("probe_id") =!= col("cand_id"))
       .withColumn("cosine",
         round(expr(cosineSql(embeddings, "probe_vec", "cand_vec")), digits))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cosine").desc, col("cand_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+    topKPerGroup(scored, "probe_id", k,
+        Seq(col("cosine").desc, col("cand_id")), hash(col("cand_id")))
       .select(col("probe_id"), col("cand_id"), col("cosine"), col("rnk"))
   }
 
@@ -114,10 +137,8 @@ object Similarity {
     val scored = pairs
       .withColumn("cosine",
         round(expr(cosineSql(embeddings, "probe_vec", "cand_vec")), digits))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cosine").desc, col("cand_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+    topKPerGroup(scored, "probe_id", k,
+        Seq(col("cosine").desc, col("cand_id")), hash(col("cand_id")))
       .select(col("probe_id"), col("cand_id"), col("cosine"), col("rnk"))
   }
 
@@ -136,29 +157,39 @@ object Similarity {
     */
   def ivfCentroids(embeddings: DataFrame, k: Int = 16, iters: Int = 5,
                    dim: Int = 64, idCol: String = "vec_id",
-                   vecCol: String = "embedding"): Array[Array[Double]] = {
-    var cents: Array[Array[Double]] = embeddings
-      .orderBy(col(idCol)).limit(k)
+                   vecCol: String = "embedding",
+                   maxTrainSamples: Int = 4096): Array[Array[Double]] = {
+    // Standard IVF practice (FAISS-style): train the coarse quantizer on
+    // a BOUNDED sample, not the corpus. The collect is
+    // O(maxTrainSamples × dim) — constant in corpus size — and the Lloyd
+    // iterations then run on the driver in microseconds, instead of
+    // `iters` distributed rounds that each pay plan+codegen+job overhead
+    // on k×dim-literal expression trees. Deterministic sample: lowest
+    // ids via TakeOrdered (one parallel pass, no full sort).
+    val sample: Array[Array[Double]] = embeddings
+      .select(col(idCol), col(vecCol)).orderBy(col(idCol))
+      .limit(maxTrainSamples)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    var cents: Array[Array[Double]] = sample.take(k).map(_.clone())
     for (_ <- 1 to iters) {
-      val dists = cents.map(c => l2Sq(vecCol, c))
-      val cluster = array_position(array(dists: _*),
-        array_min(array(dists: _*))).cast("int") - 1
-      // per-cluster mean of every dimension: explode (cluster, dim, x),
-      // one shuffle, k×dim rows back to the driver
-      val sums = embeddings
-        .withColumn("__cluster", cluster)
-        .select(col("__cluster"),
-          posexplode(col(vecCol)).as(Seq("d", "x")))
-        .groupBy(col("__cluster"), col("d"))
-        .agg(avg(col("x").cast("double")).as("m"))
-        .collect()
-      val next = Array.tabulate(k, dim)((c, d) => cents(c)(d))
-      sums.foreach { r =>
-        next(r.getAs[Int]("__cluster"))(r.getAs[Int]("d")) = r.getAs[Double]("m")
+      val sums = Array.fill(k, dim)(0.0)
+      val counts = Array.fill(k)(0L)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < k) {
+          var d = 0.0; var i = 0
+          while (i < dim) { val t = v(i) - cents(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
       }
-      cents = next
+      cents = Array.tabulate(k)(c =>
+        if (counts(c) == 0L) cents(c) // empty cluster keeps its centroid
+        else Array.tabulate(dim)(i => sums(c)(i) / counts(c)))
     }
     cents
   }
@@ -167,12 +198,16 @@ object Similarity {
     * probes search only the `nprobe` nearest lists. Candidate cost is
     * (nprobe/k) of the corpus per probe — the standard recall/latency
     * dial. Centroids are driver-held literals; everything else is joins.
+    * Pass pre-trained `centroids` to skip query-time training (the 100 TB
+    * shape: train once on a sample via [[ivfCentroids]], persist, reuse).
     */
   def ivfTopK(embeddings: DataFrame, probeIds: Seq[Long], topK: Int,
               k: Int = 16, nprobe: Int = 4, iters: Int = 5, dim: Int = 64,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              digits: Int = 4): DataFrame = {
-    val cents = ivfCentroids(embeddings, k, iters, dim, idCol, vecCol)
+              digits: Int = 4,
+              centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    val cents = centroids.getOrElse(
+      ivfCentroids(embeddings, k, iters, dim, idCol, vecCol))
     val dists = cents.map(c => l2Sq(vecCol, c))
     val cluster = (array_position(array(dists.toIndexedSeq: _*),
       array_min(array(dists.toIndexedSeq: _*))).cast("int") - 1).as("cluster")
@@ -193,10 +228,8 @@ object Similarity {
       .filter(col("probe_id") =!= col("cand_id"))
       .withColumn("cosine",
         round(expr(cosineSql(embeddings, "probe_vec", "cand_vec")), digits))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cosine").desc, col("cand_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= topK)
+    topKPerGroup(scored, "probe_id", topK,
+        Seq(col("cosine").desc, col("cand_id")), hash(col("cand_id")))
       .select(col("probe_id"), col("cand_id"), col("cosine"), col("rnk"))
   }
 

@@ -55,6 +55,29 @@ class EtlSpec extends SparkSpec {
     assert(out == Set((1, "left_only"), (4, "right_only")))
   }
 
+  test("tableDiff is null-safe: identical rows with NULLs are not diffs") {
+    val a = Seq((1, Some("x")), (2, None), (3, None)).toDF("k", "v")
+    val b = Seq((1, Some("x")), (2, None), (4, Option.empty[String])).toDF("k", "v")
+    val out = Etl.tableDiff(a, b).collect()
+      .map(r => (r.getInt(0), r.getString(2))).toSet
+    // (2, NULL) matches itself on both sides; NULL-bearing uniques still diff
+    assert(out == Set((3, "left_only"), (4, "right_only")))
+  }
+
+  test("sync converges both sides to the identical union, NULLs included") {
+    val a = Seq((1, Some("x")), (2, None)).toDF("k", "v")
+    val b = Seq((2, None), (3, Some("z"))).toDF("k", "v")
+    val (sa, sb) = Etl.sync(a, b)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), Option(r.getString(1)))).toSet
+    val expected = Set((1, Some("x")), (2, None), (3, Some("z")))
+    assert(rows(sa) == expected)
+    assert(rows(sb) == expected)
+    // idempotent: a second sync is a no-op
+    val (sa2, sb2) = Etl.sync(sa, sb)
+    assert(rows(sa2) == expected && rows(sb2) == expected)
+  }
+
   test("clusterBy preserves content and sorts within partitions") {
     val df = Tables(spark, sfDir, "lineitem")
       .select("l_orderkey", "l_linenumber")
@@ -73,6 +96,16 @@ class EtlSpec extends SparkSpec {
   test("copyInto stamps a deterministic batch id") {
     val out = Etl.copyInto(Seq(1).toDF("k"), "b1").collect().head
     assert(out.getString(1) == "b1")
+  }
+
+  test("copyInto row id is content-derived: stable across partition layouts") {
+    val df = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      Etl.copyInto(d, "b1", idCols = Seq("k", "v"))
+        .collect().map(r => r.getInt(0) -> r.getLong(3)).toMap
+    val one = ids(df.coalesce(1))
+    val many = ids(df.repartition(3))
+    assert(one == many) // monotonically_increasing_id would differ here
   }
 
   test("csv round-trip: custom delimiter + header skip with explicit schema") {

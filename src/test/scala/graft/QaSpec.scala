@@ -64,7 +64,7 @@ class QaSpec extends SparkSpec {
     val out = Qa.runPipeline(df, "period", Seq("num", "cat", "when"),
       outDir = Some(dir))
     assert(out.keySet == Set("missing_data", "vals_continuous", "vals_date",
-      "vals_categorical", "comparisons"))
+      "vals_categorical", "comparisons", "missing_changes"))
     assert(out("vals_continuous").collect().map(_.getString(1)).toSet == Set("num"))
     assert(out("vals_date").collect().map(_.getString(1)).toSet == Set("when"))
     assert(out("vals_categorical").collect().map(_.getString(1)).toSet == Set("cat"))
@@ -79,5 +79,58 @@ class QaSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getInt(5))).toMap
     assert(out("p2") == 0) // 1% change, under threshold
     assert(out("p3") == 1) // ~8.9% change, flagged
+  }
+
+  test("comparePeriodsFull flags mean and median independently, signed") {
+    val longDf = Seq(
+      ("p1", "x", 100.0, 100.0), ("p2", "x", 101.0, 90.0), ("p3", "x", 97.0, 90.5))
+      .toDF("period", "varname", "mean", "median")
+    val rows = Qa.comparePeriodsFull(longDf, "period", relThreshold = 2.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(4), r.getInt(5), r.getDouble(8), r.getInt(9))).toMap
+    // p2: mean +1% (no flag), median -10% (flag, signed negative)
+    assert(rows("p2") == ((1.0, 0, -10.0, 1)))
+    // p3: mean ~-3.96% (flag), median ~+0.56% (no flag)
+    assert(rows("p3")._2 == 1 && rows("p3")._4 == 0)
+    assert(rows("p3")._1 < 0) // signed, not absolute
+  }
+
+  test("missingnessChange flags percentage-point jumps in proportion") {
+    val longDf = Seq(
+      ("p1", "x", 0L, 0.01), ("p2", "x", 0L, 0.02), ("p3", "x", 0L, 0.10))
+      .toDF("period", "varname", "n_missing", "proportion")
+    val out = Qa.missingnessChange(longDf, "period", absThreshold = 3.0)
+      .collect().map(r => (r.getString(0), (r.getDouble(4), r.getInt(5)))).toMap
+    assert(out("p2") == ((1.0, 0))) // +1pp, under threshold
+    assert(out("p3") == ((8.0, 1))) // +8pp, flagged
+  }
+
+  test("categoricalTop8 keeps NULL + top-N dense ranks, collapses the rest") {
+    // 10 distinct values with distinct counts + nulls, single period
+    val rows = (1 to 10).flatMap(v => Seq.fill(v)(("p1", Some(s"v$v")))) ++
+      Seq(("p1", None), ("p1", None))
+    val df = rows.toDF("period", "cat")
+    val out = Qa.categoricalTop8(df, "period", Seq("cat"), topN = 8)
+    val byValue = out.collect()
+      .map(r => Option(r.getString(2)).getOrElse("NULL") -> r.getLong(3)).toMap
+    // v3..v10 are the top 8 dense ranks; v1+v2 collapse into Other values
+    assert(byValue("Other values") == 3L) // 1 + 2
+    assert(byValue("NULL") == 2L) // NULL always kept
+    assert(byValue("v10") == 10L && byValue("v3") == 3L)
+    assert(!byValue.contains("v2"))
+    // proportions still sum to 1 after the collapse
+    val s = out.agg(sum("proportion")).collect().head.getDouble(0)
+    assert(math.abs(s - 1.0) < 1e-6)
+  }
+
+  test("runPipeline distinct_threshold routes low-cardinality numerics to categorical") {
+    val df = Seq(
+      ("p1", 1.0, 10.0), ("p1", 2.0, 10.0), ("p2", 3.0, 20.0), ("p2", 4.0, 20.0))
+      .toDF("period", "hi_card", "lo_card")
+    val out = Qa.runPipeline(df, "period", Seq("hi_card", "lo_card"),
+      distinctThreshold = 3)
+    // lo_card has 2 distinct values < 3 → categorical; hi_card stays numeric
+    assert(out("vals_continuous").collect().map(_.getString(1)).toSet == Set("hi_card"))
+    assert(out("vals_categorical").collect().map(_.getString(1)).toSet == Set("lo_card"))
   }
 }
