@@ -278,6 +278,22 @@ object Etl {
         StructField("status", StringType))))
   }
 
+  /** `check_version` parity (reference: check_version.R — compares the
+    * installed package version against the published one): pure dotted
+    * version compare, no I/O. Returns (isCurrent, message).
+    */
+  def checkVersion(local: String, remote: String): (Boolean, String) = {
+    def parts(v: String): Seq[Int] =
+      v.trim.split("[.-]").toSeq.map(p => p.takeWhile(_.isDigit))
+        .filter(_.nonEmpty).map(_.toInt)
+    val (l, r) = (parts(local), parts(remote))
+    val cmp = l.zipAll(r, 0, 0).collectFirst {
+      case (a, b) if a != b => a.compareTo(b)
+    }.getOrElse(0)
+    if (cmp >= 0) (true, s"version $local is current (latest $remote)")
+    else (false, s"a newer version is available: $remote (yours: $local)")
+  }
+
   /** Recreation DDL from a config — the Spark-SQL equivalent of the
     * reference's generated CREATE EXTERNAL TABLE script
     * (external_table_check.R:127, create_table.R:288).

@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+// (ArrayData is also used by the centroid_dists descriptor below)
 
 /** Native cosine similarity over two `array<float>` columns.
   *
@@ -109,10 +110,25 @@ object GraftFunctions {
       exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int],
       exprs(3).eval().asInstanceOf[Int]))
 
+  val centroidDistsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("centroid_dists"),
+    new ExpressionInfo(classOf[CentroidDists].getName, "centroid_dists"),
+    (exprs: Seq[Expression]) => {
+      // fold the literal k×dim matrix argument once at resolution time;
+      // it never reaches the physical plan
+      val m = exprs(1).eval().asInstanceOf[ArrayData]
+      val cents = Array.tabulate(m.numElements()) { i =>
+        val row = m.getArray(i)
+        Array.tabulate(row.numElements())(j => row.getDouble(j))
+      }
+      CentroidDists(exprs.head, cents)
+    })
+
   def register(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(cosineSimDescriptor)
     ext.injectFunction(md5ModPDescriptor)
     ext.injectFunction(md5H32Descriptor)
     ext.injectFunction(lshBucketsDescriptor)
+    ext.injectFunction(centroidDistsDescriptor)
   }
 }

@@ -149,6 +149,21 @@ object Similarity {
         (x, c) => { val d = x.cast("double") - c; d * d }),
       lit(0.0), (acc, v) => acc + v)
 
+  /** Squared-L2 distances to ALL centroids as one array column. Uses the
+    * fused native `centroid_dists` expression when registered (one plan
+    * node, one pass per row); falls back to k composed [[l2Sq]] trees —
+    * same values, k× the plan size and per-row lambda overhead.
+    */
+  private def centroidDistsCol(df: DataFrame, vecCol: String,
+                               cents: Array[Array[Double]]): Column =
+    if (df.sparkSession.catalog.functionExists("centroid_dists")) {
+      // Double.toString round-trips exactly through cast(varchar as double)
+      val lit2d = cents
+        .map(_.map(x => s"cast('$x' as double)").mkString("array(", ",", ")"))
+        .mkString("array(", ",", ")")
+      expr(s"centroid_dists($vecCol, $lit2d)")
+    } else array(cents.toIndexedSeq.map(c => l2Sq(vecCol, c)): _*)
+
   /** IVF coarse quantizer: k-means centroids trained with deterministic
     * init (the k lowest vector ids) and a fixed iteration count. Only
     * the k×dim centroid matrix ever reaches the driver — the classic
@@ -208,13 +223,13 @@ object Similarity {
               centroids: Option[Array[Array[Double]]] = None): DataFrame = {
     val cents = centroids.getOrElse(
       ivfCentroids(embeddings, k, iters, dim, idCol, vecCol))
-    val dists = cents.map(c => l2Sq(vecCol, c))
-    val cluster = (array_position(array(dists.toIndexedSeq: _*),
-      array_min(array(dists.toIndexedSeq: _*))).cast("int") - 1).as("cluster")
-    val assigned = embeddings.select(col(idCol).as("cand_id"),
-      col(vecCol).as("cand_vec"), cluster)
+    val distArr = centroidDistsCol(embeddings, vecCol, cents)
+    val assigned = embeddings
+      .withColumn("__dists", distArr)
+      .select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"),
+        (array_position(col("__dists"), array_min(col("__dists")))
+          .cast("int") - 1).as("cluster"))
     // probe side: nprobe nearest centroid ids as an exploded column
-    val distArr = array(dists.toIndexedSeq: _*)
     val probeClusters = expr(
       s"""transform(
          array_sort(transform(__dists, (d, i) -> struct(d as d, i as i))),

@@ -78,10 +78,59 @@ object Sources {
   def writeTable(df: DataFrame, path: String,
                  partitionCols: Seq[String] = Nil,
                  clusterKeys: Seq[String] = Nil,
-                 mode: String = "overwrite"): Unit = {
+                 mode: String = "overwrite",
+                 format: String = "parquet",
+                 compression: Option[String] = None): Unit = {
     val laid = if (clusterKeys.nonEmpty) Etl.clusterBy(df, clusterKeys) else df
-    val w = laid.write.mode(mode)
+    val w0 = laid.write.mode(mode).format(format)
+    val w = compression.fold(w0)(c => w0.option("compression", c))
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-      .parquet(path)
+      .save(path)
+  }
+
+  /** `copy_into` read side (reference: copy_into.R — `file_format`
+    * parquet/csv/orc, `compression`, auto-`create_table` from config):
+    * read the lake file in its declared format, conform to the config's
+    * vars (the target "table" is created from the config — columns the
+    * source lacks materialize as typed NULLs), stamp the audit columns.
+    * Compression on read is self-describing for parquet/orc and
+    * extension-detected for csv, matching COPY INTO's auto handling
+    * (copy_into.R:100-103). Pair with [[writeTable]] (same format/
+    * compression options) for the warehouse side.
+    */
+  def copyInto(spark: SparkSession, cfg: TableConfig, path: String,
+               batchId: String, format: String = "parquet",
+               idCols: Seq[String] = Nil): DataFrame = {
+    val reader = spark.read.format(format)
+    val raw = (format match {
+      case "csv" => reader.schema(schemaOf(cfg.allVars))
+        .option("header", cfg.firstRow > 1)
+        .option("sep", cfg.fieldTerm.getOrElse("overall", "\t"))
+      case _ => reader
+    }).load(path)
+    Etl.copyInto(Etl.conform(raw, cfg.allVars), batchId, idCols)
+  }
+
+  /** Load-around-index orchestration (reference: load_table_from_file.R
+    * :124-125 `drop_index` before load, add_index after :348): bulk loads
+    * are fastest into an UNCLUSTERED table, with the physical layout
+    * rebuilt once at the end. Spark-native twin: append unclustered with
+    * [[writeTable]](clusterKeys = Nil), then call this to rewrite the
+    * table with clustered layout in one pass (write to a scratch path,
+    * atomically swap via rename).
+    */
+  def reclusterTable(spark: SparkSession, path: String,
+                     clusterKeys: Seq[String],
+                     format: String = "parquet"): Unit = {
+    val df = spark.read.format(format).load(path)
+    val tmp = path + "__reclustered"
+    writeTable(df, tmp, clusterKeys = clusterKeys, format = format)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val src = new org.apache.hadoop.fs.Path(tmp)
+    fs.delete(dst, true)
+    if (!fs.rename(src, dst))
+      sys.error(s"reclusterTable: rename $tmp -> $path failed")
   }
 }

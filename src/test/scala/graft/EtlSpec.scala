@@ -98,6 +98,13 @@ class EtlSpec extends SparkSpec {
     assert(out.getString(1) == "b1")
   }
 
+  test("checkVersion compares dotted versions") {
+    assert(Etl.checkVersion("2.2.0", "2.2.0")._1)
+    assert(Etl.checkVersion("2.3.0", "2.2.9")._1)
+    assert(!Etl.checkVersion("2.2.0", "2.10.0")._1) // numeric, not lexicographic
+    assert(!Etl.checkVersion("1.9", "2.0.1")._1)
+  }
+
   test("copyInto row id is content-derived: stable across partition layouts") {
     val df = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
     def ids(d: org.apache.spark.sql.DataFrame) =

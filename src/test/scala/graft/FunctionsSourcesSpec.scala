@@ -41,6 +41,32 @@ class FunctionsSourcesSpec extends SparkSpec {
     assert(diff.agg(max(abs(col("d")))).collect().head.getDouble(0) == 0.0)
   }
 
+  test("cosine_sim returns 0.0 (not NaN) on zero-norm vectors") {
+    val df = Seq((Array(0.0f, 0.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    assert(df.select(expr("cosine_sim(a, b)")).collect().head.getDouble(0) == 0.0)
+    assert(df.select(expr("cosine_sim(b, a)")).collect().head.getDouble(0) == 0.0)
+  }
+
+  test("native centroid_dists equals the composed zip_with fallback") {
+    val cents = Array(Array(0.0, 0.0, 0.0), Array(1.0, -2.5, 0.125))
+    val lit2d = cents
+      .map(_.map(x => s"cast('$x' as double)").mkString("array(", ",", ")"))
+      .mkString("array(", ",", ")")
+    val df = Seq(Array(1.0f, 2.0f, 3.0f), Array(-0.5f, 0.0f, 4.25f))
+      .toDF("v")
+    def l2(c: Int) =
+      s"""aggregate(zip_with(v, $lit2d[$c], (x, p) -> (cast(x as double) - p) * (cast(x as double) - p)),
+         cast(0.0 as double), (acc, u) -> acc + u)"""
+    val out = df.select(
+      expr(s"centroid_dists(v, $lit2d)").as("native"),
+      expr(s"array(${l2(0)}, ${l2(1)})").as("composed")).collect()
+    out.foreach { r =>
+      assert(r.getSeq[Double](0) == r.getSeq[Double](1))
+    }
+    // hand-check one value: |(1,2,3) - (0,0,0)|^2 = 14
+    assert(out.head.getSeq[Double](0).head == 14.0)
+  }
+
   test("native md5 hashes equal the string-composition fallbacks") {
     val df = Seq("abc", "", "the fast key", "x,y z").toDF("w")
     val p = graft.dedup.MinHashSpec.P
@@ -65,6 +91,50 @@ class FunctionsSourcesSpec extends SparkSpec {
       .exists(_.getLong(0) == (8250560606382298838L >>> 32)))
     assert(df.select(expr("md5_mod_p(w)")).collect()
       .exists(_.getLong(0) == java.lang.Long.remainderUnsigned(8250560606382298838L, p)))
+  }
+
+  test("copyInto reads lake csv per config, auto-creates missing columns, stamps audit") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ci").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/lake.csv"),
+      "id|name\n1|a\n2|b\n")
+    val cfg = TableConfig.fromYaml(
+      """to_schema: raw
+        |to_table: lake_load
+        |field_term: "|"
+        |first_row: 2
+        |vars:
+        |    id: BIGINT
+        |    name: VARCHAR(8)
+        |    added_later: INTEGER
+        |""".stripMargin)
+    val out = Sources.copyInto(spark, cfg, s"$dir/lake.csv", "b42",
+      format = "csv", idCols = Seq("id"))
+    val rows = out.orderBy("id").collect()
+    assert(rows.length == 2)
+    assert(rows.head.getLong(0) == 1L && rows.head.getString(1) == "a")
+    assert(rows.forall(_.isNullAt(2)))          // auto-created typed NULL column
+    assert(rows.forall(_.getString(3) == "b42")) // etl_batch_id
+    assert(!rows.head.isNullAt(4))               // content-derived etl_load_row
+  }
+
+  test("writeTable honors format + compression options") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wt").toString
+    val df = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    Sources.writeTable(df, s"$dir/t", compression = Some("gzip"))
+    val files = new java.io.File(s"$dir/t").listFiles().map(_.getName)
+    assert(files.exists(_.endsWith(".gz.parquet")))
+    assert(spark.read.parquet(s"$dir/t").count() == 2)
+  }
+
+  test("reclusterTable rewrites an unclustered table with clustered layout in place") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rc").toString
+    val df = Seq((3, "c"), (1, "a"), (2, "b")).toDF("k", "v")
+    Sources.writeTable(df, s"$dir/t") // unclustered bulk load
+    Sources.reclusterTable(spark, s"$dir/t", clusterKeys = Seq("k"))
+    val back = spark.read.parquet(s"$dir/t")
+    assert(back.count() == 3)
+    assert(back.orderBy("k").collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    assert(!new java.io.File(s"$dir/t__reclustered").exists()) // swap cleaned up
   }
 
   test("delimited load honors field terminator, header skip, and schema") {
