@@ -100,7 +100,11 @@ object Queries {
     val l = Tables(spark, dir, "lineitem")
     val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
       .select(col("c_custkey").as("entity_key"), lit("cust_open_order").as("tag"))
-    val anti = s.join(l, s("s_suppkey") === l("l_suppkey"), "left_anti")
+    // pre-aggregate to distinct join keys: the anti-join then shuffles one
+    // row per supplier key instead of every lineitem row (the
+    // lineitems-per-supplier factor — the dominant cost at scale)
+    val lKeys = l.select(col("l_suppkey")).distinct()
+    val anti = s.join(lKeys, s("s_suppkey") === lKeys("l_suppkey"), "left_anti")
       .select(col("s_suppkey").as("entity_key"), lit("supp_no_lineitem").as("tag"))
     semi.unionByName(anti)
   }

@@ -124,11 +124,18 @@ object GraftFunctions {
       CentroidDists(exprs.head, cents)
     })
 
+  val topKByDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("topk_by"),
+    new ExpressionInfo(classOf[TopKByAgg].getName, "topk_by"),
+    (exprs: Seq[Expression]) => TopKByAgg(exprs(0), exprs(1), exprs(2),
+      exprs(3).eval().asInstanceOf[Int]))
+
   def register(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(cosineSimDescriptor)
     ext.injectFunction(md5ModPDescriptor)
     ext.injectFunction(md5H32Descriptor)
     ext.injectFunction(lshBucketsDescriptor)
     ext.injectFunction(centroidDistsDescriptor)
+    ext.injectFunction(topKByDescriptor)
   }
 }

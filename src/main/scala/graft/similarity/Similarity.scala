@@ -55,9 +55,32 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** Rank the top k scored candidates per group, preferring the native
+    * `topk_by` bounded-heap aggregate when registered: ONE shuffle with
+    * map-side partial top-k (each map task ships ≤ k rows per group),
+    * O(k) state per group at any corpus size. Falls back to the
+    * two-phase salted window. Both produce the identical total order
+    * (cosine DESC, cand_id ASC) and output columns.
+    */
+  private def rankTopK(scored: DataFrame, groupCol: String, k: Int): DataFrame =
+    if (scored.sparkSession.catalog.functionExists("topk_by")) {
+      scored.groupBy(col(groupCol))
+        .agg(expr(
+          s"topk_by(cosine, cast(cand_id as bigint), struct(cand_id, cosine), $k)")
+          .as("__top"))
+        .select(col(groupCol), posexplode(col("__top")).as(Seq("__pos", "__e")))
+        .select(col(groupCol), col("__e.payload.cand_id").as("cand_id"),
+          col("__e.payload.cosine").as("cosine"),
+          (col("__pos") + 1).cast("int").as("rnk"))
+    } else
+      topKPerGroup(scored, groupCol, k,
+        Seq(col("cosine").desc, col("cand_id")), hash(col("cand_id")))
+        .select(col(groupCol), col("cand_id"), col("cosine"), col("rnk"))
+
   /** Brute-force cosine top-k: each probe vector against the full corpus.
     * The probe set is broadcast (it is small by definition); ranking is
-    * the two-phase salted top-k — no per-probe single-partition exchange.
+    * the bounded-heap aggregate (or the salted two-phase fallback) — no
+    * per-probe single-partition exchange either way.
     */
   def cosineTopK(embeddings: DataFrame, probeIds: Seq[Long], k: Int,
                  idCol: String = "vec_id", vecCol: String = "embedding",
@@ -69,9 +92,7 @@ object Similarity {
     val scored = cands.join(broadcast(probes), col("probe_id") =!= col("cand_id"))
       .withColumn("cosine",
         round(expr(cosineSql(embeddings, "probe_vec", "cand_vec")), digits))
-    topKPerGroup(scored, "probe_id", k,
-        Seq(col("cosine").desc, col("cand_id")), hash(col("cand_id")))
-      .select(col("probe_id"), col("cand_id"), col("cosine"), col("rnk"))
+    rankTopK(scored, "probe_id", k)
   }
 
   /** Deterministic ±1 hyperplane component for (plane, dim) — a splitmix64
@@ -137,9 +158,7 @@ object Similarity {
     val scored = pairs
       .withColumn("cosine",
         round(expr(cosineSql(embeddings, "probe_vec", "cand_vec")), digits))
-    topKPerGroup(scored, "probe_id", k,
-        Seq(col("cosine").desc, col("cand_id")), hash(col("cand_id")))
-      .select(col("probe_id"), col("cand_id"), col("cosine"), col("rnk"))
+    rankTopK(scored, "probe_id", k)
   }
 
   /** Squared-L2 distance of a vector column to a literal centroid. */
@@ -243,9 +262,7 @@ object Similarity {
       .filter(col("probe_id") =!= col("cand_id"))
       .withColumn("cosine",
         round(expr(cosineSql(embeddings, "probe_vec", "cand_vec")), digits))
-    topKPerGroup(scored, "probe_id", topK,
-        Seq(col("cosine").desc, col("cand_id")), hash(col("cand_id")))
-      .select(col("probe_id"), col("cand_id"), col("cosine"), col("rnk"))
+    rankTopK(scored, "probe_id", topK)
   }
 
   /** Embedding-cosine near-dup pairs: all pairs above `threshold`,

@@ -26,6 +26,46 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("topk_by aggregate equals the window ranking across partial merges") {
+    import org.apache.spark.sql.expressions.Window
+    // 8 partitions force map-side partial heaps + serialize/merge; some
+    // NULL scores must be skipped
+    val df = spark.range(1000).repartition(8).selectExpr(
+      "id % 7 as g",
+      "CASE WHEN id % 97 = 0 THEN NULL ELSE cast(pmod(hash(id), 100) as double) END as score",
+      "id as tie")
+    val viaAgg = df.groupBy("g")
+      .agg(expr("topk_by(score, tie, struct(tie, score), 5)").as("top"))
+      .select(col("g"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("g"), col("e.payload.tie").as("tie"),
+        col("e.payload.score").as("score"), (col("pos") + 1).cast("long").as("rnk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("tie"))
+    val viaWin = df.filter(col("score").isNotNull)
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+      .select(col("g"), col("tie"), col("score"), col("rnk").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(viaAgg == viaWin)
+    assert(viaAgg.nonEmpty)
+  }
+
+  test("cosineTopK (topk_by path) equals a plain single-window ranking") {
+    val viaAgg = Similarity.cosineTopK(emb, Seq(0L, 1L, 2L), k = 5)
+      .collect().map(_.toSeq).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("cosine").desc, col("cand_id"))
+    val probes = emb.filter(col("vec_id").isInCollection(Seq(0L, 1L, 2L)))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    val scored = emb.select(col("vec_id").as("cand_id"), col("embedding").as("cand_vec"))
+      .join(broadcast(probes), col("probe_id") =!= col("cand_id"))
+      .withColumn("cosine", round(expr("cosine_sim(probe_vec, cand_vec)"), 4))
+    val viaWin = scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("probe_id"), col("cand_id"), col("cosine"), col("rnk"))
+      .collect().map(_.toSeq).toSet
+    assert(viaAgg == viaWin)
+  }
+
   test("lshBuckets is deterministic and bounded, one row per table") {
     def run() = Similarity.lshBuckets(emb, nBits = 6, nTables = 4)
       .select("vec_id", "table", "bucket").collect()
