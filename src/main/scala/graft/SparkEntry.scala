@@ -193,6 +193,12 @@ object SparkEntry {
 
     // ---- D. LLM-data-pipeline ----
     "dedup_exact_docs" -> ((s, dir) => Dedup.exact(Tables(s, dir, "documents"))),
+    "dedup_exact_normalized" -> ((s, dir) =>
+      Dedup.exactNormalized(Tables(s, dir, "documents"))),
+    "text_pii_scrub" -> ((s, dir) =>
+      Text.piiScrub(Tables(s, dir, "documents"))
+        .select("doc_id", "n_emails", "n_urls", "n_phones",
+          "scrubbed_hash", "scrub_len")),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(Tables(s, dir, "documents"), threshold = 0.5)),
     "dedup_minhash_lsh" -> ((s, dir) =>
@@ -571,6 +577,17 @@ object SparkEntry {
          JOIN sizes sa ON id_a = sa.id
          JOIN sizes sb ON id_b = sb.id
          WHERE round(n_common / cast(sa.n_words + sb.n_words - n_common as double), 4) >= 0.5""",
+
+    "dedup_exact_normalized" ->
+      s"""WITH h AS (SELECT doc_id, md5(${Text.normalizeSql("text")}) AS text_hash
+                    FROM documents),
+            c AS (SELECT text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+                  FROM h GROUP BY text_hash)
+         SELECT doc_id, h.text_hash, keep_id, n_copies,
+                cast(doc_id <> keep_id as int) AS is_duplicate
+         FROM h JOIN c USING (text_hash)""",
+
+    "text_pii_scrub" -> Text.piiScrubSql(),
 
     "dedup_minhash_lsh" -> MinHashSpec.duckdbSql(),
     "dedup_lsh_jaccard" -> MinHashSpec.duckdbJaccardSql(),

@@ -30,6 +30,17 @@ object Dedup {
         (col(idCol) =!= col("keep_id")).cast("int").as("is_duplicate"))
   }
 
+  /** Fuzzy-exact dedup: [[exact]] over [[Text.normalize]]d text, so
+    * case / punctuation / whitespace variants fall into one duplicate
+    * class. Same single-shuffle shape as exact; the standard first pass
+    * of an LLM corpus dedup cascade (normalize → exact → MinHash).
+    */
+  def exactNormalized(df: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame =
+    exact(df.withColumn("__norm", Text.normalize(col(textCol)))
+        .drop(textCol),
+      idCol, "__norm")
+
   /** N-gram Jaccard similarity over k-token shingle sets.
     * Blocking on `blockCol` bounds the pair space; within a block the
     * intersection is computed by exploding distinct shingles and joining

@@ -125,6 +125,63 @@ object Text {
       .withColumn("min_fingerprint", array_min(col("__window_mins")))
       .drop("__toks", "__shingle_hashes", "__window_mins")
 
+  /** Canonical text normalization for fuzzy-exact dedup: lowercase,
+    * strip punctuation (non-word, non-space), collapse whitespace runs,
+    * trim. The standard first pass of LLM corpus dedup — catches
+    * case/spacing/punctuation variants that md5-exact misses. Pure
+    * expression; [[normalizeSql]] is the byte-identical DuckDB twin.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^\\w\\s]", ""), "\\s+", " "))
+
+  /** DuckDB twin of [[normalize]]. */
+  def normalizeSql(textExpr: String): String =
+    s"trim(regexp_replace(regexp_replace(lower($textExpr), '[^\\w\\s]', '', 'g'), '\\s+', ' ', 'g'))"
+
+  // PII patterns kept to the RE2 ∩ java.util.regex common subset so the
+  // Spark and DuckDB sides match byte-for-byte.
+  val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val urlRe = "https?://[^\\s]+"
+  val phoneRe = "\\+?\\d[\\d\\- ]{7,}\\d"
+
+  /** PII scrubbing: count and redact emails / URLs / phone-like number
+    * runs (URLs first so an email inside a URL is redacted as the URL).
+    * Emits counts plus the md5 + length of the scrubbed text — a compact,
+    * comparable signature of the redaction output. One projection, no
+    * shuffle — runs at scan speed on 100 TB.
+    */
+  def piiScrub(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(col(textCol), urlRe, "[URL]"),
+        emailRe, "[EMAIL]"),
+      phoneRe, "[PHONE]")
+    df.withColumn("n_emails", regexp_count(col(textCol), lit(emailRe)))
+      .withColumn("n_urls", regexp_count(col(textCol), lit(urlRe)))
+      .withColumn("n_phones", regexp_count(col(textCol), lit(phoneRe)))
+      .withColumn("scrubbed_hash", md5(scrubbed))
+      .withColumn("scrub_len", length(scrubbed))
+  }
+
+  /** DuckDB oracle for [[piiScrub]] over a documents table. (DuckDB
+    * single-quoted strings take backslashes literally, so the Scala
+    * pattern strings embed as-is.)
+    */
+  def piiScrubSql(table: String = "documents", idCol: String = "doc_id",
+                  textCol: String = "text"): String = {
+    val scrub = s"regexp_replace(regexp_replace(regexp_replace($textCol, " +
+      s"'$urlRe', '[URL]', 'g'), '$emailRe', '[EMAIL]', 'g'), " +
+      s"'$phoneRe', '[PHONE]', 'g')"
+    s"""SELECT $idCol,
+         cast(len(regexp_extract_all($textCol, '$emailRe')) as int) AS n_emails,
+         cast(len(regexp_extract_all($textCol, '$urlRe')) as int) AS n_urls,
+         cast(len(regexp_extract_all($textCol, '$phoneRe')) as int) AS n_phones,
+         md5($scrub) AS scrubbed_hash,
+         cast(length($scrub) as int) AS scrub_len
+       FROM $table"""
+  }
+
   /** Corpus n-gram frequency: top bigrams across all documents — the
     * vocabulary/statistics pass of a training-data pipeline. One explode
     * + one shuffle; top-k via TakeOrderedAndProject, never a full sort.

@@ -43,6 +43,46 @@ class TextDedupSpec extends SparkSpec {
     assert(out(1L) != out(3L))
   }
 
+  test("normalize collapses case/punctuation/whitespace variants") {
+    val df = Seq("Hello,  World!", "hello world", "HELLO\tWORLD.").toDF("t")
+    val norms = df.select(Text.normalize(col("t"))).collect().map(_.getString(0))
+    assert(norms.toSet == Set("hello world"))
+  }
+
+  test("exactNormalized clusters variants that md5-exact dedup misses") {
+    val df = Seq(
+      (1L, "The quick brown fox."),
+      (2L, "the  QUICK brown fox"),
+      (3L, "something else entirely")).toDF("doc_id", "text")
+    val exact = Dedup.exact(df).filter(col("is_duplicate") === 1).count()
+    assert(exact == 0) // raw bytes differ — exact finds nothing
+    val out = Dedup.exactNormalized(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("keep_id")).toMap
+    assert(out(1L) == 1L && out(2L) == 1L) // variants share class, min id kept
+    assert(out(3L) == 3L)
+  }
+
+  test("piiScrub counts and redacts emails, urls, and phone runs") {
+    val df = Seq(
+      (1L, "mail me at jo.doe+x@example.org or see https://ex.com/a?b=1 now"),
+      (2L, "call +1 206-555-0100 twice"),
+      (3L, "clean text only")).toDF("doc_id", "text")
+    val out = Text.piiScrub(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_emails"), r.getAs[Int]("n_urls"),
+          r.getAs[Int]("n_phones"))).toMap
+    assert(out(1L) == ((1, 1, 0)))
+    assert(out(2L) == ((0, 0, 1)))
+    assert(out(3L) == ((0, 0, 0)))
+    // redaction really replaces the match text
+    val scrub2 = Text.piiScrub(df).filter(col("doc_id") === 2L)
+      .select(regexp_replace(
+        regexp_replace(regexp_replace(col("text"), Text.urlRe, "[URL]"),
+          Text.emailRe, "[EMAIL]"), Text.phoneRe, "[PHONE]"))
+      .collect().head.getString(0)
+    assert(scrub2 == "call [PHONE] twice")
+  }
+
   test("exact dedup finds planted duplicates and keeps the min id") {
     val df = Seq((10L, "same text"), (20L, "same text"), (30L, "other"))
       .toDF("doc_id", "text")
