@@ -9,7 +9,9 @@ object Explain {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.tail.toSeq
       else Seq("etl_load_select", "q1_agg", "q_join_star", "q_join_large",
-        "q_semi_anti", "dedup_minhash_lsh", "sim_cosine_topk")
+        "q_semi_anti", "dedup_minhash_lsh", "sim_cosine_topk",
+        "sim_ann_ivf", "qa_categorical_top8", "text_pii_scrub",
+        "dedup_exact_normalized")
     val spark = Tables.session("graft-explain", cores = 4)
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>

@@ -45,7 +45,8 @@ object ScaleCheck {
       "dedup_lsh_jaccard", "dedup_simhash", "sim_cosine_topk",
       "sim_ann_lsh", "sim_ann_ivf", "etl_add_index", "qa_categorical",
       "qa_quantiles", "etl_dedup_keep_latest", "etl_checksum",
-      "text_ngram_freq")
+      "text_ngram_freq", "qa_categorical_top8", "dedup_exact_normalized",
+      "text_pii_scrub")
     def time(dir: String, name: String): Double = {
       val t = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.format("noop")

@@ -30,7 +30,8 @@ object Pipeline {
           dedupKeys: Seq[String] = Nil,
           dedupOrder: Seq[String] = Nil,
           qaTimeVar: Option[String] = None,
-          outPath: Option[String] = None): Result = {
+          outPath: Option[String] = None,
+          clusterLater: Boolean = false): Result = {
     val raw = source.getOrElse {
       if (cfg.years.nonEmpty) Sources.loadYears(spark, cfg)
       else Sources.loadDelimited(spark, cfg)
@@ -49,7 +50,16 @@ object Pipeline {
     }
 
     outPath.foreach { p =>
-      Sources.writeTable(deduped, p, clusterKeys = cfg.indexVars)
+      if (clusterLater) {
+        // load-around-index orchestration (load_table_from_file.R:124-125
+        // drop_index, :348 re-add): bulk-write unclustered — no range
+        // exchange in the load path — then rebuild the clustered layout
+        // in a separate pass, like dropping indexes for a bulk load and
+        // re-adding them after.
+        Sources.writeTable(deduped, p)
+        if (cfg.indexVars.nonEmpty)
+          Sources.reclusterTable(spark, p, cfg.indexVars)
+      } else Sources.writeTable(deduped, p, clusterKeys = cfg.indexVars)
     }
     Result(deduped, qa, deduped.count())
   }

@@ -92,6 +92,22 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming fuzzy-exact document dedup — the streaming twin of
+    * `Dedup.exactNormalized`: normalize the text, keep the first document
+    * per normalized-content hash within the watermark horizon.
+    * `dropDuplicatesWithinWatermark` bounds the dedup state to the
+    * watermark window (an unbounded-corpus stream can't keep every hash
+    * forever; at 100 TB/day the horizon IS the contract). Input needs an
+    * event-time column `ts` and a `text` column.
+    */
+  def dedupDocsNormalized(docs: DataFrame,
+                          watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("__text_hash", md5(graft.text.Text.normalize(col("text"))))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("__text_hash")
+      .drop("__text_hash")
+
   /** Exactly-once parquet sink for foreachBatch: each micro-batch lands
     * in its own `batch_id=N` partition directory with dynamic overwrite,
     * so a replayed batch (post-failure restart) overwrites its own

@@ -178,6 +178,26 @@ class EtlSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/out").count() == 2)
   }
 
+  test("pipeline clusterLater: bulk-write unclustered, then rebuild layout") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pipe2").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/in.csv"),
+      "id,v\n3,30\n1,10\n2,20\n")
+    val cfg = TableConfig(
+      toTable = "t",
+      vars = Seq(ColumnSpec("id", "BIGINT"), ColumnSpec("v", "FLOAT")),
+      filePath = Map("overall" -> s"$dir/in.csv"),
+      fieldTerm = Map("overall" -> ","),
+      indexVars = Seq("id"))
+    val res = graft.etl.Pipeline.run(spark, cfg,
+      outPath = Some(s"$dir/out"), clusterLater = true)
+    assert(res.rowCount == 3)
+    val back = spark.read.parquet(s"$dir/out")
+    assert(back.count() == 3)
+    assert(back.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(!new java.io.File(s"$dir/out__reclustered").exists())
+  }
+
   test("schemaDiff reports match / mismatch / one-sided columns") {
     val a = Seq((1L, "x", 1.0)).toDF("id", "name", "amt")
     val b = Seq((1, "x", true)).toDF("id", "name", "active")

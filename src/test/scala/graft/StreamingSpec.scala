@@ -141,6 +141,28 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("streaming normalized dedup keeps first doc per fuzzy-content class") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val q = Streams.dedupDocsNormalized(docs)
+      .writeStream.format("memory").queryName("docdedup_test")
+      .outputMode("append").start()
+    val t = Timestamp.valueOf("2024-01-01 10:00:00")
+    input.addData(
+      (1L, t, "The quick brown Fox!"),
+      (2L, t, "the  quick brown fox"), // fuzzy dup in-batch
+      (3L, t, "something else"))
+    q.processAllAvailable()
+    input.addData((4L, t, "THE QUICK BROWN FOX")) // fuzzy dup across batches
+    q.processAllAvailable()
+    val got = spark.table("docdedup_test").collect()
+    q.stop()
+    assert(got.map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    // helper column does not leak into the output
+    assert(!spark.table("docdedup_test").columns.contains("__text_hash"))
+  }
+
   test("idempotent batch writer: replaying a batch leaves no duplicates") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString + "/out"
