@@ -87,8 +87,16 @@ object Dedup {
                           textCol: String = "text", k: Int = 3,
                           threshold: Double = 0.5, digits: Int = 4): DataFrame = {
     val cand = MinHashSpec.candidatePairs(df, idCol, textCol)
-      .select(col("doc_a"), col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).cache()
+    // Verify pass touches ONLY documents that appear in a candidate pair:
+    // the semi-join prunes the corpus before the shingle explode, so
+    // verify cost is Σ_candidate-docs |shingles|, independent of corpus
+    // size. Without it the explode would re-shingle all N documents to
+    // verify a handful of pairs.
+    val candIds = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("id")).distinct()
     val words = df
+      .join(candIds, df(idCol) === candIds("id"), "left_semi")
       .withColumn("__toks", Text.tokens(col(textCol)))
       .select(col(idCol).as("id"),
         explode(expr(Text.shingleExpr("__toks", k))).as("w"))
