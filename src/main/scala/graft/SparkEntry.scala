@@ -177,6 +177,12 @@ object SparkEntry {
       Qa.categoricalTop8(l, "period", Seq("qty"))
     },
 
+    "qa_categorical_change" -> { (s, dir) =>
+      val e = Tables(s, dir, "events")
+        .withColumn("period", date_trunc("day", col("ts")).cast("date").cast("string"))
+      Qa.categoricalChange(Qa.categorical(e, "period", Seq("event_type")), "period")
+    },
+
     // ---- C. Analytics core ----
     "q1_agg" -> ((s, dir) => Queries.q1Agg(s, dir)),
     "q_join_star" -> ((s, dir) => Queries.starJoin(s, dir)),
@@ -436,6 +442,38 @@ object SparkEntry {
                 round((proportion - prev_proportion) * 100, 4) AS abs_change_pp,
                 cast(abs(round((proportion - prev_proportion) * 100, 4)) > 3.0 as int)
                   AS flag_missing
+         FROM l WHERE prev_proportion IS NOT NULL""",
+
+    "qa_categorical_change" ->
+      """WITH c AS (
+           SELECT period, varname, value, n,
+                  round(n / cast(sum(n) OVER (PARTITION BY period, varname) as double), 4)
+                    AS proportion
+           FROM (
+             SELECT cast(cast(date_trunc('day', ts) as date) as varchar) AS period,
+                    'event_type' AS varname,
+                    cast(event_type as varchar) AS value,
+                    count(*) AS n
+             FROM events GROUP BY 1, 2, 3)),
+         periods AS (SELECT DISTINCT period FROM c),
+         vals AS (SELECT DISTINCT varname, value FROM c),
+         dense AS (
+           SELECT g.period, g.varname, g.value,
+                  coalesce(c.n, 0) AS n,
+                  coalesce(c.proportion, 0.0) AS proportion
+           FROM (SELECT p.period, v.varname, v.value
+                 FROM periods p CROSS JOIN vals v) g
+           LEFT JOIN c ON g.period = c.period AND g.varname = c.varname
+             AND g.value IS NOT DISTINCT FROM c.value),
+         l AS (
+           SELECT period, varname, value, n, proportion,
+                  lag(proportion) OVER (PARTITION BY varname, value ORDER BY period)
+                    AS prev_proportion
+           FROM dense)
+         SELECT period, varname, value, n, proportion, prev_proportion,
+                round((proportion - prev_proportion) * 100, 4) AS abs_change_pp,
+                cast(abs(round((proportion - prev_proportion) * 100, 4)) > 3.0 as int)
+                  AS flag_categorical
          FROM l WHERE prev_proportion IS NOT NULL""",
 
     "qa_categorical_top8" ->

@@ -278,6 +278,44 @@ object Qa {
         col("flag_median"))
   }
 
+  /** Categorical proportion change over a DENSE (period × varname ×
+    * value) grid: the reference first templates every observed
+    * (varname, value) across the full period range with zero-fill
+    * (etl_qa_run_pipeline.R:1545-1560 — unique_values × time_range
+    * merge, count/proportion 0), so a value that disappears in a period
+    * still produces a flagged change row; then flags
+    * abs_proportion_change vs `absThreshold` (:1561-1566). NULL values
+    * are first-class (null-safe grid join). Input is [[categorical]] (or,
+    * at scale, [[categoricalTop8]] — the grid is then bounded at
+    * (topN+2) × periods rows per column).
+    */
+  def categoricalChange(catLong: DataFrame, timeVar: String,
+                        absThreshold: Double = 3.0, digits: Int = 4): DataFrame = {
+    val periods = catLong.select(col(timeVar)).distinct()
+    val vals = catLong.select(col("varname"), col("value")).distinct()
+    val grid = periods.crossJoin(vals).alias("g")
+    val c = catLong.alias("c")
+    val dense = grid.join(c,
+        col(s"g.$timeVar") === col(s"c.$timeVar") &&
+          col("g.varname") === col("c.varname") &&
+          (col("g.value") <=> col("c.value")), "left")
+      .select(col(s"g.$timeVar").as(timeVar), col("g.varname").as("varname"),
+        col("g.value").as("value"),
+        coalesce(col("c.n"), lit(0L)).as("n"),
+        coalesce(col("c.proportion"), lit(0.0)).as("proportion"))
+    val w = Window.partitionBy(col("varname"), col("value")).orderBy(col(timeVar))
+    dense
+      .withColumn("prev_proportion", lag(col("proportion"), 1).over(w))
+      .filter(col("prev_proportion").isNotNull)
+      .withColumn("abs_change_pp",
+        round((col("proportion") - col("prev_proportion")) * 100, digits))
+      .withColumn("flag_categorical",
+        when(abs(col("abs_change_pp")) > absThreshold, 1).otherwise(0))
+      .select(col(timeVar), col("varname"), col("value"), col("n"),
+        col("proportion"), col("prev_proportion"), col("abs_change_pp"),
+        col("flag_categorical"))
+  }
+
   /** Missingness period-over-period change: absolute percentage-point
     * change in the missing proportion vs the previous period, flagged
     * against `absThreshold` (reference: etl_qa_run_pipeline.R:1531-1537 —

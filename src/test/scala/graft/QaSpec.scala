@@ -105,6 +105,20 @@ class QaSpec extends SparkSpec {
     assert(out("p3") == ((8.0, 1))) // +8pp, flagged
   }
 
+  test("categoricalChange zero-fills the dense grid and flags disappearances") {
+    val catLong = Seq(
+      ("p1", "x", Some("a"), 8L, 0.8), ("p1", "x", Some("b"), 2L, 0.2),
+      ("p2", "x", Some("a"), 10L, 1.0)) // value b disappears in p2
+      .toDF("period", "varname", "value", "n", "proportion")
+    val out = Qa.categoricalChange(catLong, "period", absThreshold = 3.0)
+      .collect().map(r => (r.getString(0), r.getString(2)) ->
+        (r.getLong(3), r.getDouble(4), r.getDouble(6), r.getInt(7))).toMap
+    // b@p2 exists only via the template: zero-filled, -20pp, flagged
+    assert(out(("p2", "b")) == ((0L, 0.0, -20.0, 1)))
+    assert(out(("p2", "a")) == ((10L, 1.0, 20.0, 1)))
+    assert(out.size == 2) // p1 rows have no previous period
+  }
+
   test("categoricalTop8 keeps NULL + top-N dense ranks, collapses the rest") {
     // 10 distinct values with distinct counts + nulls, single period
     val rows = (1 to 10).flatMap(v => Seq.fill(v)(("p1", Some(s"v$v")))) ++
