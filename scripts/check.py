@@ -16,6 +16,13 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 fails, passes, skips = [], [], []
 
+# Verify writes a FAILED.txt marker listing queries that threw this run —
+# treat each as FAIL even if a stale output dir somehow survives.
+marker = os.path.join(out_dir, "FAILED.txt")
+if os.path.exists(marker):
+    for q in open(marker).read().split():
+        fails.append((q, "query failed during Verify (FAILED.txt)"))
+
 def canon(df):
     df = df[sorted(df.columns)]
     for c in df.columns:
