@@ -28,23 +28,35 @@ object Sources {
         .parseDataType(Etl.sparkType(c.sqlType)), nullable = true)))
 
   private def delimitedReader(spark: SparkSession, cfg: TableConfig,
-                              yearKey: String): DataFrameReader = {
+                              yearKey: String,
+                              quarantine: Boolean = false): DataFrameReader = {
     val sep = cfg.fieldTerm.getOrElse(yearKey,
       cfg.fieldTerm.getOrElse("overall", "\t"))
     val rowTerm = cfg.rowTerm.get(yearKey).orElse(cfg.rowTerm.get("overall"))
-    val r = spark.read
+    val schema =
+      if (quarantine) schemaOf(cfg.allVars)
+        .add("_corrupt_record", org.apache.spark.sql.types.StringType)
+      else schemaOf(cfg.allVars)
+    val r0 = spark.read
       .option("sep", sep)
       .option("header", cfg.firstRow > 1) // first_row=2 ⇒ line 1 is a header
       .option("mode", "PERMISSIVE")
-      .schema(schemaOf(cfg.allVars))
+      .schema(schema)
+    val r = if (quarantine)
+      r0.option("columnNameOfCorruptRecord", "_corrupt_record") else r0
     rowTerm.fold(r)(t => r.option("lineSep", t))
   }
 
   /** `load_table_from_file(overall=TRUE)`: one delimited file → one typed
-    * frame per the config's vars.
+    * frame per the config's vars. With `quarantine = true`, malformed
+    * lines survive the load with their raw text in `_corrupt_record`
+    * (typed columns NULL) instead of being silently nulled — callers
+    * split the frame on `_corrupt_record IS NULL` into clean rows and a
+    * quarantine table.
     */
-  def loadDelimited(spark: SparkSession, cfg: TableConfig): DataFrame =
-    delimitedReader(spark, cfg, "overall")
+  def loadDelimited(spark: SparkSession, cfg: TableConfig,
+                    quarantine: Boolean = false): DataFrame =
+    delimitedReader(spark, cfg, "overall", quarantine)
       .csv(cfg.filePath.getOrElse("overall",
         sys.error(s"config ${cfg.toTable}: no overall file_path")))
 

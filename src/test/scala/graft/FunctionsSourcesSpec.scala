@@ -137,6 +137,22 @@ class FunctionsSourcesSpec extends SparkSpec {
     assert(!new java.io.File(s"$dir/t__reclustered").exists()) // swap cleaned up
   }
 
+  test("quarantined delimited load captures malformed lines, not silent NULLs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_q").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/in.csv"),
+      "id,v\n1,10\nnot_a_number,20\n3,30\n")
+    val cfg = TableConfig(
+      toTable = "t",
+      vars = Seq(ColumnSpec("id", "BIGINT"), ColumnSpec("v", "BIGINT")),
+      filePath = Map("overall" -> s"$dir/in.csv"),
+      fieldTerm = Map("overall" -> ","))
+    val out = Sources.loadDelimited(spark, cfg, quarantine = true).cache()
+    val bad = out.filter(col("_corrupt_record").isNotNull).collect()
+    assert(bad.length == 1)
+    assert(bad.head.getAs[String]("_corrupt_record") == "not_a_number,20")
+    assert(out.filter(col("_corrupt_record").isNull).count() == 2)
+  }
+
   test("delimited load honors field terminator, header skip, and schema") {
     val dir = java.nio.file.Files.createTempDirectory("graft_src").toString
     java.nio.file.Files.writeString(
