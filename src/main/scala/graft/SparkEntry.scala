@@ -291,9 +291,9 @@ object SparkEntry {
     "etl_copy_into" ->
       s"""SELECT p_partkey, p_name, p_retailprice,
                 'batch_0001' AS etl_batch_id,
-                cast(md5_number_lower(concat_ws('|',
-                    cast(p_partkey as varchar), cast(p_name as varchar)))
-                  % ${graft.dedup.MinHashSpec.P} as bigint) AS etl_load_row
+                ${graft.dedup.MinHashSpec.duckFingerprint62Sql(
+        "concat_ws('|', cast(p_partkey as varchar), cast(p_name as varchar))")}
+                  AS etl_load_row
          FROM part""",
 
     "etl_add_index" ->

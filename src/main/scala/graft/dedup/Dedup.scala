@@ -168,6 +168,24 @@ object MinHashSpec {
       s"cast(cast(conv(concat($pairs), 16, 10) as decimal(20,0)) % $P as bigint)"
     }
 
+  /** 62-bit cross-engine content fingerprint:
+    * (H32 mod 2^31) * 2^32 + (H64 mod P), both md5-derived. Identical
+    * strings share the fingerprint by design (content identity / replay
+    * idempotence); distinct strings collide with birthday probability
+    * ~n²/2^63 — negligible below billions per scope, where the 31-bit
+    * [[hpExpr]] alone starts colliding at ~65k.
+    */
+  def fingerprint62Expr(spark: org.apache.spark.sql.SparkSession,
+                        strExpr: String): String =
+    s"(${h32Expr(spark, strExpr)} % 2147483648L) * 4294967296L + ${hpExpr(spark, strExpr)}"
+
+  /** DuckDB twin of [[fingerprint62Expr]] (UBIGINT arithmetic; the result
+    * is < 2^63 so the final BIGINT cast cannot overflow).
+    */
+  def duckFingerprint62Sql(strExpr: String): String =
+    s"cast(((md5_number_lower($strExpr) >> 32) % 2147483648) * 4294967296 " +
+      s"+ (md5_number_lower($strExpr) % $P) as bigint)"
+
   /** Shingle width fed to the signatures (see [[Text.shingleExpr]]). */
   val SHINGLE_K: Int = 3
 

@@ -89,8 +89,11 @@ object Etl {
   /** `copy_into`: lake→warehouse ingest with load-audit columns
     * (reference: copy_into.R). Audit values must be deterministic for
     * replay: the batch id is caller-supplied (not wall-clock) and the row
-    * id is content-derived (md5 mod P of the id columns) — stable across
-    * partition layouts, unlike `monotonically_increasing_id()`.
+    * id is a 62-bit content fingerprint of the id columns — stable across
+    * partition layouts, unlike `monotonically_increasing_id()`. It
+    * identifies CONTENT: duplicate source rows share it by design
+    * (replay/dedup idempotence); give `idCols` a business key when
+    * per-row uniqueness is required.
     */
   def copyInto(source: DataFrame, batchId: String,
                idCols: Seq[String] = Nil): DataFrame = {
@@ -100,7 +103,7 @@ object Etl {
     source
       .withColumn("etl_batch_id", lit(batchId))
       .withColumn("etl_load_row",
-        expr(graft.dedup.MinHashSpec.hpExpr(source.sparkSession, rendered)))
+        expr(graft.dedup.MinHashSpec.fingerprint62Expr(source.sparkSession, rendered)))
   }
 
   /** `add_index`: the Spark-native meaning of a clustered index is physical
@@ -174,15 +177,24 @@ object Etl {
   /** `deduplicate_addresses` two-sided sync(): anti-join each way, then
     * apply the rows missing from each side to that side (reference:
     * deduplicate_addresses.R:112-124 — collect rows absent from ref /
-    * absent from source, insert into both). Returns both synced frames;
-    * after sync both sides hold the identical union. Null-safe row
-    * comparison throughout (NULL-bearing identical rows are not diffs).
+    * absent from source, insert into both). Null-safe row comparison
+    * throughout (NULL-bearing identical rows are not diffs). Two
+    * anti-joins total, each consumed once — no caching needed.
+    *
+    * Row-SET convergence: after sync both sides contain the same set of
+    * distinct rows. As in the reference (which dedups before syncing),
+    * inputs are expected deduplicated; duplicate rows WITHIN a side are
+    * preserved there and not replicated to the other side.
     */
   def sync(a: DataFrame, b: DataFrame): (DataFrame, DataFrame) = {
-    val diff = tableDiff(a, b).cache()
-    val onlyA = diff.filter(col("diff_side") === "left_only").drop("diff_side")
-    val onlyB = diff.filter(col("diff_side") === "right_only").drop("diff_side")
-    (a.unionByName(onlyB), b.unionByName(onlyA))
+    val cols = a.columns.toSeq
+    def anti(l: DataFrame, r: DataFrame): DataFrame = {
+      val lt = l.alias("__sl")
+      val rt = r.alias("__sr")
+      val cond = cols.map(c => col(s"__sl.$c") <=> col(s"__sr.$c")).reduce(_ && _)
+      lt.join(rt, cond, "left_anti")
+    }
+    (a.unionByName(anti(b, a)), b.unionByName(anti(a, b)))
   }
 
   /** `deduplicate_addresses` dedup(): keep exactly one row per key,

@@ -189,16 +189,17 @@ object Qa {
     // distinct_threshold routing (reference: etl_qa_run_pipeline.R:68-71,
     // :708, :742): numeric/date columns with fewer distinct values than
     // the threshold are low-cardinality codes — treat as categorical, gate
-    // min/mean/median/max on passing the threshold. One
-    // approx_count_distinct pass over the candidates (a sketch, bounded
-    // memory at any scale) decides the routing; exactness is irrelevant
-    // here — the threshold is a small constant where HLL is exact anyway.
+    // min/mean/median/max on passing the threshold. EXACT counts: the
+    // routing decision sits right at the threshold, where a sketch's
+    // relative error (Spark HLL++ default rsd 5%) would misroute a
+    // column by ±1. Capped count_distinct would bound cost further, but
+    // one exact pass per pipeline invocation is the correct trade.
     val routed: Set[String] =
       if (distinctThreshold <= 1 || (numericByType ++ datesByType).isEmpty)
         (numericByType ++ datesByType).toSet
       else {
         val candidates = numericByType ++ datesByType
-        val aggs = candidates.map(c => approx_count_distinct(col(c)).as(c))
+        val aggs = candidates.map(c => countDistinct(col(c)).as(c))
         val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
         candidates.filter(c =>
           row.getAs[Long](row.fieldIndex(c)) >= distinctThreshold).toSet

@@ -200,11 +200,15 @@ object Similarity {
     // `iters` distributed rounds that each pay plan+codegen+job overhead
     // on k×dim-literal expression trees. Deterministic sample: lowest
     // ids via TakeOrdered (one parallel pass, no full sort).
+    // pad/truncate every sample to `dim` (copyOf zero-fills) so the local
+    // loops below never index past a short vector — matching the scoring
+    // paths' min(|vec|, dim) tolerance
     val sample: Array[Array[Double]] = embeddings
       .select(col(idCol), col(vecCol)).orderBy(col(idCol))
       .limit(maxTrainSamples)
       .select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      .map(r => java.util.Arrays.copyOf(
+        r.getSeq[Float](0).toArray.map(_.toDouble), dim))
     var cents: Array[Array[Double]] = sample.take(k).map(_.clone())
     for (_ <- 1 to iters) {
       val sums = Array.fill(k, dim)(0.0)

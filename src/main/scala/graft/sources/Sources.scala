@@ -52,13 +52,19 @@ object Sources {
     * lines survive the load with their raw text in `_corrupt_record`
     * (typed columns NULL) instead of being silently nulled — callers
     * split the frame on `_corrupt_record IS NULL` into clean rows and a
-    * quarantine table.
+    * quarantine table. The quarantined frame is returned CACHED: Spark
+    * refuses queries that reference only the internal corrupt-record
+    * column on a raw scan ("referencing internal corrupt record column
+    * is not allowed"), and caching is the documented way to make the
+    * split queries legal.
     */
   def loadDelimited(spark: SparkSession, cfg: TableConfig,
-                    quarantine: Boolean = false): DataFrame =
-    delimitedReader(spark, cfg, "overall", quarantine)
+                    quarantine: Boolean = false): DataFrame = {
+    val df = delimitedReader(spark, cfg, "overall", quarantine)
       .csv(cfg.filePath.getOrElse("overall",
         sys.error(s"config ${cfg.toTable}: no overall file_path")))
+    if (quarantine) df.cache() else df
+  }
 
   /** `load_table_from_file(ind_yr=TRUE, combine_yr=TRUE)`: per-year files
     * (each with possibly different terminators and year-specific columns)
@@ -137,12 +143,24 @@ object Sources {
     val df = spark.read.format(format).load(path)
     val tmp = path + "__reclustered"
     writeTable(df, tmp, clusterKeys = clusterKeys, format = format)
+    // Swap order keeps a complete copy of the data on disk at every
+    // instant: old table is renamed ASIDE (not deleted) before the new
+    // one takes its place, and only then removed. A crash between the
+    // renames leaves `path__old` + `path__reclustered` — recoverable —
+    // never an empty path. (True single-rename atomicity needs a
+    // catalog/table-format pointer swap, out of scope for raw paths.)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
     val dst = new org.apache.hadoop.fs.Path(path)
     val src = new org.apache.hadoop.fs.Path(tmp)
-    fs.delete(dst, true)
-    if (!fs.rename(src, dst))
+    val old = new org.apache.hadoop.fs.Path(path + "__old")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (!fs.rename(dst, old))
+      sys.error(s"reclusterTable: rename $path -> $old failed")
+    if (!fs.rename(src, dst)) {
+      fs.rename(old, dst) // restore the original table before failing
       sys.error(s"reclusterTable: rename $tmp -> $path failed")
+    }
+    fs.delete(old, true): Unit
   }
 }

@@ -130,14 +130,19 @@ object Text {
     * trim. The standard first pass of LLM corpus dedup — catches
     * case/spacing/punctuation variants that md5-exact misses. Pure
     * expression; [[normalizeSql]] is the byte-identical DuckDB twin.
+    * Whitespace is an EXPLICIT class, not `\s`: Java's `\s` includes
+    * vertical tab (\x0B), RE2's does not — `\s` here would silently
+    * diverge the two engines' hashes on \x0B-bearing documents.
     */
+  private val wsClass = "\\t\\n\\x0B\\f\\r "
+
   def normalize(text: Column): Column =
     trim(regexp_replace(
-      regexp_replace(lower(text), "[^\\w\\s]", ""), "\\s+", " "))
+      regexp_replace(lower(text), s"[^\\w$wsClass]", ""), s"[$wsClass]+", " "))
 
   /** DuckDB twin of [[normalize]]. */
   def normalizeSql(textExpr: String): String =
-    s"trim(regexp_replace(regexp_replace(lower($textExpr), '[^\\w\\s]', '', 'g'), '\\s+', ' ', 'g'))"
+    s"trim(regexp_replace(regexp_replace(lower($textExpr), '[^\\w$wsClass]', '', 'g'), '[$wsClass]+', ' ', 'g'))"
 
   // PII patterns kept to the RE2 ∩ java.util.regex common subset so the
   // Spark and DuckDB sides match byte-for-byte.

@@ -146,7 +146,9 @@ class FunctionsSourcesSpec extends SparkSpec {
       vars = Seq(ColumnSpec("id", "BIGINT"), ColumnSpec("v", "BIGINT")),
       filePath = Map("overall" -> s"$dir/in.csv"),
       fieldTerm = Map("overall" -> ","))
-    val out = Sources.loadDelimited(spark, cfg, quarantine = true).cache()
+    // no caller-side cache: the loader must return a frame on which the
+    // corrupt-record split queries are legal
+    val out = Sources.loadDelimited(spark, cfg, quarantine = true)
     val bad = out.filter(col("_corrupt_record").isNotNull).collect()
     assert(bad.length == 1)
     assert(bad.head.getAs[String]("_corrupt_record") == "not_a_number,20")

@@ -44,7 +44,9 @@ class TextDedupSpec extends SparkSpec {
   }
 
   test("normalize collapses case/punctuation/whitespace variants") {
-    val df = Seq("Hello,  World!", "hello world", "HELLO\tWORLD.").toDF("t")
+    val df = Seq("Hello,  World!", "hello world", "HELLO\tWORLD.",
+      "hello\u000Bworld") // vertical tab: explicit ws class, not \s
+      .toDF("t")
     val norms = df.select(Text.normalize(col("t"))).collect().map(_.getString(0))
     assert(norms.toSet == Set("hello world"))
   }
