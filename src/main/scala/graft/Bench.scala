@@ -22,6 +22,9 @@ object Bench {
       catch { case _: Throwable => () }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // each query starts with an empty cache: timings measure the query,
+      // not leftover cached blocks from whichever query ran before it
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       // noop sink forces full materialization of every output column
       // (count() would let Catalyst skip projected expressions entirely).

@@ -205,6 +205,15 @@ object SparkEntry {
       Text.piiScrub(Tables(s, dir, "documents"))
         .select("doc_id", "n_emails", "n_urls", "n_phones",
           "scrubbed_hash", "scrub_len")),
+    "sample_stratified" -> ((s, dir) =>
+      graft.etl.Sampling.stratifiedHashSample(
+        Tables(s, dir, "documents"), "lang", "doc_id",
+        Map("en" -> 0.25, "de" -> 1.0), defaultRate = 0.5)
+        .select("doc_id", "lang")),
+    "split_assign" -> ((s, dir) =>
+      graft.etl.Sampling.hashSplit(Tables(s, dir, "documents"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split")),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(Tables(s, dir, "documents"), threshold = 0.5)),
     "dedup_minhash_lsh" -> ((s, dir) =>
@@ -626,6 +635,17 @@ object SparkEntry {
          FROM h JOIN c USING (text_hash)""",
 
     "text_pii_scrub" -> Text.piiScrubSql(),
+
+    "sample_stratified" ->
+      s"""SELECT doc_id, lang FROM documents
+         WHERE ${graft.etl.Sampling.stratifiedSampleSql("lang", "doc_id",
+        Map("en" -> 0.25, "de" -> 1.0), defaultRate = 0.5)}""",
+
+    "split_assign" ->
+      s"""SELECT doc_id,
+                ${graft.etl.Sampling.hashSplitSql("doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))} AS split
+         FROM documents""",
 
     "dedup_minhash_lsh" -> MinHashSpec.duckdbSql(),
     "dedup_lsh_jaccard" -> MinHashSpec.duckdbJaccardSql(),

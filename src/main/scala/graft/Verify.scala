@@ -34,6 +34,10 @@ object Verify {
         failures ::= name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // operators cache intermediates (LSH signatures, candidate pairs)
+      // for their own plan; drop them between queries so a 40+-query run
+      // doesn't accumulate dead cached blocks
+      spark.catalog.clearCache()
     }
     // Failure marker: check.py (and any human) can see at a glance which
     // queries produced no output this run.

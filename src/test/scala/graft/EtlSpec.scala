@@ -98,6 +98,48 @@ class EtlSpec extends SparkSpec {
     assert(out.getString(1) == "b1")
   }
 
+  test("hashSample is deterministic, engine-stable, and ~proportional") {
+    val df = spark.range(10000).toDF("k")
+    val s1 = graft.etl.Sampling.hashSample(df, "k", 0.3)
+    val s2 = graft.etl.Sampling.hashSample(df.repartition(7), "k", 0.3)
+    val k1 = s1.collect().map(_.getLong(0)).toSet
+    assert(k1 == s2.collect().map(_.getLong(0)).toSet) // layout-independent
+    assert(math.abs(k1.size / 10000.0 - 0.3) < 0.02)   // md5 is uniform
+    // subset property: a smaller fraction is a subset of a larger one
+    val k2 = graft.etl.Sampling.hashSample(df, "k", 0.1)
+      .collect().map(_.getLong(0)).toSet
+    assert(k2.subsetOf(k1))
+  }
+
+  test("stratifiedHashSample applies per-stratum rates") {
+    val df = spark.range(6000).selectExpr("id as k",
+      "CASE WHEN id % 3 = 0 THEN 'en' WHEN id % 3 = 1 THEN 'de' ELSE 'fr' END as lang")
+    val out = graft.etl.Sampling.stratifiedHashSample(df, "lang", "k",
+      Map("en" -> 0.2, "de" -> 1.0), defaultRate = 0.0)
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("de") == 2000L)                       // rate 1.0 keeps all
+    assert(math.abs(byLang("en") - 400L) < 60)          // ~20% of 2000
+    assert(!byLang.contains("fr"))                      // default 0 drops all
+  }
+
+  test("hashSplit covers every row once with ~weight proportions") {
+    val df = spark.range(10000).toDF("k")
+    val out = graft.etl.Sampling.hashSplit(df, "k",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 10000L) // partition of the data
+    assert(math.abs(counts("train") - 8000L) < 200)
+    assert(math.abs(counts("val") - 1000L) < 120)
+    // deterministic: same assignment on rerun
+    val a1 = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a2 = graft.etl.Sampling.hashSplit(df.repartition(5), "k",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a1 == a2)
+  }
+
   test("checkVersion compares dotted versions") {
     assert(Etl.checkVersion("2.2.0", "2.2.0")._1)
     assert(Etl.checkVersion("2.3.0", "2.2.9")._1)
