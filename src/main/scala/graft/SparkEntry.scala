@@ -245,7 +245,12 @@ object SparkEntry {
     "text_ngram_freq" -> ((s, dir) =>
       Text.ngramFreq(Tables(s, dir, "documents"))),
     "mm_binary_meta" -> ((s, dir) =>
-      Multimodal.pipeline(s, Tables(s, dir, "documents"))))
+      Multimodal.pipeline(s, Tables(s, dir, "documents"))),
+    // metadata layer of the multimodal pipeline (no decode) — the part
+    // that IS cross-engine checkable; the stub decode stays rows-only
+    "mm_meta_only" -> ((s, dir) =>
+      Multimodal.asMedia(Tables(s, dir, "documents"))
+        .select("doc_id", "mime", "payload_len")))
 
   private def probeList: String = (0 until 10).mkString(", ")
 
@@ -635,6 +640,12 @@ object SparkEntry {
          FROM h JOIN c USING (text_hash)""",
 
     "text_pii_scrub" -> Text.piiScrubSql(),
+
+    "mm_meta_only" ->
+      """SELECT doc_id,
+                'application/x-fake-' || source AS mime,
+                cast(octet_length(encode(text)) as int) AS payload_len
+         FROM documents""",
 
     "sample_stratified" ->
       s"""SELECT doc_id, lang FROM documents
