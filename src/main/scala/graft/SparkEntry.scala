@@ -196,6 +196,7 @@ object SparkEntry {
     "q_semi_anti" -> ((s, dir) => Queries.semiAnti(s, dir)),
     "q_events_window" -> ((s, dir) => Queries.eventsWindow(s, dir)
       .withColumn("window_start", col("window_start").cast("string"))),
+    "q_interval_join" -> ((s, dir) => Queries.intervalJoin(s, dir)),
 
     // ---- D. LLM-data-pipeline ----
     "dedup_exact_docs" -> ((s, dir) => Dedup.exact(Tables(s, dir, "documents"))),
@@ -603,6 +604,16 @@ object SparkEntry {
                 event_type, count(*) AS n_events,
                 round(sum(value), 4) AS sum_value
          FROM events GROUP BY 1, 2""",
+
+    "q_interval_join" ->
+      """WITH e AS (
+           SELECT event_id, epoch_us(cast(ts as timestamp)) // 1000 AS ms
+           FROM events)
+         SELECT a.event_id, count(*) AS n_concurrent
+         FROM e a JOIN e b
+           ON b.ms BETWEEN a.ms - 60000 AND a.ms + 60000
+          AND a.event_id <> b.event_id
+         GROUP BY 1""",
 
     "dedup_exact_docs" ->
       """WITH h AS (SELECT doc_id, md5(text) AS text_hash FROM documents),

@@ -109,6 +109,40 @@ object Queries {
     semi.unionByName(anti)
   }
 
+  /** Batch interval (range) self-join: for each event, how many OTHER
+    * events happened within ±window — burst/concurrency analysis with a
+    * pure range predicate and no equi-key.
+    *
+    * A literal `a JOIN b ON abs(a.ts - b.ts) <= w` has no equi condition,
+    * so Spark plans BroadcastNestedLoopJoin / cartesian — O(n·m), dead at
+    * scale. The scale shape is BINNING: bucket time into window-sized
+    * bins, explode the left side to its 3 candidate bins, equi-join on
+    * the bin, then apply the exact range filter. Each qualifying pair
+    * matches in EXACTLY one (candidate-bin == right-bin) combination, so
+    * no dedup is needed; the shuffle is an ordinary hash join keyed on
+    * bin — O(n + output).
+    *
+    * Time is integer milliseconds (`unix_micros div 1000`), never double
+    * epoch seconds: integer truncation is engine-exact where double
+    * arithmetic rounds differently per engine.
+    */
+  def intervalJoin(spark: SparkSession, dir: String,
+                   windowMs: Long = 60000L): DataFrame = {
+    val e = Tables(spark, dir, "events")
+      .select(col("event_id"), expr("unix_micros(ts) div 1000").as("ms"))
+    val bin = (col("ms") / windowMs).cast("bigint")
+    val left = e.select(col("event_id").as("id_a"), col("ms").as("ms_a"),
+      explode(array((-1 to 1).map(d => bin + d): _*)).as("bin"))
+    val right = e.select(col("event_id").as("id_b"), col("ms").as("ms_b"),
+      bin.as("bin"))
+    left.join(right, Seq("bin"))
+      .filter(col("id_a") =!= col("id_b") &&
+        abs(col("ms_b") - col("ms_a")) <= windowMs)
+      .groupBy(col("id_a"))
+      .agg(count(lit(1)).as("n_concurrent"))
+      .select(col("id_a").as("event_id"), col("n_concurrent"))
+  }
+
   /** Correlated-aggregate filter: orders priced above their priority
     * class average — the window formulation reuses one shuffle instead
     * of the self-join a literal correlated subquery would plan.

@@ -29,6 +29,21 @@ class PropertySpec extends SparkSpec {
     Gen.zip(Gen.chooseNum(0L, 8L), Gen.chooseNum(-100.0, 100.0),
       Gen.oneOf("a", "b", "c")))
 
+  test("binned intervalJoin equals the naive O(n^2) range join") {
+    import graft.analytics.Queries
+    val binned = Queries.intervalJoin(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e = Tables(spark, sfDir, "events")
+      .select(col("event_id"), expr("unix_micros(ts) div 1000").as("ms"))
+    val naive = e.alias("a").join(e.alias("b"),
+        abs(col("b.ms") - col("a.ms")) <= 60000L &&
+          col("a.event_id") =!= col("b.event_id"))
+      .groupBy(col("a.event_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(binned == naive)
+    assert(binned.nonEmpty)
+  }
+
   test("saltedSum equals plain aggregation for any data") {
     forAll(rowsGen) { rows =>
       whenever(rows.nonEmpty) {
