@@ -197,6 +197,7 @@ object SparkEntry {
     "q_events_window" -> ((s, dir) => Queries.eventsWindow(s, dir)
       .withColumn("window_start", col("window_start").cast("string"))),
     "q_interval_join" -> ((s, dir) => Queries.intervalJoin(s, dir)),
+    "q_asof_join" -> ((s, dir) => Queries.asofJoin(s, dir)),
 
     // ---- D. LLM-data-pipeline ----
     "dedup_exact_docs" -> ((s, dir) => Dedup.exact(Tables(s, dir, "documents"))),
@@ -614,6 +615,18 @@ object SparkEntry {
            ON b.ms BETWEEN a.ms - 60000 AND a.ms + 60000
           AND a.event_id <> b.event_id
          GROUP BY 1""",
+
+    "q_asof_join" ->
+      """WITH p AS (
+           SELECT event_id, user_id,
+                  epoch_us(cast(ts as timestamp)) // 1000 AS ms
+           FROM events WHERE event_type = 'purchase'),
+         c AS (
+           SELECT user_id,
+                  epoch_us(cast(ts as timestamp)) // 1000 AS cms
+           FROM events WHERE event_type = 'click')
+         SELECT p.event_id, p.ms - c.cms AS ms_since_click
+         FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ms >= c.cms""",
 
     "dedup_exact_docs" ->
       """WITH h AS (SELECT doc_id, md5(text) AS text_hash FROM documents),

@@ -21,8 +21,10 @@ object Tables {
     // Verify/Bench/session builders); normalize back to a timestamp.
     df.schema.find(f => f.name == "ts" &&
         f.dataType == org.apache.spark.sql.types.LongType) match {
+      // integer `div`, NOT `/`: double division loses µs precision for
+      // epoch-nanos beyond 2^51 (observed: ...885461000 ns → ...885460 µs)
       case Some(_) => df.withColumn("ts",
-        org.apache.spark.sql.functions.expr("timestamp_micros(cast(ts / 1000 as bigint))"))
+        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
       case None => df
     }
   }

@@ -143,6 +143,32 @@ object Queries {
       .select(col("id_a").as("event_id"), col("n_concurrent"))
   }
 
+  /** As-of join (most-recent-match): for each purchase event, the same
+    * user's latest click at-or-before it, as a time gap.
+    *
+    * Spark has no native ASOF join; the scale-right composition is
+    * union + carry-forward: tag probe and build rows, ONE shuffle on the
+    * key, and a running `last(build_ts, ignoreNulls)` in event-time
+    * order. Equal timestamps order the build side first so an
+    * exactly-simultaneous click is visible to its purchase — matching
+    * DuckDB ASOF JOIN's `>=` semantics (the oracle). Never a range join,
+    * never a per-row subquery; integer-ms time for engine-exact math.
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("unix_micros(ts) div 1000").as("ms"),
+        (col("event_type") === "click").cast("int").as("is_build"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms"), col("is_build").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("last_click_ms",
+        last(when(col("is_build") === 1, col("ms")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase" && col("last_click_ms").isNotNull)
+      .select(col("event_id"), (col("ms") - col("last_click_ms")).as("ms_since_click"))
+  }
+
   /** Correlated-aggregate filter: orders priced above their priority
     * class average — the window formulation reuses one shuffle instead
     * of the self-join a literal correlated subquery would plan.

@@ -44,6 +44,26 @@ class PropertySpec extends SparkSpec {
     assert(binned.nonEmpty)
   }
 
+  test("asofJoin equals the naive greatest-match-per-row formulation") {
+    import graft.analytics.Queries
+    val viaWindow = Queries.asofJoin(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e = Tables(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("unix_micros(ts) div 1000").as("ms"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ms"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ms").as("cms"))
+    val naive = p.join(c, col("user_id") === col("cu") && col("cms") <= col("ms"))
+      .groupBy(col("event_id"), col("ms"))
+      .agg(max(col("cms")).as("best"))
+      .select(col("event_id"), (col("ms") - col("best")).as("gap"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaWindow == naive)
+    assert(viaWindow.nonEmpty)
+  }
+
   test("saltedSum equals plain aggregation for any data") {
     forAll(rowsGen) { rows =>
       whenever(rows.nonEmpty) {
