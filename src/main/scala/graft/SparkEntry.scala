@@ -203,6 +203,8 @@ object SparkEntry {
     "dedup_exact_docs" -> ((s, dir) => Dedup.exact(Tables(s, dir, "documents"))),
     "dedup_exact_normalized" -> ((s, dir) =>
       Dedup.exactNormalized(Tables(s, dir, "documents"))),
+    "dedup_corpus_clean" -> ((s, dir) =>
+      Dedup.cleanCorpus(Tables(s, dir, "documents")).select("doc_id", "lang")),
     "text_pii_scrub" -> ((s, dir) =>
       Text.piiScrub(Tables(s, dir, "documents"))
         .select("doc_id", "n_emails", "n_urls", "n_phones",
@@ -664,6 +666,19 @@ object SparkEntry {
          FROM h JOIN c USING (text_hash)""",
 
     "text_pii_scrub" -> Text.piiScrubSql(),
+
+    "dedup_corpus_clean" ->
+      s"""SELECT doc_id, lang FROM documents
+         WHERE doc_id NOT IN (
+           SELECT doc_id FROM (
+             WITH h AS (SELECT doc_id, md5(${Text.normalizeSql("text")}) AS text_hash
+                        FROM documents),
+                  c AS (SELECT text_hash, min(doc_id) AS keep_id
+                        FROM h GROUP BY 1)
+             SELECT doc_id FROM h JOIN c USING (text_hash)
+             WHERE doc_id <> keep_id)
+           UNION
+           SELECT doc_b FROM (${MinHashSpec.duckdbJaccardSql()}))""",
 
     "mm_meta_only" ->
       """SELECT doc_id,

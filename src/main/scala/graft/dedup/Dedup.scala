@@ -41,6 +41,30 @@ object Dedup {
         .drop(textCol),
       idCol, "__norm")
 
+  /** End-to-end corpus clean — the composed dedup cascade a training-data
+    * pipeline actually runs, in one call:
+    *   1. fuzzy-exact classes over normalized text → drop all but the
+    *      minimum doc id of each class;
+    *   2. MinHash-LSH propose → exact Jaccard verify (≥ `threshold`) →
+    *      for each verified near-dup pair, drop the larger doc id.
+    * Returns the surviving corpus. Deterministic (min-id keep policy both
+    * stages); every stage is the bucketed/linear shape documented on the
+    * underlying operators — nothing here re-introduces an all-pairs cost.
+    * Pair-drop (not connected components): B dropped for A and C dropped
+    * for B is transitively fine since drops only ever REMOVE docs; the
+    * kept set is exactly {docs that are no pair's larger id}.
+    */
+  def cleanCorpus(df: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text", k: Int = 3,
+                  threshold: Double = 0.5): DataFrame = {
+    val exactDrops = exactNormalized(df, idCol, textCol)
+      .filter(col("is_duplicate") === 1).select(col(idCol))
+    val nearDrops = jaccardOnCandidates(df, idCol, textCol, k, threshold)
+      .select(col("doc_b").as(idCol))
+    val drops = exactDrops.unionByName(nearDrops).distinct()
+    df.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** N-gram Jaccard similarity over k-token shingle sets.
     * Blocking on `blockCol` bounds the pair space; within a block the
     * intersection is computed by exploding distinct shingles and joining

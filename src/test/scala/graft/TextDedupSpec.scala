@@ -85,6 +85,24 @@ class TextDedupSpec extends SparkSpec {
     assert(scrub2 == "call [PHONE] twice")
   }
 
+  test("cleanCorpus drops exact-normalized and verified near-dups, keeps min ids") {
+    val docs = Tables(spark, sfDir, "documents")
+    val kept = Dedup.cleanCorpus(docs, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.subsetOf(all) && kept.size < all.size) // something was dropped
+    // every exact-normalized duplicate is gone, every keeper survives...
+    val exact = Dedup.exactNormalized(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("is_duplicate"))
+    exact.foreach { case (id, dup) =>
+      if (dup == 1) assert(!kept.contains(id))
+    }
+    // ...and no verified near-dup pair survives intact
+    val pairs = Dedup.jaccardOnCandidates(docs, threshold = 0.5).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    pairs.foreach { case (_, b) => assert(!kept.contains(b)) }
+  }
+
   test("exact dedup finds planted duplicates and keeps the min id") {
     val df = Seq((10L, "same text"), (20L, "same text"), (30L, "other"))
       .toDF("doc_id", "text")
