@@ -126,6 +126,42 @@ object Streams {
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
+  case class AsofOut(event_id: Long, user_id: Long, ms_since_click: Long)
+
+  /** Streaming as-of enrichment — the streaming twin of
+    * `Queries.asofJoin`: each purchase is annotated with the gap to the
+    * same user's most recent click seen so far. Per-user state is ONE
+    * long (the latest click ms) — O(1) per key regardless of history,
+    * where a stream-stream join would buffer the click side within the
+    * watermark horizon. Within a micro-batch events are processed in
+    * (event-time, click-first) order, matching the batch twin's tie
+    * rule; a click arriving later than an already-emitted purchase is
+    * not retroactively applied (append-mode streaming semantics —
+    * backfill with the batch twin when exactness over late data
+    * matters).
+    */
+  def asofEnrich(events: Dataset[Event]): Dataset[AsofOut] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(e => e.event_type == "purchase" || e.event_type == "click")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, AsofOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[Long]) =>
+          val sorted = rows.toSeq.sortBy(e =>
+            (e.ts.getTime, if (e.event_type == "click") 0 else 1))
+          var lastClick = state.getOption.getOrElse(Long.MinValue)
+          val out = Seq.newBuilder[AsofOut]
+          sorted.foreach { e =>
+            val ms = e.ts.getTime
+            if (e.event_type == "click") lastClick = math.max(lastClick, ms)
+            else if (lastClick != Long.MinValue)
+              out += AsofOut(e.event_id, userId, ms - lastClick)
+          }
+          if (lastClick != Long.MinValue) state.update(lastClick)
+          out.result().iterator
+      }
+  }
   case class SessionState(start: Long, end: Long, n: Int, sum: Double)
   case class SessionOut(user_id: Long, session_start: Timestamp,
                         session_end: Timestamp, n_events: Int, sum_value: Double)

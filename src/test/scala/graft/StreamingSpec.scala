@@ -163,6 +163,29 @@ class StreamingSpec extends SparkSpec {
     assert(!spark.table("docdedup_test").columns.contains("__text_hash"))
   }
 
+  test("streaming as-of enrichment carries last-click state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.Event]
+    val q = Streams.asofEnrich(input.toDS())
+      .writeStream.format("memory").queryName("asof_test")
+      .outputMode("append").start()
+    def ts(s: String) = Timestamp.valueOf(s)
+    input.addData(
+      Streams.Event(1L, ts("2024-01-01 10:00:00"), 7L, "click", 0.0),
+      Streams.Event(2L, ts("2024-01-01 10:05:00"), 7L, "purchase", 1.0),
+      Streams.Event(3L, ts("2024-01-01 10:01:00"), 8L, "purchase", 1.0)) // no click yet
+    q.processAllAvailable()
+    input.addData( // state carries user 7's click into the next batch
+      Streams.Event(4L, ts("2024-01-01 10:30:00"), 7L, "purchase", 1.0))
+    q.processAllAvailable()
+    val got = spark.table("asof_test").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    q.stop()
+    assert(got == Map(2L -> 300000L, 4L -> 1800000L)) // 5 min; 30 min
+    // purchase with no prior click (user 8) emitted nothing
+    assert(!got.contains(3L))
+  }
+
   test("idempotent batch writer: replaying a batch leaves no duplicates") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString + "/out"
