@@ -725,8 +725,8 @@ object SparkEntry {
       s"""WITH t AS (
            SELECT doc_id,
                   cast(length(text) as int) AS n_chars_calc,
-                  string_split_regex(trim(lower(text)), '\\s+') AS __toks,
-                  cast(length(regexp_replace(text, '[\\w\\s]', '', 'g')) as int)
+                  string_split_regex(trim(lower(text)), '${Text.wsRe}') AS __toks,
+                  cast(length(regexp_replace(text, '[\\w${Text.WS}]', '', 'g')) as int)
                     AS punct_count
            FROM documents),
          u AS (
@@ -745,17 +745,17 @@ object SparkEntry {
          FROM u""",
 
     "text_token_count" ->
-      """SELECT doc_id,
-                cast(len(string_split_regex(trim(lower(text)), '\s+')) as int)
+      s"""SELECT doc_id,
+                cast(len(string_split_regex(trim(lower(text)), '${Text.wsRe}')) as int)
                   AS ws_tokens,
-                cast(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) as int)
+                cast(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9${Text.WS}]')) as int)
                   AS bpe_tokens
          FROM documents""",
 
     "text_lang_id" ->
       s"""WITH t AS (
            SELECT doc_id, lang,
-                  string_split_regex(trim(lower(text)), '\\s+') AS __toks
+                  string_split_regex(trim(lower(text)), '${Text.wsRe}') AS __toks
            FROM documents),
          h AS (
            SELECT doc_id, lang,

@@ -363,7 +363,7 @@ object SimHash {
       s"(simhash >> ${j * BAND_BITS}) & ${(1L << BAND_BITS) - 1} AS band_$j")
       .mkString(", ")
     s"""WITH toks AS (
-      SELECT $idCol, unnest(list_distinct(string_split_regex(trim(lower($textCol)), '\\s+'))) AS w
+      SELECT $idCol, unnest(list_distinct(string_split_regex(trim(lower($textCol)), '${Text.wsRe}'))) AS w
       FROM $table
     ), hashed AS (
       SELECT $idCol, ${MinHashSpec.duckH32Sql("w")} AS h FROM toks

@@ -10,10 +10,23 @@ import org.apache.spark.sql.functions._
   */
 object Text {
 
+  /** ASCII whitespace characters as an EXPLICIT set (for embedding in
+    * character classes): Java's `\s` includes vertical tab (\x0B), RE2's
+    * does not — spelling the set out removes the one place the two
+    * engines' tokenizers could disagree. The same bytes are a valid
+    * class body in both Java regex and RE2.
+    */
+  val WS = "\\t\\n\\x0B\\f\\r "
+
+  /** One-or-more-whitespace regex built from [[WS]] — valid in both
+    * engines.
+    */
+  val wsRe = s"[$WS]+"
+
   /** Deterministic whitespace tokenization shared by every operator (and
     * mirrored 1:1 in the DuckDB oracles).
     */
-  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+  def tokens(text: Column): Column = split(trim(lower(text)), wsRe)
 
   /** k-token shingles over a token array column (distinct). The standard
     * unit for n-gram Jaccard / MinHash: shingle cardinality is ~|vocab|^k,
@@ -26,7 +39,7 @@ object Text {
 
   /** DuckDB twin of [[shingleExpr]] over a text expression. */
   def shingleSql(textExpr: String, k: Int): String = {
-    val toks = s"string_split_regex(trim(lower($textExpr)), '\\s+')"
+    val toks = s"string_split_regex(trim(lower($textExpr)), '$wsRe')"
     s"""list_distinct(list_transform(
        range(1, greatest(len($toks) - ${k - 1}, 1) + 1),
        i -> array_to_string(($toks)[i:i+${k - 1}], ' ')))"""
@@ -56,7 +69,7 @@ object Text {
       .withColumn("n_chars_calc", length(col(textCol)))
       .withColumn("word_count", size(col("__toks")))
       .withColumn("punct_count",
-        length(regexp_replace(col(textCol), "[\\w\\s]", "")))
+        length(regexp_replace(col(textCol), s"[\\w$WS]", "")))
       .withColumn("stop_count",
         expr(s"size(filter(__toks, t -> ${inList("t", stop)}))"))
       .withColumn("punct_ratio",
@@ -80,7 +93,7 @@ object Text {
   def tokenCounts(df: DataFrame, textCol: String = "text"): DataFrame =
     df.withColumn("ws_tokens", size(tokens(col(textCol))))
       .withColumn("bpe_tokens",
-        regexp_count(lower(col(textCol)), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")))
+        regexp_count(lower(col(textCol)), lit(s"[a-z]+|[0-9]+|[^a-z0-9$WS]")))
 
   /** Language ID: argmax of marker-word hit counts, ties broken by
     * language-code order. Single pass; the per-language counts are
@@ -212,7 +225,7 @@ object Text {
     */
   def fingerprintSql(table: String = "documents", idCol: String = "doc_id",
                      textCol: String = "text", k: Int = 3, w: Int = 4): String = {
-    val toks = s"string_split_regex(trim(lower($textCol)), '\\s+')"
+    val toks = s"string_split_regex(trim(lower($textCol)), '$wsRe')"
     s"""WITH sh AS (
       SELECT $idCol,
         list_transform(
