@@ -130,7 +130,7 @@ object Queries {
                    windowMs: Long = 60000L): DataFrame = {
     val e = Tables(spark, dir, "events")
       .select(col("event_id"), expr("unix_micros(ts) div 1000").as("ms"))
-    val bin = (col("ms") / windowMs).cast("bigint")
+    val bin = expr(s"ms div $windowMs") // integer div end-to-end, never double
     val left = e.select(col("event_id").as("id_a"), col("ms").as("ms_a"),
       explode(array((-1 to 1).map(d => bin + d): _*)).as("bin"))
     val right = e.select(col("event_id").as("id_b"), col("ms").as("ms_b"),

@@ -135,10 +135,12 @@ object Streams {
     * where a stream-stream join would buffer the click side within the
     * watermark horizon. Within a micro-batch events are processed in
     * (event-time, click-first) order, matching the batch twin's tie
-    * rule; a click arriving later than an already-emitted purchase is
-    * not retroactively applied (append-mode streaming semantics —
-    * backfill with the batch twin when exactness over late data
-    * matters).
+    * rule. Late data degrades to UNDER-matching, never to wrong output:
+    * a click arriving after a purchase was emitted is not retroactively
+    * applied, and a late purchase older than the stored click emits
+    * nothing (the state holds only the newest click, so an as-of match
+    * for it is unknowable) — it never matches a FUTURE click. Backfill
+    * with the batch twin when exactness over late data matters.
     */
   def asofEnrich(events: Dataset[Event]): Dataset[AsofOut] = {
     import events.sparkSession.implicits._
@@ -155,7 +157,7 @@ object Streams {
           sorted.foreach { e =>
             val ms = e.ts.getTime
             if (e.event_type == "click") lastClick = math.max(lastClick, ms)
-            else if (lastClick != Long.MinValue)
+            else if (lastClick != Long.MinValue && lastClick <= ms)
               out += AsofOut(e.event_id, userId, ms - lastClick)
           }
           if (lastClick != Long.MinValue) state.update(lastClick)

@@ -143,24 +143,22 @@ object Text {
     * trim. The standard first pass of LLM corpus dedup — catches
     * case/spacing/punctuation variants that md5-exact misses. Pure
     * expression; [[normalizeSql]] is the byte-identical DuckDB twin.
-    * Whitespace is an EXPLICIT class, not `\s`: Java's `\s` includes
-    * vertical tab (\x0B), RE2's does not — `\s` here would silently
-    * diverge the two engines' hashes on \x0B-bearing documents.
+    * Whitespace is the shared EXPLICIT [[WS]] class, not `\s`: Java's
+    * `\s` includes vertical tab (\x0B), RE2's does not — `\s` here would
+    * silently diverge the two engines' hashes on \x0B-bearing documents.
     */
-  private val wsClass = "\\t\\n\\x0B\\f\\r "
-
   def normalize(text: Column): Column =
     trim(regexp_replace(
-      regexp_replace(lower(text), s"[^\\w$wsClass]", ""), s"[$wsClass]+", " "))
+      regexp_replace(lower(text), s"[^\\w$WS]", ""), wsRe, " "))
 
   /** DuckDB twin of [[normalize]]. */
   def normalizeSql(textExpr: String): String =
-    s"trim(regexp_replace(regexp_replace(lower($textExpr), '[^\\w$wsClass]', '', 'g'), '[$wsClass]+', ' ', 'g'))"
+    s"trim(regexp_replace(regexp_replace(lower($textExpr), '[^\\w$WS]', '', 'g'), '$wsRe', ' ', 'g'))"
 
   // PII patterns kept to the RE2 ∩ java.util.regex common subset so the
   // Spark and DuckDB sides match byte-for-byte.
   val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
-  val urlRe = "https?://[^\\s]+"
+  val urlRe = s"https?://[^$WS]+" // explicit ws class, not \s (see WS)
   val phoneRe = "\\+?\\d[\\d\\- ]{7,}\\d"
 
   /** PII scrubbing: count and redact emails / URLs / phone-like number

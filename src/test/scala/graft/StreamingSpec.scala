@@ -176,7 +176,10 @@ class StreamingSpec extends SparkSpec {
       Streams.Event(3L, ts("2024-01-01 10:01:00"), 8L, "purchase", 1.0)) // no click yet
     q.processAllAvailable()
     input.addData( // state carries user 7's click into the next batch
-      Streams.Event(4L, ts("2024-01-01 10:30:00"), 7L, "purchase", 1.0))
+      Streams.Event(4L, ts("2024-01-01 10:30:00"), 7L, "purchase", 1.0),
+      // LATE purchase older than the stored click: must NOT match the
+      // future click (would be a negative gap) — emits nothing
+      Streams.Event(5L, ts("2024-01-01 09:00:00"), 7L, "purchase", 1.0))
     q.processAllAvailable()
     val got = spark.table("asof_test").collect()
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
@@ -184,6 +187,7 @@ class StreamingSpec extends SparkSpec {
     assert(got == Map(2L -> 300000L, 4L -> 1800000L)) // 5 min; 30 min
     // purchase with no prior click (user 8) emitted nothing
     assert(!got.contains(3L))
+    assert(!got.contains(5L)) // late purchase under-matches, never future-matches
   }
 
   test("idempotent batch writer: replaying a batch leaves no duplicates") {
