@@ -11,7 +11,8 @@ object Explain {
       else Seq("etl_load_select", "q1_agg", "q_join_star", "q_join_large",
         "q_semi_anti", "dedup_minhash_lsh", "sim_cosine_topk",
         "sim_ann_ivf", "qa_categorical_top8", "text_pii_scrub",
-        "dedup_exact_normalized")
+        "dedup_exact_normalized", "q_interval_join", "q_asof_join",
+        "dedup_corpus_clean", "split_assign")
     val spark = Tables.session("graft-explain", cores = 4)
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>

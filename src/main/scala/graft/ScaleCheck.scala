@@ -46,7 +46,12 @@ object ScaleCheck {
       "sim_ann_lsh", "sim_ann_ivf", "etl_add_index", "qa_categorical",
       "qa_quantiles", "etl_dedup_keep_latest", "etl_checksum",
       "text_ngram_freq", "qa_categorical_top8", "dedup_exact_normalized",
-      "text_pii_scrub")
+      "text_pii_scrub", "q_asof_join", "dedup_corpus_clean",
+      "sample_stratified", "split_assign")
+    // NOT replicated-scale-checked: q_interval_join — replication keeps
+    // the SAME time range, so event density (and pair output) grows
+    // quadratically by construction; that measures the replication
+    // artifact, not the operator (cost is O(n + output) by design).
     def time(dir: String, name: String): Double = {
       val t = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.format("noop")
