@@ -698,6 +698,7 @@ object SparkEntry {
          FROM documents""",
 
     "dedup_minhash_lsh" -> MinHashSpec.duckdbSql(),
+    "sim_ann_lsh" -> Similarity.annTopKDuckdbSql((0L until 10L), 5),
     "dedup_lsh_jaccard" -> MinHashSpec.duckdbJaccardSql(),
     "dedup_simhash" -> SimHash.duckdbSql(),
     "text_fingerprint" -> Text.fingerprintSql(),

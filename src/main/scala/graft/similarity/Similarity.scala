@@ -161,6 +161,55 @@ object Similarity {
     rankTopK(scored, "probe_id", k)
   }
 
+  /** DuckDB oracle for [[annTopK]]: the full multi-table hyperplane-LSH
+    * pipeline in SQL, with the ±1 plane matrix embedded as literals
+    * (the planes are driver-computed constants, so the oracle replays
+    * them exactly). Projections accumulate in index order in both
+    * engines (`list_dot_product` vs the fused loop), so bucket ids are
+    * bit-identical and the candidate sets match. Zero-norm cosine guard
+    * mirrored from the native expression.
+    */
+  def annTopKDuckdbSql(probeIds: Seq[Long], k: Int, nBits: Int = 6,
+                       nTables: Int = 8, dim: Int = 64,
+                       table: String = "embeddings", idCol: String = "vec_id",
+                       vecCol: String = "embedding"): String = {
+    def planeList(p: Int): String =
+      Array.tabulate(dim)(d => planeSign(p, d)).mkString("[", ", ", "]")
+    def bucketExpr(t: Int): String =
+      (0 until nBits).map { j =>
+        s"(CASE WHEN list_dot_product($vecCol, ${planeList(t * nBits + j)}) >= 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+    val branches = (0 until nTables).map(t =>
+      s"SELECT $idCol, $vecCol, $t AS tbl, ${bucketExpr(t)} AS bucket FROM e")
+      .mkString("\n  UNION ALL ")
+    val probes = probeIds.mkString(", ")
+    s"""WITH e AS (SELECT $idCol, $vecCol FROM $table),
+       b AS (
+         $branches),
+       p AS (SELECT $idCol AS probe_id, tbl, bucket FROM b
+             WHERE $idCol IN ($probes)),
+       cand AS (
+         SELECT DISTINCT p.probe_id, c.$idCol AS cand_id
+         FROM p JOIN b c USING (tbl, bucket)
+         WHERE c.$idCol <> p.probe_id),
+       s AS (
+         SELECT probe_id, cand_id,
+                round(CASE WHEN list_dot_product(pe.$vecCol, pe.$vecCol) = 0
+                             OR list_dot_product(ce.$vecCol, ce.$vecCol) = 0 THEN 0.0
+                      ELSE list_dot_product(pe.$vecCol, ce.$vecCol) /
+                        (sqrt(list_dot_product(pe.$vecCol, pe.$vecCol))
+                         * sqrt(list_dot_product(ce.$vecCol, ce.$vecCol)))
+                      END, 4) AS cosine
+         FROM cand
+         JOIN e pe ON cand.probe_id = pe.$idCol
+         JOIN e ce ON cand.cand_id = ce.$idCol)
+       SELECT probe_id, cand_id, cosine,
+              cast(row_number() OVER (PARTITION BY probe_id
+                ORDER BY cosine DESC, cand_id) as int) AS rnk
+       FROM s
+       QUALIFY rnk <= $k"""
+  }
+
   /** Squared-L2 distance of a vector column to a literal centroid. */
   private def l2Sq(vecCol: String, centroid: Array[Double]): Column =
     aggregate(
