@@ -232,6 +232,9 @@ object SparkEntry {
       Similarity.annTopK(Tables(s, dir, "embeddings"), (0L until 10L), 5)),
     "sim_ann_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(Tables(s, dir, "embeddings"), (0L until 10L), 5)),
+    "sim_ann_ivf_seeded" -> ((s, dir) =>
+      Similarity.ivfTopK(Tables(s, dir, "embeddings"), (0L until 10L), 5,
+        iters = 0)),
     "text_quality" -> ((s, dir) =>
       Text.quality(Tables(s, dir, "documents"))
         .select("doc_id", "n_chars_calc", "word_count", "punct_count",
@@ -699,6 +702,7 @@ object SparkEntry {
 
     "dedup_minhash_lsh" -> MinHashSpec.duckdbSql(),
     "sim_ann_lsh" -> Similarity.annTopKDuckdbSql((0L until 10L), 5),
+    "sim_ann_ivf_seeded" -> Similarity.ivfSeededDuckdbSql((0L until 10L), 5),
     "dedup_lsh_jaccard" -> MinHashSpec.duckdbJaccardSql(),
     "dedup_simhash" -> SimHash.duckdbSql(),
     "text_fingerprint" -> Text.fingerprintSql(),

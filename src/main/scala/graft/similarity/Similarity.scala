@@ -210,6 +210,62 @@ object Similarity {
        QUALIFY rnk <= $k"""
   }
 
+  /** DuckDB oracle for the IVF SEARCH path with a seeded quantizer
+    * (`ivfTopK(iters = 0)`): centroids are the first k vectors by id —
+    * expressible in SQL — so assignment, nprobe probe-list selection,
+    * bucketed candidate generation and ranking are all cross-engine
+    * verified. (The trained quantizer stays rows-only + recall-spec:
+    * its centroids are data-dependent driver state.) Distances use the
+    * same (x−c)·(x−c) index-order double accumulation as the Spark
+    * side; ties broken by (distance, cluster index) in both engines.
+    */
+  def ivfSeededDuckdbSql(probeIds: Seq[Long], topK: Int, k: Int = 16,
+                         nprobe: Int = 4, dim: Int = 64,
+                         table: String = "embeddings",
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): String = {
+    val probes = probeIds.mkString(", ")
+    val l2 =
+      s"""list_sum(list_transform(range(1, ${dim + 1}),
+         d -> (cast(e.$vecCol[d] as double) - cast(c.cv[d] as double))
+            * (cast(e.$vecCol[d] as double) - cast(c.cv[d] as double))))"""
+    s"""WITH e AS (SELECT $idCol, $vecCol FROM $table),
+       cent AS (
+         SELECT row_number() OVER (ORDER BY $idCol) - 1 AS cluster,
+                $vecCol AS cv
+         FROM (SELECT * FROM e ORDER BY $idCol LIMIT $k)),
+       dists AS (
+         SELECT e.$idCol, e.$vecCol, c.cluster, $l2 AS l2
+         FROM e CROSS JOIN cent c),
+       assign AS (
+         SELECT $idCol AS cand_id, cluster FROM dists
+         QUALIFY row_number() OVER (PARTITION BY $idCol
+           ORDER BY l2, cluster) = 1),
+       pc AS (
+         SELECT $idCol AS probe_id, cluster FROM dists
+         WHERE $idCol IN ($probes)
+         QUALIFY row_number() OVER (PARTITION BY $idCol
+           ORDER BY l2, cluster) <= $nprobe),
+       s AS (
+         SELECT pc.probe_id, a.cand_id,
+                round(CASE WHEN list_dot_product(pe.$vecCol, pe.$vecCol) = 0
+                             OR list_dot_product(ce.$vecCol, ce.$vecCol) = 0 THEN 0.0
+                      ELSE list_dot_product(pe.$vecCol, ce.$vecCol) /
+                        (sqrt(list_dot_product(pe.$vecCol, pe.$vecCol))
+                         * sqrt(list_dot_product(ce.$vecCol, ce.$vecCol)))
+                      END, 4) AS cosine
+         FROM pc
+         JOIN assign a USING (cluster)
+         JOIN e pe ON pc.probe_id = pe.$idCol
+         JOIN e ce ON a.cand_id = ce.$idCol
+         WHERE a.cand_id <> pc.probe_id)
+       SELECT probe_id, cand_id, cosine,
+              cast(row_number() OVER (PARTITION BY probe_id
+                ORDER BY cosine DESC, cand_id) as int) AS rnk
+       FROM s
+       QUALIFY rnk <= $topK"""
+  }
+
   /** Squared-L2 distance of a vector column to a literal centroid. */
   private def l2Sq(vecCol: String, centroid: Array[Double]): Column =
     aggregate(
