@@ -51,9 +51,19 @@ for name in sorted(os.listdir(out_dir)):
         continue
     if len(m) != len(r):
         fails.append((name, f"row count {len(m)} vs {len(r)}")); continue
+    # the driver's hash is type-sensitive: an int64 column vs a DuckDB
+    # HUGEINT (surfacing as float64) hash-differs even when values match
+    # numerically (this was r1's one red row) — flag dtype-kind mismatches
+    kind_bad = [c for c in m.columns
+                if m[c].dtype.kind != r[c].dtype.kind]
+    if kind_bad:
+        fails.append((name, "dtype kind mismatch: " + ", ".join(
+            f"{c}: {m[c].dtype} vs {r[c].dtype}" for c in kind_bad)))
+        continue
     try:
-        pd.testing.assert_frame_equal(m, r, check_dtype=False, check_exact=False,
-                                      rtol=0, atol=1e-9)
+        # exact compare — the driver HASHES values, so a 1-ulp double
+        # difference fails there; atol here would hide it (it did in r1)
+        pd.testing.assert_frame_equal(m, r, check_dtype=False, check_exact=True)
         passes.append((name, len(m)))
     except AssertionError as e:
         fails.append((name, "value mismatch: " + str(e).split("\n")[-2][:200]))
