@@ -49,6 +49,26 @@ class SimilaritySpec extends SparkSpec {
     assert(viaAgg.nonEmpty)
   }
 
+  test("topk_by edge cases: k exceeding group size, duplicate scores, all-null") {
+    val df = spark.range(6).selectExpr("id % 2 as g",
+      "CASE WHEN id = 5 THEN NULL ELSE cast(1.0 as double) END as score", // duplicate scores + a null
+      "id as tie")
+    val agg = df.groupBy("g")
+      .agg(expr("topk_by(score, tie, struct(tie), 10)").as("top"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(_.getStruct(2).getLong(0))).toMap
+    // k=10 > group size: whole group returned (minus the null-score row),
+    // duplicate scores ordered by tie ascending
+    assert(agg(0L) == Seq(0L, 2L, 4L))
+    assert(agg(1L) == Seq(1L, 3L)) // id 5 had NULL score — skipped
+    // a group with ONLY null scores yields an empty array, not a crash
+    val allNull = spark.range(3)
+      .selectExpr("0 as g", "cast(NULL as double) as score", "id as tie")
+      .groupBy("g").agg(expr("topk_by(score, tie, struct(tie), 3)").as("top"))
+      .collect().head.getSeq[Any](1)
+    assert(allNull.isEmpty)
+  }
+
   test("cosineTopK (topk_by path) equals a plain single-window ranking") {
     val viaAgg = Similarity.cosineTopK(emb, Seq(0L, 1L, 2L), k = 5)
       .collect().map(_.toSeq).toSet
