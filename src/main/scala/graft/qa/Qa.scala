@@ -220,7 +220,12 @@ object Qa {
         Some(comparePeriodsFull(continuous(df, timeVar, numeric), timeVar,
           relThreshold)) else None),
       "missing_changes" -> Some(missingnessChange(
-        missingness(df, timeVar, cols), timeVar, absThreshold))
+        missingness(df, timeVar, cols), timeVar, absThreshold)),
+      // change flags over the top-8 frame: the dense grid stays bounded
+      // at (topN+2) × periods rows per column
+      "categorical_changes" -> (if (categorical.nonEmpty)
+        Some(categoricalChange(categoricalTop8(df, timeVar, categorical),
+          timeVar, absThreshold)) else None)
     ).collect { case (k, Some(v)) => k -> v }.toMap
 
     outDir.foreach { dir =>

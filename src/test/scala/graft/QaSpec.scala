@@ -64,7 +64,8 @@ class QaSpec extends SparkSpec {
     val out = Qa.runPipeline(df, "period", Seq("num", "cat", "when"),
       outDir = Some(dir))
     assert(out.keySet == Set("missing_data", "vals_continuous", "vals_date",
-      "vals_categorical", "comparisons", "missing_changes"))
+      "vals_categorical", "comparisons", "missing_changes",
+      "categorical_changes"))
     assert(out("vals_continuous").collect().map(_.getString(1)).toSet == Set("num"))
     assert(out("vals_date").collect().map(_.getString(1)).toSet == Set("when"))
     assert(out("vals_categorical").collect().map(_.getString(1)).toSet == Set("cat"))
