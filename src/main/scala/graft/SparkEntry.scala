@@ -235,6 +235,12 @@ object SparkEntry {
     "sim_ann_ivf_seeded" -> ((s, dir) =>
       Similarity.ivfTopK(Tables(s, dir, "embeddings"), (0L until 10L), 5,
         iters = 0)),
+    // threshold 0.4 (not the 0.95 production default): the synthetic
+    // embeddings have no true near-dups (max pairwise cosine ~0.51), and
+    // an empty result would gate nothing — 0.4 exercises blocking,
+    // pair-dedup, scoring and filtering on real output rows
+    "sim_near_dup" -> ((s, dir) =>
+      Similarity.cosineNearDup(Tables(s, dir, "embeddings"), threshold = 0.4)),
     "text_quality" -> ((s, dir) =>
       Text.quality(Tables(s, dir, "documents"))
         .select("doc_id", "n_chars_calc", "word_count", "punct_count",
@@ -703,6 +709,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> MinHashSpec.duckdbSql(),
     "sim_ann_lsh" -> Similarity.annTopKDuckdbSql((0L until 10L), 5),
     "sim_ann_ivf_seeded" -> Similarity.ivfSeededDuckdbSql((0L until 10L), 5),
+    "sim_near_dup" -> Similarity.cosineNearDupDuckdbSql(threshold = 0.4),
     "dedup_lsh_jaccard" -> MinHashSpec.duckdbJaccardSql(),
     "dedup_simhash" -> SimHash.duckdbSql(),
     "text_fingerprint" -> Text.fingerprintSql(),

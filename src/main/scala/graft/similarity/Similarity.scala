@@ -169,19 +169,38 @@ object Similarity {
     * bit-identical and the candidate sets match. Zero-norm cosine guard
     * mirrored from the native expression.
     */
-  def annTopKDuckdbSql(probeIds: Seq[Long], k: Int, nBits: Int = 6,
-                       nTables: Int = 8, dim: Int = 64,
-                       table: String = "embeddings", idCol: String = "vec_id",
-                       vecCol: String = "embedding"): String = {
+  /** Shared DuckDB CTE fragment: every (vector, table, bucket) row of the
+    * multi-table hyperplane LSH, with the driver-computed ±1 plane matrix
+    * embedded as SQL literals. Expects a CTE `e($idCol, $vecCol)`.
+    */
+  private def duckdbBucketBranches(nBits: Int, nTables: Int, dim: Int,
+                                   idCol: String, vecCol: String): String = {
     def planeList(p: Int): String =
       Array.tabulate(dim)(d => planeSign(p, d)).mkString("[", ", ", "]")
     def bucketExpr(t: Int): String =
       (0 until nBits).map { j =>
         s"(CASE WHEN list_dot_product($vecCol, ${planeList(t * nBits + j)}) >= 0 THEN ${1L << j} ELSE 0 END)"
       }.mkString(" + ")
-    val branches = (0 until nTables).map(t =>
+    (0 until nTables).map(t =>
       s"SELECT $idCol, $vecCol, $t AS tbl, ${bucketExpr(t)} AS bucket FROM e")
       .mkString("\n  UNION ALL ")
+  }
+
+  /** Zero-norm-guarded rounded cosine between two vector expressions
+    * (DuckDB SQL) — mirrors the native `cosine_sim` exactly.
+    */
+  private def duckdbCosine(a: String, b: String): String =
+    s"""round(CASE WHEN list_dot_product($a, $a) = 0
+                     OR list_dot_product($b, $b) = 0 THEN 0.0
+              ELSE list_dot_product($a, $b) /
+                (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))
+              END, 4)"""
+
+  def annTopKDuckdbSql(probeIds: Seq[Long], k: Int, nBits: Int = 6,
+                       nTables: Int = 8, dim: Int = 64,
+                       table: String = "embeddings", idCol: String = "vec_id",
+                       vecCol: String = "embedding"): String = {
+    val branches = duckdbBucketBranches(nBits, nTables, dim, idCol, vecCol)
     val probes = probeIds.mkString(", ")
     s"""WITH e AS (SELECT $idCol, $vecCol FROM $table),
        b AS (
@@ -194,12 +213,7 @@ object Similarity {
          WHERE c.$idCol <> p.probe_id),
        s AS (
          SELECT probe_id, cand_id,
-                round(CASE WHEN list_dot_product(pe.$vecCol, pe.$vecCol) = 0
-                             OR list_dot_product(ce.$vecCol, ce.$vecCol) = 0 THEN 0.0
-                      ELSE list_dot_product(pe.$vecCol, ce.$vecCol) /
-                        (sqrt(list_dot_product(pe.$vecCol, pe.$vecCol))
-                         * sqrt(list_dot_product(ce.$vecCol, ce.$vecCol)))
-                      END, 4) AS cosine
+                ${duckdbCosine(s"pe.$vecCol", s"ce.$vecCol")} AS cosine
          FROM cand
          JOIN e pe ON cand.probe_id = pe.$idCol
          JOIN e ce ON cand.cand_id = ce.$idCol)
@@ -208,6 +222,32 @@ object Similarity {
                 ORDER BY cosine DESC, cand_id) as int) AS rnk
        FROM s
        QUALIFY rnk <= $k"""
+  }
+
+  /** DuckDB oracle for [[cosineNearDup]]: LSH-blocked pair generation
+    * (literal plane matrix), pair dedup across tables, threshold filter —
+    * the embedding near-dup operator, fully cross-engine.
+    */
+  def cosineNearDupDuckdbSql(threshold: Double = 0.95, nBits: Int = 6,
+                             nTables: Int = 8, dim: Int = 64,
+                             table: String = "embeddings",
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding"): String = {
+    val branches = duckdbBucketBranches(nBits, nTables, dim, idCol, vecCol)
+    s"""WITH e AS (SELECT $idCol, $vecCol FROM $table),
+       b AS (
+         $branches),
+       pairs AS (
+         SELECT DISTINCT x.$idCol AS id_a, y.$idCol AS id_b
+         FROM b x JOIN b y USING (tbl, bucket)
+         WHERE x.$idCol < y.$idCol),
+       s AS (
+         SELECT id_a, id_b,
+                ${duckdbCosine(s"ea.$vecCol", s"eb.$vecCol")} AS cosine
+         FROM pairs
+         JOIN e ea ON id_a = ea.$idCol
+         JOIN e eb ON id_b = eb.$idCol)
+       SELECT id_a, id_b, cosine FROM s WHERE cosine >= $threshold"""
   }
 
   /** DuckDB oracle for the IVF SEARCH path with a seeded quantizer
