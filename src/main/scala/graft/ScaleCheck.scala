@@ -47,11 +47,16 @@ object ScaleCheck {
       "qa_quantiles", "etl_dedup_keep_latest", "etl_checksum",
       "text_ngram_freq", "qa_categorical_top8", "dedup_exact_normalized",
       "text_pii_scrub", "q_asof_join", "dedup_corpus_clean",
-      "sample_stratified", "split_assign")
+      "sample_stratified", "split_assign", "sim_near_dup",
+      "sim_ann_ivf_seeded")
     // NOT replicated-scale-checked: q_interval_join — replication keeps
     // the SAME time range, so event density (and pair output) grows
     // quadratically by construction; that measures the replication
     // artifact, not the operator (cost is O(n + output) by design).
+    // Caveat for the pair-emitting ops that ARE listed (minhash,
+    // lsh_jaccard, sim_near_dup): replication clones every row 10×, so
+    // every clone pair is a TRUE duplicate/near-dup and the output —
+    // hence the ratio — grows ~100×; per-pair cost stays flat.
     def time(dir: String, name: String): Double = {
       val t = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.format("noop")
