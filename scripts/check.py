@@ -53,11 +53,11 @@ for name in sorted(os.listdir(out_dir)):
         fails.append((name, f"row count {len(m)} vs {len(r)}")); continue
     # the driver's hash is type-sensitive: an int64 column vs a DuckDB
     # HUGEINT (surfacing as float64) hash-differs even when values match
-    # numerically (this was r1's one red row) — flag dtype-kind mismatches
-    kind_bad = [c for c in m.columns
-                if m[c].dtype.kind != r[c].dtype.kind]
+    # numerically (this was r1's one red row) — require EXACT dtype match
+    # (int32 vs int64 is also a mismatch, not just kind-level)
+    kind_bad = [c for c in m.columns if m[c].dtype != r[c].dtype]
     if kind_bad:
-        fails.append((name, "dtype kind mismatch: " + ", ".join(
+        fails.append((name, "dtype mismatch: " + ", ".join(
             f"{c}: {m[c].dtype} vs {r[c].dtype}" for c in kind_bad)))
         continue
     try:

@@ -208,24 +208,29 @@ object Qa {
     val dates = datesByType.filter(routed.contains)
     val categorical = cols.filterNot(c => numeric.contains(c) || dates.contains(c))
 
+    val top8 = if (categorical.nonEmpty)
+      Some(categoricalTop8(df, timeVar, categorical)) else None
     val results = Seq(
       "missing_data" -> Some(missingness(df, timeVar, cols)),
       "vals_continuous" -> (if (numeric.nonEmpty)
         Some(continuous(df, timeVar, numeric)) else None),
       "vals_date" -> (if (dates.nonEmpty)
         Some(this.dates(df, timeVar, dates)) else None),
-      "vals_categorical" -> (if (categorical.nonEmpty)
-        Some(categoricalTop8(df, timeVar, categorical)) else None),
+      "vals_categorical" -> top8,
       "comparisons" -> (if (numeric.nonEmpty)
         Some(comparePeriodsFull(continuous(df, timeVar, numeric), timeVar,
           relThreshold)) else None),
       "missing_changes" -> Some(missingnessChange(
         missingness(df, timeVar, cols), timeVar, absThreshold)),
-      // change flags over the top-8 frame: the dense grid stays bounded
-      // at (topN+2) × periods rows per column
-      "categorical_changes" -> (if (categorical.nonEmpty)
-        Some(categoricalChange(categoricalTop8(df, timeVar, categorical),
-          timeVar, absThreshold)) else None)
+      // change flags over the SAME top-8 frame exported as
+      // vals_categorical — exactly the reference's flow
+      // (etl_qa_run_pipeline.R:761 keep_top_8 output feeds
+      // etl_qa_final_results' abs_proportion_change). A value moving
+      // across the top-8 boundary flags as a change in both systems
+      // (it shifts mass to/from 'Other values'); the grid stays bounded
+      // at (topN+2) × periods rows per column.
+      "categorical_changes" -> top8.map(t =>
+        categoricalChange(t, timeVar, absThreshold))
     ).collect { case (k, Some(v)) => k -> v }.toMap
 
     outDir.foreach { dir =>

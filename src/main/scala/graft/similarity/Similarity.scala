@@ -161,14 +161,6 @@ object Similarity {
     rankTopK(scored, "probe_id", k)
   }
 
-  /** DuckDB oracle for [[annTopK]]: the full multi-table hyperplane-LSH
-    * pipeline in SQL, with the ±1 plane matrix embedded as literals
-    * (the planes are driver-computed constants, so the oracle replays
-    * them exactly). Projections accumulate in index order in both
-    * engines (`list_dot_product` vs the fused loop), so bucket ids are
-    * bit-identical and the candidate sets match. Zero-norm cosine guard
-    * mirrored from the native expression.
-    */
   /** Shared DuckDB CTE fragment: every (vector, table, bucket) row of the
     * multi-table hyperplane LSH, with the driver-computed ±1 plane matrix
     * embedded as SQL literals. Expects a CTE `e($idCol, $vecCol)`.
@@ -196,6 +188,14 @@ object Similarity {
                 (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))
               END, 4)"""
 
+  /** DuckDB oracle for [[annTopK]]: the full multi-table hyperplane-LSH
+    * pipeline in SQL, with the ±1 plane matrix embedded as literals
+    * (the planes are driver-computed constants, so the oracle replays
+    * them exactly). Projections accumulate in index order in both
+    * engines (`list_dot_product` vs the fused loop), so bucket ids are
+    * bit-identical and the candidate sets match. Zero-norm cosine guard
+    * mirrored from the native expression.
+    */
   def annTopKDuckdbSql(probeIds: Seq[Long], k: Int, nBits: Int = 6,
                        nTables: Int = 8, dim: Int = 64,
                        table: String = "embeddings", idCol: String = "vec_id",
@@ -288,12 +288,7 @@ object Similarity {
            ORDER BY l2, cluster) <= $nprobe),
        s AS (
          SELECT pc.probe_id, a.cand_id,
-                round(CASE WHEN list_dot_product(pe.$vecCol, pe.$vecCol) = 0
-                             OR list_dot_product(ce.$vecCol, ce.$vecCol) = 0 THEN 0.0
-                      ELSE list_dot_product(pe.$vecCol, ce.$vecCol) /
-                        (sqrt(list_dot_product(pe.$vecCol, pe.$vecCol))
-                         * sqrt(list_dot_product(ce.$vecCol, ce.$vecCol)))
-                      END, 4) AS cosine
+                ${duckdbCosine(s"pe.$vecCol", s"ce.$vecCol")} AS cosine
          FROM pc
          JOIN assign a USING (cluster)
          JOIN e pe ON pc.probe_id = pe.$idCol
