@@ -1,0 +1,65 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Generic temporal join operators — the reusable library surface behind
+  * `Queries.asofJoin` / `Queries.intervalJoin` (which bind them to the
+  * events table for the oracle gate).
+  *
+  * Both avoid the planner's range-join trap: a raw inequality predicate
+  * plans BroadcastNestedLoopJoin (O(n·m)); these stay equi-join/window
+  * shaped — one shuffle on the key (as-of) or the time bin (interval).
+  */
+object Joins {
+
+  /** As-of join: every probe row annotated with the build side's most
+    * recent values at-or-before the probe's `ts`, per `key`.
+    *
+    * Union + carry-forward window: ONE shuffle on the key, running
+    * `last(..., ignoreNulls)` in (ts, build-first) order — build rows at
+    * the exact probe timestamp are visible (DuckDB ASOF `>=` semantics).
+    * Output: all probe columns + `<prefix><ts>` (matched build
+    * timestamp, NULL when no build row precedes) + `<prefix><c>` for
+    * each requested build column. `buildCols` must not collide with
+    * probe column names (they share the union schema).
+    */
+  def asof(probe: DataFrame, build: DataFrame, key: String, ts: String,
+           buildCols: Seq[String] = Nil, prefix: String = "asof_"): DataFrame = {
+    val clash = buildCols.filter(probe.columns.contains)
+    require(clash.isEmpty, s"asof: buildCols collide with probe columns: $clash")
+    val pb = probe.withColumn("__side", lit(1))
+    val bd = build.select((key +: ts +: buildCols).distinct.map(col): _*)
+      .withColumn("__side", lit(0))
+    val unioned = pb.unionByName(bd, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def carried(c: String): Column =
+      last(when(col("__side") === 0, col(c)), ignoreNulls = true).over(w)
+    val withCarry = (ts +: buildCols).foldLeft(unioned) { (d, c) =>
+      d.withColumn(prefix + c, carried(c))
+    }
+    withCarry.filter(col("__side") === 1)
+      .drop("__side").drop(buildCols: _*)
+  }
+
+  /** Interval join: all (left, right) pairs with
+    * |left.`lTs` − right.`rTs`| ≤ `windowMs` (and equal `keyCols`, if
+    * given). Timestamps are integer epoch-ms columns. Bin-explode on the
+    * left, equi-join on (bin ++ keys), exact filter — each qualifying
+    * pair matches exactly one candidate bin, so no dedup; cost is
+    * O(n + output), never a nested loop.
+    */
+  def interval(left: DataFrame, right: DataFrame, lTs: String, rTs: String,
+               windowMs: Long, keyCols: Seq[String] = Nil): DataFrame = {
+    val lBin = expr(s"$lTs div $windowMs")
+    val rBin = expr(s"$rTs div $windowMs")
+    val l = left.withColumn("__bin",
+      explode(array((-1 to 1).map(d => lBin + d): _*)))
+    val r = right.withColumn("__bin", rBin)
+    l.join(r, Seq("__bin") ++ keyCols)
+      .filter(abs(col(rTs) - col(lTs)) <= windowMs)
+      .drop("__bin")
+  }
+}

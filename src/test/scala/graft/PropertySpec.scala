@@ -64,6 +64,40 @@ class PropertySpec extends SparkSpec {
     assert(viaWindow.nonEmpty)
   }
 
+  test("generic Joins.asof reproduces the events as-of query") {
+    import graft.analytics.{Joins, Queries}
+    val e = Tables(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("unix_micros(ts) div 1000").as("ms"))
+    val probe = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ms"))
+    val build = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ms"))
+    val generic = Joins.asof(probe, build, "user_id", "ms")
+      .filter(col("asof_ms").isNotNull)
+      .select(col("event_id"), (col("ms") - col("asof_ms")).as("gap"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val reference = Queries.asofJoin(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(generic == reference)
+  }
+
+  test("generic Joins.interval reproduces the events interval query") {
+    import graft.analytics.{Joins, Queries}
+    val e = Tables(spark, sfDir, "events")
+      .select(col("event_id"), expr("unix_micros(ts) div 1000").as("ms"))
+    val generic = Joins.interval(
+        e.select(col("event_id").as("id_a"), col("ms").as("ms_a")),
+        e.select(col("event_id").as("id_b"), col("ms").as("ms_b")),
+        "ms_a", "ms_b", 60000L)
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy("id_a").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val reference = Queries.intervalJoin(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(generic == reference)
+  }
+
   test("saltedSum equals plain aggregation for any data") {
     forAll(rowsGen) { rows =>
       whenever(rows.nonEmpty) {
