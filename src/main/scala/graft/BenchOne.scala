@@ -1,0 +1,43 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Diagnostic: time individual SparkEntry queries cold, N repetitions
+  * each, cache cleared between runs. Usage:
+  *   runMain graft.BenchOne <sfDir> <reps> <query> [query ...]
+  * Prints per-rep wall times so cache effects / variance are visible —
+  * the per-query companion to [[Bench]]'s one-number-per-query sweep.
+  */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val reps = args(1).toInt
+    val names = args.drop(2).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .withExtensions(graft.functions.GraftFunctions.register)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // same JIT/codegen warmup as Bench
+    names.foreach { n =>
+      try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").write
+        .format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
+    names.foreach { name =>
+      val times = (1 to reps).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, sfDir).write
+          .format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[benchone] $name%-24s ${times.map(t => f"$t%.2f").mkString(" ")}")
+    }
+    spark.stop()
+  }
+}

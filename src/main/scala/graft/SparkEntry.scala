@@ -99,6 +99,22 @@ object SparkEntry {
       Etl.tableDiff(a, b)
     },
 
+    "etl_upsert" -> { (s, dir) =>
+      // load_table_from_sql replace-slice semantics: updates (here: a
+      // repriced slice of orders) replace target rows with the same key
+      val o = Tables(s, dir, "orders")
+      val target = o.select(col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"), lit("base").as("src"))
+      // +1000.0, not round(×1.1, 2): a single IEEE add is bit-identical
+      // cross-engine; rounding a derived double is not (SURVEY §8a)
+      val updates = o.filter(col("o_totalprice") > 150000)
+        .select(col("o_orderkey"), col("o_orderdate"),
+          (col("o_totalprice") + 1000.0).as("o_totalprice"),
+          lit("update").as("src"))
+      Etl.upsert(target, updates, Seq("o_orderkey"), Seq("o_orderdate"))
+        .withColumn("o_orderdate", col("o_orderdate").cast("date").cast("string"))
+    },
+
     "etl_dedup_keep_latest" -> { (s, dir) =>
       // sort-free max_by variant; spec-proven equal to the window version
       Etl.dedupKeepLatestByMax(
@@ -183,6 +199,15 @@ object SparkEntry {
       Qa.categoricalChange(Qa.categorical(e, "period", Seq("event_type")), "period")
     },
 
+    // the workbook bundle: every runPipeline family unioned into ONE
+    // long-format frame — gates the whole pipeline composition end-to-end
+    "qa_report" -> { (s, dir) =>
+      val e = Tables(s, dir, "events")
+        .withColumn("period", date_trunc("day", col("ts")).cast("date").cast("string"))
+      Qa.report(Qa.runPipeline(e, "period", Seq("event_type", "value", "props")),
+        "period")
+    },
+
     // ---- C. Analytics core ----
     "q1_agg" -> ((s, dir) => Queries.q1Agg(s, dir)),
     "q_join_star" -> ((s, dir) => Queries.starJoin(s, dir)),
@@ -198,6 +223,13 @@ object SparkEntry {
       .withColumn("window_start", col("window_start").cast("string"))),
     "q_interval_join" -> ((s, dir) => Queries.intervalJoin(s, dir)),
     "q_asof_join" -> ((s, dir) => Queries.asofJoin(s, dir)),
+    // session bounds gated as epoch-µs bigints: cross-engine timestamp
+    // STRING rendering of fractional seconds is not contract-stable,
+    // integer time is (SURVEY §8a integer-time rule)
+    "q_sessionize" -> ((s, dir) =>
+      graft.streaming.Streams.sessionizeBatch(Tables(s, dir, "events"), 30)
+        .withColumn("session_start", expr("unix_micros(session_start)"))
+        .withColumn("session_end", expr("unix_micros(session_end)"))),
 
     // ---- D. LLM-data-pipeline ----
     "dedup_exact_docs" -> ((s, dir) => Dedup.exact(Tables(s, dir, "documents"))),
@@ -283,6 +315,163 @@ object SparkEntry {
     s"CASE $cases ELSE 'und' END"
   }
 
+  // ---- reusable DuckDB oracle fragments (shared by the per-family QA
+  // gates and the qa_report composition — ONE source of truth per family)
+  private val qaMissingnessSql =
+    """WITH e AS (SELECT cast(cast(date_trunc('day', ts) as date) as varchar) AS period, *
+                    FROM events)
+         SELECT period, varname, n_missing,
+                round(n_missing / cast(n as double), 4) AS proportion
+         FROM (
+           SELECT period, 'event_type' AS varname,
+                  cast(sum(cast(event_type IS NULL as bigint)) as bigint) AS n_missing,
+                  count(*) AS n FROM e GROUP BY period
+           UNION ALL
+           SELECT period, 'value',
+                  cast(sum(cast(value IS NULL as bigint)) as bigint), count(*)
+           FROM e GROUP BY period
+           UNION ALL
+           SELECT period, 'props',
+                  cast(sum(cast(props IS NULL as bigint)) as bigint), count(*)
+           FROM e GROUP BY period)"""
+
+  private val qaContinuousSql =
+    """SELECT cast(cast(date_trunc('day', ts) as date) as varchar) AS period,
+                'value' AS varname,
+                round(avg(value), 4) AS mean,
+                round(quantile_cont(value, 0.5), 4) AS median,
+                round(cast(min(value) as double), 4) AS min,
+                round(cast(max(value) as double), 4) AS max
+         FROM events GROUP BY 1"""
+
+  private val qaComparePeriodsFullSql =
+    s"""WITH c AS ($qaContinuousSql),
+         l AS (
+           SELECT period, varname, mean, median,
+                  lag(mean) OVER (PARTITION BY varname ORDER BY period) AS prev_mean,
+                  lag(median) OVER (PARTITION BY varname ORDER BY period) AS prev_median
+           FROM c)
+         SELECT period, varname, mean, prev_mean,
+                round((mean / prev_mean - 1) * 100, 4) AS rel_change_mean,
+                cast(abs(round((mean / prev_mean - 1) * 100, 4)) > 2.0 as int)
+                  AS flag_mean,
+                median, prev_median,
+                round((median / prev_median - 1) * 100, 4) AS rel_change_median,
+                cast(abs(round((median / prev_median - 1) * 100, 4)) > 2.0 as int)
+                  AS flag_median
+         FROM l WHERE prev_mean IS NOT NULL"""
+
+  private val qaMissingnessChangeSql =
+    s"""WITH m AS ($qaMissingnessSql),
+         l AS (
+           SELECT period, varname, proportion,
+                  lag(proportion) OVER (PARTITION BY varname ORDER BY period)
+                    AS prev_proportion
+           FROM m)
+         SELECT period, varname, proportion, prev_proportion,
+                round((proportion - prev_proportion) * 100, 4) AS abs_change_pp,
+                cast(abs(round((proportion - prev_proportion) * 100, 4)) > 3.0 as int)
+                  AS flag_missing
+         FROM l WHERE prev_proportion IS NOT NULL"""
+
+  /** keep_top_8 over a long (period, varname, value) base — same shape as
+    * the qa_categorical_top8 oracle, parameterized on the base query. */
+  private def qaTop8Sql(baseSql: String): String =
+    s"""WITH base AS ($baseSql),
+         counted AS (
+           SELECT period, varname, value, count(*) AS n
+           FROM base GROUP BY 1, 2, 3),
+         ranked AS (
+           SELECT period, varname, value, n,
+                  dense_rank() OVER (PARTITION BY period, varname ORDER BY n DESC)
+                    AS rnk
+           FROM counted WHERE value IS NOT NULL
+           UNION ALL
+           SELECT period, varname, value, n, 0 AS rnk
+           FROM counted WHERE value IS NULL),
+         relab AS (
+           SELECT period, varname,
+                  CASE WHEN rnk <= 8 THEN value ELSE 'Other values' END AS value,
+                  n
+           FROM ranked),
+         re AS (
+           SELECT period, varname, value, cast(sum(n) as bigint) AS n
+           FROM relab GROUP BY 1, 2, 3)
+         SELECT period, varname, value, n,
+                round(n / cast(sum(n) OVER (PARTITION BY period, varname) as double), 4)
+                  AS proportion
+         FROM re"""
+
+  /** Dense-grid categorical change over an already-aggregated categorical
+    * long frame (same shape as the qa_categorical_change oracle). */
+  private def qaCategoricalChangeSql(catSql: String): String =
+    s"""WITH c AS ($catSql),
+         periods AS (SELECT DISTINCT period FROM c),
+         vals AS (SELECT DISTINCT varname, value FROM c),
+         dense AS (
+           SELECT g.period, g.varname, g.value,
+                  coalesce(c.n, 0) AS n,
+                  coalesce(c.proportion, 0.0) AS proportion
+           FROM (SELECT p.period, v.varname, v.value
+                 FROM periods p CROSS JOIN vals v) g
+           LEFT JOIN c ON g.period = c.period AND g.varname = c.varname
+             AND g.value IS NOT DISTINCT FROM c.value),
+         l AS (
+           SELECT period, varname, value, n, proportion,
+                  lag(proportion) OVER (PARTITION BY varname, value ORDER BY period)
+                    AS prev_proportion
+           FROM dense)
+         SELECT period, varname, value, n, proportion, prev_proportion,
+                round((proportion - prev_proportion) * 100, 4) AS abs_change_pp,
+                cast(abs(round((proportion - prev_proportion) * 100, 4)) > 3.0 as int)
+                  AS flag_categorical
+         FROM l WHERE prev_proportion IS NOT NULL"""
+
+  private val qaTop8EventsBaseSql =
+    """SELECT cast(cast(date_trunc('day', ts) as date) as varchar) AS period,
+                'event_type' AS varname, cast(event_type as varchar) AS value
+         FROM events
+         UNION ALL
+         SELECT cast(cast(date_trunc('day', ts) as date) as varchar) AS period,
+                'props' AS varname, cast(props as varchar) AS value
+         FROM events"""
+
+  /** The qa_report oracle: each family CTE unpivoted to the long report
+    * schema and unioned — mirrors Qa.report over Qa.runPipeline(events). */
+  private def qaReportSql: String = {
+    def statSelects(family: String, cte: String, hasValue: Boolean,
+                    numStats: Seq[String]): Seq[String] =
+      numStats.map { st =>
+        val valueCol = if (hasValue) "value" else "cast(NULL as varchar)"
+        s"""SELECT '$family' AS family, period, varname, $valueCol AS value,
+               '$st' AS stat, cast($st as double) AS val_num,
+               cast(NULL as varchar) AS val_str FROM $cte"""
+      }
+    val unions = (
+      statSelects("missing_data", "md", hasValue = false,
+        Seq("n_missing", "proportion")) ++
+      statSelects("vals_continuous", "vc", hasValue = false,
+        Seq("mean", "median", "min", "max")) ++
+      statSelects("vals_categorical", "t8", hasValue = true,
+        Seq("n", "proportion")) ++
+      statSelects("comparisons", "cmp", hasValue = false,
+        Seq("mean", "prev_mean", "rel_change_mean", "flag_mean",
+          "median", "prev_median", "rel_change_median", "flag_median")) ++
+      statSelects("missing_changes", "mc", hasValue = false,
+        Seq("proportion", "prev_proportion", "abs_change_pp", "flag_missing")) ++
+      statSelects("categorical_changes", "cc", hasValue = true,
+        Seq("n", "proportion", "prev_proportion", "abs_change_pp",
+          "flag_categorical"))
+    ).mkString("\n UNION ALL\n")
+    s"""WITH md AS ($qaMissingnessSql),
+         vc AS ($qaContinuousSql),
+         t8 AS (${qaTop8Sql(qaTop8EventsBaseSql)}),
+         cmp AS ($qaComparePeriodsFullSql),
+         mc AS ($qaMissingnessChangeSql),
+         cc AS (${qaCategoricalChangeSql("SELECT * FROM t8")})
+       $unions"""
+  }
+
   def oracleSql: Map[String, String] = Map(
     "etl_load_select" ->
       """SELECT cast(l_orderkey as bigint) AS l_orderkey,
@@ -339,6 +528,21 @@ object SparkEntry {
          SELECT o_orderkey, 'right_only' AS diff_side FROM b
          WHERE o_orderkey NOT IN (SELECT o_orderkey FROM a)""",
 
+    "etl_upsert" ->
+      """WITH t AS (
+           SELECT o_orderkey, o_orderdate, o_totalprice, 'base' AS src, 0 AS r
+           FROM orders),
+         u AS (
+           SELECT o_orderkey, o_orderdate, o_totalprice + 1000.0 AS o_totalprice,
+                  'update' AS src, 1 AS r
+           FROM orders WHERE o_totalprice > 150000),
+         m AS (SELECT * FROM t UNION ALL SELECT * FROM u)
+         SELECT o_orderkey, cast(cast(o_orderdate as date) as varchar) AS o_orderdate,
+                o_totalprice, src
+         FROM m
+         QUALIFY row_number() OVER (PARTITION BY o_orderkey
+           ORDER BY o_orderdate DESC, r DESC) = 1""",
+
     "etl_dedup_keep_latest" ->
       """SELECT l_orderkey, l_linenumber, cast(cast(l_shipdate as date) as varchar) AS l_shipdate,
                 l_quantity
@@ -346,32 +550,9 @@ object SparkEntry {
          QUALIFY row_number() OVER (PARTITION BY l_orderkey
            ORDER BY l_shipdate DESC, l_linenumber DESC, l_quantity DESC) = 1""",
 
-    "qa_missingness" ->
-      """WITH e AS (SELECT cast(cast(date_trunc('day', ts) as date) as varchar) AS period, *
-                    FROM events)
-         SELECT period, varname, n_missing,
-                round(n_missing / cast(n as double), 4) AS proportion
-         FROM (
-           SELECT period, 'event_type' AS varname,
-                  cast(sum(cast(event_type IS NULL as bigint)) as bigint) AS n_missing,
-                  count(*) AS n FROM e GROUP BY period
-           UNION ALL
-           SELECT period, 'value',
-                  cast(sum(cast(value IS NULL as bigint)) as bigint), count(*)
-           FROM e GROUP BY period
-           UNION ALL
-           SELECT period, 'props',
-                  cast(sum(cast(props IS NULL as bigint)) as bigint), count(*)
-           FROM e GROUP BY period)""",
+    "qa_missingness" -> qaMissingnessSql,
 
-    "qa_continuous" ->
-      """SELECT cast(cast(date_trunc('day', ts) as date) as varchar) AS period,
-                'value' AS varname,
-                round(avg(value), 4) AS mean,
-                round(quantile_cont(value, 0.5), 4) AS median,
-                round(cast(min(value) as double), 4) AS min,
-                round(cast(max(value) as double), 4) AS max
-         FROM events GROUP BY 1""",
+    "qa_continuous" -> qaContinuousSql,
 
     "qa_categorical" ->
       """WITH c AS (
@@ -421,55 +602,11 @@ object SparkEntry {
                   AS flag_mean
          FROM l WHERE prev_mean IS NOT NULL""",
 
-    "qa_compare_periods_full" ->
-      """WITH c AS (
-           SELECT cast(cast(date_trunc('day', ts) as date) as varchar) AS period,
-                  'value' AS varname, round(avg(value), 4) AS mean,
-                  round(quantile_cont(value, 0.5), 4) AS median
-           FROM events GROUP BY 1),
-         l AS (
-           SELECT period, varname, mean, median,
-                  lag(mean) OVER (PARTITION BY varname ORDER BY period) AS prev_mean,
-                  lag(median) OVER (PARTITION BY varname ORDER BY period) AS prev_median
-           FROM c)
-         SELECT period, varname, mean, prev_mean,
-                round((mean / prev_mean - 1) * 100, 4) AS rel_change_mean,
-                cast(abs(round((mean / prev_mean - 1) * 100, 4)) > 2.0 as int)
-                  AS flag_mean,
-                median, prev_median,
-                round((median / prev_median - 1) * 100, 4) AS rel_change_median,
-                cast(abs(round((median / prev_median - 1) * 100, 4)) > 2.0 as int)
-                  AS flag_median
-         FROM l WHERE prev_mean IS NOT NULL""",
+    "qa_compare_periods_full" -> qaComparePeriodsFullSql,
 
-    "qa_missingness_change" ->
-      """WITH e AS (SELECT cast(cast(date_trunc('day', ts) as date) as varchar) AS period, *
-                    FROM events),
-         m AS (
-           SELECT period, varname,
-                  round(n_missing / cast(n as double), 4) AS proportion
-           FROM (
-             SELECT period, 'event_type' AS varname,
-                    cast(sum(cast(event_type IS NULL as bigint)) as bigint) AS n_missing,
-                    count(*) AS n FROM e GROUP BY period
-             UNION ALL
-             SELECT period, 'value',
-                    cast(sum(cast(value IS NULL as bigint)) as bigint), count(*)
-             FROM e GROUP BY period
-             UNION ALL
-             SELECT period, 'props',
-                    cast(sum(cast(props IS NULL as bigint)) as bigint), count(*)
-             FROM e GROUP BY period)),
-         l AS (
-           SELECT period, varname, proportion,
-                  lag(proportion) OVER (PARTITION BY varname ORDER BY period)
-                    AS prev_proportion
-           FROM m)
-         SELECT period, varname, proportion, prev_proportion,
-                round((proportion - prev_proportion) * 100, 4) AS abs_change_pp,
-                cast(abs(round((proportion - prev_proportion) * 100, 4)) > 3.0 as int)
-                  AS flag_missing
-         FROM l WHERE prev_proportion IS NOT NULL""",
+    "qa_missingness_change" -> qaMissingnessChangeSql,
+
+    "qa_report" -> qaReportSql,
 
     "qa_categorical_change" ->
       """WITH c AS (
@@ -638,6 +775,27 @@ object SparkEntry {
            FROM events WHERE event_type = 'click')
          SELECT p.event_id, p.ms - c.cms AS ms_since_click
          FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ms >= c.cms""",
+
+    "q_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, cast(ts as timestamp) AS ts, value,
+                  epoch_us(cast(ts as timestamp)) // 1000 AS ms
+           FROM events),
+         l AS (
+           SELECT *, lag(ms) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ms
+           FROM e),
+         s AS (
+           SELECT *, sum(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000
+                              THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM l)
+         SELECT user_id,
+                epoch_us(min(ts)) AS session_start,
+                epoch_us(max(ts)) AS session_end,
+                cast(count(*) as int) AS n_events,
+                round(sum(value), 4) AS sum_value
+         FROM s GROUP BY user_id, session_id""",
 
     "dedup_exact_docs" ->
       """WITH h AS (SELECT doc_id, md5(text) AS text_hash FROM documents),

@@ -237,8 +237,58 @@ object Qa {
       results.foreach { case (name, frame) =>
         frame.write.mode("overwrite").parquet(s"$dir/$name")
       }
+      // the workbook equivalent: every family unioned into one long frame
+      report(results, timeVar).write.mode("overwrite").parquet(s"$dir/qa_report")
     }
     results
+  }
+
+  /** (family → numeric stat cols, string stat cols, has a `value` column).
+    * The per-family projection [[report]] flattens into the long schema.
+    */
+  private val reportStats: Seq[(String, Seq[String], Seq[String], Boolean)] = Seq(
+    ("missing_data", Seq("n_missing", "proportion"), Nil, false),
+    ("vals_continuous", Seq("mean", "median", "min", "max"), Nil, false),
+    ("vals_date", Seq("median_epoch_ms"), Seq("min_val", "max_val"), false),
+    ("vals_categorical", Seq("n", "proportion"), Nil, true),
+    ("comparisons", Seq("mean", "prev_mean", "rel_change_mean", "flag_mean",
+      "median", "prev_median", "rel_change_median", "flag_median"), Nil, false),
+    ("missing_changes", Seq("proportion", "prev_proportion", "abs_change_pp",
+      "flag_missing"), Nil, false),
+    ("categorical_changes", Seq("n", "proportion", "prev_proportion",
+      "abs_change_pp", "flag_categorical"), Nil, true))
+
+  /** One unioned long-format report over every [[runPipeline]] family —
+    * the Spark-native equivalent of the reference's single xlsx workbook
+    * (etl_qa_run_pipeline.R:1772-1783: one sheet per stat family; here one
+    * `family` tag per section). Schema:
+    * `(family, period, varname, value, stat, val_num, val_str)` — numeric
+    * stats land in `val_num`, date renderings in `val_str`; `value` is
+    * non-null only for the categorical families.
+    *
+    * Each family is ONE projection + explode over its (already aggregated,
+    * bounded) stats frame — no extra shuffle; the union is metadata-only.
+    */
+  def report(pipeline: Map[String, DataFrame], timeVar: String): DataFrame = {
+    val frames = reportStats.flatMap { case (family, numStats, strStats, hasValue) =>
+      pipeline.get(family).map { df =>
+        val kvs = numStats.map(s => struct(lit(s).as("stat"),
+            col(s).cast("double").as("val_num"),
+            lit(null).cast("string").as("val_str"))) ++
+          strStats.map(s => struct(lit(s).as("stat"),
+            lit(null).cast("double").as("val_num"),
+            col(s).cast("string").as("val_str")))
+        df.select(lit(family).as("family"),
+            col(timeVar).cast("string").as("period"),
+            col("varname"),
+            (if (hasValue) col("value") else lit(null).cast("string")).as("value"),
+            explode(array(kvs: _*)).as("kv"))
+          .select(col("family"), col("period"), col("varname"), col("value"),
+            col("kv.stat").as("stat"), col("kv.val_num").as("val_num"),
+            col("kv.val_str").as("val_str"))
+      }
+    }
+    frames.reduce(_.unionByName(_))
   }
 
   /** Period-over-period change detection on the continuous stats: relative

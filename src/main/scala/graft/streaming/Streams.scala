@@ -224,11 +224,13 @@ object Streams {
     import org.apache.spark.sql.expressions.Window
     val gapMs = gapMinutes * 60L * 1000L
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    // integer `div`, NOT double math: cast-to-double loses µs precision
+    // for epochs beyond 2^51 (same bug class as Tables.scala's ns reader)
     events
-      .withColumn("__prev_ms", lag(expr("cast(ts as double) * 1000"), 1).over(byUser))
+      .withColumn("__prev_ms", lag(expr("unix_micros(ts) div 1000"), 1).over(byUser))
       .withColumn("__new_session",
         when(col("__prev_ms").isNull ||
-          expr("cast(ts as double) * 1000") - col("__prev_ms") > gapMs, 1)
+          expr("unix_micros(ts) div 1000") - col("__prev_ms") > gapMs, 1)
           .otherwise(0))
       .withColumn("__session_id", sum(col("__new_session")).over(byUser))
       .groupBy(col("user_id"), col("__session_id"))
