@@ -189,20 +189,40 @@ object Qa {
     // distinct_threshold routing (reference: etl_qa_run_pipeline.R:68-71,
     // :708, :742): numeric/date columns with fewer distinct values than
     // the threshold are low-cardinality codes — treat as categorical, gate
-    // min/mean/median/max on passing the threshold. EXACT counts: the
-    // routing decision sits right at the threshold, where a sketch's
-    // relative error (Spark HLL++ default rsd 5%) would misroute a
-    // column by ±1. Capped count_distinct would bound cost further, but
-    // one exact pass per pipeline invocation is the correct trade.
+    // min/mean/median/max on passing the threshold.
+    //
+    // Two-phase at scale: approx_count_distinct (HLL++, rsd 5%) routes
+    // every column whose sketch estimate sits clearly outside the
+    // threshold's error band; ONLY columns inside the band get the exact
+    // countDistinct pass (the sketch could misroute them by ±1 right at
+    // the boundary — the routing decision must be exact there). On a
+    // 100 TB table the common case is one cheap sketch pass, no exact
+    // pass; the result is IDENTICAL to exact-only routing in all cases.
     val routed: Set[String] =
       if (distinctThreshold <= 1 || (numericByType ++ datesByType).isEmpty)
         (numericByType ++ datesByType).toSet
       else {
         val candidates = numericByType ++ datesByType
-        val aggs = candidates.map(c => countDistinct(col(c)).as(c))
-        val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-        candidates.filter(c =>
-          row.getAs[Long](row.fieldIndex(c)) >= distinctThreshold).toSet
+        val rsd = 0.05
+        // 4·rsd band: P(|est/true - 1| > 4·rsd) is negligible for HLL++
+        val (lo, hi) = (distinctThreshold * (1 - 4 * rsd),
+          distinctThreshold * (1 + 4 * rsd))
+        val approxAggs = candidates.map(c =>
+          approx_count_distinct(col(c), rsd).as(c))
+        val approxRow = df.agg(approxAggs.head, approxAggs.tail: _*).collect()(0)
+        val est = candidates.map(c =>
+          c -> approxRow.getAs[Long](approxRow.fieldIndex(c))).toMap
+        val certain = candidates.filter(c => est(c) >= hi)
+        val uncertain = candidates.filter(c => est(c) >= lo && est(c) < hi)
+        val exactAbove: Seq[String] =
+          if (uncertain.isEmpty) Nil
+          else {
+            val aggs = uncertain.map(c => countDistinct(col(c)).as(c))
+            val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+            uncertain.filter(c =>
+              row.getAs[Long](row.fieldIndex(c)) >= distinctThreshold)
+          }
+        (certain ++ exactAbove).toSet
       }
     val numeric = numericByType.filter(routed.contains)
     val dates = datesByType.filter(routed.contains)
