@@ -48,7 +48,8 @@ object ScaleCheck {
       "text_ngram_freq", "qa_categorical_top8", "dedup_exact_normalized",
       "text_pii_scrub", "q_asof_join", "dedup_corpus_clean",
       "sample_stratified", "split_assign", "sim_near_dup",
-      "sim_ann_ivf_seeded")
+      "sim_ann_ivf_seeded", "dedup_cc_clusters", "text_repetition",
+      "text_bm25", "qa_report")
     // NOT replicated-scale-checked: q_interval_join — replication keeps
     // the SAME time range, so event density (and pair output) grows
     // quadratically by construction; that measures the replication

@@ -256,6 +256,17 @@ object SparkEntry {
       MinHashSpec.candidatePairs(Tables(s, dir, "documents"))),
     "dedup_lsh_jaccard" -> ((s, dir) =>
       Dedup.jaccardOnCandidates(Tables(s, dir, "documents"), threshold = 0.5)),
+    // pairs → clusters: transitive closure of the verified near-dup pairs,
+    // every doc labeled with its cluster's min id (singletons label
+    // themselves)
+    "dedup_cc_clusters" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val pairs = Dedup.jaccardOnCandidates(docs, threshold = 0.5)
+      val cc = Dedup.connectedComponents(pairs)
+      docs.join(cc, docs("doc_id") === cc("id"), "left")
+        .select(docs("doc_id"),
+          coalesce(cc("cluster"), docs("doc_id")).as("cluster"))
+    }),
     "dedup_simhash" -> ((s, dir) =>
       SimHash.fingerprints(Tables(s, dir, "documents"))),
     "sim_cosine_topk" -> ((s, dir) =>
@@ -289,6 +300,10 @@ object SparkEntry {
         .select("doc_id", "n_fingerprints", "min_fingerprint")),
     "text_ngram_freq" -> ((s, dir) =>
       Text.ngramFreq(Tables(s, dir, "documents"))),
+    "text_repetition" -> ((s, dir) =>
+      Text.repetition(Tables(s, dir, "documents"))),
+    "text_bm25" -> ((s, dir) =>
+      Text.bm25(Tables(s, dir, "documents"), bm25Terms)),
     "mm_binary_meta" -> ((s, dir) =>
       Multimodal.pipeline(s, Tables(s, dir, "documents"))),
     // metadata layer of the multimodal pipeline (no decode) — the part
@@ -298,6 +313,9 @@ object SparkEntry {
         .select("doc_id", "mime", "payload_len")))
 
   private def probeList: String = (0 until 10).mkString(", ")
+
+  // BM25 query vocabulary — shared by the Spark query and its oracle.
+  private val bm25Terms = Seq("spark", "window", "merge", "customer")
 
   private val stopList: String =
     Text.langMarkers.flatMap(_._2).distinct.sorted.map(w => s"'$w'").mkString(", ")
@@ -872,6 +890,32 @@ object SparkEntry {
     "dedup_simhash" -> SimHash.duckdbSql(),
     "text_fingerprint" -> Text.fingerprintSql(),
     "text_ngram_freq" -> Text.ngramFreqSql(),
+    "text_repetition" -> Text.repetitionSql(),
+    "text_bm25" -> Text.bm25Sql(bm25Terms),
+
+    // connected components as a recursive CTE: walk(id, lbl) enumerates
+    // every (node, reachable-label) pair over the undirected pair edges
+    // (UNION dedups states, so the recursion terminates); min(lbl) per id
+    // is the component minimum — exactly what the Spark label propagation
+    // converges to
+    "dedup_cc_clusters" ->
+      s"""WITH RECURSIVE pairs AS (
+           ${MinHashSpec.duckdbJaccardSql()}
+         ),
+         edges AS (
+           SELECT doc_a AS src, doc_b AS dst FROM pairs
+           UNION ALL
+           SELECT doc_b AS src, doc_a AS dst FROM pairs
+         ),
+         walk AS (
+           SELECT DISTINCT src AS id, src AS lbl FROM edges
+           UNION
+           SELECT e.dst AS id, w.lbl AS lbl
+           FROM walk w JOIN edges e ON e.src = w.id
+         ),
+         cc AS (SELECT id, min(lbl) AS cluster FROM walk GROUP BY 1)
+         SELECT d.doc_id, coalesce(cc.cluster, d.doc_id) AS cluster
+         FROM documents d LEFT JOIN cc ON d.doc_id = cc.id""",
 
     "sim_cosine_topk" ->
       s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pv

@@ -138,6 +138,61 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
+
+  /** Connected components over an undirected duplicate-pair list: every
+    * node gets the MINIMUM id reachable through any chain of pairs — the
+    * canonical representative of its duplicate cluster. This is what turns
+    * verified near-dup PAIRS into CLUSTERS when the keep policy needs a
+    * canonical doc per group (pair-drop alone is enough only for
+    * remove-all-but-min policies on cliques; chains A~B~C with no A~C pair
+    * need the transitive closure).
+    *
+    * Distributed min-label propagation with pointer jumping: each round
+    * (1) pulls the min label across edges, (2) shortcuts lbl := lbl(lbl),
+    * so label information travels 2^r hops after r rounds — O(log
+    * diameter) rounds for chain-shaped clusters, not O(diameter). State is
+    * one (id, lbl) row per node; each round is two shuffled joins.
+    * `localCheckpoint` truncates lineage between rounds (iterative
+    * DataFrame algorithms otherwise compound the plan exponentially), and
+    * doubles as the materialization the convergence count needs anyway.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
+                          bCol: String = "doc_b",
+                          maxRounds: Int = 50): DataFrame = {
+    // Materialize the (possibly expensive — e.g. an LSH propose-verify
+    // pipeline) pair frame ONCE before mirroring it: union'ing two selects
+    // of the raw frame would compute the upstream pipeline twice.
+    val p = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .localCheckpoint()
+    val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint()
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      // (1) min label over incoming neighbors
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(min(col("lbl")).as("nmin"))
+      val pulled = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+      // (2) pointer jump: follow one indirection — lbl(v) := lbl(lbl(v)).
+      // Every label IS a node id (labels only ever take node-id values),
+      // so the inner join always finds its target.
+      val jumped = pulled.as("p")
+        .join(pulled.select(col("id").as("lbl"), col("lbl").as("lbl2")).as("t"),
+          Seq("lbl"))
+        .select(col("id"), col("lbl2").as("lbl"))
+      val next = jumped.localCheckpoint()
+      changed = next.as("n")
+        .join(labels.select(col("id"), col("lbl").as("old")), Seq("id"))
+        .filter(col("lbl") =!= col("old")).count()
+      labels = next
+      round += 1
+    }
+    labels.select(col("id"), col("lbl").as("cluster"))
+  }
 }
 
 /** MinHash + LSH specification shared by the Spark implementation and the

@@ -33,3 +33,29 @@ final class CollectingNotifier extends NotifySink {
   def notify(msgName: String, vars: Map[String, String]): Unit =
     sent += (msgName -> vars)
 }
+
+/** Credential surface modeled from the reference's keyring/connection
+  * helpers (R/apde_keyring.R:19-53 keyring_set/get, R/create_db_connection.R
+  * — named credentials resolved at connection time). Spark deployments get
+  * credentials from cluster config / env / secret managers, not the engine,
+  * so graft only defines the lookup contract: pipelines ask a provider by
+  * key, deployments decide where secrets live. No storage is implemented
+  * here on purpose — an engine persisting secrets would be a liability,
+  * not a feature.
+  */
+trait CredentialProvider {
+  def credential(key: String): Option[String]
+}
+
+/** Default provider: environment variables (the common Spark deployment
+  * shape — secrets injected by the scheduler/secret manager).
+  */
+object EnvCredentials extends CredentialProvider {
+  def credential(key: String): Option[String] = sys.env.get(key)
+}
+
+/** Test/static provider (the keyring_set analogue for fixtures). */
+final class StaticCredentials(entries: Map[String, String])
+    extends CredentialProvider {
+  def credential(key: String): Option[String] = entries.get(key)
+}

@@ -165,6 +165,100 @@ object Qa {
     re.withColumn("proportion", round(col("n") / sum(col("n")).over(w2), digits))
   }
 
+  /** The fused single-pass variant of [[missingness]] + [[continuous]] +
+    * [[dates]]: one wide aggregation over groupBy(timeVar) computing every
+    * stat of all three families, then three per-family projections of the
+    * SHARED aggregated frame. Each returned frame is value-identical to
+    * its standalone operator (spec-asserted); the point is plan shape —
+    * within one query (the qa_report union) every reference to these
+    * frames shares an identical aggregation subtree, so ReuseExchange
+    * scans and shuffles the source ONCE for all families instead of once
+    * per family. This is the 100 TB path: 1 scan, 1 shuffle of
+    * periods×stats, everything downstream is derivation on tiny frames.
+    */
+  private[graft] def fusedStats(df: DataFrame, timeVar: String,
+                                cols: Seq[String], numeric: Seq[String],
+                                dateCols: Seq[String], digits: Int = 4):
+      (DataFrame, Option[DataFrame], Option[DataFrame]) = {
+    val missAggs = cols.map(c =>
+      sum(when(col(c).isNull, 1).otherwise(0)).as(s"__m_$c")) :+
+      count(lit(1)).as("__n")
+    val contAggs = numeric.flatMap { c =>
+      Seq(avg(col(c)).as(s"__mean_$c"),
+        expr(s"percentile($c, 0.5)").as(s"__med_$c"),
+        min(col(c)).cast("double").as(s"__min_$c"),
+        max(col(c)).cast("double").as(s"__max_$c"))
+    }
+    val dateAggs = dateCols.flatMap { c =>
+      val ep = s"(cast(cast($c as timestamp) as double) * 1000)"
+      Seq(min(col(c)).cast("string").as(s"__dmin_$c"),
+        max(col(c)).cast("string").as(s"__dmax_$c"),
+        expr(s"cast(floor(percentile($ep, 0.5)) as bigint)").as(s"__dmed_$c"))
+    }
+    val aggs = missAggs ++ contAggs ++ dateAggs
+    val wide = df.groupBy(col(timeVar)).agg(aggs.head, aggs.tail: _*)
+    val missStack = cols.map(c => s"'$c', __m_$c").mkString(", ")
+    val miss = wide.select(col(timeVar),
+        expr(s"stack(${cols.size}, $missStack) as (varname, n_missing)"),
+        col("__n"))
+      .select(col(timeVar), col("varname"), col("n_missing"),
+        round(col("n_missing") / col("__n"), digits).as("proportion"))
+    val cont = if (numeric.isEmpty) None else {
+      val st = numeric.map(c =>
+        s"'$c', __mean_$c, __med_$c, __min_$c, __max_$c").mkString(", ")
+      Some(wide.select(col(timeVar),
+          expr(s"stack(${numeric.size}, $st) as (varname, mean, median, min, max)"))
+        .select(col(timeVar), col("varname"),
+          round(col("mean"), digits).as("mean"),
+          round(col("median"), digits).as("median"),
+          round(col("min"), digits).as("min"),
+          round(col("max"), digits).as("max")))
+    }
+    val dts = if (dateCols.isEmpty) None else {
+      val st = dateCols.map(c =>
+        s"'$c', __dmin_$c, __dmed_$c, __dmax_$c").mkString(", ")
+      Some(wide.select(col(timeVar),
+        expr(s"stack(${dateCols.size}, $st) as (varname, min_val, median_epoch_ms, max_val)")))
+    }
+    (miss, cont, dts)
+  }
+
+  /** The distinct-threshold routing decision: which candidate columns have
+    * at least `distinctThreshold` distinct values (and so stay numeric/date
+    * instead of being treated as low-cardinality categorical codes).
+    * `exactOnly = true` forces the single exact pass — the two paths return
+    * the SAME set in all cases (spec-asserted); the two-phase default just
+    * skips the exact pass for columns whose HLL++ estimate is clearly
+    * outside the threshold's error band.
+    */
+  private[graft] def routeDistinct(df: DataFrame, candidates: Seq[String],
+                                   distinctThreshold: Int,
+                                   exactOnly: Boolean = false): Set[String] = {
+    def exactAtLeast(cs: Seq[String]): Seq[String] =
+      if (cs.isEmpty) Nil
+      else {
+        val aggs = cs.map(c => countDistinct(col(c)).as(c))
+        val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+        cs.filter(c => row.getAs[Long](row.fieldIndex(c)) >= distinctThreshold)
+      }
+    if (distinctThreshold <= 1 || candidates.isEmpty) candidates.toSet
+    else if (exactOnly) exactAtLeast(candidates).toSet
+    else {
+      val rsd = 0.05
+      // 4·rsd band: P(|est/true - 1| > 4·rsd) is negligible for HLL++
+      val (lo, hi) = (distinctThreshold * (1 - 4 * rsd),
+        distinctThreshold * (1 + 4 * rsd))
+      val approxAggs = candidates.map(c =>
+        approx_count_distinct(col(c), rsd).as(c))
+      val approxRow = df.agg(approxAggs.head, approxAggs.tail: _*).collect()(0)
+      val est = candidates.map(c =>
+        c -> approxRow.getAs[Long](approxRow.fieldIndex(c))).toMap
+      val certain = candidates.filter(c => est(c) >= hi)
+      val uncertain = candidates.filter(c => est(c) >= lo && est(c) < hi)
+      (certain ++ exactAtLeast(uncertain)).toSet
+    }
+  }
+
   /** Full pipeline orchestration mirroring the reference's 4-step flow
     * (etl_qa_setup_config → initial → final → export,
     * R/etl_qa_run_pipeline.R:86-89): classify columns by type, run every
@@ -199,49 +293,32 @@ object Qa {
     // 100 TB table the common case is one cheap sketch pass, no exact
     // pass; the result is IDENTICAL to exact-only routing in all cases.
     val routed: Set[String] =
-      if (distinctThreshold <= 1 || (numericByType ++ datesByType).isEmpty)
-        (numericByType ++ datesByType).toSet
-      else {
-        val candidates = numericByType ++ datesByType
-        val rsd = 0.05
-        // 4·rsd band: P(|est/true - 1| > 4·rsd) is negligible for HLL++
-        val (lo, hi) = (distinctThreshold * (1 - 4 * rsd),
-          distinctThreshold * (1 + 4 * rsd))
-        val approxAggs = candidates.map(c =>
-          approx_count_distinct(col(c), rsd).as(c))
-        val approxRow = df.agg(approxAggs.head, approxAggs.tail: _*).collect()(0)
-        val est = candidates.map(c =>
-          c -> approxRow.getAs[Long](approxRow.fieldIndex(c))).toMap
-        val certain = candidates.filter(c => est(c) >= hi)
-        val uncertain = candidates.filter(c => est(c) >= lo && est(c) < hi)
-        val exactAbove: Seq[String] =
-          if (uncertain.isEmpty) Nil
-          else {
-            val aggs = uncertain.map(c => countDistinct(col(c)).as(c))
-            val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-            uncertain.filter(c =>
-              row.getAs[Long](row.fieldIndex(c)) >= distinctThreshold)
-          }
-        (certain ++ exactAbove).toSet
-      }
+      routeDistinct(df, numericByType ++ datesByType, distinctThreshold)
     val numeric = numericByType.filter(routed.contains)
     val dates = datesByType.filter(routed.contains)
     val categorical = cols.filterNot(c => numeric.contains(c) || dates.contains(c))
 
+    // ONE fused wide aggregation feeds missingness, continuous, and date
+    // stats: the three families groupBy the same key, so computing them as
+    // one agg gives every downstream family (and the qa_report union,
+    // which references these frames repeatedly) an IDENTICAL shared
+    // subtree — Spark's ReuseExchange then scans + shuffles the source
+    // once for all of them instead of once per family reference. Values
+    // are expression-for-expression those of the standalone
+    // missingness/continuous/dates operators (spec-asserted).
+    val (missFused, contFused, dateFused) =
+      fusedStats(df, timeVar, cols, numeric, dates)
     val top8 = if (categorical.nonEmpty)
       Some(categoricalTop8(df, timeVar, categorical)) else None
     val results = Seq(
-      "missing_data" -> Some(missingness(df, timeVar, cols)),
-      "vals_continuous" -> (if (numeric.nonEmpty)
-        Some(continuous(df, timeVar, numeric)) else None),
-      "vals_date" -> (if (dates.nonEmpty)
-        Some(this.dates(df, timeVar, dates)) else None),
+      "missing_data" -> Some(missFused),
+      "vals_continuous" -> contFused,
+      "vals_date" -> dateFused,
       "vals_categorical" -> top8,
-      "comparisons" -> (if (numeric.nonEmpty)
-        Some(comparePeriodsFull(continuous(df, timeVar, numeric), timeVar,
-          relThreshold)) else None),
+      "comparisons" -> contFused.map(c =>
+        comparePeriodsFull(c, timeVar, relThreshold)),
       "missing_changes" -> Some(missingnessChange(
-        missingness(df, timeVar, cols), timeVar, absThreshold)),
+        missFused, timeVar, absThreshold)),
       // change flags over the SAME top-8 frame exported as
       // vals_categorical — exactly the reference's flow
       // (etl_qa_run_pipeline.R:761 keep_top_8 output feeds

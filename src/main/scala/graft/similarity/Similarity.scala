@@ -1,6 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -146,16 +146,24 @@ object Similarity {
               digits: Int = 4): DataFrame = {
     val bucketed = lshBuckets(embeddings, nBits, nTables, dim, idCol, vecCol)
     val probes = bucketed.filter(col(idCol).isInCollection(probeIds))
-      .select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
-        col("table"), col("bucket"))
+      .select(col(idCol).as("probe_id"), col("table"), col("bucket"))
     val cands = bucketed.select(col(idCol).as("cand_id"),
-      col(vecCol).as("cand_vec"), col("table"), col("bucket"))
+      col("table"), col("bucket"))
+    // Dedup the (probe, candidate) pair space on IDS ONLY — vectors would
+    // otherwise ride the multi-table join and the dedup shuffle nTables
+    // times over. They are attached exactly once post-dedup: probe vectors
+    // via a broadcast (|probes| is small by contract), candidate vectors
+    // via one equi-join against the corpus.
     val pairs = cands.join(broadcast(probes), Seq("table", "bucket"))
       .filter(col("probe_id") =!= col("cand_id"))
-      .groupBy(col("probe_id"), col("cand_id"))
-      .agg(first(col("probe_vec")).as("probe_vec"),
-        first(col("cand_vec")).as("cand_vec"))
+      .select(col("probe_id"), col("cand_id")).distinct()
+    val probeVecs = embeddings.filter(col(idCol).isInCollection(probeIds))
+      .select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
+    val candVecs = embeddings
+      .select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"))
     val scored = pairs
+      .join(broadcast(probeVecs), Seq("probe_id"))
+      .join(candVecs, Seq("cand_id"))
       .withColumn("cosine",
         round(expr(cosineSql(embeddings, "probe_vec", "cand_vec")), digits))
     rankTopK(scored, "probe_id", k)
@@ -372,6 +380,30 @@ object Similarity {
     cents
   }
 
+  /** Persist a trained coarse quantizer: one row per centroid,
+    * (cluster id, centroid vector). The production IVF pattern is
+    * train once on a sample ([[ivfCentroids]]) → [[saveCentroids]] →
+    * every query job [[loadCentroids]] + `ivfTopK(centroids = Some(...))`
+    * — query jobs never re-train or re-scan the corpus for the quantizer.
+    */
+  def saveCentroids(spark: SparkSession, cents: Array[Array[Double]],
+                    path: String): Unit = {
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cluster", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Read back a quantizer written by [[saveCentroids]], in cluster order
+    * (cluster ids are the array index — order is part of the contract:
+    * `ivfTopK` bucket ids are positions in this matrix).
+    */
+  def loadCentroids(spark: SparkSession, path: String): Array[Array[Double]] =
+    spark.read.parquet(path)
+      .orderBy(col("cluster"))
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+
   /** ANN via IVF: vectors assigned to their nearest centroid's list;
     * probes search only the `nprobe` nearest lists. Candidate cost is
     * (nprobe/k) of the corpus per probe — the standard recall/latency
@@ -417,14 +449,18 @@ object Similarity {
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     digits: Int = 4): DataFrame = {
     val bucketed = lshBuckets(embeddings, nBits, nTables, dim, idCol, vecCol)
-    val a = bucketed.select(col("table"), col("bucket"),
-      col(idCol).as("id_a"), col(vecCol).as("vec_a"))
-    val b = bucketed.select(col("table"), col("bucket"),
-      col(idCol).as("id_b"), col(vecCol).as("vec_b"))
-    a.join(b, Seq("table", "bucket"))
+    // Ids-only through the bucket self-join and the pair dedup: carrying
+    // vectors here would shuffle every vector nTables× (once per table it
+    // collides in). Vectors are joined back exactly once per side on the
+    // deduped pair set — shuffle bytes ∝ corpus + pairs, not tables×pairs.
+    val a = bucketed.select(col("table"), col("bucket"), col(idCol).as("id_a"))
+    val b = bucketed.select(col("table"), col("bucket"), col(idCol).as("id_b"))
+    val pairs = a.join(b, Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(first(col("vec_a")).as("vec_a"), first(col("vec_b")).as("vec_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val vecsA = embeddings.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val vecsB = embeddings.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    pairs.join(vecsA, Seq("id_a")).join(vecsB, Seq("id_b"))
       .withColumn("cosine",
         round(expr(cosineSql(embeddings, "vec_a", "vec_b")), digits))
       .filter(col("cosine") >= threshold)

@@ -218,6 +218,188 @@ object Text {
     SELECT ngram, count(*) AS n_docs FROM grams
     GROUP BY ngram ORDER BY n_docs DESC, ngram LIMIT $topK"""
 
+  /** k-token shingles WITHOUT the distinct — repetition statistics need
+    * every occurrence (the dedup/MinHash ops use [[shingleExpr]]'s
+    * distinct variant).
+    */
+  def ngramAllExpr(toksCol: String, k: Int): String =
+    s"""transform(
+       sequence(1, greatest(size($toksCol) - ${k - 1}, 1)),
+       i -> concat_ws(' ', slice($toksCol, i, $k)))"""
+
+  /** DuckDB twin of [[ngramAllExpr]]. */
+  def ngramAllSql(textExpr: String, k: Int): String = {
+    val toks = s"string_split_regex(trim(lower($textExpr)), '$wsRe')"
+    s"""list_transform(
+       range(1, greatest(len($toks) - ${k - 1}, 1) + 1),
+       i -> array_to_string(($toks)[i:i+${k - 1}], ' '))"""
+  }
+
+  /** Gopher-style repetition statistics (Rae et al. 2021 §A1.1 quality
+    * filters, re-expressed relationally): per document, the fraction of
+    * token occurrences that are repeats, the share of the most frequent
+    * token and bigram, and duplicate-line stats. High values mark
+    * boilerplate/spam/degenerate text — the standard repetition screen a
+    * training-data pipeline runs alongside [[quality]].
+    *
+    * Shape at scale: line stats are pure expressions (scan speed); token
+    * and bigram stats are one explode + two groupBys each, keyed on
+    * (doc, term) then doc — cost linear in corpus token count, no
+    * per-row O(n²) lambdas. Only the max COUNT is kept per doc, so no
+    * tie-breaking is ever needed.
+    */
+  def repetition(df: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text", digits: Int = 4): DataFrame = {
+    val toks = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val tokStats = toks
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol)).agg(
+        sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        max(col("cnt")).as("top_cnt"))
+    val bigrams = df
+      .withColumn("__toks", tokens(col(textCol)))
+      .select(col(idCol), explode(expr(ngramAllExpr("__toks", 2))).as("bg"))
+    val bgStats = bigrams
+      .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol)).agg(
+        max(col("cnt")).as("top_bg_cnt"), sum(col("cnt")).as("n_bigrams"))
+    val lines = split(col(textCol), "\n")
+    df.select(col(idCol),
+        size(lines).as("n_lines"),
+        size(array_distinct(lines)).as("n_distinct_lines"))
+      .join(tokStats, Seq(idCol))
+      .join(bgStats, Seq(idCol))
+      .select(col(idCol),
+        col("n_tokens").cast("int").as("n_tokens"),
+        col("n_types").cast("int").as("n_types"),
+        round((col("n_tokens") - col("n_types")) / col("n_tokens"), digits)
+          .as("dup_token_frac"),
+        round(col("top_cnt") / col("n_tokens"), digits).as("top_token_frac"),
+        round(col("top_bg_cnt") / col("n_bigrams"), digits)
+          .as("top_bigram_frac"),
+        col("n_lines"),
+        round((col("n_lines") - col("n_distinct_lines")) / col("n_lines"),
+          digits).as("dup_line_frac"))
+  }
+
+  /** DuckDB oracle for [[repetition]]. */
+  def repetitionSql(table: String = "documents", idCol: String = "doc_id",
+                    textCol: String = "text"): String = {
+    val toks = s"string_split_regex(trim(lower($textCol)), '$wsRe')"
+    s"""WITH t AS (
+      SELECT $idCol, unnest($toks) AS tok FROM $table
+    ), tc AS (
+      SELECT $idCol, tok, count(*) AS cnt FROM t GROUP BY 1, 2
+    ), ts AS (
+      SELECT $idCol, cast(sum(cnt) as bigint) AS n_tokens,
+             count(*) AS n_types, max(cnt) AS top_cnt
+      FROM tc GROUP BY 1
+    ), bgl AS (
+      SELECT $idCol, unnest(${ngramAllSql(textCol, 2)}) AS bg FROM $table
+    ), bc AS (
+      SELECT $idCol, bg, count(*) AS cnt FROM bgl GROUP BY 1, 2
+    ), bs AS (
+      SELECT $idCol, max(cnt) AS top_bg_cnt,
+             cast(sum(cnt) as bigint) AS n_bigrams
+      FROM bc GROUP BY 1
+    ), ls AS (
+      SELECT $idCol,
+             len(string_split($textCol, chr(10))) AS n_lines,
+             len(list_distinct(string_split($textCol, chr(10)))) AS n_distinct_lines
+      FROM $table
+    )
+    SELECT ls.$idCol,
+           cast(ts.n_tokens as int) AS n_tokens,
+           cast(ts.n_types as int) AS n_types,
+           round((ts.n_tokens - ts.n_types) / cast(ts.n_tokens as double), 4)
+             AS dup_token_frac,
+           round(ts.top_cnt / cast(ts.n_tokens as double), 4) AS top_token_frac,
+           round(bs.top_bg_cnt / cast(bs.n_bigrams as double), 4)
+             AS top_bigram_frac,
+           cast(ls.n_lines as int) AS n_lines,
+           round((ls.n_lines - ls.n_distinct_lines)
+             / cast(ls.n_lines as double), 4) AS dup_line_frac
+    FROM ls JOIN ts ON ls.$idCol = ts.$idCol
+    JOIN bs ON ls.$idCol = bs.$idCol"""
+  }
+
+  /** BM25 keyword search (Robertson/Walker Okapi weighting): top-k
+    * documents for a bag of query terms. The relational decomposition of
+    * an inverted index: postings = one explode filtered to the query
+    * vocabulary BEFORE exploding (so the shuffle carries only matching
+    * terms, not the corpus), df/idf per term (tiny, broadcast), document
+    * lengths as a projection, corpus stats as a broadcast single-row
+    * aggregate — no driver-side collect anywhere. Ranking is a global
+    * top-k (`TakeOrderedAndProject`), never a full sort.
+    */
+  def bm25(df: DataFrame, queryTerms: Seq[String], idCol: String = "doc_id",
+           textCol: String = "text", k1: Double = 1.2, b: Double = 0.75,
+           topK: Int = 20, digits: Int = 4): DataFrame = {
+    val terms = queryTerms.distinct.sorted
+    val toks = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    val lens = toks.select(col(idCol), size(col("__toks")).as("dl"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+    val postings = toks
+      .select(col(idCol),
+        explode(expr(s"filter(__toks, t -> ${inList("t", terms)})")).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = postings
+      .join(broadcast(dfreq), Seq("term"))
+      .join(lens, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("w",
+        col("idf") * (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") /
+            (col("total_dl") / col("n_docs")))))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("w")), digits).as("score"),
+        count(lit(1)).cast("int").as("n_terms_hit"))
+    scored.orderBy(col("score").desc, col(idCol)).limit(topK)
+  }
+
+  /** DuckDB oracle for [[bm25]] — identical formula, identical
+    * tokenization, same round-then-rank ordering.
+    */
+  def bm25Sql(queryTerms: Seq[String], table: String = "documents",
+              idCol: String = "doc_id", textCol: String = "text",
+              k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): String = {
+    val terms = queryTerms.distinct.sorted
+    val toks = s"string_split_regex(trim(lower($textCol)), '$wsRe')"
+    val termList = terms.map(t => s"'$t'").mkString("(", ", ", ")")
+    s"""WITH toks AS (
+      SELECT $idCol, $toks AS tt FROM $table
+    ), lens AS (
+      SELECT $idCol, len(tt) AS dl FROM toks
+    ), stats AS (
+      SELECT count(*) AS n_docs, cast(sum(dl) as bigint) AS total_dl FROM lens
+    ), postings AS (
+      SELECT $idCol, term, count(*) AS tf FROM (
+        SELECT $idCol, unnest(list_filter(tt, t -> t IN $termList)) AS term
+        FROM toks) GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM postings GROUP BY 1
+    ), scored AS (
+      SELECT p.$idCol,
+        ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+          * (p.tf * ${k1 + 1}) /
+          (p.tf + $k1 * (${1 - b} + $b * l.dl /
+            (s.total_dl / cast(s.n_docs as double)))) AS w
+      FROM postings p
+      JOIN dfreq d ON p.term = d.term
+      JOIN lens l ON p.$idCol = l.$idCol
+      CROSS JOIN stats s
+    )
+    SELECT $idCol, round(sum(w), 4) AS score,
+           cast(count(*) as int) AS n_terms_hit
+    FROM scored GROUP BY $idCol
+    ORDER BY score DESC, $idCol LIMIT $topK"""
+  }
+
   /** DuckDB oracle for [[fingerprint]]: (doc_id, n_fingerprints,
     * min_fingerprint) over a documents table.
     */

@@ -148,4 +148,37 @@ class QaSpec extends SparkSpec {
     assert(out("vals_continuous").collect().map(_.getString(1)).toSet == Set("hi_card"))
     assert(out("vals_categorical").collect().map(_.getString(1)).toSet == Set("lo_card"))
   }
+
+  test("fusedStats frames equal the standalone missingness/continuous/dates operators") {
+    val e = Tables(spark, sfDir, "events")
+      .withColumn("period", date_trunc("day", col("ts")).cast("date").cast("string"))
+    val cols = Seq("event_type", "value", "props")
+    val (miss, cont, dts) = Qa.fusedStats(e, "period", cols ++ Seq("ts"),
+      Seq("value"), Seq("ts"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(miss) == rows(Qa.missingness(e, "period", cols ++ Seq("ts"))))
+    assert(rows(cont.get) == rows(Qa.continuous(e, "period", Seq("value"))))
+    assert(rows(dts.get) == rows(Qa.dates(e, "period", Seq("ts"))))
+  }
+
+  test("two-phase approx distinct routing equals the exact-only pass at the threshold boundary") {
+    // columns engineered to sit exactly at, just below, just above, and far
+    // from a distinct threshold of 10 — the exact-fallback band must make
+    // the two-phase path route IDENTICALLY to a single exact pass
+    val n = 200
+    val df = (0 until n).map { i =>
+      (i % 10,       // exactly at threshold
+       i % 9,        // just below
+       i % 11,       // just above
+       i % 2,        // far below
+       i)            // far above (200 distinct)
+    }.toDF("at", "below", "above", "far_lo", "far_hi")
+    val cols = Seq("at", "below", "above", "far_lo", "far_hi")
+    for (t <- Seq(2, 9, 10, 11, 100)) {
+      val twoPhase = Qa.routeDistinct(df, cols, t)
+      val exact = Qa.routeDistinct(df, cols, t, exactOnly = true)
+      assert(twoPhase == exact, s"threshold $t: $twoPhase != $exact")
+    }
+  }
 }

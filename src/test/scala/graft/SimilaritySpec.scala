@@ -150,6 +150,28 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.15, f"recall $recall")
   }
 
+  test("ivf centroids round-trip through parquet: persisted quantizer reproduces query-time training") {
+    val trained = Similarity.ivfCentroids(emb, k = 8, iters = 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val path = s"$dir/centroids"
+    Similarity.saveCentroids(spark, trained, path)
+    val loaded = Similarity.loadCentroids(spark, path)
+    // bit-exact round trip, cluster order preserved
+    assert(loaded.length == trained.length)
+    assert(loaded.zip(trained).forall { case (a, b) => a.sameElements(b) })
+    // and the search path with the persisted quantizer returns exactly the
+    // results of the train-at-query-time path (the train-once/reuse contract)
+    val probes = (0L until 5L)
+    val fresh = Similarity.ivfTopK(emb, probes, topK = 5, k = 8, iters = 3)
+      .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("cand_id"),
+        r.getAs[Double]("cosine"))).toSet
+    val reused = Similarity.ivfTopK(emb, probes, topK = 5, k = 8,
+      centroids = Some(loaded))
+      .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("cand_id"),
+        r.getAs[Double]("cosine"))).toSet
+    assert(fresh == reused)
+  }
+
   test("cosineNearDup returns only pairs above threshold, id_a < id_b") {
     val out = Similarity.cosineNearDup(emb, threshold = 0.9,
       nBits = 4, nTables = 4).collect()

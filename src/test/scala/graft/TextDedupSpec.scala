@@ -150,6 +150,58 @@ class TextDedupSpec extends SparkSpec {
     assert(viaLsh.size >= allPairs.size)
   }
 
+  test("connectedComponents labels chains transitively with the component min") {
+    // chain 1-2-3 (no direct 1-3 pair), clique 10-11-12, isolated pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (10L, 12L), (11L, 12L),
+      (20L, 21L)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster")).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connectedComponents converges in O(log diameter) rounds on a long chain") {
+    // a 64-node path: pure neighbor propagation needs 63 rounds; with
+    // pointer jumping the label reaches the far end in ~log2(64) rounds
+    val n = 64
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs, maxRounds = 10).collect()
+    assert(cc.length == n.toInt)
+    assert(cc.forall(_.getAs[Long]("cluster") == 0L))
+  }
+
+  test("repetition: dup/top fractions from a constructed doc") {
+    // tokens: a a a b  (4 tokens, 2 types, top token 'a' x3)
+    // bigrams: "a a","a a","a b" (3 bigrams, top "a a" x2)
+    val df = Seq((1L, "a a a b")).toDF("doc_id", "text")
+    val r = Text.repetition(df).collect().head
+    assert(r.getAs[Int]("n_tokens") == 4)
+    assert(r.getAs[Int]("n_types") == 2)
+    assert(r.getAs[Double]("dup_token_frac") == 0.5)
+    assert(r.getAs[Double]("top_token_frac") == 0.75)
+    assert(r.getAs[Double]("top_bigram_frac") == 0.6667)
+    assert(r.getAs[Int]("n_lines") == 1)
+    assert(r.getAs[Double]("dup_line_frac") == 0.0)
+  }
+
+  test("bm25: exact-match doc outranks partial; score favors rarer term") {
+    val df = Seq(
+      (1L, "spark merge spark merge"),   // both terms, high tf
+      (2L, "spark table scan row"),      // one common term
+      (3L, "merge batch"),               // one rarer term occurrence
+      (4L, "key value store"))           // no match
+      .toDF("doc_id", "text")
+    val out = Text.bm25(df, Seq("spark", "merge"), topK = 10).collect()
+    val byDoc = out.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    assert(!byDoc.contains(4L))                 // no-match doc absent
+    assert(byDoc(1L) > byDoc(2L) && byDoc(1L) > byDoc(3L))
+    assert(out.head.getAs[Long]("doc_id") == 1L) // ranked first
+    val hits = out.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Int]("n_terms_hit")).toMap
+    assert(hits(1L) == 2 && hits(2L) == 1 && hits(3L) == 1)
+  }
+
   test("simhash: identical docs get identical fingerprints; bands split bits") {
     val df = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "q r s t u"))
       .toDF("doc_id", "text")
