@@ -49,7 +49,7 @@ object ScaleCheck {
       "text_pii_scrub", "q_asof_join", "dedup_corpus_clean",
       "sample_stratified", "split_assign", "sim_near_dup",
       "sim_ann_ivf_seeded", "dedup_cc_clusters", "text_repetition",
-      "text_bm25", "qa_report")
+      "text_bm25", "qa_report", "text_corpus_filter", "emb_group_centroids")
     // NOT replicated-scale-checked: q_interval_join — replication keeps
     // the SAME time range, so event density (and pair output) grows
     // quadratically by construction; that measures the replication

@@ -304,6 +304,10 @@ object SparkEntry {
       Text.repetition(Tables(s, dir, "documents"))),
     "text_bm25" -> ((s, dir) =>
       Text.bm25(Tables(s, dir, "documents"), bm25Terms)),
+    "text_corpus_filter" -> ((s, dir) =>
+      Text.corpusFilter(Tables(s, dir, "documents"))),
+    "emb_group_centroids" -> ((s, dir) =>
+      Similarity.groupCentroids(Tables(s, dir, "embeddings"))),
     "mm_binary_meta" -> ((s, dir) =>
       Multimodal.pipeline(s, Tables(s, dir, "documents"))),
     // metadata layer of the multimodal pipeline (no decode) — the part
@@ -892,6 +896,45 @@ object SparkEntry {
     "text_ngram_freq" -> Text.ngramFreqSql(),
     "text_repetition" -> Text.repetitionSql(),
     "text_bm25" -> Text.bm25Sql(bm25Terms),
+    "emb_group_centroids" -> Similarity.groupCentroidsSql(),
+
+    "text_corpus_filter" ->
+      s"""WITH rep AS (${Text.repetitionSql()}),
+         pii AS (${Text.piiScrubSql()}),
+         lt AS (
+           SELECT doc_id, lang,
+                  string_split_regex(trim(lower(text)), '${Text.wsRe}') AS __toks,
+                  cast(len(string_split_regex(trim(lower(text)), '${Text.wsRe}')) as int) AS word_count
+           FROM documents),
+         lh AS (
+           SELECT doc_id, lang, word_count,
+      $langHitsSql
+           FROM lt),
+         lid AS (
+           SELECT doc_id, lang, word_count,
+                  $langPredSql AS pred_lang
+           FROM lh),
+         j AS (
+           SELECT lid.doc_id, lid.lang, lid.word_count, lid.pred_lang,
+                  pii.n_emails + pii.n_phones AS pii_n,
+                  rep.dup_token_frac, rep.top_token_frac
+           FROM lid
+           JOIN pii ON lid.doc_id = pii.doc_id
+           JOIN rep ON lid.doc_id = rep.doc_id)
+         SELECT doc_id,
+                CASE WHEN word_count < 20 THEN 'too_short'
+                     WHEN dup_token_frac > 0.6 THEN 'repetitive'
+                     WHEN top_token_frac > 0.12 THEN 'top_token'
+                     WHEN pii_n > 0 THEN 'pii'
+                     WHEN pred_lang <> lang THEN 'lang_mismatch'
+                     ELSE 'keep' END AS reason,
+                CASE WHEN word_count < 20 THEN 0
+                     WHEN dup_token_frac > 0.6 THEN 0
+                     WHEN top_token_frac > 0.12 THEN 0
+                     WHEN pii_n > 0 THEN 0
+                     WHEN pred_lang <> lang THEN 0
+                     ELSE 1 END AS keep
+         FROM j""",
 
     // connected components as a recursive CTE: walk(id, lbl) enumerates
     // every (node, reachable-label) pair over the undirected pair edges

@@ -441,6 +441,40 @@ object Similarity {
     rankTopK(scored, "probe_id", topK)
   }
 
+  /** Per-group embedding centroids (mean pooling): the elementwise mean
+    * vector of each group — class prototypes, query-free cluster seeds,
+    * pooled document representations. Emitted LONG (group, dim position,
+    * value) rather than as an array column: the relational shape
+    * aggregates with plain sum/count (map-side partial aggregation on
+    * (group, pos) — one shuffle, combiner-friendly) and is directly
+    * cross-engine comparable. Reassemble with collect_list over pos when
+    * an array is needed.
+    */
+  def groupCentroids(embeddings: DataFrame, groupCol: String = "label",
+                     vecCol: String = "embedding",
+                     digits: Int = 4): DataFrame =
+    embeddings
+      .select(col(groupCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col(groupCol), col("pos"))
+      .agg(round(avg(col("v").cast("double")), digits).as("centroid_val"),
+        count(lit(1)).cast("int").as("n_vectors"))
+
+  /** DuckDB oracle for [[groupCentroids]] (parallel unnests zip
+    * positionally; range is 0-based to match posexplode).
+    */
+  def groupCentroidsSql(table: String = "embeddings",
+                        groupCol: String = "label",
+                        vecCol: String = "embedding"): String =
+    s"""WITH x AS (
+        SELECT $groupCol,
+               unnest(range(0, len($vecCol))) AS pos,
+               unnest($vecCol) AS v
+        FROM $table)
+      SELECT $groupCol, cast(pos as int) AS pos,
+             round(avg(cast(v as double)), 4) AS centroid_val,
+             cast(count(*) as int) AS n_vectors
+      FROM x GROUP BY 1, 2"""
+
   /** Embedding-cosine near-dup pairs: all pairs above `threshold`,
     * multi-table-LSH-blocked so the pair space never materializes.
     */

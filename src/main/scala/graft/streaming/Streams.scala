@@ -108,6 +108,81 @@ object Streams {
       .dropDuplicatesWithinWatermark("__text_hash")
       .drop("__text_hash")
 
+  case class BandedDoc(band: Int, bsig: String, doc_id: Long, ts: Timestamp)
+  case class CandPair(doc_a: Long, doc_b: Long)
+
+  /** Streaming MinHash-LSH candidate generation — the streaming twin of
+    * `MinHashSpec.candidatePairs`. Signatures use the exact batch
+    * constants and hashes, computed as a PER-ROW expression (array_min
+    * over the shingle transform) instead of the batch explode+groupBy —
+    * same values, no stateful aggregation before the stateful operator.
+    * Each (band, band-signature) bucket keeps the doc ids seen within the
+    * `horizonMinutes` event-time window; every arriving doc emits a
+    * candidate pair against each doc retained in its bucket, so a
+    * near-dup is proposed as soon as its partner arrives. State per
+    * bucket is the docs seen within the horizon — the same bound the
+    * batch path's bucket join has per band, made explicit in time.
+    * A pair colliding in several bands is emitted once per band
+    * (different state partitions can't see each other); downstream
+    * verify/dedup collapses them, exactly as the batch composition does.
+    */
+  def lshCandidatesStream(docs: DataFrame,
+                          horizonMinutes: Int = 60): Dataset[CandPair] = {
+    import graft.dedup.MinHashSpec
+    import graft.text.Text
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val horizonMs = horizonMinutes * 60L * 1000L
+    val mh = (0 until MinHashSpec.K).map { i =>
+      expr(s"""array_min(transform(__shingles,
+           w -> ((${MinHashSpec.hpExpr(spark, "w")}) * ${MinHashSpec.a(i)}L
+                 + ${MinHashSpec.b(i)}L) % ${MinHashSpec.P}))""").as(s"mh_$i")
+    }
+    val sig = docs
+      .withColumn("__toks", Text.tokens(col("text")))
+      .withColumn("__shingles",
+        expr(Text.shingleExpr("__toks", MinHashSpec.SHINGLE_K)))
+      .select(col("doc_id") +: col("ts") +: mh: _*)
+    val bandSigs = (0 until MinHashSpec.BANDS).map { j =>
+      val cs = (j * MinHashSpec.ROWS until (j + 1) * MinHashSpec.ROWS)
+        .map(i => col(s"mh_$i"))
+      concat_ws("_", cs: _*)
+    }
+    sig
+      .select(col("doc_id"), col("ts"),
+        posexplode(array(bandSigs: _*)).as(Seq("band", "bsig")))
+      .withWatermark("ts", s"$horizonMinutes minutes")
+      .as[BandedDoc]
+      .groupByKey(b => (b.band, b.bsig))
+      .flatMapGroupsWithState[List[(Long, Long)], CandPair](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_, rows, state: GroupState[List[(Long, Long)]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val wm = state.getCurrentWatermarkMs()
+            // evict bucket members older than the horizon behind the
+            // watermark — the state bound on an unbounded corpus
+            val prev = state.getOption.getOrElse(Nil)
+              .filter(_._2 >= wm - horizonMs)
+            val arrived = rows.map(b => (b.doc_id, b.ts.getTime)).toList
+              .sortBy(identity)
+            val out = List.newBuilder[CandPair]
+            var seen = prev
+            arrived.foreach { case (id, t) =>
+              seen.foreach { case (pid, _) =>
+                if (pid != id)
+                  out += CandPair(math.min(pid, id), math.max(pid, id))
+              }
+              seen ::= (id, t)
+            }
+            state.update(seen)
+            state.setTimeoutTimestamp(
+              seen.map(_._2).max + horizonMs)
+            out.result().distinct.iterator
+          }
+      }
+  }
+
   /** Exactly-once parquet sink for foreachBatch: each micro-batch lands
     * in its own `batch_id=N` partition directory with dynamic overwrite,
     * so a replayed batch (post-failure restart) overwrites its own

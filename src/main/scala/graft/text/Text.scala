@@ -400,6 +400,37 @@ object Text {
     ORDER BY score DESC, $idCol LIMIT $topK"""
   }
 
+  /** End-to-end quality filter cascade (the RefinedWeb/Gopher-style rule
+    * screen a corpus passes before training): short documents, repetitive
+    * documents, top-token-dominated documents, PII-bearing documents, and
+    * language-mismatched documents are dropped, with the FIRST failing
+    * rule recorded per document (the standard auditable-filter shape —
+    * drop reasons are a dataset, not a log line). All per-doc metrics
+    * except repetition are pure projections chained on one scan; the
+    * repetition stats join back on doc_id — one join, one scan of the
+    * corpus plus the repetition aggregation.
+    * Thresholds compare the ROUNDED published metrics, so the decision is
+    * reproducible from the gated per-metric outputs.
+    */
+  def corpusFilter(df: DataFrame, minWords: Int = 20,
+                   maxDupTokenFrac: Double = 0.6,
+                   maxTopTokenFrac: Double = 0.12,
+                   langCol: String = "lang"): DataFrame = {
+    val metrics = piiScrub(langId(df))
+      .withColumn("word_count", size(tokens(col("text"))))
+    val rep = repetition(df)
+      .select(col("doc_id"), col("dup_token_frac"), col("top_token_frac"))
+    metrics.join(rep, Seq("doc_id"))
+      .select(col("doc_id"),
+        when(col("word_count") < minWords, "too_short")
+          .when(col("dup_token_frac") > maxDupTokenFrac, "repetitive")
+          .when(col("top_token_frac") > maxTopTokenFrac, "top_token")
+          .when(col("n_emails") + col("n_phones") > 0, "pii")
+          .when(col("pred_lang") =!= col(langCol), "lang_mismatch")
+          .otherwise("keep").as("reason"))
+      .withColumn("keep", when(col("reason") === "keep", 1).otherwise(0))
+  }
+
   /** DuckDB oracle for [[fingerprint]]: (doc_id, n_fingerprints,
     * min_fingerprint) over a documents table.
     */

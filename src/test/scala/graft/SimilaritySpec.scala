@@ -172,6 +172,18 @@ class SimilaritySpec extends SparkSpec {
     assert(fresh == reused)
   }
 
+  test("groupCentroids: elementwise means per group, long format") {
+    import spark.implicits._
+    val df = Seq(
+      (0, Seq(1.0f, 3.0f)), (0, Seq(3.0f, 5.0f)), (1, Seq(10.0f, 0.0f)))
+      .toDF("label", "embedding")
+    val out = Similarity.groupCentroids(df).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getDouble(2), r.getInt(3))).toMap
+    assert(out((0, 0)) == ((2.0, 2)) && out((0, 1)) == ((4.0, 2)))
+    assert(out((1, 0)) == ((10.0, 1)) && out((1, 1)) == ((0.0, 1)))
+  }
+
   test("cosineNearDup returns only pairs above threshold, id_a < id_b") {
     val out = Similarity.cosineNearDup(emb, threshold = 0.9,
       nBits = 4, nTables = 4).collect()

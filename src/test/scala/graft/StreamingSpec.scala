@@ -223,6 +223,35 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 2L)))
   }
 
+  test("streaming LSH candidates match the batch candidatePairs on the same docs") {
+    import graft.dedup.MinHashSpec
+    implicit val sqlCtx = spark.sqlContext
+    // real corpus slice (it contains planted near-dups); split into two
+    // micro-batches so pairs must also form ACROSS batches via state
+    val docs = Tables(spark, sfDir, "documents")
+      .filter(col("doc_id") < 120).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val batchPairs = MinHashSpec.candidatePairs(
+      Tables(spark, sfDir, "documents").filter(col("doc_id") < 120))
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val stream = input.toDF().toDF("doc_id", "ts", "text")
+    val q = Streams.lshCandidatesStream(stream)
+      .writeStream.format("memory").queryName("lsh_cand_test")
+      .outputMode("append").start()
+    val t = Timestamp.valueOf("2024-01-01 10:00:00")
+    val (first, second) = docs.splitAt(docs.length / 2)
+    input.addData(first.map { case (id, tx) => (id, t, tx) }.toSeq)
+    q.processAllAvailable()
+    input.addData(second.map { case (id, tx) => (id, t, tx) }.toSeq)
+    q.processAllAvailable()
+    val streamed = spark.table("lsh_cand_test").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    q.stop()
+    assert(streamed == batchPairs)
+  }
+
   test("file-source stream over the events table produces the batch answer") {
     // The events parquet has NANOS timestamps which the file stream source
     // reads via nanosAsLong; normalize through Tables for batch, and

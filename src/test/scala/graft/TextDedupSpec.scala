@@ -202,6 +202,25 @@ class TextDedupSpec extends SparkSpec {
     assert(hits(1L) == 2 && hits(2L) == 1 && hits(3L) == 1)
   }
 
+  test("corpusFilter records the first failing rule and keeps clean docs") {
+    val longClean = (1 to 30).map(i => s"w$i").mkString(" ") // 30 distinct en-ish words? no markers
+    val df = Seq(
+      (1L, "too short", "en"),
+      (2L, ("dup " * 30).trim, "en"),                        // repetitive
+      (3L, "the a and is of to " * 5 + (1 to 18).map(i => s"x$i").mkString(" "), "en"),
+      (4L, longClean + " the a and is of to the a and is", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = Text.corpusFilter(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("reason"), r.getAs[Int]("keep"))).toMap
+    assert(out(1L) == (("too_short", 0)))
+    assert(out(2L) == (("repetitive", 0)))
+    assert(out(1L)._2 == 0 && out(2L)._2 == 0)
+    // docs 3 and 4: long enough, diverse enough, en markers → kept
+    assert(out(3L) == (("keep", 1)))
+    assert(out(4L) == (("keep", 1)))
+  }
+
   test("simhash: identical docs get identical fingerprints; bands split bits") {
     val df = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "q r s t u"))
       .toDF("doc_id", "text")
