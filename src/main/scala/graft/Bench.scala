@@ -16,7 +16,14 @@ object Bench {
     // Warmup: run every query once at the smallest SF so JIT/codegen/
     // parquet-reader init doesn't land on whichever timed query runs
     // first. Timed numbers below then measure the queries, not the JVM.
-    SparkEntry.queries.foreach { case (_, fn) =>
+    // Sorted-key order BOTH for warmup and timing: SparkEntry.queries is
+    // an unordered Map, so adding a key used to reshuffle execution order
+    // every round and neighbor effects (GC/ContextCleaner pressure from a
+    // heavy query) landed on different victims each time — r4 saw two
+    // untouched queries regress 6-7× purely from order noise. Sorted
+    // order makes per-query numbers comparable round-over-round.
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    ordered.foreach { case (_, fn) =>
       // clearCache here too: operators that cache intermediates (LSH
       // signatures, candidate pairs) must not leave warm blocks behind —
       // a later query with the same sub-plan would silently reuse them
@@ -31,7 +38,7 @@ object Bench {
     // min discards one-off scheduler/GC hiccups (r2's driver run recorded
     // a single 6.6 s outlier for a query that measures 2.1-2.6 s cold).
     val reps = 2
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = ordered.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         // each rep starts with an empty cache: timings measure the query,
         // not leftover cached blocks from whatever ran before it
@@ -49,7 +56,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"agg":"min"}""")
     spark.stop()
   }

@@ -76,13 +76,16 @@ object Dedup {
                    textCol: String = "text", blockCol: String = "lang",
                    k: Int = 3, threshold: Double = 0.5,
                    digits: Int = 4): DataFrame = {
-    // cached: consumed three times (sizes + both sides of the self-join);
-    // without it the tokenize+shingle explode runs three times.
+    // Materialized once (consumed three times: sizes + both sides of the
+    // self-join); without it the tokenize+shingle explode runs three
+    // times. `localCheckpoint`, not `cache`: blocks are ContextCleaner-
+    // freed when the result is GC'd instead of squatting in the
+    // CacheManager for the session's lifetime.
     val words = df
       .withColumn("__toks", Text.tokens(col(textCol)))
       .select(col(idCol).as("id"), col(blockCol).as("blk"),
         explode(expr(Text.shingleExpr("__toks", k))).as("w"))
-      .cache()
+      .localCheckpoint()
     val sizes = words.groupBy(col("id")).agg(count(lit(1)).as("n_words"))
     val a = words.select(col("blk"), col("id").as("id_a"), col("w"))
     val b = words.select(col("blk"), col("id").as("id_b"), col("w"))
@@ -110,8 +113,11 @@ object Dedup {
   def jaccardOnCandidates(df: DataFrame, idCol: String = "doc_id",
                           textCol: String = "text", k: Int = 3,
                           threshold: Double = 0.5, digits: Int = 4): DataFrame = {
+    // localCheckpoint (not cache): materializes the LSH propose pipeline
+    // once for the three consumers below, truncates its lineage, and
+    // leaves no CacheManager entry behind (see ngramJaccard note).
     val cand = MinHashSpec.candidatePairs(df, idCol, textCol)
-      .select(col("doc_a"), col("doc_b")).cache()
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
     // Verify pass touches ONLY documents that appear in a candidate pair:
     // the semi-join prunes the corpus before the shingle explode, so
     // verify cost is Σ_candidate-docs |shingles|, independent of corpus
@@ -174,21 +180,27 @@ object Dedup {
       val nbrMin = edges
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id")).agg(min(col("lbl")).as("nmin"))
+      // `old` (the label BEFORE this round) rides along so convergence
+      // detection sees pull-step changes too, not just jump-step ones.
       val pulled = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("lbl").as("old"),
           least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
       // (2) pointer jump: follow one indirection — lbl(v) := lbl(lbl(v)).
       // Every label IS a node id (labels only ever take node-id values),
-      // so the inner join always finds its target.
+      // so the inner join always finds its target. The OLD label rides the
+      // jump as `chg`, so convergence needs no join back to `labels`.
       val jumped = pulled.as("p")
         .join(pulled.select(col("id").as("lbl"), col("lbl").as("lbl2")).as("t"),
           Seq("lbl"))
-        .select(col("id"), col("lbl2").as("lbl"))
-      val next = jumped.localCheckpoint()
-      changed = next.as("n")
-        .join(labels.select(col("id"), col("lbl").as("old")), Seq("id"))
-        .filter(col("lbl") =!= col("old")).count()
-      labels = next
+        .select(col("id"), col("lbl2").as("lbl"),
+          (col("lbl2") =!= col("old")).cast("long").as("chg"))
+      // LAZY localCheckpoint: the convergence aggregate below is the
+      // action that materializes it, so each round is ONE job (the r4
+      // eager-checkpoint + join-and-count shape was two jobs, the second
+      // with its own shuffle). Lineage is still truncated.
+      val next = jumped.localCheckpoint(eager = false)
+      changed = next.agg(sum(col("chg"))).first().getLong(0)
+      labels = next.select(col("id"), col("lbl"))
       round += 1
     }
     labels.select(col("id"), col("lbl").as("cluster"))
@@ -291,7 +303,9 @@ object MinHashSpec {
     */
   def candidatePairs(df: DataFrame, idCol: String = "doc_id",
                      textCol: String = "text", digits: Int = 4): DataFrame = {
-    val sig = signatures(df, idCol, textCol).cache()
+    // localCheckpoint (not cache): both sides of the self-join read the
+    // materialized signatures; no CacheManager entry left behind.
+    val sig = signatures(df, idCol, textCol).localCheckpoint()
     // one pass over the cached signatures: band signatures as an array,
     // posexploded — instead of a BANDS-way union re-scanning the cache
     val bandSigs = (0 until BANDS).map { j =>

@@ -196,14 +196,17 @@ object Qa {
         expr(s"cast(floor(percentile($ep, 0.5)) as bigint)").as(s"__dmed_$c"))
     }
     val aggs = missAggs ++ contAggs ++ dateAggs
-    // Persist the aggregated frame: it is tiny at ANY input scale (one row
-    // per period), and every downstream family projects a different column
-    // subset of it — without materialization Catalyst's column pruning
-    // specializes each reference into its own agg-over-scan subtree (no
-    // ReuseExchange fires, the source is scanned once per family). With it
-    // the source is scanned exactly once for all three families.
+    // Materialize the aggregated frame: it is tiny at ANY input scale (one
+    // row per period), and every downstream family projects a different
+    // column subset of it — without materialization Catalyst's column
+    // pruning specializes each reference into its own agg-over-scan
+    // subtree (no ReuseExchange fires, the source is scanned once per
+    // family). `localCheckpoint` (not `persist`) so the source is scanned
+    // exactly once AND nothing is left registered in the CacheManager:
+    // checkpoint blocks are freed by the ContextCleaner when the frame is
+    // GC'd, so a long-lived session doesn't leak cache entries.
     val wide = df.groupBy(col(timeVar)).agg(aggs.head, aggs.tail: _*)
-      .persist()
+      .localCheckpoint()
     val missStack = cols.map(c => s"'$c', __m_$c").mkString(", ")
     val miss = wide.select(col(timeVar),
         expr(s"stack(${cols.size}, $missStack) as (varname, n_missing)"),
@@ -317,8 +320,10 @@ object Qa {
       fusedStats(df, timeVar, cols, numeric, dates)
     // Same materialization argument: the top-8 frame is bounded at
     // (topN+2) × periods × columns rows and is referenced by two families.
+    // localCheckpoint, not persist — see fusedStats' cache-hygiene note.
     val top8 = if (categorical.nonEmpty)
-      Some(categoricalTop8(df, timeVar, categorical).persist()) else None
+      Some(categoricalTop8(df, timeVar, categorical).localCheckpoint())
+    else None
     val results = Seq(
       "missing_data" -> Some(missFused),
       "vals_continuous" -> contFused,

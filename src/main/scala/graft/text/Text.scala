@@ -242,35 +242,48 @@ object Text {
     * boilerplate/spam/degenerate text — the standard repetition screen a
     * training-data pipeline runs alongside [[quality]].
     *
-    * Shape at scale: line stats are pure expressions (scan speed); token
-    * and bigram stats are one explode + two groupBys each, keyed on
-    * (doc, term) then doc — cost linear in corpus token count, no
-    * per-row O(n²) lambdas. Only the max COUNT is kept per doc, so no
+    * Shape at scale: ONE corpus scan. Unigrams and bigrams are tagged
+    * (tag 1 / tag 2) and ride a single explode; one groupBy on
+    * (doc, tag, term) counts occurrences, one groupBy on doc folds both
+    * families with conditional aggregation. The line stats are pure
+    * per-row expressions computed BEFORE the explode and carried through
+    * both shuffles as `first(...)` (two ints per exploded row — cheaper
+    * than the extra scan + join they replace). Cost stays linear in
+    * corpus token count; only the max COUNT is kept per doc, so no
     * tie-breaking is ever needed.
     */
   def repetition(df: DataFrame, idCol: String = "doc_id",
                  textCol: String = "text", digits: Int = 4): DataFrame = {
-    val toks = df
-      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
-    val tokStats = toks
-      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("cnt"))
-      .groupBy(col(idCol)).agg(
-        sum(col("cnt")).as("n_tokens"),
-        count(lit(1)).as("n_types"),
-        max(col("cnt")).as("top_cnt"))
-    val bigrams = df
-      .withColumn("__toks", tokens(col(textCol)))
-      .select(col(idCol), explode(expr(ngramAllExpr("__toks", 2))).as("bg"))
-    val bgStats = bigrams
-      .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("cnt"))
-      .groupBy(col(idCol)).agg(
-        max(col("cnt")).as("top_bg_cnt"), sum(col("cnt")).as("n_bigrams"))
     val lines = split(col(textCol), "\n")
-    df.select(col(idCol),
+    // Tagged term stream: struct(1, token) for unigrams, struct(2, bigram)
+    // for bigrams, concatenated so ONE explode covers both families.
+    val tagged = df
+      .select(col(idCol),
         size(lines).as("n_lines"),
-        size(array_distinct(lines)).as("n_distinct_lines"))
-      .join(tokStats, Seq(idCol))
-      .join(bgStats, Seq(idCol))
+        size(array_distinct(lines)).as("n_distinct_lines"),
+        tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("n_lines"), col("n_distinct_lines"),
+        explode(expr(
+          s"""concat(
+             transform(__toks, t -> named_struct('tag', 1, 'term', t)),
+             transform(${ngramAllExpr("__toks", 2)},
+               b -> named_struct('tag', 2, 'term', b)))""")).as("tt"))
+      .select(col(idCol), col("n_lines"), col("n_distinct_lines"),
+        col("tt.tag").as("tag"), col("tt.term").as("term"))
+    val stats = tagged
+      .groupBy(col(idCol), col("tag"), col("term"))
+      .agg(count(lit(1)).as("cnt"),
+        first(col("n_lines")).as("n_lines"),
+        first(col("n_distinct_lines")).as("n_distinct_lines"))
+      .groupBy(col(idCol)).agg(
+        sum(when(col("tag") === 1, col("cnt"))).as("n_tokens"),
+        count(when(col("tag") === 1, lit(1))).as("n_types"),
+        max(when(col("tag") === 1, col("cnt"))).as("top_cnt"),
+        max(when(col("tag") === 2, col("cnt"))).as("top_bg_cnt"),
+        sum(when(col("tag") === 2, col("cnt"))).as("n_bigrams"),
+        first(col("n_lines")).as("n_lines"),
+        first(col("n_distinct_lines")).as("n_distinct_lines"))
+    stats
       .select(col(idCol),
         col("n_tokens").cast("int").as("n_tokens"),
         col("n_types").cast("int").as("n_types"),
@@ -330,25 +343,36 @@ object Text {
     * an inverted index: postings = one explode filtered to the query
     * vocabulary BEFORE exploding (so the shuffle carries only matching
     * terms, not the corpus), df/idf per term (tiny, broadcast), document
-    * lengths as a projection, corpus stats as a broadcast single-row
-    * aggregate — no driver-side collect anywhere. Ranking is a global
-    * top-k (`TakeOrderedAndProject`), never a full sort.
+    * lengths carried THROUGH the postings aggregation (`first(dl)`) so no
+    * lens join and no second tokenize pass, corpus stats as a broadcast
+    * single-row aggregate — no driver-side collect anywhere. Ranking is a
+    * global top-k (`TakeOrderedAndProject`), never a full sort.
+    *
+    * The corpus is tokenized exactly once (the postings scan). The stats
+    * aggregate needs only document LENGTHS, and `dl` ==
+    * `regexp_count(trimmed, ws+) + 1` == `size(split(trimmed, ws+))`
+    * (split keeps trailing empties, so the all-whitespace document is one
+    * empty token either way) — a single regex count instead of a second
+    * split-and-materialize-the-array pass.
     */
   def bm25(df: DataFrame, queryTerms: Seq[String], idCol: String = "doc_id",
            textCol: String = "text", k1: Double = 1.2, b: Double = 0.75,
            topK: Int = 20, digits: Int = 4): DataFrame = {
     val terms = queryTerms.distinct.sorted
-    val toks = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
-    val lens = toks.select(col(idCol), size(col("__toks")).as("dl"))
-    val stats = lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
-    val postings = toks
-      .select(col(idCol),
+    val dlCol = (regexp_count(trim(lower(col(textCol))), lit(wsRe)) + 1)
+      .as("dl")
+    val stats = df.select(dlCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("dl").cast("long")).as("total_dl"))
+    val postings = df
+      .select(col(idCol), dlCol, tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("dl"),
         explode(expr(s"filter(__toks, t -> ${inList("t", terms)})")).as("term"))
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
     val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scored = postings
       .join(broadcast(dfreq), Seq("term"))
-      .join(lens, Seq(idCol))
       .crossJoin(broadcast(stats))
       .withColumn("idf",
         log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))

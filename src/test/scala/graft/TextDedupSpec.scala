@@ -221,6 +221,29 @@ class TextDedupSpec extends SparkSpec {
     assert(out(4L) == (("keep", 1)))
   }
 
+  test("cache hygiene: multi-consumer operators leave no CacheManager entry") {
+    // The operators that materialize an intermediate for multiple
+    // consumers (fused QA stats, LSH signatures/candidates, shingle
+    // self-join) must do it via localCheckpoint, NOT persist/cache: a
+    // long-lived session would otherwise accumulate cached frames until
+    // clearCache. Assert none of them registers anything.
+    spark.catalog.clearCache()
+    val docs = Tables(spark, sfDir, "documents")
+    Dedup.ngramJaccard(docs).write.format("noop").mode("overwrite").save()
+    Dedup.jaccardOnCandidates(docs).write.format("noop").mode("overwrite").save()
+    Dedup.connectedComponents(MinHashSpec.candidatePairs(docs))
+      .write.format("noop").mode("overwrite").save()
+    import spark.implicits._
+    val qaDf = Seq((2020, 1.0, "a", java.sql.Date.valueOf("2020-01-01")),
+        (2021, 2.0, "b", java.sql.Date.valueOf("2021-01-01")))
+      .toDF("period", "num", "cat", "when")
+    graft.qa.Qa.runPipeline(qaDf, "period", Seq("num", "cat", "when"))
+      .foreach { case (_, frame) =>
+        frame.write.format("noop").mode("overwrite").save() }
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "an operator left a frame registered in the CacheManager")
+  }
+
   test("simhash: identical docs get identical fingerprints; bands split bits") {
     val df = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "q r s t u"))
       .toDF("doc_id", "text")
