@@ -6,11 +6,14 @@ import org.apache.spark.sql.functions._
 /** Scale sanity: replicate sf0.1 N× with shifted keys (≈ sf1) into
   * target/, then time the heavy queries at both scales. A healthy
   * operator shows ≈linear growth; super-linear growth flags a plan that
-  * won't survive 100 TB. Usage: runMain graft.ScaleCheck [N]
+  * won't survive 100 TB. Usage: runMain graft.ScaleCheck [N] [query ...]
+  * (with query names given, only those are timed; a replica dir left by
+  * a previous run at the same N is reused — it is deterministic).
   */
 object ScaleCheck {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(10)
+    val only = args.drop(1).toSeq
     val src = "/root/testdata/sf0.1"
     val dst = s"target/scale_x$n"
     val spark = Tables.session("graft-scale", cores = 32)
@@ -28,6 +31,10 @@ object ScaleCheck {
     }
 
     val t0 = System.nanoTime()
+    val haveReplica =
+      new java.io.File(s"$dst/events.parquet/_SUCCESS").exists()
+    if (haveReplica) println(s"reusing replica at $dst")
+    else {
     replicate("lineitem", Map("l_orderkey" -> 10000000L))
     replicate("orders", Map("o_orderkey" -> 10000000L, "o_custkey" -> 1000000L))
     replicate("customer", Map("c_custkey" -> 1000000L))
@@ -39,8 +46,9 @@ object ScaleCheck {
       Tables(spark, src, t).write.mode("overwrite").parquet(s"$dst/$t.parquet")
     }
     println(f"replicated x$n in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
 
-    val names = Seq("q1_agg", "q_join_star", "q_join_large", "q_semi_anti",
+    val allNames = Seq("q1_agg", "q_join_star", "q_join_large", "q_semi_anti",
       "q_above_class_avg", "dedup_minhash_lsh", "dedup_ngram_jaccard",
       "dedup_lsh_jaccard", "dedup_simhash", "sim_cosine_topk",
       "sim_ann_lsh", "sim_ann_ivf", "etl_add_index", "qa_categorical",
@@ -58,6 +66,7 @@ object ScaleCheck {
     // lsh_jaccard, sim_near_dup): replication clones every row 10×, so
     // every clone pair is a TRUE duplicate/near-dup and the output —
     // hence the ratio — grows ~100×; per-pair cost stays flat.
+    val names = if (only.nonEmpty) allNames.filter(only.contains) else allNames
     def time(dir: String, name: String): Double = {
       val t = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.format("noop")
@@ -69,8 +78,12 @@ object ScaleCheck {
     println(f"${"query"}%-22s ${"sf0.1"}%8s ${"x" + n}%8s  ratio (linear=$n)")
     names.foreach { q =>
       val small = time(src, q)
+      val smallRounds = graft.dedup.Dedup.lastCcRounds
       val big = time(dst, q)
-      println(f"$q%-22s $small%8.2f $big%8.2f  ${big / small}%5.1f")
+      val note = if (q == "dedup_cc_clusters")
+        s"  (cc rounds: $smallRounds -> ${graft.dedup.Dedup.lastCcRounds})"
+      else ""
+      println(f"$q%-22s $small%8.2f $big%8.2f  ${big / small}%5.1f$note")
     }
     spark.stop()
   }

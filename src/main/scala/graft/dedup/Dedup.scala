@@ -162,6 +162,13 @@ object Dedup {
     * DataFrame algorithms otherwise compound the plan exponentially), and
     * doubles as the materialization the convergence count needs anyway.
     */
+  /** Rounds the most recent [[connectedComponents]] call took to
+    * converge — driver-side diagnostic only (read it right after the
+    * call; ScaleCheck prints it as scale evidence for the O(log
+    * diameter) claim).
+    */
+  @volatile var lastCcRounds: Int = 0
+
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
                           bCol: String = "doc_b",
                           maxRounds: Int = 50): DataFrame = {
@@ -203,6 +210,7 @@ object Dedup {
       labels = next.select(col("id"), col("lbl"))
       round += 1
     }
+    lastCcRounds = round
     labels.select(col("id"), col("lbl").as("cluster"))
   }
 }
