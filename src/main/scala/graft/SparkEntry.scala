@@ -221,6 +221,13 @@ object SparkEntry {
     "q_semi_anti" -> ((s, dir) => Queries.semiAnti(s, dir)),
     "q_events_window" -> ((s, dir) => Queries.eventsWindow(s, dir)
       .withColumn("window_start", col("window_start").cast("string"))),
+    // the STREAMING hourly rollup driven end-to-end (file source →
+    // watermark+window state → foreachBatch sink, AvailableNow) and
+    // gated against the SAME batch oracle as q_events_window — the
+    // stream path itself is hash-checked, not just its batch twin
+    "stream_hourly_rollup" -> ((s, dir) =>
+      graft.streaming.Streams.hourlyRollupAvailableNow(s, dir)
+        .withColumn("window_start", col("window_start").cast("string"))),
     "q_interval_join" -> ((s, dir) => Queries.intervalJoin(s, dir)),
     "q_asof_join" -> ((s, dir) => Queries.asofJoin(s, dir)),
     // session bounds gated as epoch-µs bigints: cross-engine timestamp
@@ -771,6 +778,14 @@ object SparkEntry {
          WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)""",
 
     "q_events_window" ->
+      """SELECT cast(cast(date_trunc('hour', ts) as timestamp) as varchar) AS window_start,
+                event_type, count(*) AS n_events,
+                round(sum(value), 4) AS sum_value
+         FROM events GROUP BY 1, 2""",
+
+    // identical oracle to q_events_window: the streaming path must land
+    // on exactly the batch answer
+    "stream_hourly_rollup" ->
       """SELECT cast(cast(date_trunc('hour', ts) as timestamp) as varchar) AS window_start,
                 event_type, count(*) AS n_events,
                 round(sum(value), 4) AS sum_value

@@ -42,6 +42,51 @@ object Streams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Run [[hourlyRollup]] END TO END as a real streaming query — file
+    * source → watermarked window aggregation → `foreachBatch` parquet
+    * sink, `Trigger.AvailableNow` — and return the final answer read
+    * back from the sink. This is the production deployment shape (a
+    * bounded catch-up run of the always-on pipeline) driven to
+    * completion in one call, which makes the STREAMING path itself
+    * checkable against the batch SQL oracle (gated as
+    * `stream_hourly_rollup`, same oracle as `q_events_window`): every
+    * micro-batch goes through real streaming state, and complete-mode
+    * foreachBatch overwrites the sink so the last batch is the full
+    * aggregate. The input is staged to a 4-file µs-timestamp copy (the
+    * raw events parquet is NANOS, which the file stream source can't
+    * read directly) so `maxFilesPerTrigger=1` yields 4 real incremental
+    * micro-batches, not one degenerate one.
+    */
+  def hourlyRollupAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.Files
+    val in = Files.createTempDirectory("graft_stream_in").toString
+    graft.Tables(spark, sfDir, "events").coalesce(4)
+      .write.mode("overwrite").parquet(in)
+    val out = Files.createTempDirectory("graft_stream_out").toString
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+    val q = hourlyRollup(readEvents(spark, in))
+      .writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("overwrite").parquet(out)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the stream is done: the staged input and checkpoint are garbage
+    // (only `out` backs the returned frame)
+    def rm(p: String): Unit = {
+      def loop(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(loop)
+        f.delete(): Unit
+      }
+      loop(new java.io.File(p))
+    }
+    rm(in); rm(ckpt)
+    spark.read.parquet(out)
+  }
+
   /** Streaming QA monitor: per-window missingness counts for the given
     * columns — the streaming twin of `Qa.missingness`, for catching a
     * upstream schema/quality regression while the load is running rather

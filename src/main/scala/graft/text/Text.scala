@@ -430,26 +430,46 @@ object Text {
     * language-mismatched documents are dropped, with the FIRST failing
     * rule recorded per document (the standard auditable-filter shape —
     * drop reasons are a dataset, not a log line). All per-doc metrics
-    * except repetition are pure projections chained on one scan; the
-    * repetition stats join back on doc_id — one join, one scan of the
-    * corpus plus the repetition aggregation.
+    * except the token stats are pure projections chained on one scan;
+    * the token stats join back on doc_id — one join, one scan of the
+    * corpus plus one unigram aggregation.
     * Thresholds compare the ROUNDED published metrics, so the decision is
     * reproducible from the gated per-metric outputs.
+    *
+    * The cascade computes ONLY what its rules read: the token-family
+    * fractions directly from a unigram explode (identical arithmetic —
+    * hence identical rounded values — to the gated [[repetition]]
+    * metrics, without the bigram/line families no rule consumes), and
+    * the PII rule as boolean `rlike` probes (`n > 0` ⟺ a match exists;
+    * no counting, no scrub-hash of documents that are about to be
+    * dropped anyway).
     */
   def corpusFilter(df: DataFrame, minWords: Int = 20,
                    maxDupTokenFrac: Double = 0.6,
                    maxTopTokenFrac: Double = 0.12,
-                   langCol: String = "lang"): DataFrame = {
-    val metrics = piiScrub(langId(df))
+                   langCol: String = "lang",
+                   digits: Int = 4): DataFrame = {
+    val metrics = langId(df)
       .withColumn("word_count", size(tokens(col("text"))))
-    val rep = repetition(df)
-      .select(col("doc_id"), col("dup_token_frac"), col("top_token_frac"))
+      .withColumn("has_pii",
+        col("text").rlike(emailRe) || col("text").rlike(phoneRe))
+    val rep = df
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id")).agg(
+        sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        max(col("cnt")).as("top_cnt"))
+      .select(col("doc_id"),
+        round((col("n_tokens") - col("n_types")) / col("n_tokens"), digits)
+          .as("dup_token_frac"),
+        round(col("top_cnt") / col("n_tokens"), digits).as("top_token_frac"))
     metrics.join(rep, Seq("doc_id"))
       .select(col("doc_id"),
         when(col("word_count") < minWords, "too_short")
           .when(col("dup_token_frac") > maxDupTokenFrac, "repetitive")
           .when(col("top_token_frac") > maxTopTokenFrac, "top_token")
-          .when(col("n_emails") + col("n_phones") > 0, "pii")
+          .when(col("has_pii"), "pii")
           .when(col("pred_lang") =!= col(langCol), "lang_mismatch")
           .otherwise("keep").as("reason"))
       .withColumn("keep", when(col("reason") === "keep", 1).otherwise(0))
