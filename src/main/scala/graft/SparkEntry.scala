@@ -228,6 +228,14 @@ object SparkEntry {
     "stream_hourly_rollup" -> ((s, dir) =>
       graft.streaming.Streams.hourlyRollupAvailableNow(s, dir)
         .withColumn("window_start", col("window_start").cast("string"))),
+    // the watermarked stream-stream join driven end-to-end the same way,
+    // gated against the batch self-join; timestamps as epoch-µs bigints
+    // (the integer-time rule)
+    "stream_follow_within" -> ((s, dir) =>
+      graft.streaming.Streams.followWithinAvailableNow(s, dir)
+        .select(col("user_id"), col("t_id"), col("f_id"),
+          expr("unix_micros(t_ts)").as("t_us"),
+          expr("unix_micros(f_ts)").as("f_us"), col("f_value"))),
     "q_interval_join" -> ((s, dir) => Queries.intervalJoin(s, dir)),
     "q_asof_join" -> ((s, dir) => Queries.asofJoin(s, dir)),
     // session bounds gated as epoch-µs bigints: cross-engine timestamp
@@ -790,6 +798,19 @@ object SparkEntry {
                 event_type, count(*) AS n_events,
                 round(sum(value), 4) AS sum_value
          FROM events GROUP BY 1, 2""",
+
+    // batch self-join twin of the streaming time-bounded join
+    "stream_follow_within" ->
+      """WITH e AS (
+           SELECT event_id, user_id, event_type, value,
+                  epoch_us(cast(ts as timestamp)) AS us
+           FROM events)
+         SELECT t.user_id, t.event_id AS t_id, f.event_id AS f_id,
+                t.us AS t_us, f.us AS f_us, f.value AS f_value
+         FROM e t JOIN e f
+           ON t.user_id = f.user_id
+          AND f.us > t.us AND f.us <= t.us + 3600000000
+         WHERE t.event_type = 'click' AND f.event_type = 'purchase'""",
 
     "q_interval_join" ->
       """WITH e AS (

@@ -42,40 +42,34 @@ object Streams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
-  /** Run [[hourlyRollup]] END TO END as a real streaming query — file
-    * source → watermarked window aggregation → `foreachBatch` parquet
+  /** Drive a streaming transform of the events table END TO END — file
+    * source → the transform's streaming state → `foreachBatch` parquet
     * sink, `Trigger.AvailableNow` — and return the final answer read
     * back from the sink. This is the production deployment shape (a
     * bounded catch-up run of the always-on pipeline) driven to
     * completion in one call, which makes the STREAMING path itself
-    * checkable against the batch SQL oracle (gated as
-    * `stream_hourly_rollup`, same oracle as `q_events_window`): every
-    * micro-batch goes through real streaming state, and complete-mode
-    * foreachBatch overwrites the sink so the last batch is the full
-    * aggregate. The input is staged to a 4-file µs-timestamp copy (the
-    * raw events parquet is NANOS, which the file stream source can't
-    * read directly) so `maxFilesPerTrigger=1` yields 4 real incremental
-    * micro-batches, not one degenerate one.
+    * checkable against a batch SQL oracle: every micro-batch goes
+    * through real streaming state.
+    *
+    * The input is staged as one µs-timestamp file per event-time
+    * quartile (the raw events parquet is NANOS, which the file stream
+    * source can't read directly) with modification times pinned to
+    * event-time order, so the files replay in event-time order — the
+    * arrival order a live pipeline sees, and the order under which
+    * watermark-driven state eviction provably drops no joinable/
+    * aggregable row. `maxFilesPerTrigger=1` then yields `chunks` real
+    * incremental micro-batches, not one degenerate one.
+    *
+    * `complete` mode overwrites the sink each batch (the last batch is
+    * the full aggregate); `append` mode appends each batch's finalized
+    * rows. (A production run would use [[idempotentBatchWriter]] for
+    * the append sink; a single clean AvailableNow pass has no retries,
+    * so a plain append is exact here.)
     */
-  def hourlyRollupAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
+  def runEventsAvailableNow(spark: SparkSession, sfDir: String,
+                            mode: String, chunks: Int = 4)
+                           (build: DataFrame => DataFrame): DataFrame = {
     import java.nio.file.Files
-    val in = Files.createTempDirectory("graft_stream_in").toString
-    graft.Tables(spark, sfDir, "events").coalesce(4)
-      .write.mode("overwrite").parquet(in)
-    val out = Files.createTempDirectory("graft_stream_out").toString
-    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
-    val q = hourlyRollup(readEvents(spark, in))
-      .writeStream
-      .outputMode("complete")
-      .option("checkpointLocation", ckpt)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        batch.write.mode("overwrite").parquet(out)
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    // the stream is done: the staged input and checkpoint are garbage
-    // (only `out` backs the returned frame)
     def rm(p: String): Unit = {
       def loop(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(loop)
@@ -83,9 +77,91 @@ object Streams {
       }
       loop(new java.io.File(p))
     }
-    rm(in); rm(ckpt)
+    // Stage each event-time quartile as its own file with a controlled,
+    // strictly ascending modification time: the file stream source
+    // replays files in modtime order, and a repartitionByRange write
+    // leaves modtimes in task-FINISH order — which can replay a later
+    // time range first, making whole earlier ranges arrive behind the
+    // watermark and be dropped as late (observed: 12 of 33 join matches
+    // lost). Explicit modtimes pin the replay to event-time order.
+    // The staging is a pure function of (sfDir, chunks), so it is keyed
+    // and reused across calls — every streaming query over the same
+    // table replays the identical staged input.
+    val in = s"target/stream_stage/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}_x$chunks"
+    if (!new java.io.File(s"$in/_STAGED").exists()) {
+      rm(in); new java.io.File(in).mkdirs()
+      val e = graft.Tables(spark, sfDir, "events")
+      val probs = (1 until chunks).map(_.toDouble / chunks).toArray
+      val bounds = e.select(expr("unix_micros(ts)").as("us"))
+        .stat.approxQuantile("us", probs, 0.001)
+      val base = System.currentTimeMillis() - 3600L * 1000
+      (0 until chunks).foreach { i =>
+        val lo = if (i == 0) Long.MinValue else bounds(i - 1).toLong
+        val hi = if (i == chunks - 1) Long.MaxValue else bounds(i).toLong
+        val tmp = Files.createTempDirectory("graft_chunk").toString
+        e.filter(expr("unix_micros(ts)") > lo &&
+            expr("unix_micros(ts)") <= hi)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.endsWith(".parquet")).get
+        val dest = new java.io.File(in, f"chunk-$i%02d.parquet")
+        Files.move(part.toPath, dest.toPath)
+        dest.setLastModified(base + i * 60000L): Unit
+        rm(tmp)
+      }
+      Files.writeString(java.nio.file.Paths.get(s"$in/_STAGED"), "ok"): Unit
+    }
+    val out = Files.createTempDirectory("graft_stream_out").toString
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+    val sinkMode = if (mode == "complete") "overwrite" else "append"
+    // Stateful streaming operators allocate one state store per shuffle
+    // partition PER SIDE per micro-batch — at a bounded catch-up scale
+    // that fixed cost dwarfs the data. Size the streaming shuffle to the
+    // staged chunk count (a deployment sizes it to its state volume; the
+    // partition count is pinned into the checkpoint either way), and
+    // restore the session's setting afterwards.
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", chunks.toString)
+    try {
+      val q = build(readEvents(spark, in))
+        .writeStream
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.write.mode(sinkMode).parquet(out)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    // the stream is done: the checkpoint is garbage, the staged input is
+    // keyed for reuse (only `out` backs the returned frame)
+    rm(ckpt)
     spark.read.parquet(out)
   }
+
+  /** [[hourlyRollup]] through [[runEventsAvailableNow]] — oracle-gated
+    * as `stream_hourly_rollup` (same DuckDB SQL as the batch twin).
+    */
+  def hourlyRollupAvailableNow(spark: SparkSession, sfDir: String): DataFrame =
+    runEventsAvailableNow(spark, sfDir, "complete")(hourlyRollup)
+
+  /** [[followWithin]] (the watermarked stream-stream join) through
+    * [[runEventsAvailableNow]] — oracle-gated as `stream_follow_within`
+    * against the equivalent batch self-join. Append mode: inner-join
+    * matches are final the moment they are found, so every micro-batch
+    * appends its new matches and the union is the batch answer. Losing
+    * no match to state eviction is guaranteed by the time-ordered
+    * replay: a click evicted at watermark w has t_ts + horizon < w,
+    * and every future purchase has f_ts ≥ w, so the evicted click
+    * could never have matched it.
+    */
+  def followWithinAvailableNow(spark: SparkSession, sfDir: String,
+                               triggerType: String = "click",
+                               followType: String = "purchase",
+                               withinMinutes: Int = 60): DataFrame =
+    runEventsAvailableNow(spark, sfDir, "append")(
+      followWithin(_, triggerType, followType, withinMinutes))
 
   /** Streaming QA monitor: per-window missingness counts for the given
     * columns — the streaming twin of `Qa.missingness`, for catching a
