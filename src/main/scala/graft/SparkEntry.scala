@@ -228,6 +228,11 @@ object SparkEntry {
     "stream_hourly_rollup" -> ((s, dir) =>
       graft.streaming.Streams.hourlyRollupAvailableNow(s, dir)
         .withColumn("window_start", col("window_start").cast("string"))),
+    // the streaming QA monitor driven end-to-end, gated against the
+    // batch per-hour missingness
+    "stream_qa_missingness" -> ((s, dir) =>
+      graft.streaming.Streams.qaMissingnessAvailableNow(s, dir)
+        .withColumn("window_start", col("window_start").cast("string"))),
     // the watermarked stream-stream join driven end-to-end the same way,
     // gated against the batch self-join; timestamps as epoch-µs bigints
     // (the integer-time rule)
@@ -798,6 +803,15 @@ object SparkEntry {
                 event_type, count(*) AS n_events,
                 round(sum(value), 4) AS sum_value
          FROM events GROUP BY 1, 2""",
+
+    // batch twin of the streaming QA monitor (HUGEINT-safe casts per the
+    // oracle pitfall rule)
+    "stream_qa_missingness" ->
+      """SELECT cast(cast(date_trunc('hour', ts) as timestamp) as varchar) AS window_start,
+                cast(sum(cast(value IS NULL as bigint)) as bigint) AS missing_value,
+                cast(sum(cast(props IS NULL as bigint)) as bigint) AS missing_props,
+                count(*) AS n_rows
+         FROM events GROUP BY 1""",
 
     // batch self-join twin of the streaming time-bounded join
     "stream_follow_within" ->

@@ -146,6 +146,17 @@ object Streams {
   def hourlyRollupAvailableNow(spark: SparkSession, sfDir: String): DataFrame =
     runEventsAvailableNow(spark, sfDir, "complete")(hourlyRollup)
 
+  /** [[qaMissingnessStream]] (the streaming QA monitor) through
+    * [[runEventsAvailableNow]] — oracle-gated as `stream_qa_missingness`
+    * against the equivalent batch per-hour missingness SQL. Complete
+    * mode, same shape as the rollup gate.
+    */
+  def qaMissingnessAvailableNow(spark: SparkSession, sfDir: String,
+                                cols: Seq[String] = Seq("value", "props"))
+      : DataFrame =
+    runEventsAvailableNow(spark, sfDir, "complete")(
+      qaMissingnessStream(_, cols))
+
   /** [[followWithin]] (the watermarked stream-stream join) through
     * [[runEventsAvailableNow]] — oracle-gated as `stream_follow_within`
     * against the equivalent batch self-join. Append mode: inner-join

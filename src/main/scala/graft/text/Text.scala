@@ -364,12 +364,20 @@ object Text {
     val stats = df.select(dlCol)
       .agg(count(lit(1)).as("n_docs"),
         sum(col("dl").cast("long")).as("total_dl"))
+    // Materialized (localCheckpoint, no CacheManager entry): postings is
+    // consumed twice (df counts + scoring) and column pruning specializes
+    // the two references into different aggregates, so neither Catalyst
+    // nor AQE exchange-reuse can share them — without materialization the
+    // corpus would be tokenized twice (verified on the executed plan).
+    // Postings is the INDEX, not the corpus: one row per (matching doc,
+    // query term), bounded by the docs that contain a query term.
     val postings = df
       .select(col(idCol), dlCol, tokens(col(textCol)).as("__toks"))
       .select(col(idCol), col("dl"),
         explode(expr(s"filter(__toks, t -> ${inList("t", terms)})")).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+      .localCheckpoint()
     val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scored = postings
       .join(broadcast(dfreq), Seq("term"))
