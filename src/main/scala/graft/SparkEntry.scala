@@ -228,6 +228,13 @@ object SparkEntry {
     "stream_hourly_rollup" -> ((s, dir) =>
       graft.streaming.Streams.hourlyRollupAvailableNow(s, dir)
         .withColumn("window_start", col("window_start").cast("string"))),
+    // the stateful sessionizer (flatMapGroupsWithState + event-time
+    // timeout) driven end-to-end, flushed by the watermark sentinel,
+    // gated against the SAME gaps-and-islands oracle as q_sessionize
+    "stream_sessionize" -> ((s, dir) =>
+      graft.streaming.Streams.sessionizeAvailableNow(s, dir, 30)
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), round(col("sum_value"), 4).as("sum_value"))),
     // the streaming QA monitor driven end-to-end, gated against the
     // batch per-hour missingness
     "stream_qa_missingness" -> ((s, dir) =>
@@ -513,6 +520,32 @@ object SparkEntry {
          cc AS (${qaCategoricalChangeSql("SELECT * FROM t8")})
        $unions"""
   }
+
+  /** Gaps-and-islands sessionization oracle, shared by the batch twin
+    * (`q_sessionize`) and the end-to-end streaming gate
+    * (`stream_sessionize`): the streaming stateful path must land on
+    * exactly the batch answer.
+    */
+  private val sessionizeOracle: String =
+    """WITH e AS (
+         SELECT user_id, cast(ts as timestamp) AS ts, value,
+                epoch_us(cast(ts as timestamp)) // 1000 AS ms
+         FROM events),
+       l AS (
+         SELECT *, lag(ms) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ms
+         FROM e),
+       s AS (
+         SELECT *, sum(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000
+                            THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS UNBOUNDED PRECEDING) AS session_id
+         FROM l)
+       SELECT user_id,
+              epoch_us(min(ts)) AS session_start,
+              epoch_us(max(ts)) AS session_end,
+              cast(count(*) as int) AS n_events,
+              round(sum(value), 4) AS sum_value
+       FROM s GROUP BY user_id, session_id"""
 
   def oracleSql: Map[String, String] = Map(
     "etl_load_select" ->
@@ -848,26 +881,11 @@ object SparkEntry {
          SELECT p.event_id, p.ms - c.cms AS ms_since_click
          FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ms >= c.cms""",
 
-    "q_sessionize" ->
-      """WITH e AS (
-           SELECT user_id, cast(ts as timestamp) AS ts, value,
-                  epoch_us(cast(ts as timestamp)) // 1000 AS ms
-           FROM events),
-         l AS (
-           SELECT *, lag(ms) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ms
-           FROM e),
-         s AS (
-           SELECT *, sum(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000
-                              THEN 1 ELSE 0 END)
-                  OVER (PARTITION BY user_id ORDER BY ts
-                        ROWS UNBOUNDED PRECEDING) AS session_id
-           FROM l)
-         SELECT user_id,
-                epoch_us(min(ts)) AS session_start,
-                epoch_us(max(ts)) AS session_end,
-                cast(count(*) as int) AS n_events,
-                round(sum(value), 4) AS sum_value
-         FROM s GROUP BY user_id, session_id""",
+    "q_sessionize" -> sessionizeOracle,
+
+    // identical oracle: the streaming stateful path must land on exactly
+    // the batch answer
+    "stream_sessionize" -> sessionizeOracle,
 
     "dedup_exact_docs" ->
       """WITH h AS (SELECT doc_id, md5(text) AS text_hash FROM documents),

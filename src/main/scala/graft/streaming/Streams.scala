@@ -67,7 +67,8 @@ object Streams {
     * so a plain append is exact here.)
     */
   def runEventsAvailableNow(spark: SparkSession, sfDir: String,
-                            mode: String, chunks: Int = 4)
+                            mode: String, chunks: Int = 4,
+                            flushHorizonMs: Option[Long] = None)
                            (build: DataFrame => DataFrame): DataFrame = {
     import java.nio.file.Files
     def rm(p: String): Unit = {
@@ -87,7 +88,8 @@ object Streams {
     // The staging is a pure function of (sfDir, chunks), so it is keyed
     // and reused across calls — every streaming query over the same
     // table replays the identical staged input.
-    val in = s"target/stream_stage/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}_x$chunks"
+    val flushTag = flushHorizonMs.map(h => s"_flush$h").getOrElse("")
+    val in = s"target/stream_stage/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}_x$chunks$flushTag"
     if (!new java.io.File(s"$in/_STAGED").exists()) {
       rm(in); new java.io.File(in).mkdirs()
       val e = graft.Tables(spark, sfDir, "events")
@@ -107,6 +109,33 @@ object Streams {
         val dest = new java.io.File(in, f"chunk-$i%02d.parquet")
         Files.move(part.toPath, dest.toPath)
         dest.setLastModified(base + i * 60000L): Unit
+        rm(tmp)
+      }
+      // Watermark-flush sentinel: stateful append-mode operators
+      // (sessionize) hold their LAST window per key in state forever if
+      // the watermark never passes its inactivity horizon — end-of-input
+      // is not a streaming concept. A live pipeline flushes because new
+      // events keep arriving; a bounded replay gets the same effect from
+      // one synthetic far-future event (the classic punctuation record),
+      // staged as the final file so the closing no-data micro-batch
+      // fires every pending event-time timeout. The sentinel's own
+      // user_id is -1 — the consumer filters it out.
+      flushHorizonMs.foreach { h =>
+        val maxUs = e.agg(max(expr("unix_micros(ts)"))).first().getLong(0)
+        val tmp = Files.createTempDirectory("graft_chunk").toString
+        spark.range(1).select(
+            lit(-1L).as("event_id"),
+            expr(s"timestamp_micros(${maxUs + h * 1000L}L)").as("ts"),
+            lit(-1L).as("user_id"),
+            lit("flush").as("event_type"),
+            lit(0.0).as("value"),
+            lit(null).cast("string").as("props"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.endsWith(".parquet")).get
+        val dest = new java.io.File(in, "chunk-99-flush.parquet")
+        Files.move(part.toPath, dest.toPath)
+        dest.setLastModified(base + chunks * 60000L): Unit
         rm(tmp)
       }
       Files.writeString(java.nio.file.Paths.get(s"$in/_STAGED"), "ok"): Unit
@@ -156,6 +185,29 @@ object Streams {
       : DataFrame =
     runEventsAvailableNow(spark, sfDir, "complete")(
       qaMissingnessStream(_, cols))
+
+  /** [[sessionize]] — the flagship STATEFUL operator
+    * (flatMapGroupsWithState, event-time timeout) — through
+    * [[runEventsAvailableNow]], oracle-gated as `stream_sessionize`
+    * against the same DuckDB gaps-and-islands SQL as the batch twin.
+    * Append mode emits sessions as they close; the trailing open
+    * session per user is closed by the watermark-flush sentinel (see
+    * the harness): sentinel ts = max(ts) + 2·gap + 1 min, so the final
+    * watermark (sentinel − gap delay) clears every real session's
+    * inactivity horizon (≤ max(ts) + gap) and the closing no-data
+    * micro-batch fires all pending timeouts. The sentinel's own
+    * still-open session is filtered by user_id.
+    */
+  def sessionizeAvailableNow(spark: SparkSession, sfDir: String,
+                             gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    runEventsAvailableNow(spark, sfDir, "append",
+      flushHorizonMs = Some(2 * gapMs + 60000L)) { df =>
+      sessionize(df.as[Event], gapMinutes).toDF()
+        .filter(col("user_id") =!= -1L)
+    }
+  }
 
   /** [[followWithin]] (the watermarked stream-stream join) through
     * [[runEventsAvailableNow]] — oracle-gated as `stream_follow_within`
@@ -372,8 +424,15 @@ object Streams {
       }
   }
   case class SessionState(start: Long, end: Long, n: Int, sum: Double)
-  case class SessionOut(user_id: Long, session_start: Timestamp,
-                        session_end: Timestamp, n_events: Int, sum_value: Double)
+  case class SessionOut(user_id: Long, session_start: Long,
+                        session_end: Long, n_events: Int, sum_value: Double)
+
+  /** Exact epoch-µs of a Timestamp: `getTime` alone is ms-truncated;
+    * the sub-second µs live in `getNanos`. Integer math throughout (the
+    * SURVEY §8a integer-time rule).
+    */
+  def epochUs(ts: Timestamp): Long =
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
 
   /** Per-user session windows via flatMapGroupsWithState: a session closes
     * after `gapMinutes` of event-time inactivity. Event-time timeout (vs
@@ -381,6 +440,12 @@ object Streams {
     * sessions close when the WATERMARK passes session_end + gap, so a
     * backfill produces byte-identical output to the live run. State per
     * user is O(1) — start/end/counters only.
+    *
+    * µs-EXACT, matching [[sessionizeBatch]] bit for bit: session bounds
+    * are emitted as epoch-µs longs, events sort on full µs, and the gap
+    * rule compares TRUNCATED ms (`us div 1000`) exactly like the batch
+    * twin's `unix_micros(ts) div 1000` lag — a ms-rounded rule on µs
+    * data would split sessions differently right at the gap boundary.
     */
   def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
@@ -391,23 +456,22 @@ object Streams {
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          def ms(us: Long): Long = Math.floorDiv(us, 1000L)
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator.single(SessionOut(userId, new Timestamp(s.start),
-              new Timestamp(s.end), s.n, s.sum))
+            Iterator.single(SessionOut(userId, s.start, s.end, s.n, s.sum))
           } else {
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            val sorted = rows.toSeq.sortBy(e => epochUs(e.ts))
             var closed = List.empty[SessionOut]
             var cur = state.getOption
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = epochUs(e.ts)
               cur match {
-                case Some(s) if t - s.end <= gapMs =>
+                case Some(s) if ms(t) - ms(s.end) <= gapMs =>
                   cur = Some(s.copy(end = t, n = s.n + 1, sum = s.sum + e.value))
                 case Some(s) =>
-                  closed ::= SessionOut(userId, new Timestamp(s.start),
-                    new Timestamp(s.end), s.n, s.sum)
+                  closed ::= SessionOut(userId, s.start, s.end, s.n, s.sum)
                   cur = Some(SessionState(t, t, 1, e.value))
                 case None =>
                   cur = Some(SessionState(t, t, 1, e.value))
@@ -416,7 +480,8 @@ object Streams {
             cur.foreach { s =>
               state.update(s)
               // close when the watermark passes the inactivity horizon
-              state.setTimeoutTimestamp(s.end + gapMs)
+              // (timeout timestamps are ms)
+              state.setTimeoutTimestamp(ms(s.end) + gapMs)
             }
             closed.reverseIterator
           }
