@@ -250,6 +250,11 @@ object SparkEntry {
           expr("unix_micros(f_ts)").as("f_us"), col("f_value"))),
     "q_interval_join" -> ((s, dir) => Queries.intervalJoin(s, dir)),
     "q_asof_join" -> ((s, dir) => Queries.asofJoin(s, dir)),
+    // the O(1)-state streaming as-of enrichment driven end-to-end,
+    // gated against the SAME ASOF JOIN oracle as the batch twin
+    "stream_asof_enrich" -> ((s, dir) =>
+      graft.streaming.Streams.asofEnrichAvailableNow(s, dir)
+        .select(col("event_id"), col("ms_since_click"))),
     // session bounds gated as epoch-µs bigints: cross-engine timestamp
     // STRING rendering of fractional seconds is not contract-stable,
     // integer time is (SURVEY §8a integer-time rule)
@@ -520,6 +525,22 @@ object SparkEntry {
          cc AS (${qaCategoricalChangeSql("SELECT * FROM t8")})
        $unions"""
   }
+
+  /** ASOF-join oracle (purchase → most recent click, ms gap), shared by
+    * the batch twin (`q_asof_join`) and the end-to-end streaming gate
+    * (`stream_asof_enrich`).
+    */
+  private val asofOracle: String =
+    """WITH p AS (
+         SELECT event_id, user_id,
+                epoch_us(cast(ts as timestamp)) // 1000 AS ms
+         FROM events WHERE event_type = 'purchase'),
+       c AS (
+         SELECT user_id,
+                epoch_us(cast(ts as timestamp)) // 1000 AS cms
+         FROM events WHERE event_type = 'click')
+       SELECT p.event_id, p.ms - c.cms AS ms_since_click
+       FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ms >= c.cms"""
 
   /** Gaps-and-islands sessionization oracle, shared by the batch twin
     * (`q_sessionize`) and the end-to-end streaming gate
@@ -869,17 +890,11 @@ object SparkEntry {
           AND a.event_id <> b.event_id
          GROUP BY 1""",
 
-    "q_asof_join" ->
-      """WITH p AS (
-           SELECT event_id, user_id,
-                  epoch_us(cast(ts as timestamp)) // 1000 AS ms
-           FROM events WHERE event_type = 'purchase'),
-         c AS (
-           SELECT user_id,
-                  epoch_us(cast(ts as timestamp)) // 1000 AS cms
-           FROM events WHERE event_type = 'click')
-         SELECT p.event_id, p.ms - c.cms AS ms_since_click
-         FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ms >= c.cms""",
+    "q_asof_join" -> asofOracle,
+
+    // identical oracle: the streaming as-of path must land on exactly
+    // the batch answer
+    "stream_asof_enrich" -> asofOracle,
 
     "q_sessionize" -> sessionizeOracle,
 

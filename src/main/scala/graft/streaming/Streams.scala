@@ -89,13 +89,20 @@ object Streams {
     // and reused across calls — every streaming query over the same
     // table replays the identical staged input.
     val flushTag = flushHorizonMs.map(h => s"_flush$h").getOrElse("")
-    val in = s"target/stream_stage/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}_x$chunks$flushTag"
+    val in = s"target/stream_stage/v2_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}_x$chunks$flushTag"
     if (!new java.io.File(s"$in/_STAGED").exists()) {
       rm(in); new java.io.File(in).mkdirs()
       val e = graft.Tables(spark, sfDir, "events")
       val probs = (1 until chunks).map(_.toDouble / chunks).toArray
+      // Boundaries are ms-ALIGNED ((us div 1000)*1000 - 1, i.e. between
+      // two whole milliseconds): several operators' tie rules act on
+      // truncated-ms time (asofEnrich's click-first ordering, the
+      // session gap rule), and a chunk boundary falling INSIDE a
+      // millisecond would split a same-ms group across micro-batches,
+      // replaying them in µs order instead of under the tie rule.
       val bounds = e.select(expr("unix_micros(ts)").as("us"))
         .stat.approxQuantile("us", probs, 0.001)
+        .map(b => (b.toLong / 1000L) * 1000L - 1L)
       val base = System.currentTimeMillis() - 3600L * 1000
       (0 until chunks).foreach { i =>
         val lo = if (i == 0) Long.MinValue else bounds(i - 1).toLong
@@ -174,6 +181,21 @@ object Streams {
     */
   def hourlyRollupAvailableNow(spark: SparkSession, sfDir: String): DataFrame =
     runEventsAvailableNow(spark, sfDir, "complete")(hourlyRollup)
+
+  /** [[asofEnrich]] (O(1)-state as-of enrichment) through
+    * [[runEventsAvailableNow]] — oracle-gated as `stream_asof_enrich`
+    * against the same DuckDB ASOF JOIN as the batch twin. Append mode;
+    * matches are emitted inline as purchases are processed, so no flush
+    * sentinel is needed. Exactness relies on the harness's event-time-
+    * ordered, ms-ALIGNED replay: clicks are applied to every later-ms
+    * purchase, and same-ms groups stay in one micro-batch where the
+    * click-first tie rule orders them.
+    */
+  def asofEnrichAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    runEventsAvailableNow(spark, sfDir, "append")(df =>
+      asofEnrich(df.as[Event]).toDF())
+  }
 
   /** [[qaMissingnessStream]] (the streaming QA monitor) through
     * [[runEventsAvailableNow]] — oracle-gated as `stream_qa_missingness`
