@@ -58,7 +58,11 @@ object ScaleCheck {
       "sample_stratified", "split_assign", "sim_near_dup",
       "sim_ann_ivf_seeded", "dedup_cc_clusters", "text_repetition",
       "text_bm25", "qa_report", "text_corpus_filter", "emb_group_centroids")
-    // NOT replicated-scale-checked: q_interval_join — replication keeps
+    // NOT replicated-scale-checked: the stream_* gates — their cost is
+    // harness staging IO + per-micro-batch state-commit fixed cost
+    // (O(1) in data); a replication ratio would measure the staging
+    // write, not the operators, whose per-row work is the already-
+    // checked batch twins'. Also: q_interval_join — replication keeps
     // the SAME time range, so event density (and pair output) grows
     // quadratically by construction; that measures the replication
     // artifact, not the operator (cost is O(n + output) by design).

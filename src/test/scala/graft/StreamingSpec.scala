@@ -268,4 +268,20 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(got == batch.count())
   }
+
+  test("AvailableNow harness: streamed sessionize equals the batch twin") {
+    // The end-to-end replay harness (event-time-ordered staged files,
+    // flush sentinel, foreachBatch sink) backs five oracle-gated
+    // queries; bind it into the suite by asserting the hardest one —
+    // the stateful sessionizer — lands exactly on sessionizeBatch.
+    val streamed = Streams.sessionizeAvailableNow(spark, sfDir, 30)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect().map(_.toSeq).toSet
+    val batch = Streams.sessionizeBatch(Tables(spark, sfDir, "events"), 30)
+      .select(col("user_id"), expr("unix_micros(session_start)"),
+        expr("unix_micros(session_end)"), col("n_events"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"stream≠batch: ${(streamed diff batch).take(3)} vs ${(batch diff streamed).take(3)}")
+  }
 }
