@@ -288,6 +288,11 @@ object SparkEntry {
       MinHashSpec.candidatePairs(Tables(s, dir, "documents"))),
     "dedup_lsh_jaccard" -> ((s, dir) =>
       Dedup.jaccardOnCandidates(Tables(s, dir, "documents"), threshold = 0.5)),
+    // streaming MinHash-LSH candidate generation driven end-to-end over
+    // a synthesized-arrival-order documents replay, gated against the
+    // batch candidate pairs
+    "stream_lsh_candidates" -> ((s, dir) =>
+      graft.streaming.Streams.lshCandidatesAvailableNow(s, dir)),
     // pairs → clusters: transitive closure of the verified near-dup pairs,
     // every doc labeled with its cluster's min id (singletons label
     // themselves)
@@ -970,6 +975,10 @@ object SparkEntry {
          FROM documents""",
 
     "dedup_minhash_lsh" -> MinHashSpec.duckdbSql(),
+    // pair set of the batch candidate proposer — the streaming bucket
+    // state must propose exactly these pairs
+    "stream_lsh_candidates" ->
+      s"SELECT DISTINCT doc_a, doc_b FROM (${MinHashSpec.duckdbSql()})",
     "sim_ann_lsh" -> Similarity.annTopKDuckdbSql((0L until 10L), 5),
     "sim_ann_ivf_seeded" -> Similarity.ivfSeededDuckdbSql((0L until 10L), 5),
     "sim_near_dup" -> Similarity.cosineNearDupDuckdbSql(threshold = 0.4),

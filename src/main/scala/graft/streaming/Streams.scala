@@ -66,18 +66,77 @@ object Streams {
     * the append sink; a single clean AvailableNow pass has no retries,
     * so a plain append is exact here.)
     */
+  private def rmTree(p: String): Unit = {
+    def loop(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(loop)
+      f.delete(): Unit
+    }
+    loop(new java.io.File(p))
+  }
+
+  /** Write `df` as the single staged replay file `in/name` with the given
+    * pinned modification time (see the replay-order note in
+    * [[runEventsAvailableNow]]).
+    */
+  private def writeChunk(in: String, df: DataFrame, name: String,
+                         modTime: Long): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_chunk").toString
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet")).get
+    val dest = new java.io.File(in, name)
+    java.nio.file.Files.move(part.toPath, dest.toPath)
+    dest.setLastModified(modTime): Unit
+    rmTree(tmp)
+  }
+
+  /** Run `build`'s streaming transform over an already-staged replay dir
+    * with `Trigger.AvailableNow` and a `foreachBatch` parquet sink;
+    * returns the sink read back. The stream's schema is the staged
+    * parquet's own. See [[runEventsAvailableNow]] for the semantics.
+    */
+  def runStagedAvailableNow(spark: SparkSession, in: String, mode: String,
+                            partitions: Int)
+                           (build: DataFrame => DataFrame): DataFrame = {
+    import java.nio.file.Files
+    val out = Files.createTempDirectory("graft_stream_out").toString
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+    val sinkMode = if (mode == "complete") "overwrite" else "append"
+    // Stateful streaming operators allocate one state store per shuffle
+    // partition PER SIDE per micro-batch — at a bounded catch-up scale
+    // that fixed cost dwarfs the data. Size the streaming shuffle to the
+    // staged chunk count (a deployment sizes it to its state volume; the
+    // partition count is pinned into the checkpoint either way), and
+    // restore the session's setting afterwards.
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    try {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(in).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in)
+      val q = build(stream)
+        .writeStream
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.write.mode(sinkMode).parquet(out)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    // the stream is done: the checkpoint is garbage, the staged input is
+    // keyed for reuse (only `out` backs the returned frame)
+    rmTree(ckpt)
+    spark.read.parquet(out)
+  }
+
   def runEventsAvailableNow(spark: SparkSession, sfDir: String,
                             mode: String, chunks: Int = 4,
                             flushHorizonMs: Option[Long] = None)
                            (build: DataFrame => DataFrame): DataFrame = {
     import java.nio.file.Files
-    def rm(p: String): Unit = {
-      def loop(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(loop)
-        f.delete(): Unit
-      }
-      loop(new java.io.File(p))
-    }
     // Stage each event-time quartile as its own file with a controlled,
     // strictly ascending modification time: the file stream source
     // replays files in modtime order, and a repartitionByRange write
@@ -91,7 +150,7 @@ object Streams {
     val flushTag = flushHorizonMs.map(h => s"_flush$h").getOrElse("")
     val in = s"target/stream_stage/v2_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}_x$chunks$flushTag"
     if (!new java.io.File(s"$in/_STAGED").exists()) {
-      rm(in); new java.io.File(in).mkdirs()
+      rmTree(in); new java.io.File(in).mkdirs(): Unit
       val e = graft.Tables(spark, sfDir, "events")
       val probs = (1 until chunks).map(_.toDouble / chunks).toArray
       // Boundaries are ms-ALIGNED ((us div 1000)*1000 - 1, i.e. between
@@ -105,18 +164,12 @@ object Streams {
         .map(b => (b.toLong / 1000L) * 1000L - 1L)
       val base = System.currentTimeMillis() - 3600L * 1000
       (0 until chunks).foreach { i =>
-        val lo = if (i == 0) Long.MinValue else bounds(i - 1).toLong
-        val hi = if (i == chunks - 1) Long.MaxValue else bounds(i).toLong
-        val tmp = Files.createTempDirectory("graft_chunk").toString
-        e.filter(expr("unix_micros(ts)") > lo &&
-            expr("unix_micros(ts)") <= hi)
-          .coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(f => f.getName.endsWith(".parquet")).get
-        val dest = new java.io.File(in, f"chunk-$i%02d.parquet")
-        Files.move(part.toPath, dest.toPath)
-        dest.setLastModified(base + i * 60000L): Unit
-        rm(tmp)
+        val lo = if (i == 0) Long.MinValue else bounds(i - 1)
+        val hi = if (i == chunks - 1) Long.MaxValue else bounds(i)
+        writeChunk(in,
+          e.filter(expr("unix_micros(ts)") > lo &&
+            expr("unix_micros(ts)") <= hi),
+          f"chunk-$i%02d.parquet", base + i * 60000L)
       }
       // Watermark-flush sentinel: stateful append-mode operators
       // (sessionize) hold their LAST window per key in state forever if
@@ -129,51 +182,56 @@ object Streams {
       // user_id is -1 — the consumer filters it out.
       flushHorizonMs.foreach { h =>
         val maxUs = e.agg(max(expr("unix_micros(ts)"))).first().getLong(0)
-        val tmp = Files.createTempDirectory("graft_chunk").toString
-        spark.range(1).select(
+        writeChunk(in,
+          spark.range(1).select(
             lit(-1L).as("event_id"),
             expr(s"timestamp_micros(${maxUs + h * 1000L}L)").as("ts"),
             lit(-1L).as("user_id"),
             lit("flush").as("event_type"),
             lit(0.0).as("value"),
-            lit(null).cast("string").as("props"))
-          .coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(f => f.getName.endsWith(".parquet")).get
-        val dest = new java.io.File(in, "chunk-99-flush.parquet")
-        Files.move(part.toPath, dest.toPath)
-        dest.setLastModified(base + chunks * 60000L): Unit
-        rm(tmp)
+            lit(null).cast("string").as("props")),
+          "chunk-99-flush.parquet", base + chunks * 60000L)
       }
       Files.writeString(java.nio.file.Paths.get(s"$in/_STAGED"), "ok"): Unit
     }
-    val out = Files.createTempDirectory("graft_stream_out").toString
-    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
-    val sinkMode = if (mode == "complete") "overwrite" else "append"
-    // Stateful streaming operators allocate one state store per shuffle
-    // partition PER SIDE per micro-batch — at a bounded catch-up scale
-    // that fixed cost dwarfs the data. Size the streaming shuffle to the
-    // staged chunk count (a deployment sizes it to its state volume; the
-    // partition count is pinned into the checkpoint either way), and
-    // restore the session's setting afterwards.
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", chunks.toString)
-    try {
-      val q = build(readEvents(spark, in))
-        .writeStream
-        .outputMode(mode)
-        .option("checkpointLocation", ckpt)
-        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-          batch.write.mode(sinkMode).parquet(out)
-        }
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    // the stream is done: the checkpoint is garbage, the staged input is
-    // keyed for reuse (only `out` backs the returned frame)
-    rm(ckpt)
-    spark.read.parquet(out)
+    runStagedAvailableNow(spark, in, mode, chunks)(build)
+  }
+
+  /** [[lshCandidatesStream]] (streaming MinHash-LSH candidate
+    * generation) through the AvailableNow harness over the DOCUMENTS
+    * table — oracle-gated as `stream_lsh_candidates` against the batch
+    * MinHash candidate SQL. Documents have no event time, so arrival
+    * order is synthesized deterministically (ts = doc_id ms, ms-aligned
+    * by construction) and the horizon covers the whole replay — the
+    * batch-equivalence regime the operator documents (within the
+    * horizon, the streaming bucket state proposes exactly the batch
+    * pairs). A pair colliding in several bands is emitted once per
+    * band; the gate collapses them with distinct(), exactly as the
+    * batch composition does.
+    */
+  def lshCandidatesAvailableNow(spark: SparkSession, sfDir: String,
+                                chunks: Int = 4): DataFrame = {
+    import java.nio.file.Files
+    val in = s"target/stream_stage/v2_docs_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}_x$chunks"
+    if (!new java.io.File(s"$in/_STAGED").exists()) {
+      rmTree(in); new java.io.File(in).mkdirs(): Unit
+      val d = graft.Tables(spark, sfDir, "documents")
+        .withColumn("ts", expr("timestamp_micros(doc_id * 1000)"))
+      val maxId = d.agg(max(col("doc_id"))).first().getLong(0)
+      val base = System.currentTimeMillis() - 3600L * 1000
+      (0 until chunks).foreach { i =>
+        val lo = maxId * i / chunks
+        val hi = if (i == chunks - 1) maxId else maxId * (i + 1) / chunks
+        writeChunk(in,
+          d.filter((if (i == 0) lit(true) else col("doc_id") > lo) &&
+            col("doc_id") <= hi),
+          f"chunk-$i%02d.parquet", base + i * 60000L)
+      }
+      Files.writeString(java.nio.file.Paths.get(s"$in/_STAGED"), "ok"): Unit
+    }
+    runStagedAvailableNow(spark, in, "append", chunks)(df =>
+      lshCandidatesStream(df, horizonMinutes = 60).toDF())
+      .distinct()
   }
 
   /** [[hourlyRollup]] through [[runEventsAvailableNow]] — oracle-gated
