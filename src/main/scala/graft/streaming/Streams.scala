@@ -229,8 +229,13 @@ object Streams {
       }
       Files.writeString(java.nio.file.Paths.get(s"$in/_STAGED"), "ok"): Unit
     }
+    // One staged file per micro-batch = ONE read task, and the MinHash
+    // signature expressions are the heavy part — repartition ahead of
+    // them so the per-row compute uses the executor cores; the stateful
+    // shuffle after still uses the small state-store partition count.
+    val cores = spark.sparkContext.defaultParallelism
     runStagedAvailableNow(spark, in, "append", chunks)(df =>
-      lshCandidatesStream(df, horizonMinutes = 60).toDF())
+      lshCandidatesStream(df.repartition(cores), horizonMinutes = 60).toDF())
       .distinct()
   }
 
