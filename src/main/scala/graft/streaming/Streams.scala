@@ -66,6 +66,20 @@ object Streams {
     * the append sink; a single clean AvailableNow pass has no retries,
     * so a plain append is exact here.)
     */
+  /** Staging-dir key for a source table: path PLUS the source parquet's
+    * (mtime, size) fingerprint, so a regenerated test dataset at the
+    * same path can never be served a stale staged replay (staging is
+    * reused only while the source is byte-identical-enough; a stale
+    * replay would silently diverge from the oracle).
+    */
+  private def stageKey(sfDir: String, table: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val src = new java.io.File(s"$sfDir/$table.parquet")
+    val fp = walk(src).map(f => f.lastModified ^ f.length).sum
+    s"${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}_${java.lang.Long.toHexString(fp)}"
+  }
+
   private def rmTree(p: String): Unit = {
     def loop(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(loop)
@@ -148,7 +162,7 @@ object Streams {
     // and reused across calls — every streaming query over the same
     // table replays the identical staged input.
     val flushTag = flushHorizonMs.map(h => s"_flush$h").getOrElse("")
-    val in = s"target/stream_stage/v2_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}_x$chunks$flushTag"
+    val in = s"target/stream_stage/v2_${stageKey(sfDir, "events")}_x$chunks$flushTag"
     if (!new java.io.File(s"$in/_STAGED").exists()) {
       rmTree(in); new java.io.File(in).mkdirs(): Unit
       val e = graft.Tables(spark, sfDir, "events")
@@ -212,7 +226,7 @@ object Streams {
   def lshCandidatesAvailableNow(spark: SparkSession, sfDir: String,
                                 chunks: Int = 4): DataFrame = {
     import java.nio.file.Files
-    val in = s"target/stream_stage/v2_docs_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}_x$chunks"
+    val in = s"target/stream_stage/v2_docs_${stageKey(sfDir, "documents")}_x$chunks"
     if (!new java.io.File(s"$in/_STAGED").exists()) {
       rmTree(in); new java.io.File(in).mkdirs(): Unit
       val d = graft.Tables(spark, sfDir, "documents")
