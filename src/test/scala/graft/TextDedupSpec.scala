@@ -221,6 +221,20 @@ class TextDedupSpec extends SparkSpec {
     assert(out(4L) == (("keep", 1)))
   }
 
+  test("repetition & corpusFilter keep their fused scan counts") {
+    // The r5 fusions are plan-shape guarantees, not just perf numbers:
+    // repetition reads the corpus ONCE (tagged unigram+bigram explode),
+    // corpusFilter TWICE (metrics projection chain + unigram agg). A
+    // regression to per-family scans would triple the 100 TB read cost.
+    def scans(df: org.apache.spark.sql.DataFrame): Int = {
+      df.write.format("noop").mode("overwrite").save()
+      "Scan parquet".r.findAllIn(df.queryExecution.executedPlan.toString).length
+    }
+    val docs = Tables(spark, sfDir, "documents")
+    assert(scans(Text.repetition(docs)) == 1)
+    assert(scans(Text.corpusFilter(docs)) == 2)
+  }
+
   test("cache hygiene: multi-consumer operators leave no CacheManager entry") {
     // The operators that materialize an intermediate for multiple
     // consumers (fused QA stats, LSH signatures/candidates, shingle
