@@ -293,6 +293,10 @@ object SparkEntry {
     // batch candidate pairs
     "stream_lsh_candidates" -> ((s, dir) =>
       graft.streaming.Streams.lshCandidatesAvailableNow(s, dir)),
+    // streaming content dedup driven end-to-end: first-seen per
+    // normalized hash over the doc_id-ordered replay == batch keep-min
+    "stream_dedup_docs" -> ((s, dir) =>
+      graft.streaming.Streams.dedupDocsAvailableNow(s, dir)),
     // pairs → clusters: transitive closure of the verified near-dup pairs,
     // every doc labeled with its cluster's min id (singletons label
     // themselves)
@@ -979,6 +983,13 @@ object SparkEntry {
     // state must propose exactly these pairs
     "stream_lsh_candidates" ->
       s"SELECT DISTINCT doc_a, doc_b FROM (${MinHashSpec.duckdbSql()})",
+
+    // batch keep-min-doc_id twin of the streaming first-seen dedup
+    "stream_dedup_docs" ->
+      s"""WITH h AS (SELECT doc_id,
+              md5(${graft.text.Text.normalizeSql("text")}) AS hash
+            FROM documents)
+          SELECT min(doc_id) AS doc_id FROM h GROUP BY hash""",
     "sim_ann_lsh" -> Similarity.annTopKDuckdbSql((0L until 10L), 5),
     "sim_ann_ivf_seeded" -> Similarity.ivfSeededDuckdbSql((0L until 10L), 5),
     "sim_near_dup" -> Similarity.cosineNearDupDuckdbSql(threshold = 0.4),

@@ -223,14 +223,23 @@ object Streams {
     * band; the gate collapses them with distinct(), exactly as the
     * batch composition does.
     */
-  def lshCandidatesAvailableNow(spark: SparkSession, sfDir: String,
-                                chunks: Int = 4): DataFrame = {
+  /** Stage the documents table for replay with a synthesized
+    * deterministic arrival order (ts = doc_id ms, chunked by doc_id
+    * range) — documents have no event time of their own. Returns the
+    * staged dir. Shared by every streaming gate over documents.
+    */
+  def stageDocsReplay(spark: SparkSession, sfDir: String,
+                      chunks: Int = 4): String = {
     import java.nio.file.Files
-    val in = s"target/stream_stage/v2_docs_${stageKey(sfDir, "documents")}_x$chunks"
+    val in = s"target/stream_stage/v3_docs_${stageKey(sfDir, "documents")}_x$chunks"
     if (!new java.io.File(s"$in/_STAGED").exists()) {
       rmTree(in); new java.io.File(in).mkdirs(): Unit
+      // ts is offset a day past the epoch: the initial watermark is 0,
+      // and a doc_id-0 row AT exactly epoch 0 would be "older than the
+      // watermark" and silently dropped as late by stateful operators
+      // (observed: 499/500 docs through the dedup gate).
       val d = graft.Tables(spark, sfDir, "documents")
-        .withColumn("ts", expr("timestamp_micros(doc_id * 1000)"))
+        .withColumn("ts", expr("timestamp_micros(86400000000 + doc_id * 1000)"))
       val maxId = d.agg(max(col("doc_id"))).first().getLong(0)
       val base = System.currentTimeMillis() - 3600L * 1000
       (0 until chunks).foreach { i =>
@@ -243,6 +252,27 @@ object Streams {
       }
       Files.writeString(java.nio.file.Paths.get(s"$in/_STAGED"), "ok"): Unit
     }
+    in
+  }
+
+  /** [[dedupDocsNormalized]] (streaming content dedup) through the
+    * AvailableNow harness — oracle-gated as `stream_dedup_docs` against
+    * the batch keep-min-doc_id rule: the replay arrives in doc_id
+    * order, so "first document seen per normalized hash" IS the batch
+    * twin's min(doc_id), and the replay span is far inside the
+    * watermark horizon, so no hash state is evicted mid-replay (the
+    * batch-equivalence regime the operator documents).
+    */
+  def dedupDocsAvailableNow(spark: SparkSession, sfDir: String,
+                            chunks: Int = 4): DataFrame = {
+    val in = stageDocsReplay(spark, sfDir, chunks)
+    runStagedAvailableNow(spark, in, "append", chunks)(df =>
+      dedupDocsNormalized(df, "1 hour").select(col("doc_id")))
+  }
+
+  def lshCandidatesAvailableNow(spark: SparkSession, sfDir: String,
+                                chunks: Int = 4): DataFrame = {
+    val in = stageDocsReplay(spark, sfDir, chunks)
     // One staged file per micro-batch = ONE read task, and the MinHash
     // signature expressions are the heavy part — repartition ahead of
     // them so the per-row compute uses the executor cores; the stateful
