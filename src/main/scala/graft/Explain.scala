@@ -12,7 +12,11 @@ object Explain {
         "q_semi_anti", "dedup_minhash_lsh", "sim_cosine_topk",
         "sim_ann_ivf", "qa_categorical_top8", "text_pii_scrub",
         "dedup_exact_normalized", "q_interval_join", "q_asof_join",
-        "dedup_corpus_clean", "split_assign")
+        "dedup_corpus_clean", "split_assign",
+        // r4/r5 additions (stream_* excluded: constructing them RUNS
+        // the streaming job; use PlanProbe/BenchOne for those)
+        "text_repetition", "text_bm25", "text_corpus_filter",
+        "emb_group_centroids")
     val spark = Tables.session("graft-explain", cores = 4)
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
