@@ -145,6 +145,13 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Rounds the most recent [[connectedComponents]] call took to
+    * converge — driver-side diagnostic only (read it right after the
+    * call; ScaleCheck prints it as scale evidence for the O(log
+    * diameter) claim).
+    */
+  @volatile var lastCcRounds: Int = 0
+
   /** Connected components over an undirected duplicate-pair list: every
     * node gets the MINIMUM id reachable through any chain of pairs — the
     * canonical representative of its duplicate cluster. This is what turns
@@ -158,17 +165,11 @@ object Dedup {
     * so label information travels 2^r hops after r rounds — O(log
     * diameter) rounds for chain-shaped clusters, not O(diameter). State is
     * one (id, lbl) row per node; each round is two shuffled joins.
-    * `localCheckpoint` truncates lineage between rounds (iterative
-    * DataFrame algorithms otherwise compound the plan exponentially), and
-    * doubles as the materialization the convergence count needs anyway.
+    * A LAZY `localCheckpoint` truncates lineage between rounds (iterative
+    * DataFrame algorithms otherwise compound the plan exponentially); the
+    * convergence aggregate is the single action that materializes it, so
+    * each round is one job.
     */
-  /** Rounds the most recent [[connectedComponents]] call took to
-    * converge — driver-side diagnostic only (read it right after the
-    * call; ScaleCheck prints it as scale evidence for the O(log
-    * diameter) claim).
-    */
-  @volatile var lastCcRounds: Int = 0
-
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
                           bCol: String = "doc_b",
                           maxRounds: Int = 50): DataFrame = {
