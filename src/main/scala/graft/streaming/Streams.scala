@@ -61,10 +61,10 @@ object Streams {
     * incremental micro-batches, not one degenerate one.
     *
     * `complete` mode overwrites the sink each batch (the last batch is
-    * the full aggregate); `append` mode appends each batch's finalized
-    * rows. (A production run would use [[idempotentBatchWriter]] for
-    * the append sink; a single clean AvailableNow pass has no retries,
-    * so a plain append is exact here.)
+    * the full aggregate — itself idempotent); `append` mode writes each
+    * batch's finalized rows through [[idempotentBatchWriter]], the
+    * production exactly-once sink, so a retried micro-batch replaces
+    * its own partition instead of double-appending.
     */
   /** Staging-dir key for a source table: path PLUS the source parquet's
     * (mtime, size) fingerprint, so a regenerated test dataset at the
@@ -115,35 +115,63 @@ object Streams {
     import java.nio.file.Files
     val out = Files.createTempDirectory("graft_stream_out").toString
     val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
-    val sinkMode = if (mode == "complete") "overwrite" else "append"
     // Stateful streaming operators allocate one state store per shuffle
     // partition PER SIDE per micro-batch — at a bounded catch-up scale
     // that fixed cost dwarfs the data. Size the streaming shuffle to the
     // staged chunk count (a deployment sizes it to its state volume; the
     // partition count is pinned into the checkpoint either way), and
-    // restore the session's setting afterwards.
+    // restore the session's settings afterwards (the idempotent sink
+    // flips partitionOverwriteMode).
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevOverwrite =
+      spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    var outSchema: org.apache.spark.sql.types.StructType = null
     try {
       val stream = spark.readStream
         .schema(spark.read.parquet(in).schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(in)
-      val q = build(stream)
+      val built = build(stream)
+      outSchema = built.schema
+      // complete mode: overwrite-per-batch IS idempotent (the last batch
+      // is the whole answer). Append mode uses the PRODUCTION sink —
+      // idempotentBatchWriter's per-batch_id dynamic partition overwrite
+      // — so a retried micro-batch replaces its own partition instead of
+      // double-appending: the gate runs the same exactly-once machinery
+      // a deployment would.
+      val sink: (DataFrame, Long) => Unit =
+        if (mode == "complete")
+          (batch, _) => batch.write.mode("overwrite").parquet(out)
+        else idempotentBatchWriter(out)
+      val q = built
         .writeStream
         .outputMode(mode)
         .option("checkpointLocation", ckpt)
-        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-          batch.write.mode(sinkMode).parquet(out)
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+          sink(batch.toDF(), id)
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevOverwrite)
+    }
     // the stream is done: the checkpoint is garbage, the staged input is
     // keyed for reuse (only `out` backs the returned frame)
     rmTree(ckpt)
-    spark.read.parquet(out)
+    // A partitioned sink with zero emitted rows writes no data files at
+    // all — return a typed empty frame rather than failing the read.
+    val hasData = {
+      def walk(f: java.io.File): Boolean =
+        if (f.isDirectory) f.listFiles().exists(walk)
+        else f.getName.endsWith(".parquet")
+      walk(new java.io.File(out))
+    }
+    if (hasData) spark.read.parquet(out).drop("batch_id")
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
   }
 
   def runEventsAvailableNow(spark: SparkSession, sfDir: String,
