@@ -177,6 +177,55 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("fused repetition equals a driver-side reference on random docs") {
+    // The r5 single-explode fusion (tagged unigrams+bigrams, conditional
+    // agg, line stats riding as first()) is checked here against an
+    // INDEPENDENT straight-line Scala computation — the DuckDB oracle
+    // shares the tokenization spec, this does not share the fusion.
+    def round4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def reference(text: String): (Int, Int, Double, Double, Double, Int, Double) = {
+      // Spark's trim() strips ONLY spaces (0x20), not Java trim's <=0x20:
+      // a doc starting with "\n" keeps a leading empty token after the
+      // whitespace split, in BOTH engines (DuckDB trim is space-only
+      // too). The reference must replicate that exact contract.
+      val trimmed = text.replaceAll("^ +", "").replaceAll(" +$", "")
+      val toks = trimmed.toLowerCase.split("[\t\n\f\r ]+", -1).toSeq
+      val bigrams = if (toks.length >= 2)
+        toks.sliding(2).map(_.mkString(" ")).toSeq else Seq(toks.head)
+      val lines = text.split("\n", -1).toSeq
+      val nTok = toks.length
+      val nTyp = toks.distinct.length
+      val topCnt = toks.groupBy(identity).values.map(_.size).max
+      val topBg = bigrams.groupBy(identity).values.map(_.size).max
+      (nTok, nTyp,
+        round4((nTok - nTyp).toDouble / nTok),
+        round4(topCnt.toDouble / nTok),
+        round4(topBg.toDouble / bigrams.length),
+        lines.length,
+        round4((lines.length - lines.distinct.length).toDouble / lines.length))
+    }
+    val docGen = Gen.listOfN(12, Gen.frequency(
+      8 -> Gen.oneOf("dog", "cat", "run", "the", "a"),
+      1 -> Gen.const("\n"),
+      1 -> Gen.oneOf("", "  ", "Dog!", "")))
+      .map(_.mkString(" "))
+    forAll(Gen.listOfN(6, docGen), n = 8) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = Text.repetition(df).collect().map { r =>
+        r.getAs[Long]("doc_id") -> ((r.getAs[Int]("n_tokens"),
+          r.getAs[Int]("n_types"), r.getAs[Double]("dup_token_frac"),
+          r.getAs[Double]("top_token_frac"),
+          r.getAs[Double]("top_bigram_frac"), r.getAs[Int]("n_lines"),
+          r.getAs[Double]("dup_line_frac")))
+      }.toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        assert(got(i.toLong) == reference(t), s"doc $i: <$t>")
+      }
+    }
+  }
+
   test("jaccard output is bounded, ordered, and self-consistent") {
     forAll(textGen) { docs =>
       whenever(docs.size > 1) {
