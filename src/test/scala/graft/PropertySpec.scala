@@ -226,6 +226,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bm25's regexp_count document length equals the split-array size") {
+    // bm25 computes dl as regexp_count(trimmed, ws+)+1 to avoid a second
+    // split-and-materialize pass; that is only sound if it equals
+    // size(split(trimmed, ws+)) for EVERY input — including empty,
+    // all-whitespace, and leading/trailing-run texts (split keeps
+    // trailing empties, so both sides count the empty token).
+    val weird = Seq("", " ", "  \t\n ", "a", " a ", "a  b", "\na b\r\n",
+      "xy", "a b c  ", "\t\t")
+    val gen = Gen.listOfN(8, Gen.oneOf(
+      Gen.oneOf(weird), Gen.listOfN(6,
+        Gen.oneOf("dog", " ", "\n", "a,b", "")).map(_.mkString)))
+    forAll(gen, n = 10) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val trimmed = trim(lower(col("text")))
+      val bad = df.select(
+          (regexp_count(trimmed, lit(Text.wsRe)) + 1).as("via_count"),
+          size(split(trimmed, Text.wsRe)).as("via_split"))
+        .filter(col("via_count") =!= col("via_split")).count()
+      assert(bad == 0L)
+    }
+  }
+
   test("jaccard output is bounded, ordered, and self-consistent") {
     forAll(textGen) { docs =>
       whenever(docs.size > 1) {
