@@ -26,7 +26,7 @@ object Skew {
   def saltedSum(df: DataFrame, keys: Seq[String], valueCol: String,
                 saltFactor: Int = 16): DataFrame = {
     val salted = df.withColumn("__salt",
-      pmod(hash(df.columns.map(col): _*), lit(saltFactor)))
+      pmod(hash(df.columns.toIndexedSeq.map(col): _*), lit(saltFactor)))
     salted.groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(sum(col(valueCol)).as("__partial"), count(lit(1)).as("__n"))
       .groupBy(keys.map(col): _*)
@@ -44,7 +44,7 @@ object Skew {
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  saltFactor: Int = 16): DataFrame = {
     val saltedFact = fact.withColumn("__salt",
-      pmod(hash(fact.columns.map(col): _*), lit(saltFactor)))
+      pmod(hash(fact.columns.toIndexedSeq.map(col): _*), lit(saltFactor)))
     val explodedDim = dim.withColumn("__salt",
       explode(array((0 until saltFactor).map(lit): _*)))
     saltedFact.join(explodedDim, Seq(key, "__salt")).drop("__salt")
