@@ -3,6 +3,12 @@ package graft
 /** Plan-audit utility: prints the formatted physical plan of selected
   * queries so shuffle/broadcast/pushdown regressions are visible.
   * Usage: runMain graft.Explain [sfDir] [query ...]
+  *
+  * Caveat: operators that eagerly localCheckpoint an intermediate
+  * (MinHash signatures, bm25 postings) RUN that sub-job at plan
+  * construction and print its subtree as a lineage-truncated
+  * `Scan ExistingRDD` — audit those subtrees through their builder
+  * functions (and through PlanProbe, which reports the EXECUTED plan).
   */
 object Explain {
   def main(args: Array[String]): Unit = {

@@ -17,9 +17,16 @@ object PlanProbe {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, sfDir)
-      df.write.format("noop").mode("overwrite").save()
-      val plan = df.queryExecution.executedPlan.toString
-      println(s"[probe] $n reusedExchange=${plan.contains("ReusedExchange")}" +
+      // Execute THIS QueryExecution (a .write would plan its own), so
+      // the AdaptiveSparkPlan is finalized and the string below is the
+      // plan that actually ran, not the pre-execution draft.
+      df.queryExecution.toRdd.count(): Unit
+      // a finalized AdaptiveSparkPlan prints BOTH "== Final Plan ==" and
+      // "== Initial Plan ==" sections — count nodes in the final one only
+      val full = df.queryExecution.executedPlan.toString
+      val plan = full.split("== Initial Plan ==")(0)
+      println(s"[probe] $n finalPlan=${!full.contains("isFinalPlan=false")}" +
+        s" reusedExchange=${plan.contains("ReusedExchange")}" +
         s" scans=${"Scan parquet".r.findAllIn(plan).length}")
       spark.catalog.clearCache()
     }

@@ -31,8 +31,10 @@ object ScaleCheck {
     }
 
     val t0 = System.nanoTime()
-    val haveReplica =
-      new java.io.File(s"$dst/events.parquet/_SUCCESS").exists()
+    // The marker is written AFTER every table: a run killed mid-replication
+    // must not leave a half-replica that later runs treat as complete.
+    val marker = new java.io.File(s"$dst/_REPLICATED")
+    val haveReplica = marker.exists()
     if (haveReplica) println(s"reusing replica at $dst")
     else {
     replicate("lineitem", Map("l_orderkey" -> 10000000L))
@@ -46,6 +48,7 @@ object ScaleCheck {
       Tables(spark, src, t).write.mode("overwrite").parquet(s"$dst/$t.parquet")
     }
     println(f"replicated x$n in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    java.nio.file.Files.writeString(marker.toPath, "ok"): Unit
     }
 
     val allNames = Seq("q1_agg", "q_join_star", "q_join_large", "q_semi_anti",
@@ -70,6 +73,10 @@ object ScaleCheck {
     // lsh_jaccard, sim_near_dup): replication clones every row 10×, so
     // every clone pair is a TRUE duplicate/near-dup and the output —
     // hence the ratio — grows ~100×; per-pair cost stays flat.
+    val unknown = only.toSet -- allNames.toSet
+    require(unknown.isEmpty,
+      s"unknown/excluded query names: ${unknown.mkString(", ")} " +
+        s"(stream_* is excluded from replication ratios by design)")
     val names = if (only.nonEmpty) allNames.filter(only.contains) else allNames
     def time(dir: String, name: String): Double = {
       val t = System.nanoTime()

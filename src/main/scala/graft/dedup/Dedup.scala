@@ -207,7 +207,10 @@ object Dedup {
       // eager-checkpoint + join-and-count shape was two jobs, the second
       // with its own shuffle). Lineage is still truncated.
       val next = jumped.localCheckpoint(eager = false)
-      changed = next.agg(sum(col("chg"))).first().getLong(0)
+      // coalesce: sum over an EMPTY frame is null (no pairs at all —
+      // the r4 join-and-count shape returned 0 there)
+      changed = next.agg(coalesce(sum(col("chg")), lit(0L)))
+        .first().getLong(0)
       labels = next.select(col("id"), col("lbl"))
       round += 1
     }

@@ -109,12 +109,27 @@ object Streams {
     * returns the sink read back. The stream's schema is the staged
     * parquet's own. See [[runEventsAvailableNow]] for the semantics.
     */
+  /** Sink/checkpoint temp dirs created by [[runStagedAvailableNow]],
+    * removed by a JVM shutdown hook: the sink must outlive the call (it
+    * backs the returned frame), so per-call deletion is impossible, but
+    * a long-lived process must not leak one dir per streaming run.
+    */
+  private val tempDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      tempDirs.forEach(rmTree(_))))
+  }
+  private def tempDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix).toString
+    tempDirs.add(d): Unit
+    d
+  }
+
   def runStagedAvailableNow(spark: SparkSession, in: String, mode: String,
                             partitions: Int)
                            (build: DataFrame => DataFrame): DataFrame = {
-    import java.nio.file.Files
-    val out = Files.createTempDirectory("graft_stream_out").toString
-    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+    val out = tempDir("graft_stream_out")
+    val ckpt = tempDir("graft_stream_ckpt")
     // Stateful streaming operators allocate one state store per shuffle
     // partition PER SIDE per micro-batch — at a bounded catch-up scale
     // that fixed cost dwarfs the data. Size the streaming shuffle to the
@@ -157,10 +172,11 @@ object Streams {
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevOverwrite)
+      // the checkpoint is garbage whether the stream succeeded or threw;
+      // the staged input is keyed for reuse, and only `out` (shutdown-
+      // hook-cleaned) backs the returned frame
+      rmTree(ckpt)
     }
-    // the stream is done: the checkpoint is garbage, the staged input is
-    // keyed for reuse (only `out` backs the returned frame)
-    rmTree(ckpt)
     // A partitioned sink with zero emitted rows writes no data files at
     // all — return a typed empty frame rather than failing the read.
     val hasData = {
@@ -273,9 +289,16 @@ object Streams {
       (0 until chunks).foreach { i =>
         val lo = maxId * i / chunks
         val hi = if (i == chunks - 1) maxId else maxId * (i + 1) / chunks
+        // sortWithinPartitions AFTER the coalesce-to-one in writeChunk
+        // would be ideal; sorting here + coalesce(1) preserves the
+        // total order (coalesce concatenates parent partitions in
+        // order). Without the sort, within-chunk arrival order would be
+        // the source parquet's PHYSICAL row order — first-seen dedup
+        // equals the min-doc_id oracle only because the test data
+        // happens to be written sorted.
         writeChunk(in,
           d.filter((if (i == 0) lit(true) else col("doc_id") > lo) &&
-            col("doc_id") <= hi),
+            col("doc_id") <= hi).orderBy(col("doc_id")),
           f"chunk-$i%02d.parquet", base + i * 60000L)
       }
       Files.writeString(java.nio.file.Paths.get(s"$in/_STAGED"), "ok"): Unit

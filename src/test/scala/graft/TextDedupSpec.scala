@@ -227,8 +227,14 @@ class TextDedupSpec extends SparkSpec {
     // corpusFilter TWICE (metrics projection chain + unigram agg). A
     // regression to per-family scans would triple the 100 TB read cost.
     def scans(df: org.apache.spark.sql.DataFrame): Int = {
-      df.write.format("noop").mode("overwrite").save()
-      "Scan parquet".r.findAllIn(df.queryExecution.executedPlan.toString).length
+      // execute THIS QueryExecution so the counted plan is the finalized
+      // adaptive plan that ran, not the pre-execution draft
+      df.queryExecution.toRdd.count(): Unit
+      // finalized adaptive plans print final + initial sections; count
+      // scans in the FINAL one only
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      "Scan parquet".r.findAllIn(plan).length
     }
     val docs = Tables(spark, sfDir, "documents")
     assert(scans(Text.repetition(docs)) == 1)
