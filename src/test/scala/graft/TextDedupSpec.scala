@@ -221,6 +221,14 @@ class TextDedupSpec extends SparkSpec {
     assert(out(4L) == (("keep", 1)))
   }
 
+  test("connectedComponents: empty pair list yields empty labeling") {
+    // Regression: the one-job-per-round convergence aggregate is a
+    // sum(), which is NULL over an empty frame — a corpus with no
+    // near-dup pairs must yield an empty labeling, not an NPE.
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponents(empty).count() == 0)
+  }
+
   test("repetition & corpusFilter keep their fused scan counts") {
     // The r5 fusions are plan-shape guarantees, not just perf numbers:
     // repetition reads the corpus ONCE (tagged unigram+bigram explode),
