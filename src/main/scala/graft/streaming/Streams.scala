@@ -497,15 +497,21 @@ object Streams {
     val spark = docs.sparkSession
     import spark.implicits._
     val horizonMs = horizonMinutes * 60L * 1000L
+    // Hash every shingle ONCE into __hashes, then run the K affine
+    // permutations over the hashes: K separate `transform`s over the
+    // raw shingles would each re-evaluate the md5 (lambda scopes defeat
+    // subexpression elimination) — a 16× md5 cost on the hot path.
     val mh = (0 until MinHashSpec.K).map { i =>
-      expr(s"""array_min(transform(__shingles,
-           w -> ((${MinHashSpec.hpExpr(spark, "w")}) * ${MinHashSpec.a(i)}L
+      expr(s"""array_min(transform(__hashes,
+           h -> (h * ${MinHashSpec.a(i)}L
                  + ${MinHashSpec.b(i)}L) % ${MinHashSpec.P}))""").as(s"mh_$i")
     }
     val sig = docs
       .withColumn("__toks", Text.tokens(col("text")))
       .withColumn("__shingles",
         expr(Text.shingleExpr("__toks", MinHashSpec.SHINGLE_K)))
+      .withColumn("__hashes",
+        expr(s"transform(__shingles, w -> ${MinHashSpec.hpExpr(spark, "w")})"))
       .select(col("doc_id") +: col("ts") +: mh: _*)
     val bandSigs = (0 until MinHashSpec.BANDS).map { j =>
       val cs = (j * MinHashSpec.ROWS until (j + 1) * MinHashSpec.ROWS)
