@@ -40,28 +40,32 @@ object PlanAudit {
       val scans = "Scan parquet".r.findAllIn(plan).length
       val exchanges = "Exchange".r.findAllIn(plan).length -
         "ReusedExchange".r.findAllIn(plan).length
+      // non-empty PushedFilters on any scan: a pushdown regression
+      // (filter evaluated after a full read) is a classic scale killer
+      val pushed = "PushedFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined
       spark.catalog.clearCache()
-      (n, scans, exchanges)
+      (n, scans, exchanges, pushed)
     }
     if (record) {
-      val out = shapes.map { case (n, s, e) => s"$n\t$s\t$e" }
+      val out = shapes.map { case (n, s, e, p) => s"$n\t$s\t$e\t$p" }
         .mkString("", "\n", "\n")
       Files.writeString(Paths.get(baselinePath), out)
       println(s"[plan-audit] recorded ${shapes.size} shapes to $baselinePath")
     } else {
       val baseline = scala.io.Source.fromFile(baselinePath).getLines()
-        .map(_.split("\t")).map(a => a(0) -> ((a(1).toInt, a(2).toInt)))
+        .map(_.split("\t"))
+        .map(a => a(0) -> ((a(1).toInt, a(2).toInt, a(3).toBoolean)))
         .toMap
       var failed = 0
-      shapes.foreach { case (n, s, e) =>
+      shapes.foreach { case (n, s, e, p) =>
         baseline.get(n) match {
           case None => println(s"[plan-audit] NEW $n scans=$s exchanges=$e" +
             " (not in baseline — rerun with --record)")
-          case Some((bs, be)) if s > bs || e > be =>
+          case Some((bs, be, bp)) if s > bs || e > be || (bp && !p) =>
             failed += 1
             println(s"[plan-audit] REGRESSED $n scans=$s (was $bs) " +
-              s"exchanges=$e (was $be)")
-          case Some((bs, be)) if s < bs || e < be =>
+              s"exchanges=$e (was $be) pushedFilters=$p (was $bp)")
+          case Some((bs, be, _)) if s < bs || e < be =>
             println(s"[plan-audit] improved $n scans=$s (was $bs) " +
               s"exchanges=$e (was $be) — re-record to pin")
           case _ => ()
