@@ -52,18 +52,22 @@ object Sources {
     * lines survive the load with their raw text in `_corrupt_record`
     * (typed columns NULL) instead of being silently nulled — callers
     * split the frame on `_corrupt_record IS NULL` into clean rows and a
-    * quarantine table. The quarantined frame is returned CACHED: Spark
-    * refuses queries that reference only the internal corrupt-record
-    * column on a raw scan ("referencing internal corrupt record column
-    * is not allowed"), and caching is the documented way to make the
-    * split queries legal.
+    * quarantine table. The quarantined frame is returned MATERIALIZED via
+    * `localCheckpoint`: Spark refuses queries that reference only the
+    * internal corrupt-record column on a raw scan ("referencing internal
+    * corrupt record column is not allowed"), so the frame must be
+    * materialized before the split queries are legal. localCheckpoint
+    * (the house policy for multi-consumer intermediates) reads the file
+    * once and leaves NOTHING registered in the CacheManager — the
+    * `.cache()` this replaces was never unpersisted, so every quarantine
+    * load leaked a cache entry for the session's lifetime.
     */
   def loadDelimited(spark: SparkSession, cfg: TableConfig,
                     quarantine: Boolean = false): DataFrame = {
     val df = delimitedReader(spark, cfg, "overall", quarantine)
       .csv(cfg.filePath.getOrElse("overall",
         sys.error(s"config ${cfg.toTable}: no overall file_path")))
-    if (quarantine) df.cache() else df
+    if (quarantine) df.localCheckpoint() else df
   }
 
   /** `load_table_from_file(ind_yr=TRUE, combine_yr=TRUE)`: per-year files

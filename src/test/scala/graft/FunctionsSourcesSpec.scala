@@ -147,12 +147,20 @@ class FunctionsSourcesSpec extends SparkSpec {
       filePath = Map("overall" -> s"$dir/in.csv"),
       fieldTerm = Map("overall" -> ","))
     // no caller-side cache: the loader must return a frame on which the
-    // corrupt-record split queries are legal
+    // corrupt-record split queries are legal. Start from an empty cache
+    // so the hygiene assertion below isolates the loader (this suite's
+    // own embeddings fixture is cached test-scoped).
+    spark.catalog.clearCache()
     val out = Sources.loadDelimited(spark, cfg, quarantine = true)
     val bad = out.filter(col("_corrupt_record").isNotNull).collect()
     assert(bad.length == 1)
     assert(bad.head.getAs[String]("_corrupt_record") == "not_a_number,20")
     assert(out.filter(col("_corrupt_record").isNull).count() == 2)
+    // cache hygiene: the loader materializes via localCheckpoint, so the
+    // quarantine frame must not leave an entry in the CacheManager (the
+    // pre-r6 `.cache()` leaked one per quarantine load, never unpersisted)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "loadDelimited left the quarantine frame registered in the CacheManager")
   }
 
   test("delimited load honors field terminator, header skip, and schema") {
