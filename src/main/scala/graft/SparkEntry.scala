@@ -297,6 +297,12 @@ object SparkEntry {
     // normalized hash over the doc_id-ordered replay == batch keep-min
     "stream_dedup_docs" -> ((s, dir) =>
       graft.streaming.Streams.dedupDocsAvailableNow(s, dir)),
+    // the same end-to-end run with the middle micro-batch's sink invoked
+    // TWICE (simulated post-failure retry): the idempotent sink's
+    // exactly-once property gated against the unchanged oracle — an
+    // append sink would double that batch's rows and fail the hash
+    "stream_sink_replay" -> ((s, dir) =>
+      graft.streaming.Streams.dedupDocsSinkReplayAvailableNow(s, dir)),
     // pairs → clusters: transitive closure of the verified near-dup pairs,
     // every doc labeled with its cluster's min id (singletons label
     // themselves)
@@ -986,6 +992,13 @@ object SparkEntry {
 
     // batch keep-min-doc_id twin of the streaming first-seen dedup
     "stream_dedup_docs" ->
+      s"""WITH h AS (SELECT doc_id,
+              md5(${graft.text.Text.normalizeSql("text")}) AS hash
+            FROM documents)
+          SELECT min(doc_id) AS doc_id FROM h GROUP BY hash""",
+    // identical oracle to stream_dedup_docs: the retried batch must
+    // change NOTHING in the sink
+    "stream_sink_replay" ->
       s"""WITH h AS (SELECT doc_id,
               md5(${graft.text.Text.normalizeSql("text")}) AS hash
             FROM documents)

@@ -125,8 +125,22 @@ object Streams {
     d
   }
 
+  /** Structural stats of the last [[runStagedAvailableNow]] run, captured
+    * from the query's progress events: how many micro-batches actually
+    * carried data, and how many stateful operators the streaming plan
+    * held. `StreamAudit` pins these per gate — the oracle hash alone
+    * cannot tell an incremental replay from a degenerate one-batch run
+    * (both produce the same rows), so a harness regression that
+    * collapses the replay would silently stop exercising streaming
+    * state without this gate.
+    */
+  case class RunStats(batches: Int, dataBatches: Int, statefulOps: Int,
+                      stateRowsTotal: Long)
+  @volatile var lastRunStats: Option[RunStats] = None
+
   def runStagedAvailableNow(spark: SparkSession, in: String, mode: String,
-                            partitions: Int)
+                            partitions: Int,
+                            refireBatchId: Option[Long] = None)
                            (build: DataFrame => DataFrame): DataFrame = {
     val out = tempDir("graft_stream_out")
     val ckpt = tempDir("graft_stream_ckpt")
@@ -165,10 +179,26 @@ object Streams {
         .option("checkpointLocation", ckpt)
         .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
           sink(batch.toDF(), id)
+          // Simulated sink retry: fire the SAME batch id a second time —
+          // the shape a post-failure restart produces (the checkpoint
+          // commits AFTER the sink, so a crash between them re-runs the
+          // micro-batch with an identical batch id). The gate using this
+          // must still hash-match the unchanged oracle: that drives the
+          // idempotent sink's defining property END TO END — a plain
+          // append sink would double this batch's rows and fail the hash.
+          if (refireBatchId.contains(id)) sink(batch.toDF(), id)
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      val prog = q.recentProgress
+      lastRunStats = Some(RunStats(
+        batches = prog.length,
+        dataBatches = prog.count(_.numInputRows > 0),
+        statefulOps = prog.map(_.stateOperators.length)
+          .foldLeft(0)(math.max),
+        stateRowsTotal = prog.lastOption
+          .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)))
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevOverwrite)
@@ -318,6 +348,23 @@ object Streams {
                             chunks: Int = 4): DataFrame = {
     val in = stageDocsReplay(spark, sfDir, chunks)
     runStagedAvailableNow(spark, in, "append", chunks)(df =>
+      dedupDocsNormalized(df, "1 hour").select(col("doc_id")))
+  }
+
+  /** [[dedupDocsAvailableNow]] with a simulated sink RETRY: the middle
+    * micro-batch's foreachBatch sink is invoked twice with the same
+    * batch id (see the refire note in [[runStagedAvailableNow]]) and
+    * the gate hash-matches the same DuckDB oracle as `stream_dedup_docs`
+    * — [[idempotentBatchWriter]]'s exactly-once contract (a replayed
+    * batch OVERWRITES its own `batch_id=N` partition instead of
+    * double-appending) driven through the harness, not just
+    * spec-asserted. Oracle-gated as `stream_sink_replay`.
+    */
+  def dedupDocsSinkReplayAvailableNow(spark: SparkSession, sfDir: String,
+                                      chunks: Int = 4): DataFrame = {
+    val in = stageDocsReplay(spark, sfDir, chunks)
+    runStagedAvailableNow(spark, in, "append", chunks,
+      refireBatchId = Some(chunks / 2L))(df =>
       dedupDocsNormalized(df, "1 hour").select(col("doc_id")))
   }
 
