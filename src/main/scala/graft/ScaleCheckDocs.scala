@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Non-replicated scale evidence for the pair-emitting dedup family.
+  *
+  * [[ScaleCheck]]'s replication makes every clone a TRUE duplicate, so
+  * for pair-emitting operators (MinHash propose, Jaccard verify, corpus
+  * clean, CC clusters) the measured 10× ratio is dominated by a ~100×
+  * OUTPUT explosion — a replication artifact, not operator scaling.
+  * This tool instead synthesizes a corpus of UNIQUE documents with the
+  * SOURCE's generator shape — its vocabulary, its token-length
+  * distribution, its lang/source value mix — at 10× the document count,
+  * with the planted duplicate structure scaled to 10× the source's
+  * MEASURED counts (verified near-dup pairs per the repo's own
+  * propose→verify path; exact-duplicate rows by normalized text). Under
+  * that corpus the expected output grows ~10×, so the timing ratio
+  * finally measures the OPERATOR at scale.
+  *
+  * The synthetic corpus lives under target/ and feeds ONLY these scale
+  * ratios — the oracle-gated correctness queries always run on the
+  * driver's parquet, never on generated data.
+  *
+  * Usage: runMain graft.ScaleCheckDocs [N] [query ...]
+  * (default N=10, all dedup-family queries; the labeled quadratic
+  * baseline dedup_ngram_jaccard is included LAST — its candidate space
+  * is all-pairs BY DESIGN, so its ratio stays ~N², which is the honest
+  * demonstration of why D13 is the scale path.)
+  */
+object ScaleCheckDocs {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(10)
+    val only = args.drop(1).toSeq
+    val src = "/root/testdata/sf0.1"
+    val dst = s"target/scale_unique_x$n"
+    val spark = Tables.session("graft-scale-docs", cores = 32)
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val marker = new java.io.File(s"$dst/_GENERATED")
+    if (marker.exists()) println(s"reusing unique corpus at $dst")
+    else {
+      val t0 = System.nanoTime()
+      val docs = Tables(spark, src, "documents")
+      // --- source shape, all measured (never assumed) ---
+      val vocab = docs.select(explode(split(col("text"), " ")).as("w"))
+        .distinct().as[String].collect().sorted
+      val lengths = docs.select(size(split(col("text"), " ")))
+        .as[Int].collect()
+      val langs = docs.groupBy("lang").count()
+        .as[(String, Long)].collect().sortBy(_._1)
+      val sources = docs.groupBy("source").count()
+        .as[(String, Long)].collect().sortBy(_._1)
+      val nSrc = lengths.length
+      // planted structure, measured with the repo's own operators:
+      // verified near-dup pairs (propose→verify at the gate threshold)
+      // and exact-duplicate rows by normalized text
+      val srcPairs = graft.dedup.Dedup
+        .jaccardOnCandidates(docs, threshold = 0.5).count().toInt
+      val srcExact = (docs.count() -
+        docs.select(graft.text.Text.normalize(col("text"))).distinct()
+          .count()).toInt
+      println(s"source: $nSrc docs, $srcPairs verified near-dup pairs, " +
+        s"$srcExact exact-dup rows, vocab ${vocab.length}")
+
+      // --- deterministic generation (seeded; no wall-clock anywhere) ---
+      val rng = new scala.util.Random(42)
+      def weighted(dist: Array[(String, Long)]): String = {
+        val total = dist.map(_._2).sum
+        var r = rng.nextLong() % total
+        if (r < 0) r += total
+        dist.find { case (_, c) => { r -= c; r < 0 } }.get._1
+      }
+      val nTotal = n * nSrc
+      val nPairs = n * srcPairs
+      val nExact = n * srcExact
+      val nBase = nTotal - nPairs - nExact
+      val base = Array.tabulate(nBase) { _ =>
+        val len = lengths(rng.nextInt(nSrc))
+        Array.fill(len)(vocab(rng.nextInt(vocab.length))).toSeq
+      }
+      // near-dup clones: replace one contiguous ~10% block — a block of
+      // m tokens kills only m+k-1 shingles, keeping shingle-Jaccard
+      // ~0.8, comfortably over the 0.5 verify threshold (scattered
+      // single-token edits would kill k shingles EACH and sink clones
+      // below threshold)
+      val nearClones = Array.fill(nPairs) {
+        val toks = base(rng.nextInt(nBase)).toArray
+        val blockLen = math.max(1, toks.length / 10)
+        val start = rng.nextInt(math.max(1, toks.length - blockLen))
+        (start until (start + blockLen)).foreach { i =>
+          toks(i) = vocab(rng.nextInt(vocab.length))
+        }
+        toks.toSeq
+      }
+      val exactClones = Array.fill(nExact)(base(rng.nextInt(nBase)))
+      // shuffle so planted clones are scattered across the id range like
+      // the source's, then assign sequential ids
+      val all = rng.shuffle((base ++ nearClones ++ exactClones).toSeq)
+      val rows = all.zipWithIndex.map { case (toks, id) =>
+        val text = toks.mkString(" ")
+        (id.toLong, text, weighted(langs), weighted(sources),
+          text.length.toLong)
+      }
+      spark.createDataset(rows)
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+      println(f"generated $nTotal unique docs ($nPairs planted near-dup " +
+        f"pairs, $nExact exact dups) in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      java.nio.file.Files.writeString(marker.toPath, "ok"): Unit
+    }
+
+    val allNames = Seq("dedup_exact_docs", "dedup_exact_normalized",
+      "dedup_minhash_lsh", "dedup_lsh_jaccard", "dedup_corpus_clean",
+      "dedup_cc_clusters", "dedup_ngram_jaccard")
+    val names = if (only.nonEmpty) allNames.filter(only.contains) else allNames
+    def timeAndCount(dir: String, name: String): (Double, Long) = {
+      val t = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).write.format("noop")
+        .mode("overwrite").save()
+      val secs = (System.nanoTime() - t) / 1e9
+      val rows = SparkEntry.queries(name)(spark, dir).count()
+      spark.catalog.clearCache()
+      (secs, rows)
+    }
+    names.foreach(q => { timeAndCount(src, q); () }) // warm both code paths
+    println(f"${"query"}%-22s ${"sf0.1"}%8s ${"x" + n}%8s  ratio " +
+      f"${"out_1x"}%9s ${"out_Nx"}%9s  out_ratio (linear=$n)")
+    names.foreach { q =>
+      val (s1, c1) = timeAndCount(src, q)
+      val (sN, cN) = timeAndCount(dst, q)
+      println(f"$q%-22s $s1%8.2f $sN%8.2f  ${sN / s1}%5.1f $c1%9d $cN%9d  " +
+        f"${cN.toDouble / c1}%5.1f")
+    }
+    spark.stop()
+  }
+}

@@ -125,6 +125,32 @@ object Streams {
     d
   }
 
+  /** Scratch dir for the streaming CHECKPOINT, preferring fast local
+    * storage (tmpfs) when present: the checkpoint of a bounded
+    * catch-up replay is pure scratch — written once per micro-batch
+    * (offset log, commit log, one state delta per store per partition),
+    * deleted when the run ends — so its fsync latency is a fixed cost
+    * per micro-batch that buys no durability anyone reads. A deployment
+    * makes the same call by pointing the checkpoint at node-local NVMe
+    * (an always-on pipeline that must survive restarts keeps it on
+    * durable shared storage instead — this harness's runs are bounded
+    * and self-contained). Measured here: ~10% off the 8-gate total
+    * (largest on the state-heaviest gates: follow_within 4.6 → 3.8 s,
+    * hourly_rollup 2.4 → 2.0 s; the rest of the floor is query startup
+    * and per-micro-batch planning, not checkpoint IO). The SINK stays
+    * on the regular temp FS — it backs the returned frame and is the
+    * run's real output.
+    */
+  private def ckptDir(prefix: String): String = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) {
+      val d = java.nio.file.Files.createTempDirectory(
+        shm.toPath, prefix).toString
+      tempDirs.add(d): Unit
+      d
+    } else tempDir(prefix)
+  }
+
   /** Structural stats of the last [[runStagedAvailableNow]] run, captured
     * from the query's progress events: how many micro-batches actually
     * carried data, and how many stateful operators the streaming plan
@@ -143,7 +169,7 @@ object Streams {
                             refireBatchId: Option[Long] = None)
                            (build: DataFrame => DataFrame): DataFrame = {
     val out = tempDir("graft_stream_out")
-    val ckpt = tempDir("graft_stream_ckpt")
+    val ckpt = ckptDir("graft_stream_ckpt")
     // Stateful streaming operators allocate one state store per shuffle
     // partition PER SIDE per micro-batch — at a bounded catch-up scale
     // that fixed cost dwarfs the data. Size the streaming shuffle to the
