@@ -111,9 +111,67 @@ object ScaleCheckDocs {
       java.nio.file.Files.writeString(marker.toPath, "ok"): Unit
     }
 
+    // --- embeddings: same idea for the vector pair family. Unique
+    // vectors with the SOURCE's measured cluster geometry: each new
+    // vector is its source cluster's centroid plus a seeded PERMUTATION
+    // of a source vector's residual — residual norms (hence
+    // cosine-to-centroid spread) are preserved exactly, while
+    // independent permutations decorrelate residual directions, so
+    // generated base vectors don't accidentally pair. Planted near-dup
+    // clones (base + 5% relative noise, cosine ≈ 0.99) at 10× the
+    // source's MEASURED verified pair count keep the dup rate constant.
+    val embMarker = new java.io.File(s"$dst/_GENERATED_EMB")
+    if (embMarker.exists()) println(s"reusing unique embeddings at $dst")
+    else {
+      val t0 = System.nanoTime()
+      val emb = Tables(spark, src, "embeddings")
+      val srcVecs = emb.select(col("vec_id"), col("embedding"), col("label"))
+        .as[(Long, Array[Float], Int)].collect().sortBy(_._1)
+      val dim = srcVecs.head._2.length
+      val srcPairsE = graft.similarity.Similarity
+        .cosineNearDup(emb, threshold = 0.4).count().toInt
+      println(s"source: ${srcVecs.length} vectors dim $dim, " +
+        s"$srcPairsE verified near-dup pairs (cosine >= 0.4)")
+      val centroids = srcVecs.groupBy(_._3).map { case (l, vs) =>
+        val c = Array.fill(dim)(0.0f)
+        vs.foreach(v => (0 until dim).foreach(i => c(i) += v._2(i)))
+        (0 until dim).foreach(i => c(i) /= vs.length)
+        l -> c
+      }
+      val rngE = new scala.util.Random(43)
+      val nSrcE = srcVecs.length
+      val nTotalE = n * nSrcE
+      val nPairsE = n * srcPairsE
+      val nBaseE = nTotalE - nPairsE
+      def perm(): Array[Int] = rngE.shuffle((0 until dim).toList).toArray
+      val baseE = Array.fill(nBaseE) {
+        val (_, v, l) = srcVecs(rngE.nextInt(nSrcE))
+        val c = centroids(l)
+        val p = perm()
+        val out = Array.tabulate(dim)(i => c(i) + (v(p(i)) - c(p(i))))
+        (out, l)
+      }
+      val cloneE = Array.fill(nPairsE) {
+        val (v, l) = baseE(rngE.nextInt(nBaseE))
+        val rnorm = math.sqrt(v.map(x => x * x).sum) / math.sqrt(dim)
+        (v.map(x => x + (rngE.nextGaussian() * 0.05 * rnorm).toFloat), l)
+      }
+      val allE = rngE.shuffle((baseE ++ cloneE).toSeq)
+      spark.createDataset(allE.zipWithIndex.map { case ((v, l), id) =>
+          (id.toLong, v, l) })
+        .toDF("vec_id", "embedding", "label")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+      println(f"generated $nTotalE unique vectors ($nPairsE planted " +
+        f"near-dup pairs) in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      java.nio.file.Files.writeString(embMarker.toPath, "ok"): Unit
+    }
+
     val allNames = Seq("dedup_exact_docs", "dedup_exact_normalized",
       "dedup_minhash_lsh", "dedup_lsh_jaccard", "dedup_corpus_clean",
-      "dedup_cc_clusters", "dedup_ngram_jaccard")
+      "dedup_cc_clusters", "sim_near_dup", "sim_cosine_topk",
+      "sim_ann_lsh", "sim_ann_ivf_seeded", "emb_group_centroids",
+      "dedup_ngram_jaccard")
     val names = if (only.nonEmpty) allNames.filter(only.contains) else allNames
     def timeAndCount(dir: String, name: String): (Double, Long) = {
       val t = System.nanoTime()
@@ -132,6 +190,31 @@ object ScaleCheckDocs {
       val (sN, cN) = timeAndCount(dst, q)
       println(f"$q%-22s $s1%8.2f $sN%8.2f  ${sN / s1}%5.1f $c1%9d $cN%9d  " +
         f"${cN.toDouble / c1}%5.1f")
+    }
+    // sim_near_dup's gated threshold (0.4) sits in the BIRTHDAY TAIL of
+    // the source's near-isotropic unit vectors (measured: |centroid| ≈
+    // 0.07 vs |residual| ≈ 1.0 — the labels are not geometric clusters;
+    // random 64-dim pairs land ≥ 0.4 at ~5e-4), so its output grows
+    // quadratically with ANY corpus of the source's statistics — a
+    // property of the data, not the operator. The true-duplicate regime
+    // is a high threshold where random pairs are impossible and output
+    // is exactly the planted clone structure: time THAT too, so the
+    // operator's scaling is measured in the regime a deduper runs it in.
+    if (names.contains("sim_near_dup")) {
+      def timeHi(dir: String): (Double, Long) = {
+        val t = System.nanoTime()
+        val c = graft.similarity.Similarity
+          .cosineNearDup(Tables(spark, dir, "embeddings"), threshold = 0.9)
+          .count()
+        spark.catalog.clearCache()
+        ((System.nanoTime() - t) / 1e9, c)
+      }
+      timeHi(src) // warm
+      val (s1, c1) = timeHi(src)
+      val (sN, cN) = timeHi(dst)
+      println(f"sim_near_dup@0.9       $s1%8.2f $sN%8.2f  ${sN / s1}%5.1f " +
+        f"$c1%9d $cN%9d  (true-dup regime: src has no planted vector " +
+        "dups; generated output = planted clones)")
     }
     spark.stop()
   }
