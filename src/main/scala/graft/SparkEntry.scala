@@ -347,6 +347,12 @@ object SparkEntry {
         .select("doc_id", "n_fingerprints", "min_fingerprint")),
     "text_ngram_freq" -> ((s, dir) =>
       Text.ngramFreq(Tables(s, dir, "documents"))),
+    // eval-set decontamination screen: every 50th doc plays the
+    // benchmark; output is a dense per-doc contaminated-shingle count
+    "text_contamination" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      Text.contamination(d, d.filter(col("doc_id") % 50 === 0))
+    }),
     "text_repetition" -> ((s, dir) =>
       Text.repetition(Tables(s, dir, "documents"))),
     "text_bm25" -> ((s, dir) =>
@@ -1010,6 +1016,7 @@ object SparkEntry {
     "dedup_simhash" -> SimHash.duckdbSql(),
     "text_fingerprint" -> Text.fingerprintSql(),
     "text_ngram_freq" -> Text.ngramFreqSql(),
+    "text_contamination" -> Text.contaminationSql(),
     "text_repetition" -> Text.repetitionSql(),
     "text_bm25" -> Text.bm25Sql(bm25Terms),
     "emb_group_centroids" -> Similarity.groupCentroidsSql(),

@@ -218,6 +218,65 @@ object Text {
     SELECT ngram, count(*) AS n_docs FROM grams
     GROUP BY ngram ORDER BY n_docs DESC, ngram LIMIT $topK"""
 
+  /** Benchmark decontamination screen — the standard eval-set
+    * contamination pass of an LLM training-data pipeline: flag corpus
+    * documents sharing any n-token shingle with a benchmark/eval
+    * document, so train/test leakage is removed before training.
+    * Output is dense (one row per corpus doc): the distinct
+    * contaminated-shingle count and a 0/1 flag.
+    *
+    * Spark shape for 100 TB: the benchmark's distinct shingles are a
+    * SMALL frame (eval sets are tiny next to the corpus) and are
+    * broadcast — the corpus-side shingle explode is filtered by the
+    * broadcast hash join BEFORE any shuffle, so the only shuffled rows
+    * are actual hits (grouped per doc), plus the bounded hits frame
+    * joined back for the dense zero-fill. The corpus is scanned twice
+    * (grams + id spine), both scans pruned to the needed columns.
+    */
+  def contamination(docs: DataFrame, benchmark: DataFrame, n: Int = 8,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val bGrams = benchmark
+      .withColumn("__toks", tokens(col(textCol)))
+      .select(explode(expr(shingleExpr("__toks", n))).as("gram"))
+      .distinct()
+    val dGrams = docs
+      .withColumn("__toks", tokens(col(textCol)))
+      .select(col(idCol), explode(expr(shingleExpr("__toks", n))).as("gram"))
+    val hits = dGrams.join(broadcast(bGrams), Seq("gram"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_contaminated"))
+    docs.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_contaminated"), lit(0)).as("n_contaminated"),
+        when(coalesce(col("n_contaminated"), lit(0)) > 0, 1).otherwise(0)
+          .as("contaminated"))
+  }
+
+  /** DuckDB oracle for [[contamination]] with the benchmark defined by
+    * a predicate over the same table (the gate plants every 50th doc as
+    * the "eval set"; a production run passes a real benchmark table).
+    */
+  def contaminationSql(table: String = "documents",
+                       benchPredicate: String = "doc_id % 50 = 0",
+                       n: Int = 8, idCol: String = "doc_id",
+                       textCol: String = "text"): String =
+    s"""WITH bench AS (
+         SELECT DISTINCT unnest(${shingleSql(textCol, n)}) AS gram
+         FROM $table WHERE $benchPredicate),
+       grams AS (
+         SELECT $idCol, unnest(${shingleSql(textCol, n)}) AS gram
+         FROM $table),
+       hits AS (
+         SELECT g.$idCol, cast(count(*) as int) AS n_contaminated
+         FROM grams g JOIN bench b USING (gram) GROUP BY g.$idCol)
+     SELECT d.$idCol,
+            coalesce(h.n_contaminated, 0) AS n_contaminated,
+            CASE WHEN coalesce(h.n_contaminated, 0) > 0
+                 THEN 1 ELSE 0 END AS contaminated
+     FROM $table d LEFT JOIN hits h USING ($idCol)"""
+
   /** k-token shingles WITHOUT the distinct — repetition statistics need
     * every occurrence (the dedup/MinHash ops use [[shingleExpr]]'s
     * distinct variant).

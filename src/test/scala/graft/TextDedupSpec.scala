@@ -33,6 +33,26 @@ class TextDedupSpec extends SparkSpec {
     assert(out(2L) == "und") // no hits at all
   }
 
+  test("contamination flags docs sharing an n-gram with the benchmark") {
+    // benchmark doc of 10 tokens; doc 2 embeds an 8-token span of it
+    // (→ contaminated), doc 3 shares only 7 consecutive tokens (→ not,
+    // at n=8), doc 4 is unrelated. The benchmark doc itself is in the
+    // corpus, as in a real decontamination pass, and self-matches on
+    // all 3 of its distinct 8-gram shingles.
+    val bench = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"
+    val docs = Seq(
+      (1L, bench),
+      (2L, s"x y t2 t3 t4 t5 t6 t7 t8 t9 z"),
+      (3L, s"x y t2 t3 t4 t5 t6 t7 t8 q z"),
+      (4L, "u v w a b c d e f g h i")).toDF("doc_id", "text")
+    val out = Text.contamination(docs, docs.filter(col("doc_id") === 1L))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(out(1L) == ((3, 1)))
+    assert(out(2L) == ((1, 1)))
+    assert(out(3L) == ((0, 0)))
+    assert(out(4L) == ((0, 0)))
+  }
+
   test("fingerprint: identical docs share fingerprints, different don't") {
     val df = Seq(
       (1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
