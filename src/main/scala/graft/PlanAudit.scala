@@ -52,7 +52,8 @@ object PlanAudit {
       Files.writeString(Paths.get(baselinePath), out)
       println(s"[plan-audit] recorded ${shapes.size} shapes to $baselinePath")
     } else {
-      val baseline = scala.io.Source.fromFile(baselinePath).getLines()
+      val baseline = Files.readAllLines(Paths.get(baselinePath))
+        .toArray(Array.empty[String]).filter(_.nonEmpty)
         .map(_.split("\t"))
         .map(a => a(0) -> ((a(1).toInt, a(2).toInt, a(3).toBoolean)))
         .toMap

@@ -29,10 +29,15 @@ import org.apache.spark.sql.functions._
   */
 object ScaleCheckDocs {
   def main(args: Array[String]): Unit = {
-    val n = args.headOption.map(_.toInt).getOrElse(10)
-    val only = args.drop(1).toSeq
+    // N is genuinely optional: a first arg that isn't an integer is a
+    // query name ("ScaleCheckDocs dedup_exact_docs" must work)
+    val n = args.headOption.flatMap(_.toIntOption).getOrElse(10)
+    val only = args.drop(if (args.headOption.exists(_.toIntOption.isDefined)) 1 else 0).toSeq
     val src = "/root/testdata/sf0.1"
-    val dst = s"target/scale_unique_x$n"
+    // v2: clone perturbation guarantees replaced tokens differ from the
+    // originals (v1 could regenerate the identical block for short docs,
+    // silently turning planted near-dups into exact dups)
+    val dst = s"target/scale_unique_v2_x$n"
     val spark = Tables.session("graft-scale-docs", cores = 32)
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
@@ -89,7 +94,13 @@ object ScaleCheckDocs {
         val blockLen = math.max(1, toks.length / 10)
         val start = rng.nextInt(math.max(1, toks.length - blockLen))
         (start until (start + blockLen)).foreach { i =>
-          toks(i) = vocab(rng.nextInt(vocab.length))
+          // replacement must DIFFER from the original token, or a
+          // 1-token block (short docs) can regenerate the base verbatim
+          // and the planted near-dup silently becomes an exact dup
+          val orig = toks(i)
+          var w = orig
+          while (w == orig) w = vocab(rng.nextInt(vocab.length))
+          toks(i) = w
         }
         toks.toSeq
       }
@@ -172,17 +183,27 @@ object ScaleCheckDocs {
       "dedup_cc_clusters", "sim_near_dup", "sim_cosine_topk",
       "sim_ann_lsh", "sim_ann_ivf_seeded", "emb_group_centroids",
       "dedup_ngram_jaccard")
+    val unknown = only.toSet -- allNames.toSet
+    require(unknown.isEmpty,
+      s"unknown query names (would be silently skipped): ${unknown.mkString(", ")}")
     val names = if (only.nonEmpty) allNames.filter(only.contains) else allNames
     def timeAndCount(dir: String, name: String): (Double, Long) = {
+      // one execution: the timed noop write carries an Observation for
+      // the row count (a separate count() would re-run the whole query)
+      val obs = new org.apache.spark.sql.Observation()
       val t = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir).write.format("noop")
-        .mode("overwrite").save()
+      SparkEntry.queries(name)(spark, dir)
+        .observe(obs, count(lit(1)).as("rows"))
+        .write.format("noop").mode("overwrite").save()
       val secs = (System.nanoTime() - t) / 1e9
-      val rows = SparkEntry.queries(name)(spark, dir).count()
+      val rows = obs.get("rows").asInstanceOf[Long]
       spark.catalog.clearCache()
       (secs, rows)
     }
-    names.foreach(q => { timeAndCount(src, q); () }) // warm both code paths
+    // warm BOTH dirs: first-touch costs (file listing, parquet footers,
+    // AQE replanning at 10×) must not land inside the Nx timing only —
+    // that would systematically inflate the published ratios
+    names.foreach { q => timeAndCount(src, q); timeAndCount(dst, q); () }
     println(f"${"query"}%-22s ${"sf0.1"}%8s ${"x" + n}%8s  ratio " +
       f"${"out_1x"}%9s ${"out_Nx"}%9s  out_ratio (linear=$n)")
     names.foreach { q =>

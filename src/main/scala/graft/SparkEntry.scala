@@ -374,6 +374,16 @@ object SparkEntry {
   // BM25 query vocabulary — shared by the Spark query and its oracle.
   private val bm25Terms = Seq("spark", "window", "merge", "customer")
 
+  // Shared by stream_dedup_docs AND stream_sink_replay: the sink-replay
+  // gate's whole point is that a retried batch changes nothing, so its
+  // oracle is the dedup oracle BY CONSTRUCTION (one definition, not two
+  // copies that could drift).
+  private val streamDedupOracle: String =
+    s"""WITH h AS (SELECT doc_id,
+            md5(${graft.text.Text.normalizeSql("text")}) AS hash
+          FROM documents)
+        SELECT min(doc_id) AS doc_id FROM h GROUP BY hash"""
+
   private val stopList: String =
     Text.langMarkers.flatMap(_._2).distinct.sorted.map(w => s"'$w'").mkString(", ")
 
@@ -997,18 +1007,10 @@ object SparkEntry {
       s"SELECT DISTINCT doc_a, doc_b FROM (${MinHashSpec.duckdbSql()})",
 
     // batch keep-min-doc_id twin of the streaming first-seen dedup
-    "stream_dedup_docs" ->
-      s"""WITH h AS (SELECT doc_id,
-              md5(${graft.text.Text.normalizeSql("text")}) AS hash
-            FROM documents)
-          SELECT min(doc_id) AS doc_id FROM h GROUP BY hash""",
-    // identical oracle to stream_dedup_docs: the retried batch must
+    "stream_dedup_docs" -> streamDedupOracle,
+    // the SAME oracle value by construction: the retried batch must
     // change NOTHING in the sink
-    "stream_sink_replay" ->
-      s"""WITH h AS (SELECT doc_id,
-              md5(${graft.text.Text.normalizeSql("text")}) AS hash
-            FROM documents)
-          SELECT min(doc_id) AS doc_id FROM h GROUP BY hash""",
+    "stream_sink_replay" -> streamDedupOracle,
     "sim_ann_lsh" -> Similarity.annTopKDuckdbSql((0L until 10L), 5),
     "sim_ann_ivf_seeded" -> Similarity.ivfSeededDuckdbSql((0L until 10L), 5),
     "sim_near_dup" -> Similarity.cosineNearDupDuckdbSql(threshold = 0.4),

@@ -45,7 +45,8 @@ object StreamAudit {
       Files.writeString(Paths.get(baselinePath), out)
       println(s"[stream-audit] recorded ${stats.size} gates to $baselinePath")
     } else {
-      val baseline = scala.io.Source.fromFile(baselinePath).getLines()
+      val baseline = Files.readAllLines(Paths.get(baselinePath))
+        .toArray(Array.empty[String]).filter(_.nonEmpty)
         .map(_.split("\t"))
         .map(a => a(0) -> ((a(1).toInt, a(2).toInt)))
         .toMap

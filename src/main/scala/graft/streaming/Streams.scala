@@ -168,6 +168,9 @@ object Streams {
                             partitions: Int,
                             refireBatchId: Option[Long] = None)
                            (build: DataFrame => DataFrame): DataFrame = {
+    // reset BEFORE the run: a run that throws must not leave the
+    // previous gate's stats behind for a caller to misattribute
+    lastRunStats = None
     val out = tempDir("graft_stream_out")
     val ckpt = ckptDir("graft_stream_ckpt")
     // Stateful streaming operators allocate one state store per shuffle
