@@ -282,6 +282,18 @@ object SparkEntry {
       graft.etl.Sampling.hashSplit(Tables(s, dir, "documents"), "doc_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select("doc_id", "split")),
+    // domain-mix rebalance: downsample sources to a 50/30/20 target mix
+    // (src0 is the bottleneck at rate 1.0; others thinned to match)
+    "sample_mix_rebalance" -> ((s, dir) =>
+      graft.etl.Sampling.mixRebalance(Tables(s, dir, "documents"),
+        "source", "doc_id", mixTargets)
+        .select("doc_id", "source")),
+    // token-budget selection: each source contributes at most 800 ws
+    // tokens, docs taken in deterministic hash order
+    "corpus_token_budget" -> ((s, dir) =>
+      graft.etl.Sampling.tokenBudget(Tables(s, dir, "documents"),
+        "source", "doc_id", "text", budget = 800L)
+        .select("doc_id", "source", "n_tokens")),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(Tables(s, dir, "documents"), threshold = 0.5)),
     "dedup_minhash_lsh" -> ((s, dir) =>
@@ -373,6 +385,12 @@ object SparkEntry {
 
   // BM25 query vocabulary — shared by the Spark query and its oracle.
   private val bm25Terms = Seq("spark", "window", "merge", "customer")
+
+  // Mix-rebalance target shares — shared by the Spark query and its
+  // oracle (src0 demands the largest share, making it the feasibility
+  // bottleneck at acceptance rate 1.0).
+  private val mixTargets =
+    Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
 
   // Shared by stream_dedup_docs AND stream_sink_replay: the sink-replay
   // gate's whole point is that a retried batch changes nothing, so its
@@ -999,6 +1017,13 @@ object SparkEntry {
                 ${graft.etl.Sampling.hashSplitSql("doc_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))} AS split
          FROM documents""",
+
+    "sample_mix_rebalance" -> graft.etl.Sampling.mixRebalanceSql(
+      "documents", "source", "doc_id", mixTargets, "d.doc_id, d.source"),
+
+    "corpus_token_budget" -> graft.etl.Sampling.tokenBudgetSql(
+      "documents", "source", "doc_id", "text", budget = 800L,
+      "doc_id, source"),
 
     "dedup_minhash_lsh" -> MinHashSpec.duckdbSql(),
     // pair set of the batch candidate proposer — the streaming bucket

@@ -98,4 +98,114 @@ object Sampling {
     }.mkString(" ")
     s"(CASE $cases ELSE '${weights.last._1}' END)"
   }
+
+  /** Data-mix rebalancing — the domain-mixing step of a training-data
+    * pipeline: downsample each source so the sampled corpus matches the
+    * `targets` proportions as closely as possible WITHOUT upsampling.
+    * The feasible sampled size is m = min_s(n_s / t_s); each source's
+    * acceptance rate is then (m·t_s)/n_s ≤ 1 (the scarcest source
+    * relative to its target keeps everything). Selection is the same
+    * deterministic hash-bucket filter as [[hashSample]], so the row set
+    * is replayable and engine-exact. Sources absent from `targets` are
+    * dropped (rate 0) — the mix is a whitelist.
+    *
+    * Scale shape: one small groupBy for the per-source counts, the rate
+    * arithmetic stays IN-FRAME (no driver collect), and the bounded
+    * rates frame broadcast-joins onto the scan — the corpus itself is
+    * filtered at scan speed, no shuffle. Rates derive from counts with
+    * the identical IEEE double operation order on both engines
+    * ((m · t) / n, then floor(rate · buckets)), so the integer cut
+    * thresholds — and hence the sampled rows — match DuckDB exactly.
+    */
+  def mixRebalance(df: DataFrame, sourceCol: String, keyCol: String,
+                   targets: Map[String, Double]): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ > 0),
+      "mixRebalance: target shares must be positive")
+    val tgtCol = targets.foldLeft(lit(null).cast("double")) {
+      case (acc, (s, t)) => when(col(sourceCol) === s, lit(t)).otherwise(acc)
+    }
+    // bounded (one row per source) but consumed TWICE (the feasibility
+    // min and the per-source cuts) — materialize once or the full
+    // corpus scan behind it runs per reference (the categoricalChange
+    // lesson, r6)
+    val counts = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__t", tgtCol)
+      .filter(col("__t").isNotNull)
+      .localCheckpoint()
+    val m = counts.agg(min(col("__n") / col("__t")).as("__m"))
+    val cuts = counts.crossJoin(m)
+      .select(col(sourceCol),
+        floor((col("__m") * col("__t")) / col("__n") * BUCKETS).as("__cut"))
+    df.join(broadcast(cuts), Seq(sourceCol))
+      .filter(bucket(df, keyCol) < col("__cut"))
+      .drop("__cut")
+  }
+
+  /** DuckDB oracle twin of [[mixRebalance]]: same counts → min-feasible
+    * → per-source cut pipeline with the identical double operation
+    * order, returning (selectCols) of the sampled rows.
+    */
+  def mixRebalanceSql(table: String, sourceCol: String, keyCol: String,
+                      targets: Map[String, Double],
+                      selectCols: String): String = {
+    val values = targets.toSeq.sortBy(_._1)
+      .map { case (s, t) => s"('$s', cast($t as double))" }.mkString(", ")
+    s"""WITH tgt($sourceCol, t) AS (VALUES $values),
+        counts AS (
+          SELECT $sourceCol, cast(count(*) as bigint) AS n
+          FROM $table GROUP BY $sourceCol),
+        j AS (SELECT c.$sourceCol, c.n, tgt.t
+              FROM counts c JOIN tgt USING ($sourceCol)),
+        mm AS (SELECT min(n / t) AS m FROM j),
+        cuts AS (
+          SELECT $sourceCol,
+                 cast(floor(((SELECT m FROM mm) * t) / n * $BUCKETS) as bigint)
+                   AS cut
+          FROM j)
+      SELECT $selectCols FROM $table d
+      JOIN cuts USING ($sourceCol)
+      WHERE ${bucketSql(keyCol)} < cut"""
+  }
+
+  /** Token-budget selection — cap each source's contribution at `budget`
+    * whitespace tokens: documents are taken in deterministic hash order
+    * (bucket, then key — total and engine-independent) until the
+    * running token total would pass the budget. The counterpart of
+    * [[mixRebalance]] when the mix is specified in tokens, as training
+    * mixes usually are.
+    *
+    * Scale shape: one window (partition by source, sort by hash) — an
+    * ordered prefix selection is inherently a per-source sort; when the
+    * budget can be approximate, prefer [[mixRebalance]]'s sort-free
+    * rate filter. Token counts and the running sum are integers, so
+    * engines agree exactly.
+    */
+  def tokenBudget(df: DataFrame, sourceCol: String, keyCol: String,
+                  textCol: String, budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol))
+      .orderBy(bucket(df, keyCol), col(keyCol))
+    df.withColumn("n_tokens", size(graft.text.Text.tokens(col(textCol))))
+      .withColumn("__cum", sum(col("n_tokens").cast("long")).over(w))
+      .filter(col("__cum") <= budget)
+      .drop("__cum")
+  }
+
+  /** DuckDB oracle twin of [[tokenBudget]], returning (selectCols,
+    * n_tokens) of the selected rows.
+    */
+  def tokenBudgetSql(table: String, sourceCol: String, keyCol: String,
+                     textCol: String, budget: Long,
+                     selectCols: String): String =
+    s"""WITH toks AS (
+         SELECT *, cast(len(string_split_regex(trim(lower($textCol)),
+                '${graft.text.Text.wsRe}')) as int) AS n_tokens
+         FROM $table),
+       cum AS (
+         SELECT *, sum(cast(n_tokens as bigint)) OVER (
+             PARTITION BY $sourceCol
+             ORDER BY ${bucketSql(keyCol)}, $keyCol) AS c
+         FROM toks)
+     SELECT $selectCols, n_tokens FROM cum WHERE c <= $budget"""
 }

@@ -140,6 +140,43 @@ class EtlSpec extends SparkSpec {
     assert(a1 == a2)
   }
 
+  test("mixRebalance hits target proportions without upsampling") {
+    // skewed corpus: a=6000, b=3000, c=1000, d=2000; target 50/30/20
+    // over a/b/c → c is the bottleneck (1000/0.2 = 5000 feasible), so
+    // expected keeps ≈ 2500 a, 1500 b, ALL 1000 c; d is dropped.
+    val df = spark.range(12000).selectExpr("id as k",
+      """CASE WHEN id < 6000 THEN 'a' WHEN id < 9000 THEN 'b'
+              WHEN id < 10000 THEN 'c' ELSE 'd' END as src""")
+    val out = graft.etl.Sampling.mixRebalance(df, "src", "k",
+      Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2))
+    val bySrc = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("c") == 1000L)                    // bottleneck keeps all
+    assert(math.abs(bySrc("a") - 2500L) < 150)
+    assert(math.abs(bySrc("b") - 1500L) < 120)
+    assert(!bySrc.contains("d"))                   // not in targets
+    // deterministic under re-partitioning
+    val k1 = out.select("k").collect().map(_.getLong(0)).toSet
+    val k2 = graft.etl.Sampling.mixRebalance(df.repartition(7), "src", "k",
+      Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2))
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(k1 == k2)
+  }
+
+  test("tokenBudget takes docs in hash order until the source budget") {
+    val df = Seq(
+      (1L, "s", "t1 t2 t3"), (2L, "s", "t1 t2 t3"), (3L, "s", "t1 t2 t3"),
+      (4L, "u", "t1 t2 t3 t4 t5 t6 t7")).toDF("doc_id", "src", "text")
+    val out = graft.etl.Sampling.tokenBudget(df, "src", "doc_id", "text",
+      budget = 7L).collect()
+      .map(r => r.getLong(0) -> r.getInt(3)).toMap
+    // source s: 3-token docs, budget 7 → exactly 2 docs (cum 3, 6, 9)
+    assert(out.count(_._1 <= 3L) == 2)
+    // source u: single 7-token doc fits exactly
+    assert(out(4L) == 7)
+    assert(out.values.forall(_ > 0))
+  }
+
   test("checkVersion compares dotted versions") {
     assert(Etl.checkVersion("2.2.0", "2.2.0")._1)
     assert(Etl.checkVersion("2.3.0", "2.2.9")._1)
