@@ -232,18 +232,28 @@ object Text {
     * are actual hits (grouped per doc), plus the bounded hits frame
     * joined back for the dense zero-fill. The corpus is scanned twice
     * (grams + id spine), both scans pruned to the needed columns.
+    * Grams join as the 62-bit cross-engine content fingerprint, not as
+    * strings: the broadcast table holds 8 bytes per benchmark shingle
+    * instead of ~50, and the probe is an integer compare — collisions
+    * are ~|bench|·|corpus grams|/2^62, negligible at any real scale
+    * (and both engines hash identically, so the oracle match is exact
+    * by construction either way).
     */
   def contamination(docs: DataFrame, benchmark: DataFrame, n: Int = 8,
                     idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val fp = graft.dedup.MinHashSpec.fingerprint62Expr(spark, "gram")
     val bGrams = benchmark
       .withColumn("__toks", tokens(col(textCol)))
       .select(explode(expr(shingleExpr("__toks", n))).as("gram"))
+      .select(expr(fp).as("gram_fp"))
       .distinct()
     val dGrams = docs
       .withColumn("__toks", tokens(col(textCol)))
       .select(col(idCol), explode(expr(shingleExpr("__toks", n))).as("gram"))
-    val hits = dGrams.join(broadcast(bGrams), Seq("gram"))
+      .select(col(idCol), expr(fp).as("gram_fp"))
+    val hits = dGrams.join(broadcast(bGrams), Seq("gram_fp"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast("int").as("n_contaminated"))
     docs.select(col(idCol))
@@ -263,14 +273,19 @@ object Text {
                        n: Int = 8, idCol: String = "doc_id",
                        textCol: String = "text"): String =
     s"""WITH bench AS (
-         SELECT DISTINCT unnest(${shingleSql(textCol, n)}) AS gram
-         FROM $table WHERE $benchPredicate),
+         SELECT DISTINCT ${graft.dedup.MinHashSpec.duckFingerprint62Sql("gram")}
+                  AS gram_fp
+         FROM (SELECT unnest(${shingleSql(textCol, n)}) AS gram
+               FROM $table WHERE $benchPredicate)),
        grams AS (
-         SELECT $idCol, unnest(${shingleSql(textCol, n)}) AS gram
-         FROM $table),
+         SELECT $idCol,
+                ${graft.dedup.MinHashSpec.duckFingerprint62Sql("gram")}
+                  AS gram_fp
+         FROM (SELECT $idCol, unnest(${shingleSql(textCol, n)}) AS gram
+               FROM $table)),
        hits AS (
          SELECT g.$idCol, cast(count(*) as int) AS n_contaminated
-         FROM grams g JOIN bench b USING (gram) GROUP BY g.$idCol)
+         FROM grams g JOIN bench b USING (gram_fp) GROUP BY g.$idCol)
      SELECT d.$idCol,
             coalesce(h.n_contaminated, 0) AS n_contaminated,
             CASE WHEN coalesce(h.n_contaminated, 0) > 0
