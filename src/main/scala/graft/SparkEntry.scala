@@ -115,6 +115,35 @@ object SparkEntry {
         .withColumn("o_orderdate", col("o_orderdate").cast("date").cast("string"))
     },
 
+    // partitioned-layout round trip: events staged partitioned by
+    // event_type (directory-level layout, the warehouse's date/type
+    // partition scheme), read back through a partition filter — the
+    // scan prunes to ONE directory (spec-asserted on the executed
+    // plan), the 100 TB difference between a full scan and one slice
+    "etl_partitioned_load" -> { (s, dir) =>
+      val staged = graft.sources.Sources.stagePartitioned(
+        Tables(s, dir, "events"), dir, "events", "event_type")
+      s.read.parquet(staged)
+        .filter(col("event_type") === "purchase")
+        .groupBy(date_trunc("day", col("ts")).cast("date").cast("string")
+          .as("day"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 4).as("sum_value"))
+    },
+
+    // SCD2 history build over the events change stream: each user's
+    // event_type runs collapsed to validity intervals (µs integer time
+    // per the integer-time rule)
+    "etl_scd2_history" -> { (s, dir) =>
+      val e = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          expr("unix_micros(ts)").as("us"))
+      Etl.scd2(e, Seq("user_id"), Seq("event_type"), "us", Seq("event_id"))
+        .select(col("user_id"), col("event_type"),
+          col("valid_from").as("valid_from_us"),
+          col("valid_to").as("valid_to_us"), col("is_current"))
+    },
+
     "etl_dedup_keep_latest" -> { (s, dir) =>
       // sort-free max_by variant; spec-proven equal to the window version
       Etl.dedupKeepLatestByMax(
@@ -208,6 +237,17 @@ object SparkEntry {
         "period")
     },
 
+    // the workbook SHEET view: the long report pivoted wide (one column
+    // per stat) — the presentation layer of the reference's xlsx
+    // workbook as a real gated operator
+    "qa_workbook_pivot" -> { (s, dir) =>
+      val e = Tables(s, dir, "events")
+        .withColumn("period", date_trunc("day", col("ts")).cast("date").cast("string"))
+      Qa.workbookPivot(
+        Qa.report(Qa.runPipeline(e, "period", Seq("event_type", "value", "props")),
+          "period"))
+    },
+
     // ---- C. Analytics core ----
     "q1_agg" -> ((s, dir) => Queries.q1Agg(s, dir)),
     "q_join_star" -> ((s, dir) => Queries.starJoin(s, dir)),
@@ -216,6 +256,7 @@ object SparkEntry {
     "q_window_topn" -> ((s, dir) => Queries.windowTopN(s, dir)),
     "q_rollup" -> ((s, dir) => Queries.rollupAgg(s, dir)),
     "q_cube" -> ((s, dir) => Queries.cubeAgg(s, dir)),
+    "q_grouping_sets" -> ((s, dir) => Queries.groupingSetsAgg(s, dir)),
     "q_moving_avg" -> ((s, dir) => Queries.movingAvg(s, dir)),
     "q_above_class_avg" -> ((s, dir) => Queries.aboveClassAvg(s, dir)),
     "q_semi_anti" -> ((s, dir) => Queries.semiAnti(s, dir)),
@@ -328,6 +369,11 @@ object SparkEntry {
     }),
     "dedup_simhash" -> ((s, dir) =>
       SimHash.fingerprints(Tables(s, dir, "documents"))),
+    // C4-style span-level dedup: every repeated 10-token span (exact,
+    // global first-occurrence keep) removed, docs re-assembled from the
+    // surviving spans
+    "dedup_spans" -> ((s, dir) =>
+      Dedup.spanDedup(Tables(s, dir, "documents"))),
     "sim_cosine_topk" -> ((s, dir) =>
       Similarity.cosineTopK(Tables(s, dir, "embeddings"), (0L until 10L), 5)),
     "sim_ann_lsh" -> ((s, dir) =>
@@ -367,6 +413,10 @@ object SparkEntry {
     }),
     "text_repetition" -> ((s, dir) =>
       Text.repetition(Tables(s, dir, "documents"))),
+    // perplexity-proxy quality score: per-doc unigram logprob under the
+    // corpus's own distribution, integer micro-nat quantization
+    "text_unigram_logprob" -> ((s, dir) =>
+      Text.unigramLogProb(Tables(s, dir, "documents"))),
     "text_bm25" -> ((s, dir) =>
       Text.bm25(Tables(s, dir, "documents"), bm25Terms)),
     "text_corpus_filter" -> ((s, dir) =>
@@ -688,6 +738,30 @@ object SparkEntry {
          QUALIFY row_number() OVER (PARTITION BY o_orderkey
            ORDER BY o_orderdate DESC, r DESC) = 1""",
 
+    "etl_partitioned_load" ->
+      """SELECT cast(cast(date_trunc('day', ts) as date) as varchar) AS day,
+                count(*) AS n, round(sum(value), 4) AS sum_value
+         FROM events WHERE event_type = 'purchase'
+         GROUP BY 1""",
+
+    "etl_scd2_history" ->
+      """WITH e AS (
+           SELECT user_id, event_type, event_id,
+                  epoch_us(cast(ts as timestamp)) AS us
+           FROM events),
+         l AS (
+           SELECT *, lag(event_type) OVER (PARTITION BY user_id
+             ORDER BY us, event_id) AS prev_et
+           FROM e),
+         s AS (
+           SELECT * FROM l WHERE prev_et IS NULL OR prev_et <> event_type)
+         SELECT user_id, event_type, us AS valid_from_us,
+                lead(us) OVER (PARTITION BY user_id
+                  ORDER BY us, event_id) AS valid_to_us,
+                CASE WHEN lead(us) OVER (PARTITION BY user_id
+                  ORDER BY us, event_id) IS NULL THEN 1 ELSE 0 END AS is_current
+         FROM s""",
+
     "etl_dedup_keep_latest" ->
       """SELECT l_orderkey, l_linenumber, cast(cast(l_shipdate as date) as varchar) AS l_shipdate,
                 l_quantity
@@ -752,6 +826,7 @@ object SparkEntry {
     "qa_missingness_change" -> qaMissingnessChangeSql,
 
     "qa_report" -> qaReportSql,
+    "qa_workbook_pivot" -> Qa.workbookPivotSql(qaReportSql),
 
     "qa_categorical_change" ->
       """WITH c AS (
@@ -865,6 +940,17 @@ object SparkEntry {
                 round(sum(o_totalprice), 2) AS total_price, count(*) AS n
          FROM orders
          GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+
+    "q_grouping_sets" ->
+      """WITH e AS (
+           SELECT event_type,
+                  cast(cast(date_trunc('day', ts) as date) as varchar) AS day,
+                  value
+           FROM events)
+         SELECT event_type, day,
+                round(sum(value), 4) AS sum_value, count(*) AS n
+         FROM e
+         GROUP BY GROUPING SETS ((event_type, day), (event_type), (day))""",
 
     "q_moving_avg" ->
       """WITH daily AS (
@@ -1041,9 +1127,11 @@ object SparkEntry {
     "sim_near_dup" -> Similarity.cosineNearDupDuckdbSql(threshold = 0.4),
     "dedup_lsh_jaccard" -> MinHashSpec.duckdbJaccardSql(),
     "dedup_simhash" -> SimHash.duckdbSql(),
+    "dedup_spans" -> Dedup.spanDedupSql(),
     "text_fingerprint" -> Text.fingerprintSql(),
     "text_ngram_freq" -> Text.ngramFreqSql(),
     "text_contamination" -> Text.contaminationSql(),
+    "text_unigram_logprob" -> Text.unigramLogProbSql(),
     "text_repetition" -> Text.repetitionSql(),
     "text_bm25" -> Text.bm25Sql(bm25Terms),
     "emb_group_centroids" -> Similarity.groupCentroidsSql(),

@@ -24,8 +24,14 @@ object Verify {
       if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
       f.delete(): Unit
     }
+    // Optional comma-separated filter for iterating on single gates
+    // locally (SPARK_GRAFT_ONLY=a,b). The driver sets nothing → full run.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     var failures = List.empty[String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       val dest = new java.io.File(s"$outDir/$name")
       if (dest.exists()) deleteRecursively(dest)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

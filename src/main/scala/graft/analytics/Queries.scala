@@ -192,6 +192,23 @@ object Queries {
         count(lit(1)).as("n"))
   }
 
+  /** Explicit GROUPING SETS over (event_type, day): the asymmetric
+    * grouping neither ROLLUP nor CUBE expresses — (both), (event_type),
+    * (day) but NOT the grand total. One pass with partial aggregation,
+    * exactly like [[cubeAgg]]; the grouping-set expansion happens before
+    * the shuffle so each set still map-side combines.
+    */
+  def groupingSetsAgg(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+      .withColumn("day", date_trunc("day", col("ts")).cast("date").cast("string"))
+    e.groupingSets(
+        Seq(Seq(col("event_type"), col("day")), Seq(col("event_type")),
+          Seq(col("day"))),
+        col("event_type"), col("day"))
+      .agg(round(sum(col("value")), 4).as("sum_value"),
+        count(lit(1)).as("n"))
+  }
+
   /** Time-series smoothing: daily event value sums with a 7-day trailing
     * moving average — one shuffle for the daily rollup, the window reuses
     * that partitioning.

@@ -217,6 +217,82 @@ object Dedup {
     lastCcRounds = round
     labels.select(col("id"), col("lbl").as("cluster"))
   }
+
+  /** Span-level exact dedup (the C4 recipe, reference: "Exploring the
+    * Limits of Transfer Learning" §2.2's three-sentence-span dedup,
+    * adapted to token windows): the corpus is cut into NON-overlapping
+    * `window`-token spans; every span whose exact text occurred earlier
+    * in the corpus (first occurrence = minimum (doc, span index)) is
+    * dropped, and each document is re-assembled from its surviving
+    * spans. Catches the long-tail of cross-document boilerplate that
+    * document-level dedup (exact or MinHash) cannot remove without
+    * dropping whole documents.
+    *
+    * Scale shape: one scan, one explode to ~n_tokens/window span rows,
+    * first-occurrence decided by a window rank over the span's md5 (a
+    * bounded 32-char shuffle key regardless of `window` — the span TEXT
+    * never keys a shuffle), one groupBy(doc) to re-assemble. Short final
+    * spans (< window tokens) are never dedup candidates — they get a
+    * per-instance key so the rank shuffle has no null-key skew.
+    */
+  def spanDedup(df: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text", window: Int = 10): DataFrame = {
+    val w = window
+    val segs = df
+      .withColumn("__toks", split(col(textCol), " "))
+      .select(col(idCol), posexplode(expr(
+        s"""transform(sequence(0, (size(__toks) - 1) div $w),
+              i -> struct(array_join(slice(__toks, i * $w + 1, $w), ' ')
+                            AS seg_text,
+                          size(slice(__toks, i * $w + 1, $w)) AS seg_len))""")))
+      .select(col(idCol), col("pos").as("seg"),
+        col("col.seg_text").as("seg_text"), col("col.seg_len").as("seg_len"))
+    // Full spans key on content; partials on a unique per-instance key
+    // (kept by construction, and no skewed null/constant partition).
+    val keyed = segs.withColumn("__h",
+      when(col("seg_len") === w, md5(col("seg_text")))
+        .otherwise(concat(lit("p:"), col(idCol), lit(":"), col("seg"))))
+    val byContent = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__h")).orderBy(col(idCol), col("seg"))
+    val marked = keyed.withColumn("kept",
+      (row_number().over(byContent) === 1).cast("int"))
+    marked.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("kept")).as("n_kept"),
+        array_join(transform(array_sort(collect_list(
+            when(col("kept") === 1, struct(col("seg"), col("seg_text"))))),
+          x => x("seg_text")), " ").as("clean_text"))
+      .select(col(idCol), col("n_spans"), col("n_kept"), col("clean_text"))
+  }
+
+  /** DuckDB oracle mirroring [[spanDedup]] exactly (first occurrence by
+    * (doc, span index) via a rank over the span text; partial tail spans
+    * always kept; re-assembly ordered by span index).
+    */
+  def spanDedupSql(table: String = "documents", idCol: String = "doc_id",
+                   textCol: String = "text", window: Int = 10): String = {
+    val w = window
+    s"""WITH segs AS (
+      SELECT $idCol, u.i AS seg,
+             array_to_string(ts[u.i * $w + 1 : u.i * $w + $w], ' ') AS seg_text,
+             len(ts[u.i * $w + 1 : u.i * $w + $w]) AS seg_len
+      FROM (SELECT $idCol, string_split($textCol, ' ') AS ts FROM $table),
+           LATERAL (SELECT unnest(generate_series(0, (len(ts) - 1) // $w)) AS i) u
+    ), marked AS (
+      SELECT $idCol, seg, seg_text,
+             CASE WHEN seg_len < $w THEN 1
+                  WHEN row_number() OVER (PARTITION BY seg_text
+                                          ORDER BY $idCol, seg) = 1 THEN 1
+                  ELSE 0 END AS kept
+      FROM segs
+    )
+    SELECT $idCol,
+           cast(count(*) as bigint) AS n_spans,
+           cast(sum(kept) as bigint) AS n_kept,
+           coalesce(string_agg(CASE WHEN kept = 1 THEN seg_text END,
+                               ' ' ORDER BY seg), '') AS clean_text
+    FROM marked GROUP BY $idCol"""
+  }
 }
 
 /** MinHash + LSH specification shared by the Spark implementation and the

@@ -244,6 +244,35 @@ object Etl {
       .select(keys.map(col) ++ valueCols.map(c => col(s"__row.$c")): _*)
   }
 
+  /** Slowly-changing-dimension type-2 history build: collapse a change
+    * stream into validity intervals per key. Consecutive rows (in
+    * `tsCol`+`tieCols` order) with identical `attrCols` merge into one
+    * interval; each interval is valid from its first row's timestamp
+    * until the next attribute change (open-ended for the current state).
+    * The reference's load pipelines keep only the latest row per key
+    * ([[dedupKeepLatest]]); this is the full-history counterpart a
+    * warehouse load needs when the target is versioned.
+    *
+    * Shape: one shuffle on the keys; both window passes share the same
+    * partitioning + sort so the second adds no exchange. Null-safe
+    * change detection via a struct `<=>` so NULL attribute values
+    * compare like values, not like SQL unknowns.
+    */
+  def scd2(df: DataFrame, keys: Seq[String], attrCols: Seq[String],
+           tsCol: String, tieCols: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((tsCol +: tieCols).map(col): _*)
+    val attrs = struct(attrCols.map(col): _*)
+    val starts = df
+      .withColumn("__chg", !(attrs <=> lag(attrs, 1).over(w)))
+      .filter(col("__chg")).drop("__chg")
+    starts
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current",
+        when(col("valid_to").isNull, 1).otherwise(0))
+  }
+
   /** `table_duplicate_delete`: drop tables whose name matches a suffix
     * pattern — catalog-level operation, modeled over the session catalog.
     */

@@ -369,6 +369,39 @@ object Qa {
     ("categorical_changes", Seq("n", "proportion", "prev_proportion",
       "abs_change_pp", "flag_categorical"), Nil, true))
 
+  /** Distinct numeric stat names across every report family, sorted —
+    * the fixed pivot-column vocabulary of [[workbookPivot]] (explicit
+    * values keep the pivot a single pass: Spark's value-less `pivot`
+    * first runs a distinct job to discover them).
+    */
+  val workbookStats: Seq[String] =
+    reportStats.flatMap(_._2).distinct.sorted
+
+  /** The workbook SHEET view of the long [[report]]: one row per
+    * (family, period, varname, value), one column per stat — the wide
+    * layout each xlsx sheet of the reference's QA workbook presents
+    * (etl_qa_run_pipeline.R:1772-1783). Pure reshape of the already
+    * aggregated long frame: one groupBy over the bounded report rows,
+    * each cell a conditional max over the (at most one) matching row.
+    */
+  def workbookPivot(report: DataFrame): DataFrame =
+    report.groupBy(col("family"), col("period"), col("varname"), col("value"))
+      .pivot("stat", workbookStats)
+      .agg(max(col("val_num")))
+
+  /** DuckDB oracle for [[workbookPivot]] over a long-report subquery:
+    * the same reshape as ANSI conditional aggregation.
+    */
+  def workbookPivotSql(reportSql: String): String = {
+    val cells = workbookStats.map(st =>
+      s"""max(CASE WHEN stat = '$st' THEN val_num END) AS "$st"""")
+      .mkString(",\n           ")
+    s"""WITH rpt AS ($reportSql)
+       SELECT family, period, varname, value,
+           $cells
+       FROM rpt GROUP BY family, period, varname, value"""
+  }
+
   /** One unioned long-format report over every [[runPipeline]] family —
     * the Spark-native equivalent of the reference's single xlsx workbook
     * (etl_qa_run_pipeline.R:1772-1783: one sheet per stat family; here one

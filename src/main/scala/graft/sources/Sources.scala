@@ -110,6 +110,30 @@ object Sources {
       .save(path)
   }
 
+  /** Stage a partition-layout copy of a test table (written once per
+    * source fingerprint, reused across runs — same staleness rule as the
+    * streaming replay staging): the write side of [[writeTable]]'s
+    * `partitionCols` path, materialized so the READ side's directory
+    * pruning is drivable end to end. Returns the staged path.
+    */
+  def stagePartitioned(df: DataFrame, sfDir: String, table: String,
+                       partitionCol: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val src = new java.io.File(s"$sfDir/$table.parquet")
+    val fp = walk(src).map(f => f.lastModified ^ f.length).sum
+    val key = s"${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}_" +
+      java.lang.Long.toHexString(fp)
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_part_${key}_" +
+      s"$table-by-$partitionCol"
+    val marker = new java.io.File(s"$dir/_GRAFT_STAGED")
+    if (!marker.exists()) {
+      writeTable(df, dir, partitionCols = Seq(partitionCol))
+      marker.createNewFile(): Unit
+    }
+    dir
+  }
+
   /** `copy_into` read side (reference: copy_into.R — `file_format`
     * parquet/csv/orc, `compression`, auto-`create_table` from config):
     * read the lake file in its declared format, conform to the config's

@@ -506,6 +506,66 @@ object Text {
     ORDER BY score DESC, $idCol LIMIT $topK"""
   }
 
+  /** Unigram log-probability scoring — the perplexity-proxy quality
+    * filter (the KenLM-filter shape from CCNet, arXiv:1911.00359 §3.3,
+    * with the LM reduced to the corpus's own unigram distribution):
+    * score(doc) = Σ_tokens ln P(tok), P = corpus unigram frequency.
+    * Low-probability-dense documents (gibberish, OCR noise) score far
+    * below the corpus mode and are cut by an avg-logprob threshold.
+    *
+    * Cross-engine determinism: per-token ln P is quantized ONCE per
+    * distinct token to integer micro-nats (floor(ln·1e6)), so the
+    * per-document aggregation is an order-independent integer sum; the
+    * published average divides the integer sum in one fixed IEEE op
+    * order. Shape: one token-count shuffle builds the (vocab-sized)
+    * frequency table, which broadcasts back onto the token stream —
+    * corpus scanned twice, nothing wide ever shuffles on text.
+    */
+  def unigramLogProb(df: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val toks = df.withColumn("__toks", tokens(col(textCol)))
+      .select(col(idCol), explode(col("__toks")).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val tot = freq.agg(sum(col("cnt")).as("total"))
+    val scored = freq.crossJoin(broadcast(tot))
+      .select(col("tok"),
+        floor(log(col("cnt").cast("double") / col("total").cast("double"))
+          * lit(1000000.0)).as("lp_micro"))
+    toks.join(broadcast(scored), Seq("tok"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_tokens"),
+        sum(col("lp_micro")).as("lp_micro_sum"))
+      .withColumn("avg_logprob",
+        col("lp_micro_sum").cast("double") / col("n_tokens").cast("double")
+          / lit(1000000.0))
+  }
+
+  /** DuckDB oracle for [[unigramLogProb]] — identical tokenization,
+    * identical micro-nat quantization, identical division order.
+    */
+  def unigramLogProbSql(table: String = "documents",
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): String = {
+    val toks = s"string_split_regex(trim(lower($textCol)), '$wsRe')"
+    s"""WITH toks AS (
+      SELECT $idCol, unnest($toks) AS tok FROM $table
+    ), freq AS (
+      SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+    ), tot AS (
+      SELECT cast(sum(cnt) as bigint) AS total FROM freq
+    ), scored AS (
+      SELECT tok, cast(floor(ln(cast(cnt as double) / cast(total as double))
+                             * 1000000.0) as bigint) AS lp_micro
+      FROM freq, tot
+    )
+    SELECT t.$idCol, cast(count(*) as int) AS n_tokens,
+           cast(sum(s.lp_micro) as bigint) AS lp_micro_sum,
+           cast(sum(s.lp_micro) as double) / cast(cast(count(*) as int) as double)
+             / 1000000.0 AS avg_logprob
+    FROM toks t JOIN scored s USING (tok)
+    GROUP BY t.$idCol"""
+  }
+
   /** End-to-end quality filter cascade (the RefinedWeb/Gopher-style rule
     * screen a corpus passes before training): short documents, repetitive
     * documents, top-token-dominated documents, PII-bearing documents, and

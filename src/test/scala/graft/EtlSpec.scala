@@ -325,4 +325,39 @@ class EtlSpec extends SparkSpec {
     assert(cfg.varsForYear(2014).map(_.name).contains("legacy_flag"))
     assert(cfg.allVars.map(_.name).distinct.size == cfg.allVars.size)
   }
+
+  test("scd2 collapses runs into validity intervals, null-safe") {
+    val changes = Seq(
+      (1L, Some("a"), 1L), (1L, Some("a"), 2L), (1L, Some("b"), 3L),
+      (1L, Some("a"), 4L),
+      (2L, None: Option[String], 1L), (2L, None: Option[String], 2L),
+      (2L, Some("x"), 3L)).toDF("k", "state", "ts")
+    val out = Etl.scd2(changes, Seq("k"), Seq("state"), "ts")
+      .select("k", "state", "valid_from", "valid_to", "is_current")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]),
+        r.getInt(4))).toSet
+    assert(out == Set(
+      (1L, Some("a"), 1L, Some(3L), 0),
+      (1L, Some("b"), 3L, Some(4L), 0),
+      (1L, Some("a"), 4L, None, 1),
+      // the NULL run collapses like a value (null-safe <=>), not into
+      // per-row intervals
+      (2L, None, 1L, Some(3L), 0),
+      (2L, Some("x"), 3L, None, 1)))
+  }
+
+  test("groupingSetsAgg emits exactly the three asked-for groupings") {
+    val out = graft.analytics.Queries.groupingSetsAgg(spark, sfDir)
+    val both = out.filter(col("event_type").isNotNull && col("day").isNotNull)
+    val byType = out.filter(col("event_type").isNotNull && col("day").isNull)
+    val byDay = out.filter(col("event_type").isNull && col("day").isNotNull)
+    val grand = out.filter(col("event_type").isNull && col("day").isNull)
+    val e = Tables(spark, sfDir, "events")
+    assert(grand.count() == 0) // NOT a cube: no grand total
+    assert(byType.count() == e.select("event_type").distinct().count())
+    assert(byDay.count() ==
+      e.select(date_trunc("day", col("ts"))).distinct().count())
+    assert(both.count() + byType.count() + byDay.count() == out.count())
+  }
 }

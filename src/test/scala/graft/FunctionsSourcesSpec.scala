@@ -240,4 +240,24 @@ class FunctionsSourcesSpec extends SparkSpec {
       .head.metrics.get("numFiles")
     assert(pruned.count() > 0)
   }
+
+  test("stagePartitioned read prunes the scan to the filtered partition") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val staged = Sources.stagePartitioned(
+      Tables(spark, sfDir, "events"), sfDir, "events", "event_type")
+    val pruned = spark.read.parquet(staged)
+      .filter(col("event_type") === "purchase")
+    // static evidence: the predicate landed in partitionFilters (pruning
+    // happens at planning, before any file is opened)
+    val scan = pruned.queryExecution.executedPlan
+      .collect { case f: FileSourceScanExec => f }.head
+    assert(scan.partitionFilters.exists(_.toString.contains("event_type")))
+    // dynamic evidence: the pruned scan reads strictly fewer files
+    assert(pruned.collect().nonEmpty)
+    val full = spark.read.parquet(staged)
+    assert(full.collect().nonEmpty)
+    val fullScan = full.queryExecution.executedPlan
+      .collect { case f: FileSourceScanExec => f }.head
+    assert(scan.metrics("numFiles").value < fullScan.metrics("numFiles").value)
+  }
 }

@@ -181,4 +181,21 @@ class QaSpec extends SparkSpec {
       assert(twoPhase == exact, s"threshold $t: $twoPhase != $exact")
     }
   }
+
+  test("workbookPivot lands each stat in its column, one row per cell group") {
+    val long = Seq(
+      ("vals_continuous", "p1", "v", None: Option[String], "mean", Some(1.5)),
+      ("vals_continuous", "p1", "v", None: Option[String], "max", Some(2.5)),
+      ("vals_categorical", "p1", "c", Some("x"), "n", Some(7.0)))
+      .toDF("family", "period", "varname", "value", "stat", "val_num")
+      .withColumn("val_str", lit(null).cast("string"))
+    val out = Qa.workbookPivot(long)
+    assert(Qa.workbookStats.forall(out.columns.contains))
+    assert(out.count() == 2) // (continuous, p1, v) and (categorical, p1, c, x)
+    val cont = out.filter(col("family") === "vals_continuous").collect().head
+    assert(cont.getAs[Double]("mean") == 1.5 && cont.getAs[Double]("max") == 2.5)
+    assert(cont.isNullAt(cont.fieldIndex("n_missing")))
+    val cat = out.filter(col("family") === "vals_categorical").collect().head
+    assert(cat.getAs[String]("value") == "x" && cat.getAs[Double]("n") == 7.0)
+  }
 }

@@ -123,6 +123,31 @@ class TextDedupSpec extends SparkSpec {
     pairs.foreach { case (_, b) => assert(!kept.contains(b)) }
   }
 
+  test("spanDedup drops repeated full spans, keeps first occurrence and tails") {
+    val a = (1 to 10).map(i => s"a$i").mkString(" ")  // span A (10 tokens)
+    val b = (1 to 10).map(i => s"b$i").mkString(" ")  // span B
+    val w = (1 to 10).map(i => s"w$i").mkString(" ")  // unique to doc 2
+    val tail = "p1 p2 p3 p4 p5"                       // 5-token partial
+    val docs = Seq(
+      (1L, s"$a $b $tail"), // first occurrence of A and B
+      (2L, s"$a $w"),       // A repeated → dropped; W survives
+      (3L, s"$a $b")        // both repeated, no tail → emptied
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_spans"), r.getAs[Long]("n_kept"),
+          r.getAs[String]("clean_text")))).toMap
+    assert(out(1L) == ((3L, 3L, s"$a $b $tail")))
+    assert(out(2L) == ((2L, 1L, w)))
+    assert(out(3L) == ((2L, 0L, "")))
+    // a partial tail never dedups against a full span's prefix
+    val edge = Seq((1L, a), (2L, (1 to 5).map(i => s"a$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val kept2 = Dedup.spanDedup(edge).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_kept")).toMap
+    assert(kept2 == Map(1L -> 1L, 2L -> 1L))
+  }
+
   test("exact dedup finds planted duplicates and keeps the min id") {
     val df = Seq((10L, "same text"), (20L, "same text"), (30L, "other"))
       .toDF("doc_id", "text")
