@@ -289,6 +289,9 @@ object SparkEntry {
         .select(col("user_id"), col("t_id"), col("f_id"),
           expr("unix_micros(t_ts)").as("t_us"),
           expr("unix_micros(f_ts)").as("f_us"), col("f_value"))),
+    // true RANGE frame (time-valued bounds, not row counts): trailing
+    // 1-hour per-user sums on epoch-µs integer time
+    "q_range_window" -> ((s, dir) => Queries.rangeWindow(s, dir)),
     "q_interval_join" -> ((s, dir) => Queries.intervalJoin(s, dir)),
     "q_asof_join" -> ((s, dir) => Queries.asofJoin(s, dir)),
     // the O(1)-state streaming as-of enrichment driven end-to-end,
@@ -940,6 +943,20 @@ object SparkEntry {
                 round(sum(o_totalprice), 2) AS total_price, count(*) AS n
          FROM orders
          GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+
+    "q_range_window" ->
+      """WITH e AS (
+           SELECT event_id, user_id, value,
+                  epoch_us(cast(ts as timestamp)) AS us
+           FROM events)
+         SELECT event_id, user_id, value, us,
+                round(sum(value) OVER (PARTITION BY user_id ORDER BY us
+                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 4)
+                  AS hour_sum,
+                count(*) OVER (PARTITION BY user_id ORDER BY us
+                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+                  AS hour_n
+         FROM e""",
 
     "q_grouping_sets" ->
       """WITH e AS (

@@ -209,6 +209,23 @@ object Queries {
         count(lit(1)).as("n"))
   }
 
+  /** RANGE-frame trailing window: per-user sum of event values over the
+    * PRECEDING 1 HOUR by event time — a true range frame (value-based
+    * bounds over gaps), not a row-count frame like [[movingAvg]]'s ROWS
+    * BETWEEN. Time kept as epoch-µs integers (the integer-time rule), so
+    * the frame bound is exact integer arithmetic in both engines. One
+    * shuffle on user_id; the sort feeds the range scan directly.
+    */
+  def rangeWindow(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"),
+        expr("unix_micros(ts)").as("us"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-3600000000L, 0L) // 1 hour in µs
+    e.withColumn("hour_sum", round(sum(col("value")).over(w), 4))
+      .withColumn("hour_n", count(lit(1)).over(w))
+  }
+
   /** Time-series smoothing: daily event value sums with a 7-day trailing
     * moving average — one shuffle for the daily rollup, the window reuses
     * that partitioning.

@@ -241,6 +241,39 @@ class FunctionsSourcesSpec extends SparkSpec {
     assert(pruned.count() > 0)
   }
 
+  test("bucketed tables join and aggregate with ZERO shuffle exchanges") {
+    // The co-located-join layout claim from SURVEY §5 made executable:
+    // both sides bucketed+sorted on the join key → SortMergeJoin reads
+    // the buckets directly, and the same partitioning satisfies the
+    // downstream groupBy — no Exchange anywhere in the executed plan.
+    val wh = java.nio.file.Files.createTempDirectory("graft_bucket")
+    val o = Tables(spark, sfDir, "orders").select("o_orderkey", "o_totalprice")
+    val l = Tables(spark, sfDir, "lineitem").select("l_orderkey", "l_quantity")
+    o.write.mode("overwrite").option("path", s"$wh/o")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("b_orders")
+    l.write.mode("overwrite").option("path", s"$wh/l")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("b_lineitem")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the SMJ path: a broadcast join would hide the layout win
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("b_orders")
+        .join(spark.table("b_lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(sum(col("l_quantity")).as("qty"), sum(col("o_totalprice")).as("tp"))
+      assert(j.collect().nonEmpty)
+      val plan = j.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
   test("stagePartitioned read prunes the scan to the filtered partition") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val staged = Sources.stagePartitioned(
