@@ -43,6 +43,8 @@ object ScaleCheckDocs {
     import spark.implicits._
 
     val marker = new java.io.File(s"$dst/_GENERATED")
+    val embMarkerPre = new java.io.File(s"$dst/_GENERATED_EMB")
+    val generatedThisRun = !marker.exists() || !embMarkerPre.exists()
     if (marker.exists()) println(s"reusing unique corpus at $dst")
     else {
       val t0 = System.nanoTime()
@@ -182,7 +184,8 @@ object ScaleCheckDocs {
       "dedup_minhash_lsh", "dedup_lsh_jaccard", "dedup_corpus_clean",
       "dedup_cc_clusters", "sim_near_dup", "sim_cosine_topk",
       "sim_ann_lsh", "sim_ann_ivf_seeded", "emb_group_centroids",
-      "dedup_ngram_jaccard")
+      "dedup_ngram_jaccard", "dedup_spans", "text_unigram_logprob",
+      "text_contamination")
     val unknown = only.toSet -- allNames.toSet
     require(unknown.isEmpty,
       s"unknown query names (would be silently skipped): ${unknown.mkString(", ")}")
@@ -204,6 +207,16 @@ object ScaleCheckDocs {
     // AQE replanning at 10×) must not land inside the Nx timing only —
     // that would systematically inflate the published ratios
     names.foreach { q => timeAndCount(src, q); timeAndCount(dst, q); () }
+    // Generating the corpora materializes 50k docs + 20k vectors on the
+    // driver; the heap/GC churn it leaves behind has been observed to
+    // inflate subsequent timings 10-40×. Numbers from a generating run
+    // are untrustworthy — demand a clean re-run (which reuses the
+    // staged corpus and times in a fresh JVM).
+    if (generatedThisRun) {
+      println("[scale-docs] WARNING: corpus was GENERATED in this session;" +
+        " timings below are unreliable (driver heap churn). Re-run to" +
+        " time against the staged corpus in a clean JVM.")
+    }
     println(f"${"query"}%-22s ${"sf0.1"}%8s ${"x" + n}%8s  ratio " +
       f"${"out_1x"}%9s ${"out_Nx"}%9s  out_ratio (linear=$n)")
     names.foreach { q =>
