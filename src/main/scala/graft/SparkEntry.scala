@@ -248,6 +248,22 @@ object SparkEntry {
           "period"))
     },
 
+    // Tukey-fence outlier screen: within-period tail test on the
+    // integer-quantized value scale (dyadic fence arithmetic — engine-
+    // exact counts; see Qa.outliers)
+    "qa_outliers" -> { (s, dir) =>
+      val e = Tables(s, dir, "events")
+        .withColumn("period", date_trunc("day", col("ts")).cast("date").cast("string"))
+      Qa.outliers(e, "period", Seq("value"))
+    },
+
+    // config-driven row validation (QA-on-load): per-row audit with the
+    // comma-joined failed-rule names in declared order; 'status_known'
+    // and 'date_in_range' catch real rows in this data
+    "etl_validate_rules" -> ((s, dir) =>
+      Etl.validateRows(Tables(s, dir, "orders"), Seq("o_orderkey"),
+        validationRules)),
+
     // ---- C. Analytics core ----
     "q1_agg" -> ((s, dir) => Queries.q1Agg(s, dir)),
     "q_join_star" -> ((s, dir) => Queries.starJoin(s, dir)),
@@ -338,6 +354,11 @@ object SparkEntry {
       graft.etl.Sampling.tokenBudget(Tables(s, dir, "documents"),
         "source", "doc_id", "text", budget = 800L)
         .select("doc_id", "source", "n_tokens")),
+    // sequence packing (concat-and-chunk): each doc's place in the
+    // packed 256-token training stream, packed per hash shard
+    "corpus_pack_sequences" -> ((s, dir) =>
+      graft.etl.Sampling.packSequences(Tables(s, dir, "documents"),
+        "doc_id", "text", seqLen = 256, shards = 8)),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(Tables(s, dir, "documents"), threshold = 0.5)),
     "dedup_minhash_lsh" -> ((s, dir) =>
@@ -392,6 +413,11 @@ object SparkEntry {
     // pair-dedup, scoring and filtering on real output rows
     "sim_near_dup" -> ((s, dir) =>
       Similarity.cosineNearDup(Tables(s, dir, "embeddings"), threshold = 0.4)),
+    // SemDeDup: cluster-then-dedup with the seeded quantizer (same
+    // cross-engine contract as sim_ann_ivf_seeded); threshold 0.4 for
+    // the same no-true-near-dups reason as sim_near_dup
+    "sim_semdedup" -> ((s, dir) =>
+      Similarity.semDedup(Tables(s, dir, "embeddings"))),
     "text_quality" -> ((s, dir) =>
       Text.quality(Tables(s, dir, "documents"))
         .select("doc_id", "n_chars_calc", "word_count", "punct_count",
@@ -444,6 +470,34 @@ object SparkEntry {
   // bottleneck at acceptance rate 1.0).
   private val mixTargets =
     Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
+
+  // Validation rules for etl_validate_rules — declared order IS the
+  // fail_rules order; status_known ('P' rows) and date_in_range
+  // (post-1999 orders) catch real rows in this data, the other two are
+  // the always-pass sanity checks a load config typically carries.
+  private val validationRules: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+    "price_positive" -> (col("o_totalprice") > 0),
+    "status_known" -> col("o_orderstatus").isin("O", "F"),
+    "date_in_range" -> (year(col("o_orderdate")) <= 1999),
+    "custkey_present" -> col("o_custkey").isNotNull)
+
+  private val validationRulesSql: String = {
+    val preds = Seq(
+      "price_positive" -> "o_totalprice > 0",
+      "status_known" -> "o_orderstatus IN ('O', 'F')",
+      "date_in_range" -> "year(o_orderdate) <= 1999",
+      "custkey_present" -> "o_custkey IS NOT NULL")
+    val arms = preds.map { case (n, p) =>
+      s"CASE WHEN coalesce($p, false) THEN NULL ELSE '$n' END"
+    }
+    val flags = preds.map { case (_, p) =>
+      s"(CASE WHEN coalesce($p, false) THEN 0 ELSE 1 END)"
+    }
+    s"""SELECT o_orderkey,
+          concat_ws(',', ${arms.mkString(",\n            ")}) AS fail_rules,
+          cast(${flags.mkString(" + ")} as int) AS n_fails
+        FROM orders"""
+  }
 
   // Shared by stream_dedup_docs AND stream_sink_replay: the sink-replay
   // gate's whole point is that a retried batch changes nothing, so its
@@ -1127,6 +1181,16 @@ object SparkEntry {
     "corpus_token_budget" -> graft.etl.Sampling.tokenBudgetSql(
       "documents", "source", "doc_id", "text", budget = 800L,
       "doc_id, source"),
+
+    "corpus_pack_sequences" -> graft.etl.Sampling.packSequencesSql(
+      "documents", "doc_id", "text", seqLen = 256, shards = 8),
+
+    "etl_validate_rules" -> validationRulesSql,
+
+    "qa_outliers" -> Qa.outliersSql("events",
+      "cast(cast(date_trunc('day', ts) as date) as varchar)", "value"),
+
+    "sim_semdedup" -> Similarity.semDedupDuckdbSql(),
 
     "dedup_minhash_lsh" -> MinHashSpec.duckdbSql(),
     // pair set of the batch candidate proposer — the streaming bucket

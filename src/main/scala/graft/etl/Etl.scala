@@ -347,4 +347,42 @@ object Etl {
     val using = location.map(l => s"\nUSING PARQUET\nLOCATION '$l'").getOrElse("\nUSING PARQUET")
     s"CREATE TABLE $schemaName.$tableName (\n$cols\n)$using"
   }
+
+  /** Config-driven row validation — the load-time data-quality gate of
+    * the reference's QA-on-load step (qa_load_sql parity, generalized):
+    * each rule is (name, predicate); a row VIOLATES a rule when the
+    * predicate is false OR null (the conservative reading — an
+    * unevaluable check is a failure, so NULL-laden rows can't slip
+    * through a `> 0` rule). Output: one audit row per input row with
+    * the violation count and the comma-joined names of failed rules in
+    * declared order — filter `n_fails > 0` for the quarantine frame,
+    * aggregate for the per-rule report. Pure projection: one scan, no
+    * shuffle, scan-speed at any size.
+    */
+  def validateRows(df: DataFrame, keyCols: Seq[String],
+                   rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "validateRows: at least one rule")
+    val viols = rules.map { case (name, pred) =>
+      when(coalesce(pred, lit(false)), lit(null).cast("string")).otherwise(lit(name))
+    }
+    df.select(
+      keyCols.map(col) :+
+        concat_ws(",", viols: _*).as("fail_rules") :+
+        viols.map(v => when(v.isNotNull, 1).otherwise(0)).reduce(_ + _)
+          .as("n_fails"): _*)
+  }
+
+  /** Per-rule violation summary over [[validateRows]]' audit frame —
+    * bounded output (one row per rule), one map-side-partial aggregate.
+    */
+  def validateSummary(audit: DataFrame, rules: Seq[String]): DataFrame = {
+    val aggs = rules.map(r =>
+      sum(when(array_contains(split(col("fail_rules"), ","), r), 1L)
+        .otherwise(0L)).as(s"__v_$r"))
+    val wide = audit.agg(count(lit(1)).as("__n"), aggs: _*)
+    val stackArgs = rules.map(r => s"'$r', __v_$r").mkString(", ")
+    wide.select(col("__n"),
+        expr(s"stack(${rules.size}, $stackArgs) as (rule, n_violations)"))
+      .select(col("rule"), col("n_violations"), col("__n").as("n_checked"))
+  }
 }

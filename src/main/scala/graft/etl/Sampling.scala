@@ -208,4 +208,62 @@ object Sampling {
              ORDER BY ${bucketSql(keyCol)}, $keyCol) AS c
          FROM toks)
      SELECT $selectCols, n_tokens FROM cum WHERE c <= $budget"""
+
+  /** Sequence packing — the layout step after selection: documents are
+    * concatenated in a deterministic order and chunked into fixed
+    * `seqLen`-token training sequences (the standard concat-and-chunk
+    * packing of an LLM pretraining pipeline). The output maps each
+    * document to its place in the packed stream: the sequence its first
+    * token lands in, the offset within that sequence, and how many
+    * sequences it spans — everything a writer needs to emit packed
+    * shards without ever materializing the token stream.
+    *
+    * Packing is PER SHARD (shard = key-hash mod `shards`), which is how
+    * real pipelines run it: each output shard packs independently, so
+    * the computation is embarrassingly parallel — the window sorts
+    * within a shard, never globally. `shards` is the parallelism knob;
+    * waste is at most one partial sequence per shard. The order within
+    * a shard is (hash bucket, key) — total, deterministic, and
+    * engine-independent, so the packed layout is replayable anywhere.
+    * All arithmetic is integer, hence engine-exact.
+    */
+  def packSequences(df: DataFrame, keyCol: String, textCol: String,
+                    seqLen: Int, shards: Int = 8): DataFrame = {
+    require(seqLen > 0 && shards > 0, "packSequences: seqLen and shards must be positive")
+    val b = bucket(df, keyCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(b, col(keyCol))
+    df.withColumn("shard", (b % shards).cast("int"))
+      .withColumn("n_tokens",
+        size(graft.text.Text.tokens(col(textCol))).cast("long"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("__end", sum(col("n_tokens")).over(w))
+      .withColumn("__start", col("__end") - col("n_tokens"))
+      .select(col(keyCol), col("shard"), col("n_tokens").cast("int").as("n_tokens"),
+        floor(col("__start") / seqLen).as("seq_first"),
+        (col("__start") % seqLen).as("off_in_seq"),
+        (floor((col("__end") - 1) / seqLen) - floor(col("__start") / seqLen) + 1)
+          .cast("int").as("n_seqs"))
+  }
+
+  /** DuckDB oracle twin of [[packSequences]]. */
+  def packSequencesSql(table: String, keyCol: String, textCol: String,
+                       seqLen: Int, shards: Int = 8): String =
+    s"""WITH toks AS (
+         SELECT $keyCol,
+                cast(${bucketSql(keyCol)} % $shards as int) AS shard,
+                cast(len(string_split_regex(trim(lower($textCol)),
+                  '${graft.text.Text.wsRe}')) as bigint) AS n_tokens,
+                ${bucketSql(keyCol)} AS b
+         FROM $table),
+       cum AS (
+         SELECT *, sum(n_tokens) OVER (
+             PARTITION BY shard ORDER BY b, $keyCol) AS e
+         FROM toks WHERE n_tokens > 0)
+     SELECT $keyCol, shard, cast(n_tokens as int) AS n_tokens,
+            cast(floor((e - n_tokens) / $seqLen) as bigint) AS seq_first,
+            cast((e - n_tokens) % $seqLen as bigint) AS off_in_seq,
+            cast(floor((e - 1) / $seqLen)
+              - floor((e - n_tokens) / $seqLen) + 1 as int) AS n_seqs
+     FROM cum"""
 }

@@ -553,4 +553,89 @@ object Qa {
       .select(col(timeVar), col("varname"), col("proportion"),
         col("prev_proportion"), col("abs_change_pp"), col("flag_missing"))
   }
+
+  /** Tukey-fence outlier screen per (time period, numeric column): count
+    * and proportion of values outside [q1 − k·IQR, q3 + k·IQR] — the
+    * continuous-variable anomaly check that complements the mean/median
+    * drift monitors ([[comparePeriodsFull]]) with a within-period tail
+    * test.
+    *
+    * Cross-engine determinism: values are quantized ONCE to integer
+    * `scale`-ths (floor(v·scale) — a single IEEE multiply is
+    * bit-identical across engines, then floor is exact). Interpolated
+    * quartiles of integers at p ∈ {.25, .75} are dyadic rationals
+    * (denominator 4), exact in doubles, so the fences (± 1.5·IQR —
+    * denominator 8) are bit-exact in BOTH engines regardless of fp
+    * quirks, and the outlier counts match to the row.
+    *
+    * Scale shape: two passes over the source by design (Tukey fences are
+    * inherently two-pass — quantiles first, then the tail count): one
+    * bounded quantile aggregate (a row per period), broadcast back onto
+    * the scan for the counting aggregate. Both aggregates are map-side
+    * partial; nothing wide shuffles.
+    */
+  def outliers(df: DataFrame, timeVar: String, cols: Seq[String],
+               k: Double = 1.5, scale: Long = 10000L,
+               digits: Int = 4): DataFrame = {
+    val q = df.select(col(timeVar) +: cols.map(c =>
+        floor(col(c) * scale).as(s"__v_$c")): _*)
+    val fenceAggs = cols.map(c =>
+      expr(s"percentile(__v_$c, array(0.25, 0.75))").as(s"__q_$c"))
+    val fences = q.groupBy(col(timeVar)).agg(fenceAggs.head, fenceAggs.tail: _*)
+      .select(col(timeVar) +: cols.flatMap(c => Seq(
+        (col(s"__q_$c")(0) - lit(k) * (col(s"__q_$c")(1) - col(s"__q_$c")(0)))
+          .as(s"__lo_$c"),
+        (col(s"__q_$c")(1) + lit(k) * (col(s"__q_$c")(1) - col(s"__q_$c")(0)))
+          .as(s"__hi_$c"))): _*)
+    val joined = q.join(broadcast(fences), Seq(timeVar))
+    val outAggs = cols.flatMap(c => Seq(
+      count(col(s"__v_$c")).as(s"__n_$c"),
+      sum(when(col(s"__v_$c") < col(s"__lo_$c") ||
+               col(s"__v_$c") > col(s"__hi_$c"), 1L).otherwise(0L))
+        .as(s"__out_$c"),
+      first(col(s"__lo_$c")).as(s"__flo_$c"),
+      first(col(s"__hi_$c")).as(s"__fhi_$c")))
+    val wide = joined.groupBy(col(timeVar)).agg(outAggs.head, outAggs.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', __n_$c, __out_$c, __flo_$c, __fhi_$c").mkString(", ")
+    wide.select(col(timeVar),
+        expr(s"stack(${cols.size}, $stackArgs) as (varname, n, n_outliers, __lo, __hi)"))
+      .select(col(timeVar), col("varname"), col("n"), col("n_outliers"),
+        round(col("n_outliers") / col("n").cast("double"), digits)
+          .as("p_outliers"),
+        // fences stay UNROUNDED: the dyadic quantized fence divided by
+        // `scale` is one IEEE op — bit-identical in both engines —
+        // whereas round() on a decimal tie is engine-divergent (Spark
+        // rounds the shortest decimal rendering, DuckDB the scaled
+        // binary value; they disagreed on 2 of 30 periods at sf0.01)
+        (col("__lo") / scale.toDouble).as("fence_lo"),
+        (col("__hi") / scale.toDouble).as("fence_hi"))
+  }
+
+  /** DuckDB oracle for [[outliers]] over a single numeric column —
+    * identical quantization, identical dyadic fence arithmetic.
+    */
+  def outliersSql(table: String, periodExpr: String, c: String,
+                  k: Double = 1.5, scale: Long = 10000L): String =
+    s"""WITH q AS (
+         SELECT $periodExpr AS period, cast(floor($c * $scale) as bigint) AS v
+         FROM $table),
+       f AS (
+         SELECT period,
+                quantile_cont(v, 0.25) - $k * (quantile_cont(v, 0.75)
+                  - quantile_cont(v, 0.25)) AS lo,
+                quantile_cont(v, 0.75) + $k * (quantile_cont(v, 0.75)
+                  - quantile_cont(v, 0.25)) AS hi
+         FROM q GROUP BY period)
+     SELECT q.period, '$c' AS varname,
+            cast(count(q.v) as bigint) AS n,
+            cast(sum(CASE WHEN q.v < f.lo OR q.v > f.hi THEN 1 ELSE 0 END)
+              as bigint) AS n_outliers,
+            round(cast(sum(CASE WHEN q.v < f.lo OR q.v > f.hi THEN 1 ELSE 0 END)
+                as bigint) / cast(cast(count(q.v) as bigint) as double), 4)
+              AS p_outliers,
+            any_value(f.lo) / $scale.0 AS fence_lo,
+            any_value(f.hi) / $scale.0 AS fence_hi
+     FROM q JOIN f USING (period)
+     GROUP BY q.period"""
 }

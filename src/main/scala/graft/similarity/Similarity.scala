@@ -475,6 +475,91 @@ object Similarity {
              cast(count(*) as int) AS n_vectors
       FROM x GROUP BY 1, 2"""
 
+  /** SemDeDup-style semantic deduplication (arXiv:2303.09540): assign
+    * every embedding to a coarse k-means cluster, compare pairs ONLY
+    * within a cluster, and drop every vector that has cosine ≥
+    * `threshold` with a lower-id cluster-mate (deterministic keep-min
+    * policy). Output: the surviving (id, cluster) rows.
+    *
+    * Scale shape: the cluster assignment is the IVF quantizer reused as
+    * a blocking function — the pair space is Σ cluster² instead of n²,
+    * and k is the dial (k ≈ n / target-cluster-size keeps within-cluster
+    * work constant per vector; the paper runs 50k clusters for 5B
+    * embeddings). One shuffle on cluster id for the self-join; vectors
+    * ride the join once per side; the drop set applies as a broadcast-
+    * able anti-join on id.
+    *
+    * `centroids` defaults to the SEEDED quantizer (iters = 0: the k
+    * lowest-id vectors — cross-engine expressible, same contract as
+    * `sim_ann_ivf_seeded`); pass trained centroids for the production
+    * path (train once on a sample, persist via [[saveCentroids]]).
+    */
+  def semDedup(embeddings: DataFrame, threshold: Double = 0.4,
+               k: Int = 16, dim: Int = 64,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               digits: Int = 4,
+               centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    val cents = centroids.getOrElse(
+      ivfCentroids(embeddings, k, iters = 0, dim, idCol, vecCol))
+    val distArr = centroidDistsCol(embeddings, vecCol, cents)
+    // materialized ONCE (house policy, the categoricalChange lesson):
+    // `assigned` feeds both self-join sides AND the survivor base — the
+    // unmaterialized lineage would re-scan the corpus and re-evaluate
+    // the k×dim distance expression three times
+    val assigned = embeddings
+      .withColumn("__dists", distArr)
+      .select(col(idCol),
+        col(vecCol),
+        (array_position(col("__dists"), array_min(col("__dists")))
+          .cast("int") - 1).as("cluster"))
+      .localCheckpoint()
+    val a = assigned.select(col("cluster"), col(idCol).as("id_a"),
+      col(vecCol).as("vec_a"))
+    val b = assigned.select(col("cluster"), col(idCol).as("id_b"),
+      col(vecCol).as("vec_b"))
+    val drops = a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        round(expr(cosineSql(embeddings, "vec_a", "vec_b")), digits))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    assigned.join(drops, Seq(idCol), "left_anti")
+      .select(col(idCol), col("cluster"))
+  }
+
+  /** DuckDB oracle for [[semDedup]] with the seeded quantizer — the
+    * same assignment CTE as [[ivfSeededDuckdbSql]], within-cluster
+    * pair generation, threshold drop, anti-join survivors.
+    */
+  def semDedupDuckdbSql(threshold: Double = 0.4, k: Int = 16,
+                        dim: Int = 64, table: String = "embeddings",
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): String = {
+    val l2 =
+      s"""list_sum(list_transform(range(1, ${dim + 1}),
+         d -> (cast(e.$vecCol[d] as double) - cast(c.cv[d] as double))
+            * (cast(e.$vecCol[d] as double) - cast(c.cv[d] as double))))"""
+    s"""WITH e AS (SELECT $idCol, $vecCol FROM $table),
+       cent AS (
+         SELECT row_number() OVER (ORDER BY $idCol) - 1 AS cluster,
+                $vecCol AS cv
+         FROM (SELECT * FROM e ORDER BY $idCol LIMIT $k)),
+       dists AS (
+         SELECT e.$idCol, e.$vecCol, c.cluster, $l2 AS l2
+         FROM e CROSS JOIN cent c),
+       assign AS (
+         SELECT $idCol, $vecCol, cluster FROM dists
+         QUALIFY row_number() OVER (PARTITION BY $idCol
+           ORDER BY l2, cluster) = 1),
+       drops AS (
+         SELECT DISTINCT y.$idCol
+         FROM assign x JOIN assign y USING (cluster)
+         WHERE x.$idCol < y.$idCol
+           AND ${duckdbCosine(s"x.$vecCol", s"y.$vecCol")} >= $threshold)
+       SELECT a.$idCol, cast(a.cluster as int) AS cluster
+       FROM assign a ANTI JOIN drops d ON a.$idCol = d.$idCol"""
+  }
+
   /** Embedding-cosine near-dup pairs: all pairs above `threshold`,
     * multi-table-LSH-blocked so the pair space never materializes.
     */

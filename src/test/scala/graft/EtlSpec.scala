@@ -360,4 +360,57 @@ class EtlSpec extends SparkSpec {
       e.select(date_trunc("day", col("ts"))).distinct().count())
     assert(both.count() + byType.count() + byDay.count() == out.count())
   }
+
+  test("validateRows: NULL predicate is a violation, names in declared order") {
+    val df = Seq(
+      (1L, Some(10.0), Some("O")),   // clean
+      (2L, Some(-5.0), Some("X")),   // fails price + status
+      (3L, None: Option[Double], Some("F"))) // NULL price → fails price
+      .toDF("k", "price", "status")
+    val rules = Seq(
+      "price_pos" -> (col("price") > 0),
+      "status_known" -> col("status").isin("O", "F"))
+    val out = Etl.validateRows(df, Seq("k"), rules).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(out(1L) == ("", 0))
+    assert(out(2L) == ("price_pos,status_known", 2)) // declared order
+    assert(out(3L) == ("price_pos", 1))              // NULL fails the rule
+    val summary = Etl.validateSummary(
+      Etl.validateRows(df, Seq("k"), rules), rules.map(_._1)).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(summary("price_pos") == ((2L, 3L)))
+    assert(summary("status_known") == ((1L, 3L)))
+  }
+
+  test("packSequences: contiguous per-shard layout, exact span arithmetic") {
+    val docs = (0L until 200L).map(i =>
+      (i, "tok " * (1 + (i % 37)).toInt)).toSeq.toDF("doc_id", "text")
+    val out = graft.etl.Sampling.packSequences(docs, "doc_id", "text",
+      seqLen = 64, shards = 4)
+    val rows = out.collect()
+    assert(rows.length == 200)
+    rows.foreach { r =>
+      val (n, first, off, nSeqs) = (r.getInt(2), r.getLong(3), r.getLong(4),
+        r.getInt(5))
+      assert(off >= 0 && off < 64)                     // offset inside a sequence
+      // span arithmetic: a doc starting at offset `off` with n tokens
+      // touches exactly ceil((off + n) / 64) - 0-based-first sequences
+      val lastSeq = first + ((off + n - 1) / 64)
+      assert(nSeqs == (lastSeq - first + 1))
+      assert(nSeqs >= 1 && nSeqs <= n / 64 + 2)
+    }
+    // conservation per shard: token positions tile the stream contiguously —
+    // total tokens in the shard == final doc's (seq_first*64 + off + n)
+    rows.groupBy(_.getInt(1)).foreach { case (_, rs) =>
+      val total = rs.map(_.getInt(2).toLong).sum
+      val maxEnd = rs.map(r =>
+        r.getLong(3) * 64 + r.getLong(4) + r.getInt(2)).max
+      assert(total == maxEnd)
+    }
+    // deterministic under physical layout
+    val a = rows.map(_.toSeq).toSet
+    val b = graft.etl.Sampling.packSequences(docs.repartition(7), "doc_id",
+      "text", seqLen = 64, shards = 4).collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
 }

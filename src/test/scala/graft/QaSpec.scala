@@ -182,6 +182,22 @@ class QaSpec extends SparkSpec {
     }
   }
 
+  test("outliers: Tukey fences catch exactly the planted tails, fences dyadic-exact") {
+    // 1..100 plus three planted extremes: n=103, sorted quartile indexes
+    // (n-1)/4 = 25.5 and 76.5 → q1 = 25.5, q3 = 76.5, IQR = 51,
+    // fences [-51, 153] — only the planted -60, 200, 1000 fall outside
+    val vals = (1 to 100).map(_.toDouble) ++ Seq(-60.0, 200.0, 1000.0)
+    val df = vals.map(v => ("p1", v)).toDF("period", "v")
+    val out = Qa.outliers(df, "period", Seq("v")).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n") == 103L)
+    assert(r.getAs[Long]("n_outliers") == 3L)
+    // interpolated quartiles of scaled integers are dyadic → fences exact
+    assert(r.getAs[Double]("fence_lo") == -51.0)
+    assert(r.getAs[Double]("fence_hi") == 153.0)
+  }
+
   test("workbookPivot lands each stat in its column, one row per cell group") {
     val long = Seq(
       ("vals_continuous", "p1", "v", None: Option[String], "mean", Some(1.5)),

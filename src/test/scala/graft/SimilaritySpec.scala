@@ -192,4 +192,25 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getAs[Double]("cosine") >= 0.9)
     }
   }
+
+  test("semDedup drops a planted clone via keep-min, survivors partition the corpus") {
+    import spark.implicits._
+    // clone vector 3's embedding under a HIGHER id: identical vectors land
+    // in the same cluster and score cosine 1.0, so the clone must drop and
+    // the original survive
+    val cloneSrc = emb.filter(col("vec_id") === 3L)
+      .select(lit(999999L).as("vec_id"), col("embedding"), col("label"))
+    val corpus = emb.unionByName(cloneSrc)
+    val out = Similarity.semDedup(corpus, threshold = 0.99)
+    val ids = out.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids.contains(3L) && !ids.contains(999999L))
+    // at an impossible threshold nothing drops: survivors == corpus
+    val all = Similarity.semDedup(corpus, threshold = 1.01)
+    assert(all.count() == corpus.count())
+    // survivors ⊂ corpus and every cluster id is in [0, k)
+    out.collect().foreach { r =>
+      val c = r.getAs[Int]("cluster")
+      assert(c >= 0 && c < 16)
+    }
+  }
 }
