@@ -185,7 +185,8 @@ object ScaleCheckDocs {
       "dedup_cc_clusters", "sim_near_dup", "sim_cosine_topk",
       "sim_ann_lsh", "sim_ann_ivf_seeded", "emb_group_centroids",
       "dedup_ngram_jaccard", "dedup_spans", "text_unigram_logprob",
-      "text_contamination")
+      "text_contamination", "corpus_pack_sequences", "sim_semdedup",
+      "text_entropy")
     val unknown = only.toSet -- allNames.toSet
     require(unknown.isEmpty,
       s"unknown query names (would be silently skipped): ${unknown.mkString(", ")}")

@@ -248,6 +248,15 @@ object SparkEntry {
           "period"))
     },
 
+    // PSI drift monitor: one summary number per (period, categorical
+    // col) transition over the dense grid; integer cross-products +
+    // micro-nat log quantization make the sum engine-exact
+    "qa_drift_psi" -> { (s, dir) =>
+      val e = Tables(s, dir, "events")
+        .withColumn("period", date_trunc("day", col("ts")).cast("date").cast("string"))
+      Qa.driftPsi(Qa.categorical(e, "period", Seq("event_type")), "period")
+    },
+
     // Tukey-fence outlier screen: within-period tail test on the
     // integer-quantized value scale (dyadic fence arithmetic — engine-
     // exact counts; see Qa.outliers)
@@ -446,6 +455,10 @@ object SparkEntry {
     // corpus's own distribution, integer micro-nat quantization
     "text_unigram_logprob" -> ((s, dir) =>
       Text.unigramLogProb(Tables(s, dir, "documents"))),
+    // lexical-diversity signal: per-doc token Shannon entropy, same
+    // micro-nat integer reduction
+    "text_entropy" -> ((s, dir) =>
+      Text.tokenEntropy(Tables(s, dir, "documents"))),
     "text_bm25" -> ((s, dir) =>
       Text.bm25(Tables(s, dir, "documents"), bm25Terms)),
     "text_corpus_filter" -> ((s, dir) =>
@@ -1189,6 +1202,11 @@ object SparkEntry {
 
     "qa_outliers" -> Qa.outliersSql("events",
       "cast(cast(date_trunc('day', ts) as date) as varchar)", "value"),
+
+    "qa_drift_psi" -> Qa.driftPsiSql("events",
+      "cast(cast(date_trunc('day', ts) as date) as varchar)", "event_type"),
+
+    "text_entropy" -> Text.tokenEntropySql(),
 
     "sim_semdedup" -> Similarity.semDedupDuckdbSql(),
 

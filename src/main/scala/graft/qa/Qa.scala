@@ -554,6 +554,114 @@ object Qa {
         col("prev_proportion"), col("abs_change_pp"), col("flag_missing"))
   }
 
+  /** Population Stability Index drift monitor per (period, categorical
+    * column) — the standard ML-monitoring distribution-shift metric,
+    * complementing the per-value change flags ([[categoricalChange]])
+    * with one summary number per transition:
+    * PSI = Σ_values (p_cur − p_prev)·ln(p_cur/p_prev), computed over
+    * values present in BOTH adjacent periods, with values appearing/
+    * disappearing reported separately as `n_new`/`n_gone` (the honest
+    * treatment — ε-smoothing hides exactly the categories a monitor
+    * should flag). Rule of thumb: PSI < 0.1 stable, > 0.25 shifted.
+    *
+    * Cross-engine determinism: p_cur − p_prev and p_cur/p_prev are
+    * formed from exact integer cross-products (c·n' − c'·n over n·n'),
+    * the log ratio is quantized once to integer micro-nats, each
+    * value's contribution floors to an integer, and the per-transition
+    * reduction is an order-independent integer sum — one fixed-order
+    * division publishes the double. Same dense-grid + lag shape (and
+    * the same materialize-once policy) as [[categoricalChange]], so
+    * adjacency is true period adjacency even when a value skips a
+    * period.
+    */
+  def driftPsi(catLong: DataFrame, timeVar: String): DataFrame = {
+    val bounded = catLong.queryExecution.analyzed match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => catLong
+      case _ => catLong.localCheckpoint()
+    }
+    val periods = bounded.select(col(timeVar)).distinct()
+    val vals = bounded.select(col("varname"), col("value")).distinct()
+    val grid = periods.crossJoin(vals).alias("g")
+    val c = bounded.alias("c")
+    val dense = grid.join(c,
+        col(s"g.$timeVar") === col(s"c.$timeVar") &&
+          col("g.varname") === col("c.varname") &&
+          (col("g.value") <=> col("c.value")), "left")
+      .select(col(s"g.$timeVar").as(timeVar), col("g.varname").as("varname"),
+        col("g.value").as("value"), coalesce(col("c.n"), lit(0L)).as("n"))
+    val wt = Window.partitionBy(col(timeVar), col("varname"))
+    val wl = Window.partitionBy(col("varname"), col("value")).orderBy(col(timeVar))
+    val lagged = dense
+      .withColumn("n_tot", sum(col("n")).over(wt))
+      .withColumn("prev_n", lag(col("n"), 1).over(wl))
+      .withColumn("prev_tot", lag(col("n_tot"), 1).over(wl))
+      .filter(col("prev_tot").isNotNull)
+    val common = col("n") > 0 && col("prev_n") > 0
+    val lrMicro = floor(
+      log((col("n") * col("prev_tot")).cast("double") /
+          (col("prev_n") * col("n_tot")).cast("double")) * lit(1000000.0))
+    val termMicro = floor(
+      ((col("n") * col("prev_tot") - col("prev_n") * col("n_tot")).cast("double") /
+        (col("n_tot") * col("prev_tot")).cast("double")) * lrMicro.cast("double"))
+    lagged
+      .withColumn("__term", when(common, termMicro).otherwise(lit(0L)))
+      .groupBy(col(timeVar), col("varname"))
+      .agg((sum(col("__term")).cast("double") / lit(1000000.0)).as("psi"),
+        sum(when(common, 1L).otherwise(0L)).as("n_common"),
+        sum(when(col("n") > 0 && col("prev_n") === 0, 1L).otherwise(0L))
+          .as("n_new"),
+        sum(when(col("n") === 0 && col("prev_n") > 0, 1L).otherwise(0L))
+          .as("n_gone"))
+  }
+
+  /** DuckDB oracle for [[driftPsi]] over one categorical column —
+    * identical dense grid, lag adjacency, integer cross-products and
+    * micro-nat quantization.
+    */
+  def driftPsiSql(table: String, periodExpr: String, c: String): String =
+    s"""WITH src AS (
+         SELECT $periodExpr AS period, cast($c as varchar) AS value
+         FROM $table),
+       counts AS (
+         SELECT period, value, count(*) AS n FROM src GROUP BY 1, 2),
+       grid AS (
+         SELECT p.period, v.value
+         FROM (SELECT DISTINCT period FROM counts) p
+         CROSS JOIN (SELECT DISTINCT value FROM counts) v),
+       dense AS (
+         SELECT g.period, g.value, coalesce(c.n, 0) AS n
+         FROM grid g LEFT JOIN counts c
+           ON g.period = c.period AND g.value IS NOT DISTINCT FROM c.value),
+       totals AS (
+         SELECT period, value, n,
+                sum(n) OVER (PARTITION BY period) AS n_tot
+         FROM dense),
+       lagged AS (
+         SELECT period, value, n, n_tot,
+                lag(n) OVER (PARTITION BY value ORDER BY period) AS prev_n,
+                lag(n_tot) OVER (PARTITION BY value ORDER BY period) AS prev_tot
+         FROM totals),
+       terms AS (
+         SELECT period, n, prev_n,
+                CASE WHEN n > 0 AND prev_n > 0 THEN
+                  cast(floor(
+                    (cast(n * prev_tot - prev_n * n_tot as double) /
+                     cast(n_tot * prev_tot as double)) *
+                    cast(cast(floor(ln(cast(n * prev_tot as double) /
+                        cast(prev_n * n_tot as double)) * 1000000.0)
+                      as bigint) as double)) as bigint)
+                ELSE 0 END AS term
+         FROM lagged l WHERE prev_tot IS NOT NULL)
+     SELECT period, '$c' AS varname,
+            cast(sum(term) as double) / 1000000.0 AS psi,
+            cast(sum(CASE WHEN n > 0 AND prev_n > 0 THEN 1 ELSE 0 END)
+              as bigint) AS n_common,
+            cast(sum(CASE WHEN n > 0 AND prev_n = 0 THEN 1 ELSE 0 END)
+              as bigint) AS n_new,
+            cast(sum(CASE WHEN n = 0 AND prev_n > 0 THEN 1 ELSE 0 END)
+              as bigint) AS n_gone
+     FROM terms GROUP BY period"""
+
   /** Tukey-fence outlier screen per (time period, numeric column): count
     * and proportion of values outside [q1 − k·IQR, q3 + k·IQR] — the
     * continuous-variable anomaly check that complements the mean/median

@@ -540,6 +540,65 @@ object Text {
           / lit(1000000.0))
   }
 
+  /** Per-document token Shannon entropy — the lexical-diversity quality
+    * signal (low entropy = repetitive/templated text, high = diverse
+    * vocabulary; complements [[repetition]]'s dup-fraction screens with
+    * an information-theoretic one): H = −Σ_types (c/n)·ln(c/n) over the
+    * document's own token counts.
+    *
+    * Cross-engine determinism (the [[unigramLogProb]] recipe): each
+    * token TYPE's ln(c/n) is quantized once to integer micro-nats, the
+    * per-document reduction is then an order-independent integer sum
+    * Σ c·floor(ln(c/n)·1e6), and the published entropy divides by
+    * (n·1e6) in one fixed IEEE op order. One explode + one (doc, tok)
+    * count + one per-doc sum — two shuffles on bounded keys, nothing
+    * wide ever shuffles on raw text.
+    */
+  def tokenEntropy(df: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val counts = df.withColumn("__toks", tokens(col(textCol)))
+      .select(col(idCol), explode(col("__toks")).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
+    // doc length as a window over the (doc, tok) counts — reuses the
+    // groupBy's hash partitioning on idCol, no extra wide shuffle
+    val withN = counts.withColumn("n",
+      sum(col("c")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col(idCol))))
+    withN
+      .groupBy(col(idCol))
+      .agg(first(col("n")).as("n"),
+        count(lit(1)).cast("int").as("n_types"),
+        sum(col("c") * floor(log(col("c").cast("double") / col("n").cast("double"))
+          * lit(1000000.0))).as("__h_micro"))
+      .select(col(idCol), col("n").cast("int").as("n_tokens"), col("n_types"),
+        (-col("__h_micro").cast("double") /
+          (col("n").cast("double") * lit(1000000.0))).as("entropy"))
+  }
+
+  /** DuckDB oracle for [[tokenEntropy]] — identical tokenization,
+    * quantization, and reduction order.
+    */
+  def tokenEntropySql(table: String = "documents",
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): String = {
+    val toks = s"string_split_regex(trim(lower($textCol)), '$wsRe')"
+    s"""WITH toks AS (
+      SELECT $idCol, unnest($toks) AS tok FROM $table
+    ), counts AS (
+      SELECT $idCol, tok, count(*) AS c FROM toks GROUP BY $idCol, tok
+    ), withn AS (
+      SELECT $idCol, c,
+             sum(c) OVER (PARTITION BY $idCol) AS n
+      FROM counts
+    )
+    SELECT $idCol, cast(any_value(n) as int) AS n_tokens,
+           cast(count(*) as int) AS n_types,
+           -cast(sum(c * cast(floor(ln(cast(c as double) / cast(n as double))
+                 * 1000000.0) as bigint)) as double)
+             / (cast(any_value(n) as double) * 1000000.0) AS entropy
+    FROM withn GROUP BY $idCol"""
+  }
+
   /** DuckDB oracle for [[unigramLogProb]] — identical tokenization,
     * identical micro-nat quantization, identical division order.
     */

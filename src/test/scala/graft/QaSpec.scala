@@ -182,6 +182,35 @@ class QaSpec extends SparkSpec {
     }
   }
 
+  test("driftPsi: hand-computed shift, new/gone values counted not smoothed") {
+    // p1: a=50 b=50; p2: a=80 b=20 c=10 (c is NEW in p2). PSI runs over
+    // the common values {a, b} with period totals 100 and 110:
+    // (80/110−0.5)·ln((80/110)/0.5) + (20/110−0.5)·ln((20/110)/0.5)
+    val rows =
+      Seq.fill(50)(("p1", "a")) ++ Seq.fill(50)(("p1", "b")) ++
+      Seq.fill(80)(("p2", "a")) ++ Seq.fill(20)(("p2", "b")) ++
+      Seq.fill(10)(("p2", "c"))
+    val df = rows.toDF("period", "cat")
+    val out = Qa.driftPsi(Qa.categorical(df, "period", Seq("cat")), "period")
+      .collect()
+    assert(out.length == 1) // only the p1→p2 transition
+    val r = out.head
+    assert(r.getString(0) == "p2")
+    val pA = 80.0 / 110; val pB = 20.0 / 110
+    val expected = (pA - 0.5) * math.log(pA / 0.5) +
+      (pB - 0.5) * math.log(pB / 0.5)
+    assert(math.abs(r.getAs[Double]("psi") - expected) < 1e-4)
+    assert(r.getAs[Long]("n_common") == 2L)
+    assert(r.getAs[Long]("n_new") == 1L)  // c appears in p2
+    assert(r.getAs[Long]("n_gone") == 0L)
+    // identical distributions → PSI 0 (floor quantization keeps ln(1)=0)
+    val flat = (Seq.fill(30)(("p1", "x")) ++ Seq.fill(30)(("p2", "x")))
+      .toDF("period", "cat")
+    val psi0 = Qa.driftPsi(Qa.categorical(flat, "period", Seq("cat")), "period")
+      .collect().head.getAs[Double]("psi")
+    assert(psi0 == 0.0)
+  }
+
   test("outliers: Tukey fences catch exactly the planted tails, fences dyadic-exact") {
     // 1..100 plus three planted extremes: n=103, sorted quartile indexes
     // (n-1)/4 = 25.5 and 76.5 → q1 = 25.5, q3 = 76.5, IQR = 51,

@@ -215,6 +215,25 @@ class TextDedupSpec extends SparkSpec {
     assert(cc.forall(_.getAs[Long]("cluster") == 0L))
   }
 
+  test("tokenEntropy: uniform ln(k), constant 0, mixed hand-computed") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a a a a"),          // constant → H = 0
+      (2L, "a b c d"),          // uniform over 4 → H = ln 4
+      (3L, "a a b b b c"))      // H = −(2/6·ln(2/6) + 3/6·ln(3/6) + 1/6·ln(1/6))
+      .toDF("doc_id", "text")
+    val out = graft.text.Text.tokenEntropy(df).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getAs[Double]("entropy"))).toMap
+    assert(out(1L)._1 == 4 && out(1L)._2 == 1)
+    assert(out(1L)._3 == 0.0)
+    assert(math.abs(out(2L)._3 - math.log(4)) < 1e-4)
+    val h3 = -(2.0 / 6 * math.log(2.0 / 6) + 3.0 / 6 * math.log(3.0 / 6) +
+      1.0 / 6 * math.log(1.0 / 6))
+    assert(out(3L)._1 == 6 && out(3L)._2 == 3)
+    assert(math.abs(out(3L)._3 - h3) < 1e-4)
+  }
+
   test("repetition: dup/top fractions from a constructed doc") {
     // tokens: a a a b  (4 tokens, 2 types, top token 'a' x3)
     // bigrams: "a a","a a","a b" (3 bigrams, top "a a" x2)
