@@ -144,6 +144,20 @@ object SparkEntry {
           col("valid_to").as("valid_to_us"), col("is_current"))
     },
 
+    // point-in-time query over the SCD2 history: state as of Jan 15
+    // (epoch-µs literal shared with the oracle)
+    "etl_scd2_asof" -> { (s, dir) =>
+      val e = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          expr("unix_micros(ts)").as("us"))
+      Etl.scd2AsOf(
+        Etl.scd2(e, Seq("user_id"), Seq("event_type"), "us", Seq("event_id")),
+        lit(scd2AsOfUs), fromCol = "valid_from", toCol = "valid_to")
+        .select(col("user_id"), col("event_type"),
+          col("valid_from").as("valid_from_us"),
+          col("valid_to").as("valid_to_us"))
+    },
+
     "etl_dedup_keep_latest" -> { (s, dir) =>
       // sort-free max_by variant; spec-proven equal to the window version
       Etl.dedupKeepLatestByMax(
@@ -368,6 +382,19 @@ object SparkEntry {
     "corpus_pack_sequences" -> ((s, dir) =>
       graft.etl.Sampling.packSequences(Tables(s, dir, "documents"),
         "doc_id", "text", seqLen = 256, shards = 8)),
+    // temperature mixing (α = 0.5 via the correctly-rounded sqrt) over
+    // the SKEWED language mix (en dominates): low-resource languages
+    // keep ~everything, en thins to ~0.54 — the mT5 balancing move
+    // (`source` is deliberately NOT the stratum: it is uniform in this
+    // data, which would make the gate a pass-through)
+    "sample_temperature" -> ((s, dir) =>
+      graft.etl.Sampling.temperatureMix(Tables(s, dir, "documents"),
+        "lang", "doc_id")
+        .select("doc_id", "lang")),
+    // asymmetric containment pairs over the df-capped shingle index —
+    // catches small-doc-inside-big-doc inclusion Jaccard dedup misses
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containment(Tables(s, dir, "documents"))),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(Tables(s, dir, "documents"), threshold = 0.5)),
     "dedup_minhash_lsh" -> ((s, dir) =>
@@ -483,6 +510,10 @@ object SparkEntry {
   // bottleneck at acceptance rate 1.0).
   private val mixTargets =
     Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
+
+  // 2024-01-15T00:00:00Z in epoch-µs — the etl_scd2_asof point-in-time,
+  // shared by the Spark query and its oracle.
+  private val scd2AsOfUs = 1705276800000000L
 
   // Validation rules for etl_validate_rules — declared order IS the
   // fail_rules order; status_known ('P' rows) and date_in_range
@@ -1197,6 +1228,33 @@ object SparkEntry {
 
     "corpus_pack_sequences" -> graft.etl.Sampling.packSequencesSql(
       "documents", "doc_id", "text", seqLen = 256, shards = 8),
+
+    "sample_temperature" -> graft.etl.Sampling.temperatureMixSql(
+      "documents", "lang", "doc_id", sqrtApplications = 1,
+      "doc_id, lang"),
+
+    "dedup_containment" -> Dedup.containmentSql(),
+
+    "etl_scd2_asof" ->
+      s"""WITH e AS (
+           SELECT user_id, event_type, event_id,
+                  epoch_us(cast(ts as timestamp)) AS us
+           FROM events),
+         l AS (
+           SELECT *, lag(event_type) OVER (PARTITION BY user_id
+             ORDER BY us, event_id) AS prev_et
+           FROM e),
+         s AS (
+           SELECT * FROM l WHERE prev_et IS NULL OR prev_et <> event_type),
+         h AS (
+           SELECT user_id, event_type, us AS valid_from_us,
+                  lead(us) OVER (PARTITION BY user_id
+                    ORDER BY us, event_id) AS valid_to_us
+           FROM s)
+         SELECT user_id, event_type, valid_from_us, valid_to_us
+         FROM h
+         WHERE valid_from_us <= $scd2AsOfUs
+           AND (valid_to_us IS NULL OR valid_to_us > $scd2AsOfUs)""",
 
     "etl_validate_rules" -> validationRulesSql,
 

@@ -145,6 +145,89 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Shingle-containment pairs — the ASYMMETRIC near-dup detector:
+    * C(A,B) = |S(A)∩S(B)| / min(|S(A)|,|S(B)|) flags a small document
+    * largely CONTAINED in a big one (quotes, boilerplate inclusion,
+    * page-in-crawl-of-site), which Jaccard-based dedup structurally
+    * misses — a 100-shingle doc inside a 10,000-shingle doc has
+    * Jaccard ≤ 0.01 (MinHash-LSH proposes nothing) but containment 1.0.
+    *
+    * Blocking is therefore the shingle inverted index itself, with the
+    * scale lever containment actually uses at 100 TB: shingles
+    * occurring in more than `maxDf` documents are dropped BEFORE the
+    * pair join (stop-shingle removal — boilerplate shingles are
+    * precisely the ones whose postings lists explode, and capping df
+    * bounds the join at Σ min(df, maxDf)² per shingle). The cap is part
+    * of the operator contract (both engines apply it), so results stay
+    * oracle-exact; sizes are counted over the SAME capped shingle sets
+    * for a consistent estimator.
+    */
+  def containment(df: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text", blockCol: String = "lang",
+                  k: Int = 3, threshold: Double = 0.6, maxDf: Int = 100,
+                  digits: Int = 4): DataFrame = {
+    // one shingle explode, materialized once for the df-cap, the sizes,
+    // and both join sides (house localCheckpoint policy)
+    val words = df
+      .withColumn("__toks", Text.tokens(col(textCol)))
+      .select(col(idCol).as("id"), col(blockCol).as("blk"),
+        explode(expr(Text.shingleExpr("__toks", k))).as("w"))
+      .localCheckpoint()
+    val rare = words.groupBy(col("blk"), col("w"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+      .select(col("blk"), col("w"))
+    val capped = words.join(rare, Seq("blk", "w"), "left_semi")
+      .localCheckpoint()
+    val sizes = capped.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val a = capped.select(col("blk"), col("id").as("id_a"), col("w"))
+    val b = capped.select(col("blk"), col("id").as("id_b"), col("w"))
+    val inter = a.join(b, Seq("blk", "w"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .withColumn("containment",
+        round(col("n_common") / least(col("n_a"), col("n_b")), digits))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        col("containment"))
+  }
+
+  /** DuckDB oracle for [[containment]] — identical shingle sets, df cap,
+    * and min-denominator arithmetic.
+    */
+  def containmentSql(table: String = "documents", idCol: String = "doc_id",
+                     textCol: String = "text", blockCol: String = "lang",
+                     k: Int = 3, threshold: Double = 0.6,
+                     maxDf: Int = 100): String =
+    s"""WITH words AS (
+         SELECT $idCol AS id, $blockCol AS blk,
+                unnest(${Text.shingleSql(textCol, k)}) AS w
+         FROM $table),
+       rare AS (
+         SELECT blk, w FROM words GROUP BY blk, w
+         HAVING count(*) <= $maxDf),
+       capped AS (
+         SELECT words.* FROM words SEMI JOIN rare USING (blk, w)),
+       sizes AS (
+         SELECT id, count(*) AS n_sh FROM capped GROUP BY id),
+       inter AS (
+         SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+         FROM capped a JOIN capped b ON a.blk = b.blk AND a.w = b.w
+           AND a.id < b.id
+         GROUP BY a.id, b.id)
+     SELECT id_a AS doc_a, id_b AS doc_b,
+            round(n_common / cast(least(sa.n_sh, sb.n_sh) as double), 4)
+              AS containment
+     FROM inter
+     JOIN sizes sa ON id_a = sa.id
+     JOIN sizes sb ON id_b = sb.id
+     WHERE round(n_common / cast(least(sa.n_sh, sb.n_sh) as double), 4)
+       >= $threshold"""
+
   /** Rounds the most recent [[connectedComponents]] call took to
     * converge — driver-side diagnostic only (read it right after the
     * call; ScaleCheck prints it as scale evidence for the O(log

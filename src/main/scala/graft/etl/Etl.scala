@@ -273,6 +273,19 @@ object Etl {
         when(col("valid_to").isNull, 1).otherwise(0))
   }
 
+  /** Point-in-time query over an [[scd2]] history: the rows valid AT
+    * `asOf` (valid_from ≤ t, valid_to > t or open) — "what did the
+    * dimension look like on date X", the query an SCD2 table exists to
+    * answer. Pure filter on the history — scan-speed, and when the
+    * history is stored partitioned/clustered on the validity columns
+    * the scan prunes to the relevant slices.
+    */
+  def scd2AsOf(history: DataFrame, asOf: Column,
+               fromCol: String = "valid_from",
+               toCol: String = "valid_to"): DataFrame =
+    history.filter(col(fromCol) <= asOf &&
+      (col(toCol).isNull || col(toCol) > asOf))
+
   /** `table_duplicate_delete`: drop tables whose name matches a suffix
     * pattern — catalog-level operation, modeled over the session catalog.
     */

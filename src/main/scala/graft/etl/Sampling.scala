@@ -209,6 +209,63 @@ object Sampling {
          FROM toks)
      SELECT $selectCols, n_tokens FROM cum WHERE c <= $budget"""
 
+  /** Temperature-based mix sampling (the mT5/multilingual scheme):
+    * sample source s proportionally to n_s^α with α < 1, boosting
+    * low-resource sources relative to their raw share, without
+    * upsampling. α is expressed as `sqrtApplications` repeated square
+    * roots (1 → α=0.5, 2 → α=0.25): sqrt is the ONE power operation
+    * IEEE 754 requires correctly rounded, so both engines compute
+    * bit-identical weights — a general `pow(n, α)` is libm-dependent
+    * and could flip a cut threshold at the floor boundary.
+    *
+    * The acceptance rate derives WITHOUT the usual Σ n_s^α normalizer:
+    * rate_s = min_u(n_u/w_u) · w_s / n_s (the normalizer cancels
+    * algebraically, and dropping it removes the only cross-row double
+    * SUM — a sum's accumulation order is engine- and plan-dependent,
+    * while min is order-independent). The argmin source keeps
+    * everything; sampled counts are ∝ w_s = n_s^α. Same scale shape as
+    * [[mixRebalance]]: bounded counts frame, rates in-frame,
+    * broadcast cuts onto the scan, no corpus shuffle.
+    */
+  def temperatureMix(df: DataFrame, sourceCol: String, keyCol: String,
+                     sqrtApplications: Int = 1): DataFrame = {
+    require(sqrtApplications >= 1, "temperatureMix: sqrtApplications >= 1")
+    val counts = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__w", (1 to sqrtApplications)
+        .foldLeft(col("__n").cast("double")) { case (c, _) => sqrt(c) })
+      .localCheckpoint()
+    val m = counts.agg(min(col("__n") / col("__w")).as("__m"))
+    val cuts = counts.crossJoin(m)
+      .select(col(sourceCol),
+        floor(col("__m") * col("__w") / col("__n") * BUCKETS).as("__cut"))
+    df.join(broadcast(cuts), Seq(sourceCol))
+      .filter(bucket(df, keyCol) < col("__cut"))
+      .drop("__cut")
+  }
+
+  /** DuckDB oracle twin of [[temperatureMix]] — identical weight,
+    * min-ratio, and cut arithmetic in the identical operation order.
+    */
+  def temperatureMixSql(table: String, sourceCol: String, keyCol: String,
+                        sqrtApplications: Int, selectCols: String): String = {
+    val w = (1 to sqrtApplications)
+      .foldLeft("cast(n as double)") { case (c, _) => s"sqrt($c)" }
+    s"""WITH counts AS (
+         SELECT $sourceCol, cast(count(*) as bigint) AS n
+         FROM $table GROUP BY $sourceCol),
+       wts AS (SELECT $sourceCol, n, $w AS w FROM counts),
+       mm AS (SELECT min(n / w) AS m FROM wts),
+       cuts AS (
+         SELECT $sourceCol,
+                cast(floor((SELECT m FROM mm) * w / n * $BUCKETS) as bigint)
+                  AS cut
+         FROM wts)
+     SELECT $selectCols FROM $table d
+     JOIN cuts USING ($sourceCol)
+     WHERE ${bucketSql(keyCol)} < cut"""
+  }
+
   /** Sequence packing — the layout step after selection: documents are
     * concatenated in a deterministic order and chunked into fixed
     * `seqLen`-token training sequences (the standard concat-and-chunk

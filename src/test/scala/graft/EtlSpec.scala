@@ -361,6 +361,35 @@ class EtlSpec extends SparkSpec {
     assert(both.count() + byType.count() + byDay.count() == out.count())
   }
 
+  test("temperatureMix boosts the low-resource stratum, no upsampling") {
+    // a=10000, b=100; α=0.5 → w=(100,10), min(n/w)=10 → rates a=0.1, b=1.0
+    val df = spark.range(10100).selectExpr("id as k",
+      "CASE WHEN id < 10000 THEN 'a' ELSE 'b' END as src")
+    val out = graft.etl.Sampling.temperatureMix(df, "src", "k")
+    val bySrc = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("b") == 100L)                 // low-resource keeps all
+    assert(math.abs(bySrc("a") - 1000L) < 100) // dominant thinned to w-share
+    // deterministic under physical layout
+    val k1 = out.select("k").collect().map(_.getLong(0)).toSet
+    val k2 = graft.etl.Sampling.temperatureMix(df.repartition(5), "src", "k")
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(k1 == k2)
+  }
+
+  test("scd2AsOf returns exactly the intervals covering the instant") {
+    val hist = Seq(
+      (1L, "s1", 1L, Some(5L)), (1L, "s2", 5L, Some(10L)),
+      (1L, "s3", 10L, None: Option[Long]), (2L, "t1", 8L, None: Option[Long]))
+      .toDF("k", "state", "valid_from", "valid_to")
+    def at(t: Long) = Etl.scd2AsOf(hist, lit(t)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(at(7L) == Map(1L -> "s2"))              // inside [5,10); key 2 not yet
+    assert(at(12L) == Map(1L -> "s3", 2L -> "t1")) // open intervals cover
+    assert(at(5L) == Map(1L -> "s2"))              // boundary: valid_from inclusive
+    assert(at(0L) == Map.empty[Long, String])
+  }
+
   test("validateRows: NULL predicate is a violation, names in declared order") {
     val df = Seq(
       (1L, Some(10.0), Some("O")),   // clean

@@ -215,6 +215,27 @@ class TextDedupSpec extends SparkSpec {
     assert(cc.forall(_.getAs[Long]("cluster") == 0L))
   }
 
+  test("containment flags the contained small doc Jaccard misses; df cap drops stop-shingles") {
+    import spark.implicits._
+    val big = ((1 to 40).map(i => s"w$i")).mkString(" ")      // 38 shingles
+    val small = ((1 to 6).map(i => s"w$i")).mkString(" ")     // 4 shingles, all in big
+    val other = ((100 to 120).map(i => s"v$i")).mkString(" ")
+    val df = Seq((1L, big, "en"), (2L, small, "en"), (3L, other, "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = graft.dedup.Dedup.containment(df, threshold = 0.9).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(r.getAs[Double]("containment") == 1.0)
+    // the same pair is invisible to Jaccard at any usable threshold:
+    // 4 common shingles of 38 ∪ 4 → J ≈ 0.105
+    val j = graft.dedup.Dedup.ngramJaccard(df, threshold = 0.5).collect()
+    assert(!j.exists(p => p.getLong(0) == 1L && p.getLong(1) == 2L))
+    // df cap = 1 drops every shingle shared by 2+ docs → no pairs at all
+    assert(graft.dedup.Dedup.containment(df, threshold = 0.1, maxDf = 1)
+      .collect().isEmpty)
+  }
+
   test("tokenEntropy: uniform ln(k), constant 0, mixed hand-computed") {
     import spark.implicits._
     val df = Seq(
