@@ -158,6 +158,14 @@ object SparkEntry {
           col("valid_to").as("valid_to_us"))
     },
 
+    // the CDC -> SCD2 pattern as a STREAMING stateful operator, driven
+    // end to end and gated against the same change-detection oracle as
+    // the batch twin (open intervals flushed by the harness sentinel)
+    "stream_scd2" -> ((s, dir) =>
+      graft.streaming.Streams.scd2AvailableNow(s, dir)
+        .select(col("user_id"), col("event_type"),
+          col("valid_from_us"), col("valid_to_us"))),
+
     "etl_dedup_keep_latest" -> { (s, dir) =>
       // sort-free max_by variant; spec-proven equal to the window version
       Etl.dedupKeepLatestByMax(
@@ -1255,6 +1263,24 @@ object SparkEntry {
          FROM h
          WHERE valid_from_us <= $scd2AsOfUs
            AND (valid_to_us IS NULL OR valid_to_us > $scd2AsOfUs)""",
+
+    // the batch SCD2 change-detection SQL minus is_current — the
+    // streaming history build must reproduce every interval exactly
+    "stream_scd2" ->
+      """WITH e AS (
+           SELECT user_id, event_type, event_id,
+                  epoch_us(cast(ts as timestamp)) AS us
+           FROM events),
+         l AS (
+           SELECT *, lag(event_type) OVER (PARTITION BY user_id
+             ORDER BY us, event_id) AS prev_et
+           FROM e),
+         s AS (
+           SELECT * FROM l WHERE prev_et IS NULL OR prev_et <> event_type)
+         SELECT user_id, event_type, us AS valid_from_us,
+                lead(us) OVER (PARTITION BY user_id
+                  ORDER BY us, event_id) AS valid_to_us
+         FROM s""",
 
     "etl_validate_rules" -> validationRulesSql,
 

@@ -750,6 +750,86 @@ object Streams {
       }
   }
 
+  case class Scd2State(curType: String, from: Long)
+  case class Scd2Out(user_id: Long, event_type: String,
+                     valid_from_us: Long, valid_to_us: Option[Long])
+
+  /** Streaming SCD2 history build — the CDC → versioned-dimension
+    * pattern: per key, consecutive identical attribute values merge
+    * into one validity interval; a change CLOSES the open interval
+    * (emitted immediately, append mode) and opens the next. State per
+    * key is O(1): the open interval's attribute + start. The streaming
+    * twin of `Etl.scd2`, and the warehouse shape where the history
+    * table is maintained WHILE the change stream flows rather than
+    * rebuilt per load.
+    *
+    * Exactness vs the batch twin: events sort on (µs, event_id) within
+    * a batch — the batch tie rule — and the event-time-ordered,
+    * ms-aligned replay preserves that order across batches. Open
+    * intervals (is_current in batch terms) can only be emitted at
+    * end-of-input: the event-time timeout sits a `horizonDays` horizon
+    * past each key's last event, beyond the data's whole span, so only
+    * the harness's flush sentinel (not an intra-replay watermark) can
+    * fire it. NULL attribute values compare null-safely (Scala `==`),
+    * matching the batch struct `<=>`.
+    */
+  def scd2Stream(events: Dataset[Event],
+                 horizonDays: Int = 40): Dataset[Scd2Out] = {
+    import events.sparkSession.implicits._
+    val horizonMs = horizonDays * 86400000L
+    events
+      .withWatermark("ts", "1 minute")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, Scd2Out](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[Scd2State]) =>
+          def ms(us: Long): Long = Math.floorDiv(us, 1000L)
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Scd2Out(userId, s.curType, s.from, None))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (epochUs(e.ts), e.event_id))
+            var out = List.empty[Scd2Out]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = epochUs(e.ts)
+              cur match {
+                case Some(s) if s.curType == e.event_type => ()
+                case Some(s) =>
+                  out ::= Scd2Out(userId, s.curType, s.from, Some(t))
+                  cur = Some(Scd2State(e.event_type, t))
+                case None =>
+                  cur = Some(Scd2State(e.event_type, t))
+              }
+            }
+            (cur, sorted.lastOption) match {
+              case (Some(s), Some(last)) =>
+                state.update(s)
+                state.setTimeoutTimestamp(ms(epochUs(last.ts)) + horizonMs)
+              case _ => ()
+            }
+            out.reverseIterator
+          }
+      }
+  }
+
+  /** [[scd2Stream]] through [[runEventsAvailableNow]] — oracle-gated as
+    * `stream_scd2` against the same DuckDB change-detection SQL as the
+    * batch `etl_scd2_history` gate (minus is_current, which the open
+    * interval's NULL valid_to already encodes). Flush horizon =
+    * state horizon + slack, so every key's open interval flushes in the
+    * closing no-data micro-batch and never before.
+    */
+  def scd2AvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val horizonMs = 40L * 86400000L
+    runEventsAvailableNow(spark, sfDir, "append",
+      flushHorizonMs = Some(horizonMs + 120000L)) { df =>
+      scd2Stream(df.as[Event]).toDF().filter(col("user_id") =!= -1L)
+    }
+  }
+
   /** Batch-mode sessionization with identical semantics (gap-based
     * session windows) for verification: a session boundary is any gap
     * > `gapMinutes`; implemented with lag + running sum windows.

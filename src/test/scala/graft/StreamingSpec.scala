@@ -269,6 +269,47 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch.count())
   }
 
+  test("scd2Stream closes intervals on change, flushes the open one via timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.Event]
+    val q = Streams.scd2Stream(input.toDS(), horizonDays = 40)
+      .writeStream.format("memory").queryName("scd2_test")
+      .outputMode("append").start()
+    // batch 1: click → view closes the click interval in-batch
+    input.addData(
+      Streams.Event(1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "click", 1.0),
+      Streams.Event(2L, Timestamp.valueOf("2024-01-01 10:05:00"), 1L, "view", 1.0))
+    q.processAllAvailable()
+    // batch 2: same type continues (no emission), then a change closes it
+    input.addData(
+      Streams.Event(3L, Timestamp.valueOf("2024-01-01 10:10:00"), 1L, "view", 1.0),
+      Streams.Event(4L, Timestamp.valueOf("2024-01-01 10:20:00"), 1L, "click", 1.0))
+    q.processAllAvailable()
+    assert(spark.table("scd2_test").count() == 2) // open interval still held
+    // far-future event pushes the watermark past last+40d, next batch
+    // fires the timeout → the open interval flushes with NULL valid_to
+    input.addData(
+      Streams.Event(5L, Timestamp.valueOf("2024-03-01 00:00:00"), 2L, "x", 1.0))
+    q.processAllAvailable()
+    input.addData(
+      Streams.Event(6L, Timestamp.valueOf("2024-03-01 00:01:00"), 2L, "x", 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("scd2_test").collect()
+      .filter(_.getAs[Long]("user_id") == 1L)
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[Long]("valid_from_us"),
+        Option(r.getAs[Any]("valid_to_us"))))
+      .sortBy(_._2)
+    q.stop()
+    def us(s: String): Long = Streams.epochUs(Timestamp.valueOf(s))
+    assert(rows.length == 3)
+    assert(rows(0) == (("click", us("2024-01-01 10:00:00"),
+      Some(us("2024-01-01 10:05:00")))))
+    assert(rows(1) == (("view", us("2024-01-01 10:05:00"),
+      Some(us("2024-01-01 10:20:00")))))
+    assert(rows(2) == (("click", us("2024-01-01 10:20:00"), None)))
+  }
+
   test("AvailableNow harness: streamed sessionize equals the batch twin") {
     // The end-to-end replay harness (event-time-ordered staged files,
     // flush sentinel, foreachBatch sink) backs five oracle-gated
