@@ -186,7 +186,8 @@ object ScaleCheckDocs {
       "sim_ann_lsh", "sim_ann_ivf_seeded", "emb_group_centroids",
       "dedup_ngram_jaccard", "dedup_spans", "text_unigram_logprob",
       "text_contamination", "corpus_pack_sequences", "sim_semdedup",
-      "text_entropy", "sample_temperature", "dedup_containment")
+      "text_entropy", "sample_temperature", "dedup_containment",
+      "emb_quantize")
     val unknown = only.toSet -- allNames.toSet
     require(unknown.isEmpty,
       s"unknown query names (would be silently skipped): ${unknown.mkString(", ")}")

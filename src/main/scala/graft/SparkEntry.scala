@@ -500,6 +500,10 @@ object SparkEntry {
       Text.corpusFilter(Tables(s, dir, "documents"))),
     "emb_group_centroids" -> ((s, dir) =>
       Similarity.groupCentroids(Tables(s, dir, "embeddings"))),
+    // int8 scalar quantization (SQ8): the 4x-smaller candidate-scan
+    // copy of an IVF+SQ stack, long shape with per-row scale
+    "emb_quantize" -> ((s, dir) =>
+      Similarity.quantizeInt8(Tables(s, dir, "embeddings"))),
     "mm_binary_meta" -> ((s, dir) =>
       Multimodal.pipeline(s, Tables(s, dir, "documents"))),
     // metadata layer of the multimodal pipeline (no decode) — the part
@@ -1318,6 +1322,7 @@ object SparkEntry {
     "text_repetition" -> Text.repetitionSql(),
     "text_bm25" -> Text.bm25Sql(bm25Terms),
     "emb_group_centroids" -> Similarity.groupCentroidsSql(),
+    "emb_quantize" -> Similarity.quantizeInt8Sql(),
 
     "text_corpus_filter" ->
       s"""WITH rep AS (${Text.repetitionSql()}),

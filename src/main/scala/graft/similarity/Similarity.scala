@@ -441,6 +441,56 @@ object Similarity {
     rankTopK(scored, "probe_id", topK)
   }
 
+  /** Per-vector int8 scalar quantization (the SQ8 storage layout of an
+    * IVF+SQ ANN stack): q_i = round(x_i / s) with per-vector scale
+    * s = max|x|/127, published LONG (vec_id, pos, q) with the scale on
+    * every row so a reader can dequantize without a second join.
+    * 4× smaller vectors ⇒ 4× the candidates per IO/memory budget —
+    * at 100 TB the quantized copy is what the candidate scan reads,
+    * full-precision vectors join back only for re-ranking the top
+    * candidates.
+    *
+    * Cross-engine determinism: s is one max (order-independent) and
+    * one division; rounding is floor(x/s + 0.5) — a fixed IEEE op
+    * sequence, NOT round(), whose decimal-tie behavior differs between
+    * engines (SURVEY §8a). Zero vectors quantize to 0 under a guarded
+    * scale. Pure projection + posexplode: no shuffle at all.
+    */
+  def quantizeInt8(embeddings: DataFrame, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val scale = expr(
+      s"array_max(transform($vecCol, x -> abs(cast(x as double)))) / 127.0")
+    embeddings
+      .withColumn("scale", scale)
+      .select(col(idCol), col("scale"),
+        posexplode(col(vecCol)).as(Seq("pos", "__v")))
+      .select(col(idCol), col("pos"), col("scale"),
+        when(col("scale") === 0.0, lit(0L)).otherwise(
+          least(greatest(
+            floor(col("__v").cast("double") / col("scale") + lit(0.5)),
+            lit(-127L)), lit(127L))).as("q"))
+  }
+
+  /** DuckDB oracle for [[quantizeInt8]] — identical scale, rounding
+    * sequence, and clamp.
+    */
+  def quantizeInt8Sql(table: String = "embeddings",
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): String =
+    s"""WITH s AS (
+        SELECT $idCol,
+               list_max(list_transform($vecCol,
+                 x -> abs(cast(x as double)))) / 127.0 AS scale,
+               unnest(range(0, len($vecCol))) AS pos,
+               unnest($vecCol) AS v
+        FROM $table)
+      SELECT $idCol, cast(pos as int) AS pos, scale,
+             CASE WHEN scale = 0.0 THEN 0
+                  ELSE least(greatest(
+                    cast(floor(cast(v as double) / scale + 0.5) as bigint),
+                    -127), 127) END AS q
+      FROM s"""
+
   /** Per-group embedding centroids (mean pooling): the elementwise mean
     * vector of each group — class prototypes, query-free cluster seeds,
     * pooled document representations. Emitted LONG (group, dim position,

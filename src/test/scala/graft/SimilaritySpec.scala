@@ -193,6 +193,34 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("quantizeInt8: reconstruction within s/2, range clamped, zero vector guarded") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f)))          // zero vector → scale 0 → q 0
+      .toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(df).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    // vec 1: scale = 1.0/127; extreme dims hit exactly ±127·s
+    val s1 = 1.0 / 127
+    assert(out((1L, 1)) == ((s1, -127L)))
+    assert(out((1L, 0))._2 == 64L)          // 0.5/s = 63.5 → floor(+0.5) = 64
+    out.foreach { case ((_, _), (s, q)) => assert(q >= -127L && q <= 127L)
+      assert(s >= 0.0) }
+    // reconstruction error ≤ s/2 on every dim of vec 1
+    val orig = Map(0 -> 0.5, 1 -> -1.0, 2 -> 0.25)
+    (0 to 2).foreach { p =>
+      val (s, q) = out((1L, p))
+      assert(math.abs(orig(p) - q * s) <= s / 2 + 1e-12)
+    }
+    // zero vector: all q = 0
+    (0 to 2).foreach(p => assert(out((2L, p))._2 == 0L))
+    // corpus sanity on real data: every |q| ≤ 127 and per-vec max hits 127
+    val real = Similarity.quantizeInt8(emb.limit(50))
+    assert(real.agg(max(abs(col("q")))).first().getLong(0) == 127L)
+  }
+
   test("semDedup drops a planted clone via keep-min, survivors partition the corpus") {
     import spark.implicits._
     // clone vector 3's embedding under a HIGHER id: identical vectors land
