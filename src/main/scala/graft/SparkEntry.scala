@@ -864,10 +864,12 @@ object SparkEntry {
            FROM events),
          l AS (
            SELECT *, lag(event_type) OVER (PARTITION BY user_id
-             ORDER BY us, event_id) AS prev_et
+             ORDER BY us, event_id) AS prev_et,
+                  row_number() OVER (PARTITION BY user_id
+             ORDER BY us, event_id) AS rn
            FROM e),
          s AS (
-           SELECT * FROM l WHERE prev_et IS NULL OR prev_et <> event_type)
+           SELECT * FROM l WHERE rn = 1 OR prev_et IS DISTINCT FROM event_type)
          SELECT user_id, event_type, us AS valid_from_us,
                 lead(us) OVER (PARTITION BY user_id
                   ORDER BY us, event_id) AS valid_to_us,
@@ -1254,10 +1256,12 @@ object SparkEntry {
            FROM events),
          l AS (
            SELECT *, lag(event_type) OVER (PARTITION BY user_id
-             ORDER BY us, event_id) AS prev_et
+             ORDER BY us, event_id) AS prev_et,
+                  row_number() OVER (PARTITION BY user_id
+             ORDER BY us, event_id) AS rn
            FROM e),
          s AS (
-           SELECT * FROM l WHERE prev_et IS NULL OR prev_et <> event_type),
+           SELECT * FROM l WHERE rn = 1 OR prev_et IS DISTINCT FROM event_type),
          h AS (
            SELECT user_id, event_type, us AS valid_from_us,
                   lead(us) OVER (PARTITION BY user_id
@@ -1277,10 +1281,12 @@ object SparkEntry {
            FROM events),
          l AS (
            SELECT *, lag(event_type) OVER (PARTITION BY user_id
-             ORDER BY us, event_id) AS prev_et
+             ORDER BY us, event_id) AS prev_et,
+                  row_number() OVER (PARTITION BY user_id
+             ORDER BY us, event_id) AS rn
            FROM e),
          s AS (
-           SELECT * FROM l WHERE prev_et IS NULL OR prev_et <> event_type)
+           SELECT * FROM l WHERE rn = 1 OR prev_et IS DISTINCT FROM event_type)
          SELECT user_id, event_type, us AS valid_from_us,
                 lead(us) OVER (PARTITION BY user_id
                   ORDER BY us, event_id) AS valid_to_us

@@ -72,20 +72,27 @@ object Dedup {
     * product. Shingles (not unigrams) keep the join sparse: bucket size
     * is docs-per-shingle, which stays small even for tiny vocabularies.
     */
+  /** The (id, block, shingle) frame both shingle-pair operators
+    * ([[ngramJaccard]], [[containment]]) index — distinct k-token
+    * shingles per doc, exploded long. Materialized once (consumed by
+    * sizes + both sides of the self-join); without it the
+    * tokenize+shingle explode runs per consumer. `localCheckpoint`, not
+    * `cache`: blocks are ContextCleaner-freed when the result is GC'd
+    * instead of squatting in the CacheManager for the session's
+    * lifetime.
+    */
+  private def shingledWords(df: DataFrame, idCol: String, textCol: String,
+                            blockCol: String, k: Int): DataFrame =
+    df.withColumn("__toks", Text.tokens(col(textCol)))
+      .select(col(idCol).as("id"), col(blockCol).as("blk"),
+        explode(expr(Text.shingleExpr("__toks", k))).as("w"))
+      .localCheckpoint()
+
   def ngramJaccard(df: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text", blockCol: String = "lang",
                    k: Int = 3, threshold: Double = 0.5,
                    digits: Int = 4): DataFrame = {
-    // Materialized once (consumed three times: sizes + both sides of the
-    // self-join); without it the tokenize+shingle explode runs three
-    // times. `localCheckpoint`, not `cache`: blocks are ContextCleaner-
-    // freed when the result is GC'd instead of squatting in the
-    // CacheManager for the session's lifetime.
-    val words = df
-      .withColumn("__toks", Text.tokens(col(textCol)))
-      .select(col(idCol).as("id"), col(blockCol).as("blk"),
-        explode(expr(Text.shingleExpr("__toks", k))).as("w"))
-      .localCheckpoint()
+    val words = shingledWords(df, idCol, textCol, blockCol, k)
     val sizes = words.groupBy(col("id")).agg(count(lit(1)).as("n_words"))
     val a = words.select(col("blk"), col("id").as("id_a"), col("w"))
     val b = words.select(col("blk"), col("id").as("id_b"), col("w"))
@@ -166,13 +173,7 @@ object Dedup {
                   textCol: String = "text", blockCol: String = "lang",
                   k: Int = 3, threshold: Double = 0.6, maxDf: Int = 100,
                   digits: Int = 4): DataFrame = {
-    // one shingle explode, materialized once for the df-cap, the sizes,
-    // and both join sides (house localCheckpoint policy)
-    val words = df
-      .withColumn("__toks", Text.tokens(col(textCol)))
-      .select(col(idCol).as("id"), col(blockCol).as("blk"),
-        explode(expr(Text.shingleExpr("__toks", k))).as("w"))
-      .localCheckpoint()
+    val words = shingledWords(df, idCol, textCol, blockCol, k)
     val rare = words.groupBy(col("blk"), col("w"))
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf)

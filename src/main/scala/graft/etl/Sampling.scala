@@ -124,19 +124,29 @@ object Sampling {
     val tgtCol = targets.foldLeft(lit(null).cast("double")) {
       case (acc, (s, t)) => when(col(sourceCol) === s, lit(t)).otherwise(acc)
     }
-    // bounded (one row per source) but consumed TWICE (the feasibility
-    // min and the per-source cuts) — materialize once or the full
-    // corpus scan behind it runs per reference (the categoricalChange
-    // lesson, r6)
     val counts = df.groupBy(col(sourceCol))
       .agg(count(lit(1)).as("__n"))
-      .withColumn("__t", tgtCol)
-      .filter(col("__t").isNotNull)
-      .localCheckpoint()
-    val m = counts.agg(min(col("__n") / col("__t")).as("__m"))
-    val cuts = counts.crossJoin(m)
+      .withColumn("__w", tgtCol)
+      .filter(col("__w").isNotNull)
+    weightedCutFilter(df, sourceCol, keyCol, counts)
+  }
+
+  /** Shared rate-derivation + selection of the share-weighted samplers
+    * ([[mixRebalance]]: __w = target share; [[temperatureMix]]:
+    * __w = n^α): rate_s = min_u(n_u/w_u)·w_s/n_s — the feasibility min
+    * is order-independent and every op is a fixed IEEE sequence, so the
+    * integer cut thresholds (and hence the row sets) are engine-exact.
+    * `counts` is bounded (one row per source) but consumed TWICE (the
+    * min and the per-source cuts) — materialized once, or the corpus
+    * scan behind it runs per reference (the categoricalChange lesson).
+    */
+  private def weightedCutFilter(df: DataFrame, sourceCol: String,
+                                keyCol: String, counts: DataFrame): DataFrame = {
+    val cp = counts.localCheckpoint()
+    val m = cp.agg(min(col("__n") / col("__w")).as("__m"))
+    val cuts = cp.crossJoin(m)
       .select(col(sourceCol),
-        floor((col("__m") * col("__t")) / col("__n") * BUCKETS).as("__cut"))
+        floor((col("__m") * col("__w")) / col("__n") * BUCKETS).as("__cut"))
     df.join(broadcast(cuts), Seq(sourceCol))
       .filter(bucket(df, keyCol) < col("__cut"))
       .drop("__cut")
@@ -234,14 +244,7 @@ object Sampling {
       .agg(count(lit(1)).as("__n"))
       .withColumn("__w", (1 to sqrtApplications)
         .foldLeft(col("__n").cast("double")) { case (c, _) => sqrt(c) })
-      .localCheckpoint()
-    val m = counts.agg(min(col("__n") / col("__w")).as("__m"))
-    val cuts = counts.crossJoin(m)
-      .select(col(sourceCol),
-        floor(col("__m") * col("__w") / col("__n") * BUCKETS).as("__cut"))
-    df.join(broadcast(cuts), Seq(sourceCol))
-      .filter(bucket(df, keyCol) < col("__cut"))
-      .drop("__cut")
+    weightedCutFilter(df, sourceCol, keyCol, counts)
   }
 
   /** DuckDB oracle twin of [[temperatureMix]] — identical weight,

@@ -496,31 +496,7 @@ object Qa {
     */
   def categoricalChange(catLong: DataFrame, timeVar: String,
                         absThreshold: Double = 3.0, digits: Int = 4): DataFrame = {
-    // The dense-grid template references `catLong` THREE times (periods,
-    // values, and the grid's left join side). The input is a bounded
-    // aggregate (periods × varname × value rows), but its lineage is a
-    // full scan + shuffle of the source table — left unmaterialized,
-    // Spark recomputes that lineage per reference (3 parquet scans,
-    // measured 6.74 s vs 0.5 s at sf0.1). Materialize it once with
-    // localCheckpoint (the house policy — nothing left in the
-    // CacheManager), unless the caller already did: runPipeline hands in
-    // its checkpointed top-8 frame, which arrives as a LogicalRDD leaf.
-    val bounded = catLong.queryExecution.analyzed match {
-      case _: org.apache.spark.sql.execution.LogicalRDD => catLong
-      case _ => catLong.localCheckpoint()
-    }
-    val periods = bounded.select(col(timeVar)).distinct()
-    val vals = bounded.select(col("varname"), col("value")).distinct()
-    val grid = periods.crossJoin(vals).alias("g")
-    val c = bounded.alias("c")
-    val dense = grid.join(c,
-        col(s"g.$timeVar") === col(s"c.$timeVar") &&
-          col("g.varname") === col("c.varname") &&
-          (col("g.value") <=> col("c.value")), "left")
-      .select(col(s"g.$timeVar").as(timeVar), col("g.varname").as("varname"),
-        col("g.value").as("value"),
-        coalesce(col("c.n"), lit(0L)).as("n"),
-        coalesce(col("c.proportion"), lit(0.0)).as("proportion"))
+    val dense = denseCatGrid(catLong, timeVar)
     val w = Window.partitionBy(col("varname"), col("value")).orderBy(col(timeVar))
     dense
       .withColumn("prev_proportion", lag(col("proportion"), 1).over(w))
@@ -532,6 +508,48 @@ object Qa {
       .select(col(timeVar), col("varname"), col("value"), col("n"),
         col("proportion"), col("prev_proportion"), col("abs_change_pp"),
         col("flag_categorical"))
+  }
+
+  /** Dense (period × varname × value) grid over a [[categorical]] long
+    * frame, zero-filled — the shared template of the per-value change
+    * monitors ([[categoricalChange]], [[driftPsi]]): true period
+    * adjacency under `lag` even when a value skips a period.
+    *
+    * The template references `catLong` THREE times (periods, values,
+    * and the grid's left join side). The input is a bounded aggregate,
+    * but its lineage is a full scan + shuffle of the source — left
+    * unmaterialized, Spark recomputes that lineage per reference
+    * (3 parquet scans, measured 6.74 s vs 0.5 s at sf0.1). Materialize
+    * once with localCheckpoint (house policy — nothing left in the
+    * CacheManager), unless the caller already did: runPipeline hands in
+    * its checkpointed top-8 frame, which arrives as a LogicalRDD leaf.
+    */
+  private def denseCatGrid(catLong: DataFrame, timeVar: String,
+                           withProportion: Boolean = true): DataFrame = {
+    val bounded = catLong.queryExecution.analyzed match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => catLong
+      case _ => catLong.localCheckpoint()
+    }
+    val periods = bounded.select(col(timeVar)).distinct()
+    val vals = bounded.select(col("varname"), col("value")).distinct()
+    val grid = periods.crossJoin(vals).alias("g")
+    // prune to the consumer's columns BEFORE the join: a checkpointed
+    // LogicalRDD leaf is not column-pruned by Catalyst, and the wider
+    // row estimate can push the join off the broadcast path
+    val keep = Seq(timeVar, "varname", "value", "n") ++
+      (if (withProportion) Seq("proportion") else Nil)
+    val c = bounded.select(keep.map(col): _*).alias("c")
+    val joined = grid.join(c,
+        col(s"g.$timeVar") === col(s"c.$timeVar") &&
+          col("g.varname") === col("c.varname") &&
+          (col("g.value") <=> col("c.value")), "left")
+      .select(Seq(col(s"g.$timeVar").as(timeVar),
+        col("g.varname").as("varname"), col("g.value").as("value"),
+        coalesce(col("c.n"), lit(0L)).as("n")) ++
+        (if (withProportion)
+          Seq(coalesce(col("c.proportion"), lit(0.0)).as("proportion"))
+        else Nil): _*)
+    joined
   }
 
   /** Missingness period-over-period change: absolute percentage-point
@@ -575,20 +593,7 @@ object Qa {
     * period.
     */
   def driftPsi(catLong: DataFrame, timeVar: String): DataFrame = {
-    val bounded = catLong.queryExecution.analyzed match {
-      case _: org.apache.spark.sql.execution.LogicalRDD => catLong
-      case _ => catLong.localCheckpoint()
-    }
-    val periods = bounded.select(col(timeVar)).distinct()
-    val vals = bounded.select(col("varname"), col("value")).distinct()
-    val grid = periods.crossJoin(vals).alias("g")
-    val c = bounded.alias("c")
-    val dense = grid.join(c,
-        col(s"g.$timeVar") === col(s"c.$timeVar") &&
-          col("g.varname") === col("c.varname") &&
-          (col("g.value") <=> col("c.value")), "left")
-      .select(col(s"g.$timeVar").as(timeVar), col("g.varname").as("varname"),
-        col("g.value").as("value"), coalesce(col("c.n"), lit(0L)).as("n"))
+    val dense = denseCatGrid(catLong, timeVar, withProportion = false)
     val wt = Window.partitionBy(col(timeVar), col("varname"))
     val wl = Window.partitionBy(col("varname"), col("value")).orderBy(col(timeVar))
     val lagged = dense
@@ -597,12 +602,20 @@ object Qa {
       .withColumn("prev_tot", lag(col("n_tot"), 1).over(wl))
       .filter(col("prev_tot").isNotNull)
     val common = col("n") > 0 && col("prev_n") > 0
+    // cross-products in decimal(38,0), not long: counts at the 100 TB
+    // scale (~1e10 rows/period) make n_tot·prev_tot ~ 1e20 — a silent
+    // Long wrap in Spark and a BIGINT range error in DuckDB. Exact
+    // decimal keeps the integers exact at any realistic count; the
+    // decimal → double cast rounds to nearest identically in both
+    // engines (the rowChecksum decimal/HUGEINT recipe).
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
     val lrMicro = floor(
-      log((col("n") * col("prev_tot")).cast("double") /
-          (col("prev_n") * col("n_tot")).cast("double")) * lit(1000000.0))
+      log((dec(col("n")) * dec(col("prev_tot"))).cast("double") /
+          (dec(col("prev_n")) * dec(col("n_tot"))).cast("double")) * lit(1000000.0))
     val termMicro = floor(
-      ((col("n") * col("prev_tot") - col("prev_n") * col("n_tot")).cast("double") /
-        (col("n_tot") * col("prev_tot")).cast("double")) * lrMicro.cast("double"))
+      ((dec(col("n")) * dec(col("prev_tot")) - dec(col("prev_n")) * dec(col("n_tot")))
+        .cast("double") /
+        (dec(col("n_tot")) * dec(col("prev_tot"))).cast("double")) * lrMicro.cast("double"))
     lagged
       .withColumn("__term", when(common, termMicro).otherwise(lit(0L)))
       .groupBy(col(timeVar), col("varname"))
@@ -645,10 +658,15 @@ object Qa {
          SELECT period, n, prev_n,
                 CASE WHEN n > 0 AND prev_n > 0 THEN
                   cast(floor(
-                    (cast(n * prev_tot - prev_n * n_tot as double) /
-                     cast(n_tot * prev_tot as double)) *
-                    cast(cast(floor(ln(cast(n * prev_tot as double) /
-                        cast(prev_n * n_tot as double)) * 1000000.0)
+                    (cast(cast(n as hugeint) * cast(prev_tot as hugeint)
+                          - cast(prev_n as hugeint) * cast(n_tot as hugeint)
+                        as double) /
+                     cast(cast(n_tot as hugeint) * cast(prev_tot as hugeint)
+                        as double)) *
+                    cast(cast(floor(ln(
+                        cast(cast(n as hugeint) * cast(prev_tot as hugeint) as double) /
+                        cast(cast(prev_n as hugeint) * cast(n_tot as hugeint) as double))
+                        * 1000000.0)
                       as bigint) as double)) as bigint)
                 ELSE 0 END AS term
          FROM lagged l WHERE prev_tot IS NOT NULL)

@@ -547,8 +547,11 @@ object Similarity {
   def semDedup(embeddings: DataFrame, threshold: Double = 0.4,
                k: Int = 16, dim: Int = 64,
                idCol: String = "vec_id", vecCol: String = "embedding",
-               digits: Int = 4,
                centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    // cosine rounding is fixed at 4 digits: the oracle's duckdbCosine
+    // hardcodes round(..., 4), so a digits knob here could silently
+    // diverge the survivor set between engines
+    val digits = 4
     val cents = centroids.getOrElse(
       ivfCentroids(embeddings, k, iters = 0, dim, idCol, vecCol))
     val distArr = centroidDistsCol(embeddings, vecCol, cents)

@@ -821,12 +821,17 @@ object Streams {
     * state horizon + slack, so every key's open interval flushes in the
     * closing no-data micro-batch and never before.
     */
-  def scd2AvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
+  def scd2AvailableNow(spark: SparkSession, sfDir: String,
+                       horizonDays: Int = 40): DataFrame = {
     import spark.implicits._
-    val horizonMs = 40L * 86400000L
+    // ONE horizon feeds both the state timeout and the flush sentinel:
+    // maintained separately, a raised state horizon would strand every
+    // open interval past a too-early sentinel
+    val horizonMs = horizonDays * 86400000L
     runEventsAvailableNow(spark, sfDir, "append",
       flushHorizonMs = Some(horizonMs + 120000L)) { df =>
-      scd2Stream(df.as[Event]).toDF().filter(col("user_id") =!= -1L)
+      scd2Stream(df.as[Event], horizonDays).toDF()
+        .filter(col("user_id") =!= -1L)
     }
   }
 

@@ -556,11 +556,16 @@ object Text {
     */
   def tokenEntropy(df: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame = {
-    val counts = df.withColumn("__toks", tokens(col(textCol)))
+    // ONE exchange for the whole pipeline: partitioning the DOCS by id
+    // up front satisfies the (id, tok) groupBy (hash(id) ⊆ clustering
+    // (id, tok)), the per-doc window, AND the final per-doc aggregate —
+    // without it Spark shuffles the exploded (doc, token-type) stream a
+    // second time for the window, and docs shuffle as whole rows once
+    // instead of token rows twice
+    val counts = df.repartition(col(idCol))
+      .withColumn("__toks", tokens(col(textCol)))
       .select(col(idCol), explode(col("__toks")).as("tok"))
       .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
-    // doc length as a window over the (doc, tok) counts — reuses the
-    // groupBy's hash partitioning on idCol, no extra wide shuffle
     val withN = counts.withColumn("n",
       sum(col("c")).over(org.apache.spark.sql.expressions.Window
         .partitionBy(col(idCol))))
