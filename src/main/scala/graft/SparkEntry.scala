@@ -494,6 +494,10 @@ object SparkEntry {
     // micro-nat integer reduction
     "text_entropy" -> ((s, dir) =>
       Text.tokenEntropy(Tables(s, dir, "documents"))),
+    // per-doc TF-IDF keywords: integer tf·idf_micro scores, total
+    // integer ranking order — the term-side counterpart of BM25
+    "text_tfidf_keywords" -> ((s, dir) =>
+      Text.tfidfKeywords(Tables(s, dir, "documents"))),
     "text_bm25" -> ((s, dir) =>
       Text.bm25(Tables(s, dir, "documents"), bm25Terms)),
     "text_corpus_filter" -> ((s, dir) =>
@@ -1301,6 +1305,8 @@ object SparkEntry {
       "cast(cast(date_trunc('day', ts) as date) as varchar)", "event_type"),
 
     "text_entropy" -> Text.tokenEntropySql(),
+
+    "text_tfidf_keywords" -> Text.tfidfKeywordsSql(),
 
     "sim_semdedup" -> Similarity.semDedupDuckdbSql(),
 

@@ -540,6 +540,70 @@ object Text {
           / lit(1000000.0))
   }
 
+  /** Per-document TF-IDF keyword extraction: the top `topK` terms of
+    * each document by tf·idf — the corpus-exploration counterpart of
+    * [[bm25]] (which ranks DOCS for a query; this ranks TERMS for a
+    * doc): tag generation, near-dup triage, topic drill-down.
+    *
+    * Engine-exact by construction: idf = ln(N/df) is quantized ONCE per
+    * term to integer micro-nats, so the score tf·idf_micro is an exact
+    * integer and the per-doc ranking (score DESC, term ASC) is a total
+    * integer order — no float comparisons anywhere. Shape: one (doc,
+    * term) count keyed by the up-front doc repartition (the
+    * [[tokenEntropy]] one-exchange layout), df as one bounded
+    * vocab-sized aggregate broadcast back, ranking as a per-doc window
+    * over the doc's own term types (bounded by doc length).
+    */
+  def tfidfKeywords(df: DataFrame, topK: Int = 3, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val counts = df.repartition(col(idCol))
+      .withColumn("__toks", tokens(col(textCol)))
+      .select(col(idCol), explode(col("__toks")).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val n = df.select(count(lit(1)).as("n_docs"))
+    val dfreq = counts.groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .select(col("tok"),
+        floor(log(col("n_docs").cast("double") / col("df").cast("double"))
+          * lit(1000000.0)).as("idf_micro"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("score_micro").desc, col("tok"))
+    counts.join(broadcast(dfreq), Seq("tok"))
+      .withColumn("score_micro", col("tf") * col("idf_micro"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col(idCol), col("tok"), col("tf"), col("score_micro"),
+        col("rnk"))
+  }
+
+  /** DuckDB oracle for [[tfidfKeywords]] — identical tokenization,
+    * quantization, and the identical total ranking order.
+    */
+  def tfidfKeywordsSql(topK: Int = 3, table: String = "documents",
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): String = {
+    val toks = s"string_split_regex(trim(lower($textCol)), '$wsRe')"
+    s"""WITH toks AS (
+      SELECT $idCol, unnest($toks) AS tok FROM $table
+    ), counts AS (
+      SELECT $idCol, tok, count(*) AS tf FROM toks GROUP BY $idCol, tok
+    ), n AS (SELECT cast(count(*) as bigint) AS n_docs FROM $table
+    ), dfreq AS (
+      SELECT tok, cast(floor(ln(cast((SELECT n_docs FROM n) as double)
+               / cast(count(*) as double)) * 1000000.0) as bigint)
+               AS idf_micro
+      FROM counts GROUP BY tok
+    )
+    SELECT c.$idCol, c.tok, cast(c.tf as bigint) AS tf,
+           cast(c.tf * d.idf_micro as bigint) AS score_micro,
+           cast(row_number() OVER (PARTITION BY c.$idCol
+             ORDER BY c.tf * d.idf_micro DESC, c.tok) as int) AS rnk
+    FROM counts c JOIN dfreq d USING (tok)
+    QUALIFY rnk <= $topK"""
+  }
+
   /** Per-document token Shannon entropy — the lexical-diversity quality
     * signal (low entropy = repetitive/templated text, high = diverse
     * vocabulary; complements [[repetition]]'s dup-fraction screens with

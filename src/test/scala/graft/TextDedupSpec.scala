@@ -236,6 +236,27 @@ class TextDedupSpec extends SparkSpec {
       .collect().isEmpty)
   }
 
+  test("tfidfKeywords surfaces the doc-distinctive term, ties break on term") {
+    import spark.implicits._
+    // 'rare' appears only in doc 1 (idf = ln 3); 'common' in all docs
+    // (idf = 0) — the distinctive term must outrank the frequent one
+    val df = Seq(
+      (1L, "common common common rare"),
+      (2L, "common other other"),
+      (3L, "common misc")).toDF("doc_id", "text")
+    val out = graft.text.Text.tfidfKeywords(df, topK = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(4)) -> r.getString(1)).toMap
+    assert(out((1L, 1)) == "rare")     // 1·ln3 beats 3·0
+    assert(out((2L, 1)) == "other")    // 2·ln(3/2)
+    // doc 3: both terms score... common: 1·0 = 0; misc: 1·ln3 > 0
+    assert(out((3L, 1)) == "misc")
+    // zero-score ties rank alphabetically (total integer order)
+    val d1 = graft.text.Text.tfidfKeywords(
+      Seq((9L, "b a")).toDF("doc_id", "text"), topK = 2).collect()
+      .sortBy(_.getInt(4)).map(_.getString(1)).toSeq
+    assert(d1 == Seq("a", "b"))
+  }
+
   test("tokenEntropy: uniform ln(k), constant 0, mixed hand-computed") {
     import spark.implicits._
     val df = Seq(
