@@ -339,6 +339,20 @@ object SparkEntry {
     // true RANGE frame (time-valued bounds, not row counts): trailing
     // 1-hour per-user sums on epoch-µs integer time
     "q_range_window" -> ((s, dir) => Queries.rangeWindow(s, dir)),
+    // DAU + trailing-7-day rolling distinct users (rolling COUNT
+    // DISTINCT doesn't decompose over a window frame — the bounded
+    // day-list range join is the relational shape)
+    "q_rolling_active_users" -> ((s, dir) =>
+      Queries.rollingActiveUsers(s, dir)),
+    // referential-integrity coverage report over two FKs: orphans one
+    // way, unreferenced dimension rows the other
+    "etl_fk_coverage" -> { (s, dir) =>
+      Etl.fkCoverage(Tables(s, dir, "orders"), Tables(s, dir, "customer"),
+        "o_custkey", "c_custkey", "orders->customer")
+        .unionByName(Etl.fkCoverage(Tables(s, dir, "lineitem"),
+          Tables(s, dir, "orders"), "l_orderkey", "o_orderkey",
+          "lineitem->orders"))
+    },
     "q_interval_join" -> ((s, dir) => Queries.intervalJoin(s, dir)),
     "q_asof_join" -> ((s, dir) => Queries.asofJoin(s, dir)),
     // the O(1)-state streaming as-of enrichment driven end-to-end,
@@ -1307,6 +1321,45 @@ object SparkEntry {
     "text_entropy" -> Text.tokenEntropySql(),
 
     "text_tfidf_keywords" -> Text.tfidfKeywordsSql(),
+
+    "q_rolling_active_users" ->
+      """WITH du AS (
+           SELECT DISTINCT cast(date_trunc('day', ts) as date) AS d, user_id
+           FROM events),
+         days AS (SELECT DISTINCT d AS day FROM du),
+         dau AS (SELECT d AS day, cast(count(*) as bigint) AS dau
+                 FROM du GROUP BY d),
+         rolling AS (
+           SELECT days.day, cast(count(DISTINCT du.user_id) as bigint)
+                    AS active_7d
+           FROM days JOIN du
+             ON du.d > days.day - 7 AND du.d <= days.day
+           GROUP BY days.day)
+         SELECT cast(dau.day as varchar) AS day, dau.dau, rolling.active_7d
+         FROM dau JOIN rolling USING (day)""",
+
+    "etl_fk_coverage" ->
+      """WITH one AS (
+           SELECT 'orders->customer' AS fk,
+                  (SELECT cast(count(*) as bigint) FROM orders) AS n_fact,
+                  (SELECT cast(count(*) as bigint) FROM orders o
+                   WHERE NOT EXISTS (SELECT 1 FROM customer c
+                     WHERE c.c_custkey = o.o_custkey)) AS n_orphans,
+                  (SELECT cast(count(*) as bigint) FROM customer) AS n_dim,
+                  (SELECT cast(count(*) as bigint) FROM customer c
+                   WHERE NOT EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey)) AS n_dim_unreferenced),
+         two AS (
+           SELECT 'lineitem->orders' AS fk,
+                  (SELECT cast(count(*) as bigint) FROM lineitem) AS n_fact,
+                  (SELECT cast(count(*) as bigint) FROM lineitem l
+                   WHERE NOT EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans,
+                  (SELECT cast(count(*) as bigint) FROM orders) AS n_dim,
+                  (SELECT cast(count(*) as bigint) FROM orders o
+                   WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                     WHERE l.l_orderkey = o.o_orderkey)) AS n_dim_unreferenced)
+         SELECT * FROM one UNION ALL SELECT * FROM two""",
 
     "sim_semdedup" -> Similarity.semDedupDuckdbSql(),
 

@@ -182,6 +182,36 @@ object Queries {
         col("o_totalprice"), col("class_avg"))
   }
 
+  /** Rolling active users — the DAU/WAU engagement metric: per day, the
+    * distinct users active that day AND over the trailing `windowDays`.
+    * A rolling COUNT DISTINCT cannot ride a window frame (distinctness
+    * doesn't decompose over a running sum), so the standard relational
+    * shape is: reduce to distinct (day, user) FIRST (the only big
+    * shuffle — everything after is bounded by days × active users),
+    * then broadcast the bounded day list against it with a range
+    * predicate and count distinct per day. The deliberate ≤
+    * `windowDays`× row multiplier replaces a per-day self-join cascade;
+    * at any scale the cost is windowDays × |distinct (day, user)|.
+    */
+  def rollingActiveUsers(spark: SparkSession, dir: String,
+                         windowDays: Int = 7): DataFrame = {
+    val du = Tables(spark, dir, "events")
+      .select(date_trunc("day", col("ts")).cast("date").as("d"),
+        col("user_id"))
+      .distinct()
+      .localCheckpoint() // consumed three times (days, dau, the range join)
+    val days = du.select(col("d").as("day")).distinct()
+    val dau = du.groupBy(col("d").as("day")).agg(count(lit(1)).as("dau"))
+    val rolling = broadcast(days)
+      .join(du, col("d") > date_sub(col("day"), windowDays) &&
+        col("d") <= col("day"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as(s"active_${windowDays}d"))
+    dau.join(rolling, Seq("day"))
+      .select(col("day").cast("string").as("day"), col("dau"),
+        col(s"active_${windowDays}d"))
+  }
+
   /** CUBE over (status, priority): all four grouping-set combinations in
     * one pass with partial aggregation.
     */

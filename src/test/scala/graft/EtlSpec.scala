@@ -361,6 +361,39 @@ class EtlSpec extends SparkSpec {
     assert(both.count() + byType.count() + byDay.count() == out.count())
   }
 
+  test("fkCoverage counts planted orphans and unreferenced dim rows") {
+    val dim = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val fact = Seq((10L, 1L), (11L, 1L), (12L, 2L), (13L, 99L)) // 99 = orphan
+      .toDF("id", "fk")
+    val r = Etl.fkCoverage(fact, dim, "fk", "k", "t").collect().head
+    assert(r.getString(0) == "t")
+    assert(r.getLong(1) == 4L)  // n_fact
+    assert(r.getLong(2) == 1L)  // the planted orphan
+    assert(r.getLong(3) == 3L)  // n_dim
+    assert(r.getLong(4) == 1L)  // dim row 3 unreferenced
+  }
+
+  test("rollingActiveUsers: trailing-window distinct, not a sum of DAUs") {
+    // user 1 active on days 1 AND 2 — a naive DAU sum over the window
+    // would double-count them; the distinct-over-window must not
+    val dir = java.nio.file.Files.createTempDirectory("graft_rau").toString
+    Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L),
+      (2L, java.sql.Timestamp.valueOf("2024-01-02 10:00:00"), 1L),
+      (3L, java.sql.Timestamp.valueOf("2024-01-02 11:00:00"), 2L),
+      (4L, java.sql.Timestamp.valueOf("2024-01-20 10:00:00"), 3L))
+      .toDF("event_id", "ts", "user_id")
+      .withColumn("event_type", lit("x"))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("p"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.analytics.Queries.rollingActiveUsers(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(out("2024-01-01") == ((1L, 1L)))
+    assert(out("2024-01-02") == ((2L, 2L))) // users {1,2}, NOT 1+2=3
+    assert(out("2024-01-20") == ((1L, 1L))) // window slid past days 1-2
+  }
+
   test("temperatureMix boosts the low-resource stratum, no upsampling") {
     // a=10000, b=100; α=0.5 → w=(100,10), min(n/w)=10 → rates a=0.1, b=1.0
     val df = spark.range(10100).selectExpr("id as k",
