@@ -344,6 +344,9 @@ object SparkEntry {
     // day-list range join is the relational shape)
     "q_rolling_active_users" -> ((s, dir) =>
       Queries.rollingActiveUsers(s, dir)),
+    // fixed-bin histogram over events.value: data-derived bounds,
+    // integer bin ids, empty bins zero-filled
+    "q_histogram" -> ((s, dir) => Queries.histogram(s, dir)),
     // referential-integrity coverage report over two FKs: orphans one
     // way, unreferenced dimension rows the other
     "etl_fk_coverage" -> { (s, dir) =>
@@ -1321,6 +1324,20 @@ object SparkEntry {
     "text_entropy" -> Text.tokenEntropySql(),
 
     "text_tfidf_keywords" -> Text.tfidfKeywordsSql(),
+
+    "q_histogram" ->
+      """WITH b AS (
+           SELECT min(value) AS lo, max(value) AS hi FROM events),
+         binned AS (
+           SELECT CASE WHEN b.hi = b.lo THEN 0
+                  ELSE least(cast(floor((value - b.lo) / ((b.hi - b.lo) / 20))
+                    as bigint), 19) END AS bin,
+                  count(*) AS n
+           FROM events, b GROUP BY 1),
+         template AS (SELECT unnest(range(0, 20)) AS bin)
+         SELECT cast(template.bin as int) AS bin,
+                cast(coalesce(binned.n, 0) as bigint) AS n
+         FROM template LEFT JOIN binned USING (bin)""",
 
     "q_rolling_active_users" ->
       """WITH du AS (

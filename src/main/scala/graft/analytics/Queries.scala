@@ -182,6 +182,31 @@ object Queries {
         col("o_totalprice"), col("class_avg"))
   }
 
+  /** Fixed-bin numeric histogram — the profiling/visualization primitive:
+    * `nBins` equal-width bins over [lo, hi) with the two bounds taken
+    * from the data in a first bounded pass (min/max — one row), then
+    * bin = floor((v − lo) / width) clamped to the last bin so v = hi
+    * lands inside. All-integer bin ids from one fixed IEEE sequence —
+    * engine-exact; one map-side-combining groupBy on a bounded key.
+    * Empty bins are emitted (zero-filled via the bounded bin template)
+    * so the shape is fixed-cardinality for plotting and diffing.
+    */
+  def histogram(spark: SparkSession, dir: String, nBins: Int = 20): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    val bounds = e.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    val binned = e.crossJoin(broadcast(bounds))
+      .select(when(col("hi") === col("lo"), lit(0L)) // degenerate range
+        .otherwise(least(
+          floor((col("value") - col("lo")) /
+            ((col("hi") - col("lo")) / nBins)),
+          lit(nBins - 1L))).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+    val template = spark.range(nBins).select(col("id").as("bin"))
+    template.join(binned, Seq("bin"), "left")
+      .select(col("bin").cast("int").as("bin"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
   /** Rolling active users — the DAU/WAU engagement metric: per day, the
     * distinct users active that day AND over the trailing `windowDays`.
     * A rolling COUNT DISTINCT cannot ride a window frame (distinctness

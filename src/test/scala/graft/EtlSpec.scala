@@ -361,6 +361,23 @@ class EtlSpec extends SparkSpec {
     assert(both.count() + byType.count() + byDay.count() == out.count())
   }
 
+  test("histogram: exact bin edges, clamp at hi, empty bins zero-filled") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hist").toString
+    // values 0..10: lo=0, hi=10, width=0.5 over 20 bins; v=10 clamps to 19
+    (0 to 10).map(i => (i.toLong, i.toDouble)).toDF("event_id", "value")
+      .withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .withColumn("user_id", lit(1L))
+      .withColumn("event_type", lit("x")).withColumn("props", lit("p"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.analytics.Queries.histogram(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out.size == 20)                       // every bin present
+    assert(out(0) == 1L && out(2) == 1L)         // 0 → bin 0, 1 → bin 2
+    assert(out(19) == 1L)                        // v = hi clamped inside
+    assert(out(1) == 0L)                         // empty bin zero-filled
+    assert(out.values.sum == 11L)                // nothing lost
+  }
+
   test("fkCoverage counts planted orphans and unreferenced dim rows") {
     val dim = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
     val fact = Seq((10L, 1L), (11L, 1L), (12L, 2L), (13L, 99L)) // 99 = orphan
