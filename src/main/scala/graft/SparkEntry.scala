@@ -1333,7 +1333,7 @@ object SparkEntry {
                   ELSE least(cast(floor((value - b.lo) / ((b.hi - b.lo) / 20))
                     as bigint), 19) END AS bin,
                   count(*) AS n
-           FROM events, b GROUP BY 1),
+           FROM events, b WHERE value IS NOT NULL GROUP BY 1),
          template AS (SELECT unnest(range(0, 20)) AS bin)
          SELECT cast(template.bin as int) AS bin,
                 cast(coalesce(binned.n, 0) as bigint) AS n

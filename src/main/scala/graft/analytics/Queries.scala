@@ -194,7 +194,12 @@ object Queries {
   def histogram(spark: SparkSession, dir: String, nBins: Int = 20): DataFrame = {
     val e = Tables(spark, dir, "events")
     val bounds = e.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
-    val binned = e.crossJoin(broadcast(bounds))
+    // NULL values are excluded EXPLICITLY (they'd otherwise map to a
+    // NULL bin silently dropped by the template join): the histogram's
+    // contract is sum(n) = count of non-null values; pair with
+    // qa_missingness for the null side
+    val binned = e.filter(col("value").isNotNull)
+      .crossJoin(broadcast(bounds))
       .select(when(col("hi") === col("lo"), lit(0L)) // degenerate range
         .otherwise(least(
           floor((col("value") - col("lo")) /
@@ -212,11 +217,10 @@ object Queries {
     * A rolling COUNT DISTINCT cannot ride a window frame (distinctness
     * doesn't decompose over a running sum), so the standard relational
     * shape is: reduce to distinct (day, user) FIRST (the only big
-    * shuffle — everything after is bounded by days × active users),
-    * then broadcast the bounded day list against it with a range
-    * predicate and count distinct per day. The deliberate ≤
-    * `windowDays`× row multiplier replaces a per-day self-join cascade;
-    * at any scale the cost is windowDays × |distinct (day, user)|.
+    * shuffle), then explode each row into the `windowDays` days it
+    * stays in scope for and count distinct per day — a hash equi-join
+    * layout whose cost is exactly windowDays × |distinct (day, user)|
+    * at any scale.
     */
   def rollingActiveUsers(spark: SparkSession, dir: String,
                          windowDays: Int = 7): DataFrame = {
@@ -224,12 +228,19 @@ object Queries {
       .select(date_trunc("day", col("ts")).cast("date").as("d"),
         col("user_id"))
       .distinct()
-      .localCheckpoint() // consumed three times (days, dau, the range join)
+      .localCheckpoint() // consumed three times (days, dau, the window join)
     val days = du.select(col("d").as("day")).distinct()
     val dau = du.groupBy(col("d").as("day")).agg(count(lit(1)).as("dau"))
-    val rolling = broadcast(days)
-      .join(du, col("d") > date_sub(col("day"), windowDays) &&
-        col("d") <= col("day"))
+    // each (day, user) row contributes to the windowDays days it stays
+    // in scope for — an EXPLODE + hash equi-join, cost exactly
+    // windowDays × |du|. A broadcast range join would be a nested-loop
+    // compare of |days| × |du| (every du row against every day) —
+    // quadratic-ish at multi-year retention for the same bounded output.
+    val contributions = du.select(
+      explode(expr(s"sequence(d, date_add(d, ${windowDays - 1}))")).as("day"),
+      col("user_id"))
+    val rolling = contributions
+      .join(broadcast(days), Seq("day"), "left_semi") // clip the tail overhang
       .groupBy(col("day"))
       .agg(countDistinct(col("user_id")).as(s"active_${windowDays}d"))
     dau.join(rolling, Seq("day"))

@@ -65,13 +65,6 @@ object Dedup {
     df.join(drops, Seq(idCol), "left_anti")
   }
 
-  /** N-gram Jaccard similarity over k-token shingle sets.
-    * Blocking on `blockCol` bounds the pair space; within a block the
-    * intersection is computed by exploding distinct shingles and joining
-    * on the shingle — one shuffle on (block, shingle), never a cross
-    * product. Shingles (not unigrams) keep the join sparse: bucket size
-    * is docs-per-shingle, which stays small even for tiny vocabularies.
-    */
   /** The (id, block, shingle) frame both shingle-pair operators
     * ([[ngramJaccard]], [[containment]]) index — distinct k-token
     * shingles per doc, exploded long. Materialized once (consumed by
@@ -88,6 +81,13 @@ object Dedup {
         explode(expr(Text.shingleExpr("__toks", k))).as("w"))
       .localCheckpoint()
 
+  /** N-gram Jaccard similarity over k-token shingle sets.
+    * Blocking on `blockCol` bounds the pair space; within a block the
+    * intersection is computed by exploding distinct shingles and joining
+    * on the shingle — one shuffle on (block, shingle), never a cross
+    * product. Shingles (not unigrams) keep the join sparse: bucket size
+    * is docs-per-shingle, which stays small even for tiny vocabularies.
+    */
   def ngramJaccard(df: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text", blockCol: String = "lang",
                    k: Int = 3, threshold: Double = 0.5,

@@ -377,17 +377,21 @@ object Etl {
     // first cut measured 9 scans for a 2-FK report). Key sets are
     // materialized once; dim keys are unique (PK), so the left joins
     // never multiply rows.
+    // dimKeys is consumed twice (both sides) → materialized once;
+    // factKeys has ONE consumer, a checkpoint would be an extra eager
+    // job for no reuse. coalesce: sum over zero rows is NULL, the
+    // oracle's count form gives 0 — empty inputs must agree.
     val factKeys = fact.select(col(factKey).as("__k")).distinct()
-      .localCheckpoint()
     val dimKeys = dim.select(col(dimKey).as("__k")).localCheckpoint()
     val factSide = fact.select(col(factKey).as("__k"))
       .join(dimKeys.withColumn("__hit", lit(1)), Seq("__k"), "left")
       .agg(count(lit(1)).as("n_fact"),
-        sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("n_orphans"))
+        coalesce(sum(when(col("__hit").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_orphans"))
     val dimSide = dimKeys
       .join(factKeys.withColumn("__ref", lit(1)), Seq("__k"), "left")
       .agg(count(lit(1)).as("n_dim"),
-        sum(when(col("__ref").isNull, 1L).otherwise(0L))
+        coalesce(sum(when(col("__ref").isNull, 1L).otherwise(0L)), lit(0L))
           .as("n_dim_unreferenced"))
     factSide.crossJoin(dimSide)
       .select(lit(name).as("fk"), col("n_fact"), col("n_orphans"),

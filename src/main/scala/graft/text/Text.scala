@@ -556,10 +556,14 @@ object Text {
     */
   def tfidfKeywords(df: DataFrame, topK: Int = 3, idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
+    // consumed twice (dfreq + the ranking join) → materialized once, or
+    // the tokenize+explode+count lineage runs per reference (house
+    // policy, the categoricalChange lesson)
     val counts = df.repartition(col(idCol))
       .withColumn("__toks", tokens(col(textCol)))
       .select(col(idCol), explode(col("__toks")).as("tok"))
       .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val n = df.select(count(lit(1)).as("n_docs"))
     val dfreq = counts.groupBy(col("tok"))
       .agg(count(lit(1)).as("df"))
