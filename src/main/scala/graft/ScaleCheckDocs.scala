@@ -187,7 +187,7 @@ object ScaleCheckDocs {
       "dedup_ngram_jaccard", "dedup_spans", "text_unigram_logprob",
       "text_contamination", "corpus_pack_sequences", "sim_semdedup",
       "text_entropy", "sample_temperature", "dedup_containment",
-      "emb_quantize", "text_tfidf_keywords")
+      "emb_quantize", "text_tfidf_keywords", "text_collocations")
     val unknown = only.toSet -- allNames.toSet
     require(unknown.isEmpty,
       s"unknown query names (would be silently skipped): ${unknown.mkString(", ")}")

@@ -515,6 +515,10 @@ object SparkEntry {
     // integer ranking order — the term-side counterpart of BM25
     "text_tfidf_keywords" -> ((s, dir) =>
       Text.tfidfKeywords(Tables(s, dir, "documents"))),
+    // corpus PMI collocations: decomposed per-factor micro-nat logs
+    // (no cross-product can overflow), min-count floor, global top-k
+    "text_collocations" -> ((s, dir) =>
+      Text.collocations(Tables(s, dir, "documents"))),
     "text_bm25" -> ((s, dir) =>
       Text.bm25(Tables(s, dir, "documents"), bm25Terms)),
     "text_corpus_filter" -> ((s, dir) =>
@@ -1324,6 +1328,8 @@ object SparkEntry {
     "text_entropy" -> Text.tokenEntropySql(),
 
     "text_tfidf_keywords" -> Text.tfidfKeywordsSql(),
+
+    "text_collocations" -> Text.collocationsSql(),
 
     "q_histogram" ->
       """WITH b AS (

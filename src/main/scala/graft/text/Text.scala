@@ -309,6 +309,99 @@ object Text {
        i -> array_to_string(($toks)[i:i+${k - 1}], ' '))"""
   }
 
+  /** PMI collocation mining (Church & Hanks 1990): the corpus's top
+    * `topK` two-word collocations by pointwise mutual information
+    * ln(P(ab)/(P(a)P(b))), with a `minCount` floor (raw PMI maximally
+    * rewards hapax pairs — the floor is part of the method). The
+    * vocabulary-statistics companion of [[ngramFreq]] (which ranks by
+    * raw count): PMI surfaces *associated* pairs, not merely frequent
+    * ones — tokenizer and corpus-composition diagnostics.
+    *
+    * Engine-exactness without overflow: PMI decomposes as
+    * ln c_ab + 2·ln N₁ − ln c_a − ln c_b − ln N₂; each factor is
+    * quantized to integer micro-nats INDIVIDUALLY and the score is
+    * their integer sum — no cross-product ever forms (the ratio form
+    * needs c_ab·N₁² which overflows even HUGEINT at web scale), and
+    * the ranking (score DESC, pair ASC) is a total integer order. The
+    * ≤ 5 µnat quantization skew is three orders below any real PMI
+    * difference. Shape: the [[repetition]] tagged single explode (one
+    * corpus scan for both unigram and bigram counts), bounded joins on
+    * the vocab, global top-k via TakeOrderedAndProject.
+    */
+  def collocations(df: DataFrame, topK: Int = 20, minCount: Int = 5,
+                   textCol: String = "text"): DataFrame = {
+    def lnMicro(c: Column): Column =
+      floor(log(c.cast("double")) * lit(1000000.0))
+    val tagged = df
+      .select(tokens(col(textCol)).as("__toks"))
+      .select(explode(expr(
+        s"""concat(
+           transform(__toks, t -> named_struct('tag', 1, 'term', t)),
+           transform(${ngramAllExpr("__toks", 2)},
+             b -> named_struct('tag', 2, 'term', b)))""")).as("tt"))
+      .select(col("tt.tag").as("tag"), col("tt.term").as("term"))
+    // consumed three times (totals, unigram side, bigram side)
+    val counts = tagged.groupBy(col("tag"), col("term"))
+      .agg(count(lit(1)).as("c")).localCheckpoint()
+    val totals = counts.groupBy(col("tag")).agg(sum(col("c")).as("n"))
+    val n1 = totals.filter(col("tag") === 1).select(col("n").as("n_uni"))
+    val n2 = totals.filter(col("tag") === 2).select(col("n").as("n_bi"))
+    val uni = counts.filter(col("tag") === 1)
+      .select(col("term").as("w"), col("c"))
+    val bi = counts.filter(col("tag") === 2 && col("c") >= minCount)
+      .select(split(col("term"), " ").as("__p"), col("c").as("n_pair"))
+      .select(col("__p")(0).as("w1"), element_at(col("__p"), 2).as("w2"),
+        col("n_pair"))
+      .filter(col("w2").isNotNull) // degenerate 1-token "bigrams" drop
+    bi
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .select(col("w1"), col("w2"), col("n_pair"),
+        (lnMicro(col("n_pair")) + lit(2L) * lnMicro(col("n_uni"))
+          - lnMicro(col("c1")) - lnMicro(col("c2")) - lnMicro(col("n_bi")))
+          .as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
+  /** DuckDB oracle for [[collocations]] — identical tokenization,
+    * per-factor micro-nat quantization, and total ranking order.
+    */
+  def collocationsSql(topK: Int = 20, minCount: Int = 5,
+                      table: String = "documents",
+                      textCol: String = "text"): String = {
+    def lnMicro(c: String): String =
+      s"cast(floor(ln(cast($c as double)) * 1000000.0) as bigint)"
+    val toks = s"string_split_regex(trim(lower($textCol)), '$wsRe')"
+    s"""WITH t AS (SELECT $toks AS tk FROM $table),
+       uni AS (SELECT unnest(tk) AS term FROM t),
+       big AS (
+         SELECT unnest(list_transform(
+             range(1, greatest(len(tk) - 1, 1) + 1),
+             i -> array_to_string(tk[i:i+1], ' '))) AS term
+         FROM t),
+       cu AS (SELECT term, cast(count(*) as bigint) AS c FROM uni GROUP BY term),
+       cb AS (SELECT term, cast(count(*) as bigint) AS c FROM big GROUP BY term),
+       n1 AS (SELECT cast(sum(c) as bigint) AS n_uni FROM cu),
+       n2 AS (SELECT cast(sum(c) as bigint) AS n_bi FROM cb),
+       pairs AS (
+         SELECT string_split(term, ' ')[1] AS w1,
+                string_split(term, ' ')[2] AS w2,
+                c AS n_pair
+         FROM cb WHERE c >= $minCount AND len(string_split(term, ' ')) = 2)
+     SELECT p.w1, p.w2, p.n_pair,
+            ${lnMicro("p.n_pair")} + 2 * ${lnMicro("n1.n_uni")}
+              - ${lnMicro("u1.c")} - ${lnMicro("u2.c")}
+              - ${lnMicro("n2.n_bi")} AS pmi_micro
+     FROM pairs p
+     JOIN cu u1 ON p.w1 = u1.term
+     JOIN cu u2 ON p.w2 = u2.term
+     CROSS JOIN n1 CROSS JOIN n2
+     ORDER BY pmi_micro DESC, p.w1, p.w2
+     LIMIT $topK"""
+  }
+
   /** Gopher-style repetition statistics (Rae et al. 2021 §A1.1 quality
     * filters, re-expressed relationally): per document, the fraction of
     * token occurrences that are repeats, the share of the most frequent

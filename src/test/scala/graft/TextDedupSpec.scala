@@ -236,6 +236,29 @@ class TextDedupSpec extends SparkSpec {
       .collect().isEmpty)
   }
 
+  test("collocations: bound pair outranks frequent-independent, minCount floors hapax") {
+    import spark.implicits._
+    // 'new york' always co-occurs (6 times, passes minCount=5); 'the'
+    // pairs freely with cat/dog/sun (frequent but independent); 'rare
+    // gem' occurs 4 times — below the floor, must not appear
+    val doc = (Seq.fill(6)("new york") ++
+      Seq.fill(8)("the cat") ++ Seq.fill(8)("the dog") ++
+      Seq.fill(8)("the sun") ++ Seq.fill(4)("rare gem")).mkString(" x ")
+    val df = Seq((1L, doc)).toDF("doc_id", "text")
+    val out = graft.text.Text.collocations(df, topK = 10, minCount = 5)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(3))
+    val pmi = out.toMap
+    assert(pmi.contains(("new", "york")))
+    assert(!pmi.keySet.exists(p => p == ("rare", "gem"))) // floored
+    // the bound pair scores strictly above every 'the *' pair present
+    val theScores = out.filter(_._1._1 == "the").map(_._2)
+    theScores.foreach(s => assert(pmi(("new", "york")) > s))
+    // ranking is by descending score
+    val scores = graft.text.Text.collocations(df, topK = 10, minCount = 5)
+      .collect().map(_.getLong(3)).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+
   test("tfidfKeywords surfaces the doc-distinctive term, ties break on term") {
     import spark.implicits._
     // 'rare' appears only in doc 1 (idf = ln 3); 'common' in all docs
