@@ -347,6 +347,9 @@ object SparkEntry {
     // fixed-bin histogram over events.value: data-derived bounds,
     // integer bin ids, empty bins zero-filled
     "q_histogram" -> ((s, dir) => Queries.histogram(s, dir)),
+    // schema-on-read JSON extraction: props parsed once to a typed
+    // struct, extracted value aggregated relationally
+    "q_json_extract" -> ((s, dir) => Queries.jsonExtract(s, dir)),
     // referential-integrity coverage report over two FKs: orphans one
     // way, unreferenced dimension rows the other
     "etl_fk_coverage" -> { (s, dir) =>
@@ -1330,6 +1333,15 @@ object SparkEntry {
     "text_tfidf_keywords" -> Text.tfidfKeywordsSql(),
 
     "text_collocations" -> Text.collocationsSql(),
+
+    "q_json_extract" ->
+      """SELECT event_type,
+                count(*) AS n,
+                cast(count(cast(props->>'k' as int)) as bigint) AS n_with_k,
+                cast(sum(cast(props->>'k' as int)) as bigint) AS sum_k,
+                min(cast(props->>'k' as int)) AS min_k,
+                max(cast(props->>'k' as int)) AS max_k
+         FROM events GROUP BY event_type""",
 
     "q_histogram" ->
       """WITH b AS (

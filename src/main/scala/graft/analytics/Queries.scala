@@ -182,6 +182,27 @@ object Queries {
         col("o_totalprice"), col("class_avg"))
   }
 
+  /** Semi-structured extraction + aggregation: parse the JSON `props`
+    * payload ONCE per row with an explicit schema (`from_json` → typed
+    * struct — codegen'd, vectorizable; `get_json_object` re-walks the
+    * string per field and is the wrong tool once more than one field
+    * is read) and aggregate the extracted value relationally. The
+    * schema-on-read contract every event pipeline needs: absent keys
+    * and malformed JSON become NULLs, counted separately from rows.
+    */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    e.withColumn("k",
+        from_json(col("props"), "k INT", Map.empty[String, String])
+          .getField("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        count(col("k")).as("n_with_k"),
+        sum(col("k")).cast("bigint").as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+  }
+
   /** Fixed-bin numeric histogram — the profiling/visualization primitive:
     * `nBins` equal-width bins over [lo, hi) with the two bounds taken
     * from the data in a first bounded pass (min/max — one row), then

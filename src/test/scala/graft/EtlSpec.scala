@@ -361,6 +361,25 @@ class EtlSpec extends SparkSpec {
     assert(both.count() + byType.count() + byDay.count() == out.count())
   }
 
+  test("jsonExtract: malformed and key-missing props become NULLs, counted apart") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_json").toString
+    Seq(
+      (1L, """{"k": 5}"""), (2L, """{"k": 7}"""),
+      (3L, """{"x": 1}"""),   // key missing
+      (4L, "not json"),       // malformed
+      (5L, null: String))     // null payload
+      .toDF("event_id", "props")
+      .withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .withColumn("user_id", lit(1L))
+      .withColumn("event_type", lit("x")).withColumn("value", lit(1.0))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = graft.analytics.Queries.jsonExtract(spark, dir).collect().head
+    assert(r.getAs[Long]("n") == 5L)
+    assert(r.getAs[Long]("n_with_k") == 2L) // only the two real k values
+    assert(r.getAs[Long]("sum_k") == 12L)
+    assert(r.getAs[Int]("min_k") == 5 && r.getAs[Int]("max_k") == 7)
+  }
+
   test("histogram: exact bin edges, clamp at hi, empty bins zero-filled") {
     val dir = java.nio.file.Files.createTempDirectory("graft_hist").toString
     // values 0..10: lo=0, hi=10, width=0.5 over 20 bins; v=10 clamps to 19
