@@ -350,6 +350,17 @@ object SparkEntry {
     // schema-on-read JSON extraction: props parsed once to a typed
     // struct, extracted value aggregated relationally
     "q_json_extract" -> ((s, dir) => Queries.jsonExtract(s, dir)),
+    // PK uniqueness audit over two candidate keys: the composite key
+    // is unique, the bare orderkey shows real multiplicity — both
+    // regimes of the classic load QA check in one gate
+    "etl_pk_check" -> { (s, dir) =>
+      val l = Tables(s, dir, "lineitem")
+      Etl.pkCheck(l, Seq("l_orderkey", "l_linenumber"),
+          "lineitem(l_orderkey,l_linenumber)")
+        .unionByName(Etl.pkCheck(l, Seq("l_orderkey"),
+          "lineitem(l_orderkey)"))
+    },
+
     // referential-integrity coverage report over two FKs: orphans one
     // way, unreferenced dimension rows the other
     "etl_fk_coverage" -> { (s, dir) =>
@@ -1372,6 +1383,34 @@ object SparkEntry {
            GROUP BY days.day)
          SELECT cast(dau.day as varchar) AS day, dau.dau, rolling.active_7d
          FROM dau JOIN rolling USING (day)""",
+
+    "etl_pk_check" ->
+      """WITH c1 AS (
+           SELECT count(*) AS c FROM lineitem
+           GROUP BY l_orderkey, l_linenumber),
+         c2 AS (
+           SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey),
+         s1 AS (
+           SELECT 'lineitem(l_orderkey,l_linenumber)' AS pk,
+                  cast(sum(c) as bigint) AS n_rows,
+                  cast(count(*) as bigint) AS n_keys,
+                  cast(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) as bigint)
+                    AS n_dup_keys,
+                  cast(sum(CASE WHEN c > 1 THEN c ELSE 0 END) as bigint)
+                    AS n_rows_in_dups,
+                  cast(max(c) as bigint) AS max_multiplicity
+           FROM c1),
+         s2 AS (
+           SELECT 'lineitem(l_orderkey)' AS pk,
+                  cast(sum(c) as bigint) AS n_rows,
+                  cast(count(*) as bigint) AS n_keys,
+                  cast(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) as bigint)
+                    AS n_dup_keys,
+                  cast(sum(CASE WHEN c > 1 THEN c ELSE 0 END) as bigint)
+                    AS n_rows_in_dups,
+                  cast(max(c) as bigint) AS max_multiplicity
+           FROM c2)
+         SELECT * FROM s1 UNION ALL SELECT * FROM s2""",
 
     "etl_fk_coverage" ->
       """WITH one AS (

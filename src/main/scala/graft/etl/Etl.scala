@@ -361,6 +361,23 @@ object Etl {
     s"CREATE TABLE $schemaName.$tableName (\n$cols\n)$using"
   }
 
+  /** Primary-key uniqueness audit — the other half of load-time
+    * integrity QA next to [[fkCoverage]]: per candidate key, how many
+    * distinct key values exist, how many are duplicated, how many rows
+    * sit inside duplicate groups, and the worst multiplicity. One
+    * map-side-combining groupBy on the key + one bounded aggregate.
+    */
+  def pkCheck(df: DataFrame, keys: Seq[String], name: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+      .agg(lit(name).as("pk"),
+        sum(col("__c")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        sum(when(col("__c") > 1, 1L).otherwise(0L)).as("n_dup_keys"),
+        sum(when(col("__c") > 1, col("__c")).otherwise(0L))
+          .as("n_rows_in_dups"),
+        max(col("__c")).as("max_multiplicity"))
+
   /** Referential-integrity coverage for one foreign key: orphan fact
     * rows (fk value absent from the dimension — a broken load) AND
     * unreferenced dimension rows (no fact row points at them — not an

@@ -397,6 +397,21 @@ class EtlSpec extends SparkSpec {
     assert(out.values.sum == 11L)                // nothing lost
   }
 
+  test("pkCheck: unique key reports zero dups, duplicated key exact multiplicities") {
+    val df = Seq((1L, 1), (1L, 2), (2L, 1), (2L, 1), (2L, 1), (3L, 9))
+      .toDF("a", "b")
+    val unique = Etl.pkCheck(df, Seq("a", "b"), "ab").collect().head
+    assert(unique.getAs[Long]("n_rows") == 6L)
+    assert(unique.getAs[Long]("n_keys") == 4L)     // (2,1)x3 collapses to one
+    assert(unique.getAs[Long]("n_dup_keys") == 1L)
+    assert(unique.getAs[Long]("n_rows_in_dups") == 3L)
+    assert(unique.getAs[Long]("max_multiplicity") == 3L)
+    val bare = Etl.pkCheck(df, Seq("a"), "a").collect().head
+    assert(bare.getAs[Long]("n_keys") == 3L)
+    assert(bare.getAs[Long]("n_dup_keys") == 2L)   // keys 1 and 2
+    assert(bare.getAs[Long]("n_rows_in_dups") == 5L)
+  }
+
   test("fkCoverage counts planted orphans and unreferenced dim rows") {
     val dim = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
     val fact = Seq((10L, 1L), (11L, 1L), (12L, 2L), (13L, 99L)) // 99 = orphan
