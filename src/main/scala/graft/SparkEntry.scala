@@ -270,6 +270,15 @@ object SparkEntry {
           "period"))
     },
 
+    // KS drift monitor: the continuous counterpart of qa_drift_psi —
+    // max ECDF distance per calendar-adjacent transition, argmax over
+    // exact cross-multiplied integers
+    "qa_drift_ks" -> { (s, dir) =>
+      val e = Tables(s, dir, "events")
+        .withColumn("period", date_trunc("day", col("ts")).cast("date").cast("string"))
+      Qa.driftKs(e, "period", "value")
+    },
+
     // PSI drift monitor: one summary number per (period, categorical
     // col) transition over the dense grid; integer cross-products +
     // micro-nat log quantization make the sum engine-exact
@@ -1338,6 +1347,9 @@ object SparkEntry {
 
     "qa_drift_psi" -> Qa.driftPsiSql("events",
       "cast(cast(date_trunc('day', ts) as date) as varchar)", "event_type"),
+
+    "qa_drift_ks" -> Qa.driftKsSql("events",
+      "cast(date_trunc('day', ts) as date)", "value"),
 
     "text_entropy" -> Text.tokenEntropySql(),
 

@@ -680,6 +680,115 @@ object Qa {
               as bigint) AS n_gone
      FROM terms GROUP BY period"""
 
+  /** Kolmogorov–Smirnov drift monitor per (period, numeric column)
+    * transition — the CONTINUOUS counterpart of [[driftPsi]]: the KS
+    * statistic max_v |ECDF_cur(v) − ECDF_prev(v)| between each
+    * calendar-adjacent period pair, the standard two-sample
+    * distribution-shift test of ML monitoring.
+    *
+    * Engine-exact with no float comparison in the argmax: values are
+    * quantized once to integer `scale`-ths, ECDFs are integer
+    * cumulative counts, and the maximized quantity is the
+    * cross-multiplied |cum_cur·N_prev − cum_prev·N_cur| — an exact
+    * integer (decimal(38,0)/HUGEINT, the [[driftPsi]] overflow rule) —
+    * with ONE final division publishing the statistic. Shape: each row
+    * contributes to its own period's transition and the next day's (a
+    * 2× explode, the rolling-users layout), one count shuffle on
+    * (transition, v), cumulative sums over a window that reuses the
+    * same partitioning, one bounded max per transition.
+    */
+  def driftKs(df: DataFrame, timeVar: String, c: String,
+              scale: Long = 10000L): DataFrame = {
+    val base = df
+      .select(col(timeVar).cast("date").as("__p"),
+        floor(col(c) * scale).as("v"))
+      .filter(col("v").isNotNull)
+    val contrib = base.select(
+      explode(array(
+        struct(col("__p").as("t"), lit(1L).as("cur")),
+        struct(date_add(col("__p"), 1).as("t"), lit(0L).as("cur")))).as("e"),
+      col("v"))
+      .select(col("e.t").as("t"), col("e.cur").as("cur"), col("v"))
+    // transitions must have BOTH sides: days present in the data that
+    // also have a previous day (the first day only ever contributes
+    // prev-side rows to the day after it)
+    val validT = base.select(col("__p").as("t")).distinct()
+      .join(base.select(date_add(col("__p"), 1).as("t")).distinct(), Seq("t"))
+    val counts = contrib.join(validT, Seq("t"))
+      .groupBy(col("t"), col("v"))
+      .agg(sum(col("cur")).as("n_cur"),
+        sum(lit(1L) - col("cur")).as("n_prev"))
+    val wcum = Window.partitionBy(col("t")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wall = Window.partitionBy(col("t"))
+    def dec(x: Column): Column = x.cast("decimal(38,0)")
+    val cum = counts
+      .withColumn("cum_cur", sum(col("n_cur")).over(wcum))
+      .withColumn("cum_prev", sum(col("n_prev")).over(wcum))
+      .withColumn("N_cur", sum(col("n_cur")).over(wall))
+      .withColumn("N_prev", sum(col("n_prev")).over(wall))
+      .withColumn("__num",
+        abs(dec(col("cum_cur")) * dec(col("N_prev"))
+          - dec(col("cum_prev")) * dec(col("N_cur"))))
+    cum.groupBy(col("t"))
+      .agg(max(col("__num")).as("__max_num"),
+        first(col("N_cur")).as("n_cur_total"),
+        first(col("N_prev")).as("n_prev_total"))
+      // ks stays UNROUNDED: one division of exact integers is
+      // bit-identical cross-engine; round() on a decimal tie is not
+      // (the qa_outliers fence lesson)
+      .select(col("t").cast("string").as(timeVar), lit(c).as("varname"),
+        (col("__max_num").cast("double") /
+          (dec(col("n_cur_total")) * dec(col("n_prev_total"))).cast("double"))
+          .as("ks"),
+        col("n_cur_total").cast("long").as("n_cur"),
+        col("n_prev_total").cast("long").as("n_prev"))
+  }
+
+  /** DuckDB oracle for [[driftKs]] — identical quantization,
+    * contribution explode, integer cross-multiplied argmax, and final
+    * division. */
+  def driftKsSql(table: String, dateExpr: String, c: String,
+                 scale: Long = 10000L): String =
+    s"""WITH base AS (
+         SELECT $dateExpr AS p, cast(floor($c * $scale) as bigint) AS v
+         FROM $table WHERE $c IS NOT NULL),
+       contrib AS (
+         SELECT p AS t, 1 AS cur, v FROM base
+         UNION ALL
+         SELECT p + 1 AS t, 0 AS cur, v FROM base),
+       validt AS (
+         SELECT DISTINCT p AS t FROM base
+         INTERSECT
+         SELECT DISTINCT p + 1 AS t FROM base),
+       counts AS (
+         SELECT t, v,
+                cast(sum(cur) as bigint) AS n_cur,
+                cast(sum(1 - cur) as bigint) AS n_prev
+         FROM contrib JOIN validt USING (t)
+         GROUP BY t, v),
+       cum AS (
+         SELECT t, v,
+                sum(n_cur) OVER (PARTITION BY t ORDER BY v
+                  ROWS UNBOUNDED PRECEDING) AS cum_cur,
+                sum(n_prev) OVER (PARTITION BY t ORDER BY v
+                  ROWS UNBOUNDED PRECEDING) AS cum_prev,
+                sum(n_cur) OVER (PARTITION BY t) AS nc,
+                sum(n_prev) OVER (PARTITION BY t) AS np
+         FROM counts),
+       nums AS (
+         SELECT t, nc, np,
+                abs(cast(cum_cur as hugeint) * cast(np as hugeint)
+                  - cast(cum_prev as hugeint) * cast(nc as hugeint)) AS num
+         FROM cum)
+     SELECT cast(t as varchar) AS period, '$c' AS varname,
+            cast(max(num) as double) /
+              cast(cast(any_value(nc) as hugeint)
+                 * cast(any_value(np) as hugeint) as double) AS ks,
+            cast(any_value(nc) as bigint) AS n_cur,
+            cast(any_value(np) as bigint) AS n_prev
+     FROM nums GROUP BY t"""
+
   /** Tukey-fence outlier screen per (time period, numeric column): count
     * and proportion of values outside [q1 − k·IQR, q3 + k·IQR] — the
     * continuous-variable anomaly check that complements the mean/median

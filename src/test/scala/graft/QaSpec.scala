@@ -182,6 +182,22 @@ class QaSpec extends SparkSpec {
     }
   }
 
+  test("driftKs: hand-computed max ECDF distance, zero for identical, adjacency respected") {
+    // day1 {1,2,3,4} vs day2 {3,4,5,6}: max |F1−F2| = 0.5 (at v=2 and 4)
+    // day2 vs day3 {3,4,5,6}: identical → KS = 0
+    val rows =
+      Seq(1.0, 2.0, 3.0, 4.0).map(v => ("2024-01-01", v)) ++
+      Seq(3.0, 4.0, 5.0, 6.0).map(v => ("2024-01-02", v)) ++
+      Seq(3.0, 4.0, 5.0, 6.0).map(v => ("2024-01-03", v))
+    val df = rows.toDF("period", "value")
+    val out = Qa.driftKs(df, "period", "value").collect()
+      .map(r => r.getString(0) -> (r.getAs[Double]("ks"),
+        r.getAs[Long]("n_cur"), r.getAs[Long]("n_prev"))).toMap
+    assert(out.size == 2) // day1 has no previous day
+    assert(out("2024-01-02") == ((0.5, 4L, 4L)))
+    assert(out("2024-01-03") == ((0.0, 4L, 4L)))
+  }
+
   test("driftPsi: hand-computed shift, new/gone values counted not smoothed") {
     // p1: a=50 b=50; p2: a=80 b=20 c=10 (c is NEW in p2). PSI runs over
     // the common values {a, b} with period totals 100 and 110:
