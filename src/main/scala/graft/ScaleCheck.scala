@@ -62,7 +62,8 @@ object ScaleCheck {
       "sim_ann_ivf_seeded", "dedup_cc_clusters", "text_repetition",
       "text_bm25", "qa_report", "text_corpus_filter", "emb_group_centroids",
       "qa_outliers", "etl_validate_rules", "qa_drift_psi",
-      "q_rolling_active_users", "q_histogram", "etl_fk_coverage")
+      "q_rolling_active_users", "q_histogram", "etl_fk_coverage",
+      "qa_drift_ks", "etl_pk_check", "q_json_extract")
     // NOT replicated-scale-checked: the stream_* gates — their cost is
     // harness staging IO + per-micro-batch state-commit fixed cost
     // (O(1) in data); a replication ratio would measure the staging
