@@ -270,6 +270,13 @@ object SparkEntry {
           "period"))
     },
 
+    // per-source freshness/latency SLA: last event vs a pinned as-of
+    // instant; the 30-min SLA splits the five event types into both
+    // fresh and stale regimes at sf0.01
+    "qa_freshness" -> ((s, dir) =>
+      Qa.freshness(Tables(s, dir, "events"), "event_type", "ts",
+        asOfUs = freshnessAsOfUs, slaUs = 30L * 60 * 1000000)),
+
     // KS drift monitor: the continuous counterpart of qa_drift_psi —
     // max ECDF distance per calendar-adjacent transition, argmax over
     // exact cross-multiplied integers
@@ -574,6 +581,10 @@ object SparkEntry {
   // 2024-01-15T00:00:00Z in epoch-µs — the etl_scd2_asof point-in-time,
   // shared by the Spark query and its oracle.
   private val scd2AsOfUs = 1705276800000000L
+
+  // 2024-01-31T00:00:00Z in epoch-µs — qa_freshness's pinned "now"
+  // (just past the events table's last day).
+  private val freshnessAsOfUs = 1706659200000000L
 
   // Validation rules for etl_validate_rules — declared order IS the
   // fail_rules order; status_known ('P' rows) and date_in_range
@@ -1350,6 +1361,9 @@ object SparkEntry {
 
     "qa_drift_ks" -> Qa.driftKsSql("events",
       "cast(date_trunc('day', ts) as date)", "value"),
+
+    "qa_freshness" -> Qa.freshnessSql("events", "event_type", "ts",
+      asOfUs = freshnessAsOfUs, slaUs = 30L * 60 * 1000000),
 
     "text_entropy" -> Text.tokenEntropySql(),
 

@@ -680,6 +680,36 @@ object Qa {
               as bigint) AS n_gone
      FROM terms GROUP BY period"""
 
+  /** Data-freshness check per stream/source: last event time and
+    * staleness against a reference instant — the latency-SLA monitor a
+    * warehouse runs against every feed (did source X stop sending?).
+    * One map-side-combining groupBy; integer µs arithmetic, engine-
+    * exact. The reference instant is caller-supplied (a run would pass
+    * now(); the gate pins a literal so both engines agree).
+    */
+  def freshness(df: DataFrame, groupCol: String, tsCol: String,
+                asOfUs: Long, slaUs: Long): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        max(expr(s"unix_micros($tsCol)")).as("last_event_us"))
+      .select(col(groupCol), col("n"), col("last_event_us"),
+        (lit(asOfUs) - col("last_event_us")).as("staleness_us"),
+        when(lit(asOfUs) - col("last_event_us") > slaUs, 1).otherwise(0)
+          .as("stale"))
+
+  /** DuckDB oracle for [[freshness]]. */
+  def freshnessSql(table: String, groupCol: String, tsCol: String,
+                   asOfUs: Long, slaUs: Long): String =
+    s"""WITH f AS (
+         SELECT $groupCol, count(*) AS n,
+                max(epoch_us(cast($tsCol as timestamp))) AS last_event_us
+         FROM $table GROUP BY $groupCol)
+       SELECT $groupCol, n, last_event_us,
+              $asOfUs - last_event_us AS staleness_us,
+              CASE WHEN $asOfUs - last_event_us > $slaUs THEN 1 ELSE 0 END
+                AS stale
+       FROM f"""
+
   /** Kolmogorov–Smirnov drift monitor per (period, numeric column)
     * transition — the CONTINUOUS counterpart of [[driftPsi]]: the KS
     * statistic max_v |ECDF_cur(v) − ECDF_prev(v)| between each

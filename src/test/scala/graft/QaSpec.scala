@@ -182,6 +182,21 @@ class QaSpec extends SparkSpec {
     }
   }
 
+  test("freshness flags sources past the SLA, exact staleness") {
+    val df = Seq(
+      ("a", java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+      ("a", java.sql.Timestamp.valueOf("2024-01-01 11:00:00")),
+      ("b", java.sql.Timestamp.valueOf("2024-01-01 08:00:00")))
+      .toDF("src", "ts")
+    val asOf = graft.streaming.Streams.epochUs(
+      java.sql.Timestamp.valueOf("2024-01-01 12:00:00"))
+    val out = Qa.freshness(df, "src", "ts", asOf, slaUs = 2L * 3600 * 1000000)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("staleness_us"), r.getAs[Int]("stale"))).toMap
+    assert(out("a") == ((3600L * 1000000, 0)))  // 1h fresh under a 2h SLA
+    assert(out("b") == ((4L * 3600 * 1000000, 1))) // 4h stale
+  }
+
   test("driftKs: hand-computed max ECDF distance, zero for identical, adjacency respected") {
     // day1 {1,2,3,4} vs day2 {3,4,5,6}: max |F1−F2| = 0.5 (at v=2 and 4)
     // day2 vs day3 {3,4,5,6}: identical → KS = 0
