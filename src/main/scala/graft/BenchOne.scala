@@ -29,8 +29,13 @@ object BenchOne {
       catch { case _: Throwable => () }
     }
     names.foreach { name =>
+      System.gc()
       val times = (1 to reps).map { _ =>
+        // same hygiene as Bench: localCheckpoint blocks are persistent
+        // RDDs that clearCache() alone does not remove
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, sfDir).write
           .format("noop").mode("overwrite").save()

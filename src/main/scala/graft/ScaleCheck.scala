@@ -63,7 +63,14 @@ object ScaleCheck {
       "text_bm25", "qa_report", "text_corpus_filter", "emb_group_centroids",
       "qa_outliers", "etl_validate_rules", "qa_drift_psi",
       "q_rolling_active_users", "q_histogram", "etl_fk_coverage",
-      "qa_drift_ks", "etl_pk_check", "q_json_extract")
+      "qa_drift_ks", "etl_pk_check", "q_json_extract",
+      "etl_scd2_history", "etl_scd2_asof", "qa_freshness")
+    // Replication shape for the three r6 additions above: key-shifted
+    // user_id clones multiply the number of SCD2 entities, not the
+    // per-entity run length, so scd2 history/asof should scale linearly
+    // in the per-key window; qa_freshness replicates identical ts
+    // values, so output stays one row per event_type and only the scan
+    // grows.
     // NOT replicated-scale-checked: the stream_* gates — their cost is
     // harness staging IO + per-micro-batch state-commit fixed cost
     // (O(1) in data); a replication ratio would measure the staging

@@ -388,6 +388,9 @@ object SparkEntry {
     },
     "q_interval_join" -> ((s, dir) => Queries.intervalJoin(s, dir)),
     "q_asof_join" -> ((s, dir) => Queries.asofJoin(s, dir)),
+    // same query through the tier-(c) fused physical operator
+    // (graft.plans.AsofJoinExec), gated against the same ASOF oracle
+    "q_asof_join_fused" -> ((s, dir) => Queries.asofJoinFused(s, dir)),
     // the O(1)-state streaming as-of enrichment driven end-to-end,
     // gated against the SAME ASOF JOIN oracle as the batch twin
     "stream_asof_enrich" -> ((s, dir) =>
@@ -1215,6 +1218,10 @@ object SparkEntry {
 
     "q_asof_join" -> asofOracle,
 
+    // identical oracle: the fused physical operator must land on
+    // exactly the window form's answer
+    "q_asof_join_fused" -> asofOracle,
+
     // identical oracle: the streaming as-of path must land on exactly
     // the batch answer
     "stream_asof_enrich" -> asofOracle,
@@ -1371,14 +1378,22 @@ object SparkEntry {
 
     "text_collocations" -> Text.collocationsSql(),
 
+    // Oracle mirrors Spark's from_json NULL-tolerance: malformed props
+    // and non-integer k become NULL (json_valid guard + try_cast)
+    // instead of erroring, so the gate survives dirty future testdata.
     "q_json_extract" ->
-      """SELECT event_type,
+      """WITH k AS (
+           SELECT event_type,
+                  CASE WHEN json_valid(props)
+                       THEN try_cast(props->>'k' as int) END AS kv
+           FROM events)
+         SELECT event_type,
                 count(*) AS n,
-                cast(count(cast(props->>'k' as int)) as bigint) AS n_with_k,
-                cast(sum(cast(props->>'k' as int)) as bigint) AS sum_k,
-                min(cast(props->>'k' as int)) AS min_k,
-                max(cast(props->>'k' as int)) AS max_k
-         FROM events GROUP BY event_type""",
+                cast(count(kv) as bigint) AS n_with_k,
+                cast(sum(kv) as bigint) AS sum_k,
+                min(kv) AS min_k,
+                max(kv) AS max_k
+         FROM k GROUP BY event_type""",
 
     "q_histogram" ->
       """WITH b AS (

@@ -44,6 +44,44 @@ object Joins {
       .drop("__side").drop(buildCols: _*)
   }
 
+  /** [[asof]] via the fused physical operator
+    * ([[graft.plans.AsofJoinNode]] → AsofJoinExec): same output schema
+    * and row set (spec-proven equal to the window form; oracle-gated vs
+    * DuckDB ASOF as `q_asof_join_fused`), but each side shuffles with
+    * its OWN schema instead of the widened union schema — see the
+    * measured comparison in AsofProfile. Requires the session to carry
+    * GraftFunctions.register (the planner strategy); probe/build key
+    * and ts columns must have matching types.
+    */
+  def asofFused(probe: DataFrame, build: DataFrame, key: String, ts: String,
+                buildCols: Seq[String] = Nil,
+                prefix: String = "asof_"): DataFrame = {
+    val clash = buildCols.filter(probe.columns.contains)
+    require(clash.isEmpty, s"asofFused: buildCols collide with probe columns: $clash")
+    val spark = probe.sparkSession
+    val pPlan = probe.queryExecution.analyzed
+    // fresh exprIds on the build side: a self-asof (probe and build
+    // carved from the same scan) would otherwise present the SAME
+    // attribute ids on both sides and the node couldn't tell them apart
+    val bNarrow = build.select((key +: ts +: buildCols).distinct.map(col): _*)
+      .queryExecution.analyzed
+    val bPlan = org.apache.spark.sql.catalyst.plans.logical.Project(
+      bNarrow.output.map(a =>
+        org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)()), bNarrow)
+    def attr(out: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+             n: String) = out.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"asofFused: no column $n"))
+    val payload = buildCols.map(attr(bPlan.output, _))
+    val bTs = attr(bPlan.output, ts)
+    val matchedOut = (bTs +: payload).map(a =>
+      org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        prefix + a.name, a.dataType, nullable = true)())
+    org.apache.spark.sql.GraftPlanBridge.ofRows(spark,
+      graft.plans.AsofJoinNode(pPlan, bPlan,
+        attr(pPlan.output, key), attr(pPlan.output, ts),
+        attr(bPlan.output, key), bTs, payload, matchedOut))
+  }
+
   /** Interval join: all (left, right) pairs with
     * |left.`lTs` − right.`rTs`| ≤ `windowMs` (and equal `keyCols`, if
     * given). Timestamps are integer epoch-ms columns. Bin-explode on the

@@ -169,6 +169,27 @@ object Queries {
       .select(col("event_id"), (col("ms") - col("last_click_ms")).as("ms_since_click"))
   }
 
+  /** [[asofJoin]] through the FUSED physical operator
+    * ([[Joins.asofFused]] → graft.plans.AsofJoinExec) — same answer,
+    * gated against the same DuckDB ASOF oracle. Probe and build are
+    * separate filtered reads (the two-dataset shape the fused operator
+    * exists for; the window form above instead exploits that both
+    * sides share one events scan). See AsofProfile for the measured
+    * comparison of the two shapes at 1× and 10×.
+    */
+  def asofJoinFused(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("unix_micros(ts) div 1000").as("ms"))
+    val probe = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ms"))
+    val build = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ms"))
+    Joins.asofFused(probe, build, "user_id", "ms")
+      .filter(col("asof_ms").isNotNull)
+      .select(col("event_id"), (col("ms") - col("asof_ms")).as("ms_since_click"))
+  }
+
   /** Correlated-aggregate filter: orders priced above their priority
     * class average — the window formulation reuses one shuffle instead
     * of the self-join a literal correlated subquery would plan.

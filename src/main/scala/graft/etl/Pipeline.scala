@@ -12,8 +12,9 @@ import graft.sources.Sources
   * [optional dedup] → etl_qa_run_pipeline → indexed table):
   *
   *   load (delimited per config) → conform to declared schema →
-  *   optional keep-latest dedup → QA stat families → write with
-  *   clustered layout.
+  *   optional rule validation (audit + optional quarantine) →
+  *   optional keep-latest dedup → QA stat families → optional
+  *   freshness SLA check → write with clustered layout.
   *
   * Each stage is a lazy DataFrame transform; Catalyst sees the whole
   * chain as one plan up to the QA/write actions, so column pruning
@@ -21,9 +22,18 @@ import graft.sources.Sources
   */
 object Pipeline {
 
+  /** Freshness-SLA stage config: per-`groupCol` last-`tsCol` lag vs the
+    * pinned `asOfUs` instant, flagged when it exceeds `slaUs` (see
+    * [[graft.qa.Qa.freshness]]).
+    */
+  final case class FreshnessSla(groupCol: String, tsCol: String,
+                                asOfUs: Long, slaUs: Long)
+
   final case class Result(table: DataFrame,
                           qa: Map[String, DataFrame],
-                          rowCount: Long)
+                          rowCount: Long,
+                          validation: Option[DataFrame] = None,
+                          freshness: Option[DataFrame] = None)
 
   def run(spark: SparkSession, cfg: TableConfig,
           source: Option[DataFrame] = None,
@@ -31,22 +41,50 @@ object Pipeline {
           dedupOrder: Seq[String] = Nil,
           qaTimeVar: Option[String] = None,
           outPath: Option[String] = None,
-          clusterLater: Boolean = false): Result = {
+          clusterLater: Boolean = false,
+          validationRules: Seq[(String, org.apache.spark.sql.Column)] = Nil,
+          quarantineInvalid: Boolean = false,
+          freshnessSla: Option[FreshnessSla] = None): Result = {
     val raw = source.getOrElse {
       if (cfg.years.nonEmpty) Sources.loadYears(spark, cfg)
       else Sources.loadDelimited(spark, cfg)
     }
     val conformed = Etl.conform(raw, cfg.allVars)
+
+    // Load-time rule gate (qa_load_sql parity): the per-rule audit
+    // summarizes the RAW conformed load — before quarantine or dedup —
+    // so the report counts what arrived, not what survived. Quarantine
+    // re-applies the predicates as a plain filter (one scan, no join
+    // back to the audit frame) BEFORE dedup, so an invalid row can
+    // never win keep-latest over a valid one.
+    val validation =
+      if (validationRules.isEmpty) None
+      else Some(Etl.validateSummary(
+        Etl.validateRows(conformed, cfg.allVars.map(_.name), validationRules),
+        validationRules.map(_._1)))
+    val gated =
+      if (validationRules.nonEmpty && quarantineInvalid)
+        conformed.filter(validationRules
+          .map { case (_, p) => coalesce(p, lit(false)) }.reduce(_ && _))
+      else conformed
+
     val deduped =
       if (dedupKeys.nonEmpty && dedupOrder.nonEmpty)
-        Etl.dedupKeepLatestByMax(conformed, dedupKeys, dedupOrder)
-      else conformed
+        Etl.dedupKeepLatestByMax(gated, dedupKeys, dedupOrder)
+      else gated
 
     val qa = qaTimeVar match {
       case Some(tv) if deduped.columns.contains(tv) =>
         Qa.runPipeline(deduped, tv,
           deduped.columns.filterNot(_ == tv).toSeq)
       case _ => Map.empty[String, DataFrame]
+    }
+
+    // Freshness SLA over the frame that will be written — post-gate,
+    // post-dedup — because the SLA question is "is the TABLE stale",
+    // not "was the raw feed stale".
+    val fresh = freshnessSla.map { f =>
+      Qa.freshness(deduped, f.groupCol, f.tsCol, f.asOfUs, f.slaUs)
     }
 
     outPath.foreach { p =>
@@ -61,6 +99,6 @@ object Pipeline {
           Sources.reclusterTable(spark, p, cfg.indexVars)
       } else Sources.writeTable(deduped, p, clusterKeys = cfg.indexVars)
     }
-    Result(deduped, qa, deduped.count())
+    Result(deduped, qa, deduped.count(), validation, fresh)
   }
 }

@@ -139,6 +139,14 @@ object Sampling {
     * `counts` is bounded (one row per source) but consumed TWICE (the
     * min and the per-source cuts) — materialized once, or the corpus
     * scan behind it runs per reference (the categoricalChange lesson).
+    *
+    * Argmin strata are keep-all BY CONSTRUCTION, not by arithmetic:
+    * (m·w)/n for the argmin can land 1 ulp below 1.0 (e.g. w = √n with
+    * a non-dyadic n), which would floor to BUCKETS−1 and silently drop
+    * ~1/BUCKETS of the stratum the contract says keeps everything. The
+    * argmin row is detected by exact double equality n/w = m (m IS one
+    * of those ratios bitwise, and min is order-independent, so the test
+    * is engine-exact) and its cut pinned to BUCKETS.
     */
   private def weightedCutFilter(df: DataFrame, sourceCol: String,
                                 keyCol: String, counts: DataFrame): DataFrame = {
@@ -146,7 +154,9 @@ object Sampling {
     val m = cp.agg(min(col("__n") / col("__w")).as("__m"))
     val cuts = cp.crossJoin(m)
       .select(col(sourceCol),
-        floor((col("__m") * col("__w")) / col("__n") * BUCKETS).as("__cut"))
+        when(col("__n") / col("__w") === col("__m"), lit(BUCKETS.toLong))
+          .otherwise(floor((col("__m") * col("__w")) / col("__n") * BUCKETS))
+          .as("__cut"))
     df.join(broadcast(cuts), Seq(sourceCol))
       .filter(bucket(df, keyCol) < col("__cut"))
       .drop("__cut")
@@ -170,8 +180,10 @@ object Sampling {
         mm AS (SELECT min(n / t) AS m FROM j),
         cuts AS (
           SELECT $sourceCol,
-                 cast(floor(((SELECT m FROM mm) * t) / n * $BUCKETS) as bigint)
-                   AS cut
+                 CASE WHEN n / t = (SELECT m FROM mm)
+                      THEN cast($BUCKETS as bigint)
+                      ELSE cast(floor(((SELECT m FROM mm) * t) / n * $BUCKETS)
+                        as bigint) END AS cut
           FROM j)
       SELECT $selectCols FROM $table d
       JOIN cuts USING ($sourceCol)
@@ -261,8 +273,10 @@ object Sampling {
        mm AS (SELECT min(n / w) AS m FROM wts),
        cuts AS (
          SELECT $sourceCol,
-                cast(floor((SELECT m FROM mm) * w / n * $BUCKETS) as bigint)
-                  AS cut
+                CASE WHEN n / w = (SELECT m FROM mm)
+                     THEN cast($BUCKETS as bigint)
+                     ELSE cast(floor((SELECT m FROM mm) * w / n * $BUCKETS)
+                       as bigint) END AS cut
          FROM wts)
      SELECT $selectCols FROM $table d
      JOIN cuts USING ($sourceCol)

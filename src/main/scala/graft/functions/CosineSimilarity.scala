@@ -137,5 +137,8 @@ object GraftFunctions {
     ext.injectFunction(lshBucketsDescriptor)
     ext.injectFunction(centroidDistsDescriptor)
     ext.injectFunction(topKByDescriptor)
+    // tier (c) of the custom-operator ladder: the fused as-of join's
+    // planner strategy (graft.plans.AsofJoinNode -> AsofJoinExec)
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }

@@ -648,7 +648,8 @@ object Text {
     * over the doc's own term types (bounded by doc length).
     */
   def tfidfKeywords(df: DataFrame, topK: Int = 3, idCol: String = "doc_id",
-                    textCol: String = "text"): DataFrame = {
+                    textCol: String = "text",
+                    broadcastIdf: Boolean = true): DataFrame = {
     // consumed twice (dfreq + the ranking join) → materialized once, or
     // the tokenize+explode+count lineage runs per reference (house
     // policy, the categoricalChange lesson)
@@ -667,7 +668,14 @@ object Text {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol))
       .orderBy(col("score_micro").desc, col("tok"))
-    counts.join(broadcast(dfreq), Seq("tok"))
+    // broadcastIdf=true assumes the vocab fits one executor (~10^8
+    // terms × ~24 B — holds for curated corpora, NOT for raw open-web
+    // text whose type count grows with corpus size); it also keeps
+    // counts partitioned by idCol so the ranking window adds no
+    // exchange. broadcastIdf=false lets the planner shuffle-join on
+    // tok — one extra exchange, no memory ceiling.
+    val dfreqSide = if (broadcastIdf) broadcast(dfreq) else dfreq
+    counts.join(dfreqSide, Seq("tok"))
       .withColumn("score_micro", col("tf") * col("idf_micro"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= topK)

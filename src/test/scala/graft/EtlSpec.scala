@@ -257,6 +257,51 @@ class EtlSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/out").count() == 2)
   }
 
+  test("pipeline optional stages: validation audit + quarantine + freshness SLA") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pipe3").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/in.csv"),
+      // ids 2 and 3 violate v_positive (-5, 0); id=1 is a dup whose
+      // INVALID copy has the larger v and would win keep-latest if the
+      // quarantine ran after dedup instead of before
+      "id,ts,v\n" +
+        "1,2024-01-01 10:00:00,10\n" +
+        "1,2024-01-01 11:00:00,-99\n" +
+        "2,2024-01-01 09:00:00,-5\n" +
+        "3,2024-01-02 12:00:00,0\n" +
+        "4,2024-01-02 23:30:00,40\n")
+    val cfg = TableConfig(
+      toTable = "t",
+      vars = Seq(ColumnSpec("id", "BIGINT"), ColumnSpec("ts", "DATETIME"),
+        ColumnSpec("v", "FLOAT")),
+      filePath = Map("overall" -> s"$dir/in.csv"),
+      fieldTerm = Map("overall" -> ","))
+    // as-of 2024-01-03T00:00:00Z; 2h SLA -> id groups whose last event
+    // is older than 22:00 on Jan 2 are stale
+    val asOf = java.time.Instant.parse("2024-01-03T00:00:00Z")
+      .toEpochMilli * 1000L
+    val res = graft.etl.Pipeline.run(spark, cfg,
+      dedupKeys = Seq("id"), dedupOrder = Seq("v"),
+      validationRules = Seq("v_positive" -> (col("v") > 0)),
+      quarantineInvalid = true,
+      freshnessSla = Some(graft.etl.Pipeline.FreshnessSla(
+        "id", "ts", asOf, 2L * 3600 * 1000000)))
+    // audit reports the RAW load: 5 rows checked, 3 violations
+    val v = res.validation.get.collect().head
+    assert(v.getString(0) == "v_positive")
+    assert(v.getLong(1) == 3 && v.getLong(2) == 5)
+    // quarantine ran BEFORE dedup: id=1 keeps the valid v=10 row (the
+    // invalid v=-99 copy did not win keep-latest); ids 2 and 3 are gone
+    assert(res.rowCount == 2)
+    assert(res.table.filter(col("id") === 1).collect().head.getDouble(2) == 10.0)
+    assert(res.table.filter(col("id").isin(2, 3)).count() == 0)
+    // freshness is computed on the written frame: id=4 (23:30, 30 min
+    // lag) is fresh; ids 1 (Jan 1) is stale
+    val fr = res.freshness.get.collect()
+      .map(r => r.getLong(0) -> r.getInt(4)).toMap
+    assert(fr == Map(1L -> 1, 4L -> 0))
+  }
+
   test("pipeline clusterLater: bulk-write unclustered, then rebuild layout") {
     val dir = java.nio.file.Files.createTempDirectory("graft_pipe2").toString
     java.nio.file.Files.writeString(

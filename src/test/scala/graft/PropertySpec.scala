@@ -82,6 +82,52 @@ class PropertySpec extends SparkSpec {
     assert(generic == reference)
   }
 
+  test("fused as-of operator equals the window form on events (all rows)") {
+    import graft.analytics.Joins
+    val e = Tables(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("unix_micros(ts) div 1000").as("ms"))
+    val probe = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ms"))
+    val build = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ms"), col("event_id").as("click_id"))
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("event_id", "asof_ms", "asof_click_id").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getLong(1),
+        if (r.isNullAt(2)) null else r.getLong(2))).toSet
+    val window = key(Joins.asof(probe, build, "user_id", "ms",
+      buildCols = Seq("click_id")))
+    val fused = key(Joins.asofFused(probe, build, "user_id", "ms",
+      buildCols = Seq("click_id")))
+    assert(fused == window)
+    assert(fused.nonEmpty && fused.exists(_._2 == null)) // no-match rows exercised
+  }
+
+  test("fused as-of: exact-ts tie visible, latest-of-several wins, self-asof ids disambiguated") {
+    import graft.analytics.Joins
+    import spark.implicits._
+    val probe = Seq((1L, 100L, "p1"), (1L, 50L, "p2"), (2L, 10L, "p3"))
+      .toDF("k", "ms", "tag")
+    val build = Seq((1L, 100L, "exact"), (1L, 99L, "older"), (1L, 40L, "old"),
+      (3L, 5L, "other_key")).toDF("k", "ms", "v")
+    val out = Joins.asofFused(probe, build, "k", "ms", buildCols = Seq("v"))
+      .select("tag", "asof_ms", "asof_v").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) null
+        else (r.getLong(1), r.getString(2)))).toMap
+    assert(out("p1") == ((100L, "exact"))) // >= semantics: equal ts visible
+    assert(out("p2") == ((40L, "old")))    // latest at-or-before 50
+    assert(out("p3") == null)              // key with no build rows
+    // self-asof: probe and build carved from the SAME df (exprId clash path)
+    val base = Seq((1L, 10L, 0), (1L, 20L, 1), (1L, 30L, 0)).toDF("k", "ms", "b")
+    val self = Joins.asofFused(
+      base.filter($"b" === 0).select("k", "ms"),
+      base.filter($"b" === 1).select("k", "ms"), "k", "ms")
+      .select("ms", "asof_ms").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    assert(self == Map(10L -> null, 30L -> 20L))
+  }
+
   test("generic Joins.interval reproduces the events interval query") {
     import graft.analytics.{Joins, Queries}
     val e = Tables(spark, sfDir, "events")
