@@ -374,7 +374,10 @@ object Streams {
     * batch-equivalence regime the operator documents).
     */
   def dedupDocsAvailableNow(spark: SparkSession, sfDir: String,
-                            chunks: Int = 4): DataFrame = {
+                            chunks: Int = 3): DataFrame = {
+    // chunks=3 default: the replay is in strict doc_id order at ANY
+    // chunking, so "first seen per hash" = min(doc_id) holds unchanged;
+    // dedup state still spans batch boundaries with 3 batches.
     val in = stageDocsReplay(spark, sfDir, chunks)
     runStagedAvailableNow(spark, in, "append", chunks)(df =>
       dedupDocsNormalized(df, "1 hour").select(col("doc_id")))
@@ -390,7 +393,9 @@ object Streams {
     * spec-asserted. Oracle-gated as `stream_sink_replay`.
     */
   def dedupDocsSinkReplayAvailableNow(spark: SparkSession, sfDir: String,
-                                      chunks: Int = 4): DataFrame = {
+                                      chunks: Int = 3): DataFrame = {
+    // chunks=3 default (see dedupDocsAvailableNow); the refired batch
+    // id chunks/2 = 1 is still an interior batch of the replay.
     val in = stageDocsReplay(spark, sfDir, chunks)
     runStagedAvailableNow(spark, in, "append", chunks,
       refireBatchId = Some(chunks / 2L))(df =>
@@ -414,7 +419,16 @@ object Streams {
     * as `stream_hourly_rollup` (same DuckDB SQL as the batch twin).
     */
   def hourlyRollupAvailableNow(spark: SparkSession, sfDir: String): DataFrame =
-    runEventsAvailableNow(spark, sfDir, "complete")(hourlyRollup)
+    // chunks=3 (not the default 4): a complete-mode window agg proves
+    // incrementality with ANY multi-batch replay — its answer is
+    // recomputed-from-state each batch and no tie/boundary rule spans
+    // batches. One fewer micro-batch = one fewer fixed state-commit
+    // round; StreamAudit re-pins the 3-batch structure. The
+    // cross-batch-SENSITIVE gates (sessionize's timeout, follow_within's
+    // cross-batch matches, asof's carried state, scd2's transitions,
+    // lsh's bucket collisions) keep 4 — there, more batch boundaries IS
+    // the evidence.
+    runEventsAvailableNow(spark, sfDir, "complete", chunks = 3)(hourlyRollup)
 
   /** [[asofEnrich]] (O(1)-state as-of enrichment) through
     * [[runEventsAvailableNow]] — oracle-gated as `stream_asof_enrich`
@@ -439,7 +453,8 @@ object Streams {
   def qaMissingnessAvailableNow(spark: SparkSession, sfDir: String,
                                 cols: Seq[String] = Seq("value", "props"))
       : DataFrame =
-    runEventsAvailableNow(spark, sfDir, "complete")(
+    // chunks=3: complete-mode, no cross-batch rule (see hourlyRollup)
+    runEventsAvailableNow(spark, sfDir, "complete", chunks = 3)(
       qaMissingnessStream(_, cols))
 
   /** [[sessionize]] — the flagship STATEFUL operator
