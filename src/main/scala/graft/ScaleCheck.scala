@@ -64,7 +64,8 @@ object ScaleCheck {
       "qa_outliers", "etl_validate_rules", "qa_drift_psi",
       "q_rolling_active_users", "q_histogram", "etl_fk_coverage",
       "qa_drift_ks", "etl_pk_check", "q_json_extract",
-      "etl_scd2_history", "etl_scd2_asof", "qa_freshness")
+      "etl_scd2_history", "etl_scd2_asof", "qa_freshness",
+      "q_asof_join_fused")
     // Replication shape for the three r6 additions above: key-shifted
     // user_id clones multiply the number of SCD2 entities, not the
     // per-entity run length, so scd2 history/asof should scale linearly
