@@ -540,6 +540,13 @@ object SparkEntry {
     // corpus's own distribution, integer micro-nat quantization
     "text_unigram_logprob" -> ((s, dir) =>
       Text.unigramLogProb(Tables(s, dir, "documents"))),
+    // corpus heavy hitters (>2% of tokens) via the fixed-memory
+    // Misra-Gries propose -> exact-verify composition; the tight
+    // 59-counter sketch still guarantees the candidate superset
+    // ((59+1)*20 >= 1000), and the output is exact counts
+    "text_heavy_hitters" -> ((s, dir) =>
+      Text.heavyHitters(Tables(s, dir, "documents"),
+        perMille = 20, sketchK = 59)),
     // lexical-diversity signal: per-doc token Shannon entropy, same
     // micro-nat integer reduction
     "text_entropy" -> ((s, dir) =>
@@ -562,6 +569,10 @@ object SparkEntry {
     // copy of an IVF+SQ stack, long shape with per-row scale
     "emb_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(Tables(s, dir, "embeddings"))),
+    // embedding hygiene audit: dims + squared norm + dead/aberrant
+    // flags, one scan (the row-level QA gate before any similarity op)
+    "emb_norm_filter" -> ((s, dir) =>
+      Similarity.normFilter(Tables(s, dir, "embeddings"))),
     "mm_binary_meta" -> ((s, dir) =>
       Multimodal.pipeline(s, Tables(s, dir, "documents"))),
     // metadata layer of the multimodal pipeline (no decode) — the part
@@ -1499,10 +1510,14 @@ object SparkEntry {
     "text_ngram_freq" -> Text.ngramFreqSql(),
     "text_contamination" -> Text.contaminationSql(),
     "text_unigram_logprob" -> Text.unigramLogProbSql(),
+
+    "text_heavy_hitters" -> Text.heavyHittersSql(perMille = 20),
     "text_repetition" -> Text.repetitionSql(),
     "text_bm25" -> Text.bm25Sql(bm25Terms),
     "emb_group_centroids" -> Similarity.groupCentroidsSql(),
     "emb_quantize" -> Similarity.quantizeInt8Sql(),
+
+    "emb_norm_filter" -> Similarity.normFilterSql(),
 
     "text_corpus_filter" ->
       s"""WITH rep AS (${Text.repetitionSql()}),

@@ -55,7 +55,16 @@ object Joins {
     */
   def asofFused(probe: DataFrame, build: DataFrame, key: String, ts: String,
                 buildCols: Seq[String] = Nil,
-                prefix: String = "asof_"): DataFrame = {
+                prefix: String = "asof_"): DataFrame =
+    asofFusedKeys(probe, build, Seq(key), ts, buildCols, prefix)
+
+  /** [[asofFused]] with a COMPOSITE key (e.g. (user_id, device)): both
+    * sides cluster on all key columns and the merge compares them
+    * lexicographically — same contract otherwise.
+    */
+  def asofFusedKeys(probe: DataFrame, build: DataFrame, keys: Seq[String],
+                    ts: String, buildCols: Seq[String] = Nil,
+                    prefix: String = "asof_"): DataFrame = {
     val clash = buildCols.filter(probe.columns.contains)
     require(clash.isEmpty, s"asofFused: buildCols collide with probe columns: $clash")
     val spark = probe.sparkSession
@@ -63,7 +72,7 @@ object Joins {
     // fresh exprIds on the build side: a self-asof (probe and build
     // carved from the same scan) would otherwise present the SAME
     // attribute ids on both sides and the node couldn't tell them apart
-    val bNarrow = build.select((key +: ts +: buildCols).distinct.map(col): _*)
+    val bNarrow = build.select((keys ++ (ts +: buildCols)).distinct.map(col): _*)
       .queryExecution.analyzed
     val bPlan = org.apache.spark.sql.catalyst.plans.logical.Project(
       bNarrow.output.map(a =>
@@ -78,8 +87,8 @@ object Joins {
         prefix + a.name, a.dataType, nullable = true)())
     org.apache.spark.sql.GraftPlanBridge.ofRows(spark,
       graft.plans.AsofJoinNode(pPlan, bPlan,
-        attr(pPlan.output, key), attr(pPlan.output, ts),
-        attr(bPlan.output, key), bTs, payload, matchedOut))
+        keys.map(attr(pPlan.output, _)), attr(pPlan.output, ts),
+        keys.map(attr(bPlan.output, _)), bTs, payload, matchedOut))
   }
 
   /** Interval join: all (left, right) pairs with

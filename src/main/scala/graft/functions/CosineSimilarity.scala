@@ -130,6 +130,12 @@ object GraftFunctions {
     (exprs: Seq[Expression]) => TopKByAgg(exprs(0), exprs(1), exprs(2),
       exprs(3).eval().asInstanceOf[Int]))
 
+  val misraGriesDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("misra_gries"),
+    new ExpressionInfo(classOf[MisraGriesAgg].getName, "misra_gries"),
+    (exprs: Seq[Expression]) => MisraGriesAgg(exprs(0),
+      exprs(1).eval().asInstanceOf[Int]))
+
   def register(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(cosineSimDescriptor)
     ext.injectFunction(md5ModPDescriptor)
@@ -137,6 +143,7 @@ object GraftFunctions {
     ext.injectFunction(lshBucketsDescriptor)
     ext.injectFunction(centroidDistsDescriptor)
     ext.injectFunction(topKByDescriptor)
+    ext.injectFunction(misraGriesDescriptor)
     // tier (c) of the custom-operator ladder: the fused as-of join's
     // planner strategy (graft.plans.AsofJoinNode -> AsofJoinExec)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)

@@ -34,21 +34,24 @@ import org.apache.spark.sql.types.DataType
   *
   * Semantics (identical to Joins.asof, oracle-gated vs DuckDB ASOF
   * JOIN's `>=`): each probe row is annotated with the build row having
-  * the greatest `buildTs` ≤ the probe's ts within the same key; ties at
-  * the exact timestamp are visible; no preceding build row → nulls.
-  * Both inputs are hash-clustered on the key and sorted (key, ts) by
-  * EnsureRequirements — the standard SMJ machinery, so AQE, reuse, and
-  * whole-stage codegen of the CHILDREN all still apply; only the merge
-  * itself is interpreted (one comparison + one projection per row).
+  * the greatest `buildTs` ≤ the probe's ts within the same key (keys
+  * may be composite); ties at the exact timestamp are visible; no
+  * preceding build row → nulls. Both inputs are hash-clustered on the
+  * keys and sorted (keys..., ts) by EnsureRequirements — the standard
+  * SMJ machinery, so AQE, reuse, and whole-stage codegen of the
+  * CHILDREN all still apply; only the merge itself is interpreted (one
+  * comparison + one projection per row).
   */
 case class AsofJoinNode(
     probe: LogicalPlan,
     build: LogicalPlan,
-    probeKey: Attribute, probeTs: Attribute,
-    buildKey: Attribute, buildTs: Attribute,
+    probeKeys: Seq[Attribute], probeTs: Attribute,
+    buildKeys: Seq[Attribute], buildTs: Attribute,
     payload: Seq[Attribute],
     matchedOut: Seq[AttributeReference])
   extends BinaryNode {
+  require(probeKeys.nonEmpty && probeKeys.size == buildKeys.size,
+    "asof: probe/build key lists must be non-empty and same-length")
   override def left: LogicalPlan = probe
   override def right: LogicalPlan = build
   override def output: Seq[Attribute] = probe.output ++ matchedOut
@@ -66,15 +69,15 @@ case class AsofJoinNode(
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case n: AsofJoinNode =>
-      AsofJoinExec(n.probeKey, n.probeTs, n.buildKey, n.buildTs,
+      AsofJoinExec(n.probeKeys, n.probeTs, n.buildKeys, n.buildTs,
         n.payload, n.matchedOut, planLater(n.probe), planLater(n.build)) :: Nil
     case _ => Nil
   }
 }
 
 case class AsofJoinExec(
-    probeKey: Attribute, probeTs: Attribute,
-    buildKey: Attribute, buildTs: Attribute,
+    probeKeys: Seq[Attribute], probeTs: Attribute,
+    buildKeys: Seq[Attribute], buildTs: Attribute,
     payload: Seq[Attribute], matchedOut: Seq[AttributeReference],
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
@@ -84,16 +87,15 @@ case class AsofJoinExec(
   // two hash partitionings compatible (same mechanics as a sort-merge
   // join), so zipPartitions below sees co-partitioned iterators
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(probeKey :: Nil) ::
-      ClusteredDistribution(buildKey :: Nil) :: Nil
+    ClusteredDistribution(probeKeys) :: ClusteredDistribution(buildKeys) :: Nil
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    Seq(SortOrder(probeKey, Ascending), SortOrder(probeTs, Ascending)),
-    Seq(SortOrder(buildKey, Ascending), SortOrder(buildTs, Ascending)))
+    probeKeys.map(SortOrder(_, Ascending)) :+ SortOrder(probeTs, Ascending),
+    buildKeys.map(SortOrder(_, Ascending)) :+ SortOrder(buildTs, Ascending))
   // probe rows pass through in order, partitioning and ordering survive —
   // downstream per-key operators reuse the exchange and the sort
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] =
-    Seq(SortOrder(probeKey, Ascending), SortOrder(probeTs, Ascending))
+    probeKeys.map(SortOrder(_, Ascending)) :+ SortOrder(probeTs, Ascending)
 
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
@@ -102,13 +104,16 @@ case class AsofJoinExec(
   override protected def doExecute(): RDD[InternalRow] = {
     val pOut = left.output
     val bOut = right.output
-    val pKeyIdx = pOut.indexWhere(_.exprId == probeKey.exprId)
-    val pTsIdx = pOut.indexWhere(_.exprId == probeTs.exprId)
-    val bKeyIdx = bOut.indexWhere(_.exprId == buildKey.exprId)
-    val bTsIdx = bOut.indexWhere(_.exprId == buildTs.exprId)
-    require(Seq(pKeyIdx, pTsIdx, bKeyIdx, bTsIdx).forall(_ >= 0),
-      "asof: key/ts attribute not found in child output")
-    val keyDt = probeKey.dataType
+    def idx(out: Seq[Attribute], a: Attribute): Int = {
+      val i = out.indexWhere(_.exprId == a.exprId)
+      require(i >= 0, s"asof: attribute $a not found in child output")
+      i
+    }
+    val pKeyIdx = probeKeys.map(idx(pOut, _)).toArray
+    val bKeyIdx = buildKeys.map(idx(bOut, _)).toArray
+    val pTsIdx = idx(pOut, probeTs)
+    val bTsIdx = idx(bOut, buildTs)
+    val keyDts = probeKeys.map(_.dataType).toArray
     val tsDt = probeTs.dataType
     val nP = pOut.size
     val bArity = bOut.size
@@ -118,24 +123,24 @@ case class AsofJoinExec(
     val projExprs =
       pOut.zipWithIndex.map { case (a, i) =>
         BoundReference(i, a.dataType, a.nullable) } ++
-        (bTsIdx +: payload.map(a => bOut.indexWhere(_.exprId == a.exprId)))
+        (bTsIdx +: payload.map(a => idx(bOut, a)))
           .map(i => BoundReference(nP + i, bOut(i).dataType, nullable = true))
 
     left.execute().zipPartitions(right.execute()) { (pIter, bIter) =>
       new AsofMergeIterator(pIter, bIter, pKeyIdx, pTsIdx, bKeyIdx, bTsIdx,
-        keyDt, tsDt, bArity, UnsafeProjection.create(projExprs.toArray))
+        keyDts, tsDt, bArity, UnsafeProjection.create(projExprs.toArray))
     }
   }
 }
 
 /** Per-partition streaming merge: both iterators arrive sorted by
-  * (key, ts). For each probe row, the build side is advanced while its
-  * (key, ts) is ≤ the probe frontier, remembering a copy of the last
-  * build row consumed; build rows whose key has already passed the probe
-  * frontier can never match a later probe row (keys ascend on both
-  * sides) and are discarded. O(n + m) comparisons, one remembered row of
-  * state — the textbook merge as-of (the same shape DuckDB's ASOF and
-  * pandas merge_asof execute single-node).
+  * (keys..., ts). For each probe row, the build side is advanced while
+  * its (keys, ts) is ≤ the probe frontier, remembering a copy of the
+  * last build row consumed; build rows whose key has already passed the
+  * probe frontier can never match a later probe row (keys ascend on
+  * both sides) and are discarded. O(n + m) comparisons, one remembered
+  * row of state — the textbook merge as-of (the same shape DuckDB's
+  * ASOF and pandas merge_asof execute single-node).
   *
   * Nulls order first (matching the SortOrder above), so a null-ts build
   * row behaves as "earliest" and a null-key group joins within itself —
@@ -143,11 +148,11 @@ case class AsofJoinExec(
   */
 private[plans] final class AsofMergeIterator(
     pIter: Iterator[InternalRow], bIter: Iterator[InternalRow],
-    pKeyIdx: Int, pTsIdx: Int, bKeyIdx: Int, bTsIdx: Int,
-    keyDt: DataType, tsDt: DataType,
+    pKeyIdx: Array[Int], pTsIdx: Int, bKeyIdx: Array[Int], bTsIdx: Int,
+    keyDts: Array[DataType], tsDt: DataType,
     buildArity: Int, proj: UnsafeProjection) extends Iterator[InternalRow] {
 
-  private val keyOrd = TypeUtils.getInterpretedOrdering(keyDt)
+  private val keyOrds = keyDts.map(TypeUtils.getInterpretedOrdering)
   private val tsOrd = TypeUtils.getInterpretedOrdering(tsDt)
   private val nullBuild = new GenericInternalRow(buildArity)
   private val joined = new JoinedRow
@@ -160,18 +165,30 @@ private[plans] final class AsofMergeIterator(
     else if (b == null) 1
     else ord.compare(a, b)
 
+  // lexicographic composite-key comparison, nulls first per column
+  private def cmpKeys(b: InternalRow, bIdx: Array[Int],
+                      p: InternalRow, pIdx: Array[Int]): Int = {
+    var i = 0
+    while (i < keyOrds.length) {
+      val c = cmp(b.get(bIdx(i), keyDts(i)), p.get(pIdx(i), keyDts(i)),
+        keyOrds(i))
+      if (c != 0) return c
+      i += 1
+    }
+    0
+  }
+
   override def hasNext: Boolean = pIter.hasNext
 
   override def next(): InternalRow = {
     val p = pIter.next()
-    val pk = p.get(pKeyIdx, keyDt)
     val pts = p.get(pTsIdx, tsDt)
     var done = false
     while (!done) {
       if (bHead == null && bIter.hasNext) bHead = bIter.next()
       if (bHead == null) done = true
       else {
-        val c = cmp(bHead.get(bKeyIdx, keyDt), pk, keyOrd)
+        val c = cmpKeys(bHead, bKeyIdx, p, pKeyIdx)
         if (c < 0) bHead = null // key already passed: can never match again
         else if (c == 0 && cmp(bHead.get(bTsIdx, tsDt), pts, tsOrd) <= 0) {
           lastMatch = bHead.copy() // copy: unsafe row buffers are reused
@@ -180,7 +197,7 @@ private[plans] final class AsofMergeIterator(
       }
     }
     val matched = lastMatch != null &&
-      cmp(lastMatch.get(bKeyIdx, keyDt), pk, keyOrd) == 0
+      cmpKeys(lastMatch, bKeyIdx, p, pKeyIdx) == 0
     proj(joined(p, if (matched) lastMatch else nullBuild))
   }
 }

@@ -491,6 +491,54 @@ object Similarity {
                     -127), 127) END AS q
       FROM s"""
 
+  /** Embedding hygiene screen — the row-level QA gate an embedding
+    * pipeline runs before any similarity work: per vector, its
+    * dimensionality, squared L2 norm, and two audit flags — `dim_ok`
+    * (length == expected; ragged vectors break every fused dot-product
+    * path) and `norm_ok` (0 < ‖v‖² within [lo², hi²]; zero vectors make
+    * cosine meaningless and runaway norms signal corrupt or
+    * un-normalized encoder output). An AUDIT frame like validateRows —
+    * callers filter on the flags; nothing is silently dropped.
+    *
+    * Pure projection: one scan, no shuffle, scan-speed at any size.
+    * norm_sq is the same index-order double fold as [[cosineExpr]], so
+    * both engines accumulate identically.
+    */
+  def normFilter(embeddings: DataFrame, lo: Double = 0.5, hi: Double = 2.0,
+                 expectedDim: Int = 64, idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    val normSq = expr(
+      s"aggregate(transform($vecCol, x -> cast(x as double) * cast(x as double)), cast(0.0 as double), (acc, v) -> acc + v)")
+    embeddings.select(
+      col(idCol),
+      size(col(vecCol)).as("n_dims"),
+      normSq.as("norm_sq"),
+      when(size(col(vecCol)) === expectedDim, 1).otherwise(0).as("dim_ok"),
+      when(normSq > 0.0 && normSq >= lo * lo && normSq <= hi * hi, 1)
+        .otherwise(0).as("norm_ok"))
+  }
+
+  /** DuckDB oracle for [[normFilter]] — identical sequential fold
+    * (list_reduce is a left fold in index order) and identical bounds.
+    */
+  def normFilterSql(lo: Double = 0.5, hi: Double = 2.0,
+                    expectedDim: Int = 64, table: String = "embeddings",
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): String =
+    s"""WITH n AS (
+        SELECT $idCol, cast(len($vecCol) as int) AS n_dims,
+               list_reduce(
+                 list_prepend(cast(0.0 as double),
+                   list_transform($vecCol,
+                     x -> cast(x as double) * cast(x as double))),
+                 (acc, v) -> acc + v) AS norm_sq
+        FROM $table)
+      SELECT $idCol, n_dims, norm_sq,
+             CASE WHEN n_dims = $expectedDim THEN 1 ELSE 0 END AS dim_ok,
+             CASE WHEN norm_sq > 0.0 AND norm_sq >= ${lo * lo}
+                   AND norm_sq <= ${hi * hi} THEN 1 ELSE 0 END AS norm_ok
+      FROM n"""
+
   /** Per-group embedding centroids (mean pooling): the elementwise mean
     * vector of each group — class prototypes, query-free cluster seeds,
     * pooled document representations. Emitted LONG (group, dim position,

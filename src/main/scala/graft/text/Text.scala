@@ -874,4 +874,65 @@ object Text {
            list_min(mins) AS min_fingerprint
     FROM wm"""
   }
+
+  /** Corpus heavy hitters — every token whose frequency exceeds
+    * `perMille`/1000 of all tokens, with its EXACT count. The
+    * vocabulary-statistics primitive of corpus analysis (stopword
+    * discovery, boilerplate detection, tokenizer-vocab seeding) in the
+    * shape that survives a vocabulary larger than memory:
+    *
+    * propose → exact-verify, like the dedup family. Pass 1 runs ONE
+    * fixed-memory Misra–Gries sketch ([[graft.functions.MisraGriesAgg]],
+    * k counters, map-side partials + one k-bounded merge — no
+    * full-vocab shuffle, no full-vocab state anywhere) whose guarantee
+    * makes the k keys a SUPERSET of every token above n/(k+1). Pass 2
+    * re-scans, keeps only candidate tokens (broadcast semi-join against
+    * the ≤ k candidates), counts them exactly — the shuffle carries at
+    * most k keys × partitions rows — and keeps counts over the
+    * threshold. The sketch's approximate counts never surface: output
+    * is exact, so the DuckDB oracle is a plain GROUP BY ... HAVING.
+    * Threshold test is the integer cross-product cnt·1000 > n·perMille
+    * (no division, engine-exact). Requires sketchK + 1 ≥ 1000/perMille
+    * (the MG guarantee must cover the threshold).
+    *
+    * A naive one-pass `groupBy(tok).count.filter` is simpler and fine
+    * while the vocab fits the shuffle — this operator exists for the
+    * open-web regime where it does not; at 100 TB the two scans are the
+    * price of a bounded shuffle, and scan 2 prunes to `textCol` only.
+    */
+  def heavyHitters(df: DataFrame, perMille: Int = 1, sketchK: Int = 2000,
+                   textCol: String = "text"): DataFrame = {
+    require(perMille >= 1 && perMille <= 1000, "heavyHitters: perMille in [1,1000]")
+    require((sketchK + 1).toLong * perMille >= 1000L,
+      s"heavyHitters: sketchK=$sketchK too small for perMille=$perMille " +
+        "(need sketchK+1 >= 1000/perMille for the Misra-Gries guarantee)")
+    val spark = df.sparkSession
+    val toks = df.select(explode(tokens(col(textCol))).as("tok"))
+    // pass 1: sketch + total token count in the SAME single-pass agg
+    val sketch = toks.agg(
+      expr(s"misra_gries(tok, $sketchK)").as("mg"),
+      count(lit(1)).as("n")).localCheckpoint()
+    val candidates = sketch.select(explode(map_keys(col("mg"))).as("tok"))
+    val total = sketch.select(col("n"))
+    // pass 2: exact counts for candidates only; broadcast both bounded frames
+    toks.join(broadcast(candidates), Seq("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * 1000 > col("n") * perMille)
+      .select(col("tok"), col("cnt"))
+  }
+
+  /** DuckDB oracle for [[heavyHitters]] — the exact definition the
+    * propose/verify composition must land on.
+    */
+  def heavyHittersSql(perMille: Int = 1, table: String = "documents",
+                      textCol: String = "text"): String = {
+    val toks = s"string_split_regex(trim(lower($textCol)), '$wsRe')"
+    s"""WITH toks AS (SELECT unnest($toks) AS tok FROM $table),
+       n AS (SELECT cast(count(*) as bigint) AS total FROM toks),
+       c AS (SELECT tok, cast(count(*) as bigint) AS cnt
+             FROM toks GROUP BY tok)
+     SELECT tok, cnt FROM c
+     WHERE cnt * 1000 > (SELECT total FROM n) * $perMille"""
+  }
 }

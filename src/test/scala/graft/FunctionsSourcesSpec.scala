@@ -293,4 +293,42 @@ class FunctionsSourcesSpec extends SparkSpec {
       .collect { case f: FileSourceScanExec => f }.head
     assert(scan.metrics("numFiles").value < fullScan.metrics("numFiles").value)
   }
+
+  test("misra_gries: candidate superset guarantee under overflow + distributed merge") {
+    // zipf-ish stream over 40 distinct items with k=8 counters: the
+    // sketch overflows constantly and partial buffers merge across 8
+    // partitions — exactly the regime the guarantee must survive.
+    // items: item i appears (41-i)*i? keep it simple: freq_i = 2^(12-i)
+    // for i in 1..8 plus 32 rare items once each.
+    val rows = (1 to 8).flatMap(i => Seq.fill(1 << (12 - i))(s"hh_$i")) ++
+      (1 to 32).map(i => s"rare_$i")
+    val n = rows.size
+    val df = rows.map(Tuple1(_)).toDF("tok").repartition(8)
+    val k = 8
+    val sketch = df.agg(expr(s"misra_gries(tok, $k)").as("mg"))
+      .select(explode(map_keys(col("mg"))).as("tok")).collect()
+      .map(_.getString(0)).toSet
+    assert(sketch.size <= k)
+    // the guarantee: every item with true freq > n/(k+1) is present
+    val truth = rows.groupBy(identity).view.mapValues(_.size)
+    val mustHave = truth.filter(_._2 > n / (k + 1)).keySet
+    assert(mustHave.nonEmpty && mustHave.subsetOf(sketch))
+  }
+
+  test("heavyHitters propose/verify equals exact groupBy-HAVING with a tight sketch") {
+    // vocab (40) far exceeds the sketch (k=99 needed for perMille=10 ->
+    // use 40-item vocab with k exactly at the guarantee bound)
+    val rows = (1 to 8).flatMap(i => Seq.fill(200 * i)(s"top_$i word_$i")) ++
+      (1 to 24).map(i => s"rare_$i")
+    val df = rows.map(Tuple1(_)).toDF("text").repartition(8)
+    val out = graft.text.Text.heavyHitters(df, perMille = 10, sketchK = 99)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = df.select(explode(graft.text.Text.tokens(col("text"))).as("tok"))
+    val nTok = exact.count()
+    val expected = exact.groupBy("tok").count()
+      .filter(col("count") * 1000 > nTok * 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == expected)
+    assert(out.nonEmpty && !out.contains("rare_1"))
+  }
 }

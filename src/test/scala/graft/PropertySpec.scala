@@ -128,6 +128,23 @@ class PropertySpec extends SparkSpec {
     assert(self == Map(10L -> null, 30L -> 20L))
   }
 
+  test("fused as-of with composite key matches per-key-pair expectations") {
+    import graft.analytics.Joins
+    import spark.implicits._
+    val probe = Seq((1L, "a", 100L, "p1"), (1L, "b", 100L, "p2"),
+      (2L, "a", 100L, "p3")).toDF("k1", "k2", "ms", "tag")
+    val build = Seq((1L, "a", 90L, "va"), (1L, "b", 95L, "vb"),
+      (2L, "b", 80L, "wrong_pair")).toDF("k1", "k2", "ms", "v")
+    val out = Joins.asofFusedKeys(probe, build, Seq("k1", "k2"), "ms",
+        buildCols = Seq("v"))
+      .select("tag", "asof_v").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getString(1)))
+      .toMap
+    // (1,a) and (1,b) match only their own composite pair; (2,a) finds
+    // nothing even though k1=2 exists with a different k2
+    assert(out == Map("p1" -> "va", "p2" -> "vb", "p3" -> null))
+  }
+
   test("generic Joins.interval reproduces the events interval query") {
     import graft.analytics.{Joins, Queries}
     val e = Tables(spark, sfDir, "events")

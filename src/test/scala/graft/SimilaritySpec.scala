@@ -241,4 +241,21 @@ class SimilaritySpec extends SparkSpec {
       assert(c >= 0 && c < 16)
     }
   }
+
+  test("normFilter flags zero, ragged, and runaway vectors; passes healthy ones") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Array.fill(64)(0.125f)),            // healthy: norm_sq = 1.0
+      (2L, Array.fill(64)(0.0f)),              // dead: zero norm
+      (3L, Array.fill(32)(0.2f)),              // ragged: 32 dims
+      (4L, Array.fill(64)(10.0f)))             // runaway norm
+      .toDF("vec_id", "embedding")
+    val out = graft.similarity.Similarity.normFilter(rows)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getDouble(2), r.getInt(3), r.getInt(4)))).toMap
+    assert(out(1L) == ((64, 1.0, 1, 1)))
+    assert(out(2L) == ((64, 0.0, 1, 0)))
+    assert(out(3L)._1 == 32 && out(3L)._3 == 0)
+    assert(out(4L)._3 == 1 && out(4L)._4 == 0)
+  }
 }
