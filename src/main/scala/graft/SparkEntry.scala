@@ -86,6 +86,17 @@ object SparkEntry {
         Seq("l_orderkey", "l_linenumber"))
     },
 
+    // the multi-column clustering key: Morton interleave of the
+    // (bucketized) dimensions — clusterBy(zkey) then gives min/max
+    // locality on BOTH columns (layout evidence in EtlSpec)
+    "etl_zorder_key" -> { (s, dir) =>
+      val a = expr("user_id % 1024")
+      val b = least(greatest(floor(col("value")), lit(0)), lit(1023))
+      Tables(s, dir, "events").select(col("event_id"),
+        a.cast("long").as("za"), b.cast("long").as("zb"),
+        Etl.zorderKey(Seq(a, b), 10).as("zkey"))
+    },
+
     "etl_table_duplicate" -> { (s, dir) =>
       val (copy, qa) = Etl.tableDuplicate(Tables(s, dir, "nation"))
       copy.crossJoin(broadcast(qa))
@@ -423,6 +434,11 @@ object SparkEntry {
       graft.etl.Sampling.hashSplit(Tables(s, dir, "documents"), "doc_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select("doc_id", "split")),
+    // exact-k per-group deterministic sample (25 docs per language) via
+    // the topk_by bounded-heap aggregate in content-hash order
+    "sample_group_topk" -> ((s, dir) =>
+      graft.etl.Sampling.groupSample(Tables(s, dir, "documents"),
+        "lang", "doc_id", k = 25)),
     // domain-mix rebalance: downsample sources to a 50/30/20 target mix
     // (src0 is the bottleneck at rate 1.0; others thinned to match)
     "sample_mix_rebalance" -> ((s, dir) =>
@@ -896,6 +912,15 @@ object SparkEntry {
     "etl_add_index" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
 
+    "etl_zorder_key" -> {
+      val a = "user_id % 1024"
+      val b = "least(greatest(floor(value), 0), 1023)"
+      s"""SELECT event_id, cast($a as bigint) AS za,
+                cast($b as bigint) AS zb,
+                cast(${Etl.zorderKeySql(Seq(a, b), 10)} as bigint) AS zkey
+         FROM events"""
+    },
+
     "etl_table_duplicate" ->
       """SELECT n.*, (SELECT count(*) FROM nation) AS row_cnt FROM nation n""",
 
@@ -1309,6 +1334,9 @@ object SparkEntry {
                 ${graft.etl.Sampling.hashSplitSql("doc_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))} AS split
          FROM documents""",
+
+    "sample_group_topk" ->
+      graft.etl.Sampling.groupSampleSql("documents", "lang", "doc_id", 25),
 
     "sample_mix_rebalance" -> graft.etl.Sampling.mixRebalanceSql(
       "documents", "source", "doc_id", mixTargets, "d.doc_id, d.source"),

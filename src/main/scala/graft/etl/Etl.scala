@@ -118,6 +118,40 @@ object Etl {
     df.repartitionByRange(kcols: _*).sortWithinPartitions(kcols: _*)
   }
 
+  /** Z-order (Morton) key over non-negative integer columns, `bits` low
+    * bits each: bit i of column j lands at output bit i·m + (m−1−j) for
+    * m columns — the bit-interleaved curve index behind multi-dimension
+    * data clustering (Delta/Iceberg OPTIMIZE ZORDER). [[clusterBy]] on
+    * the single interleaved key then gives parquet min/max locality on
+    * EVERY participating column at once, where linear clustering keys
+    * only the leading column (see the layout spec for the measured
+    * per-file range comparison). Pure integer arithmetic — the gate's
+    * oracle reproduces it exactly. Callers bucketize non-integer
+    * columns first (the curve needs a bounded non-negative domain).
+    */
+  def zorderKey(cols: Seq[Column], bits: Int): Column = {
+    require(cols.nonEmpty && bits > 0 && bits * cols.size <= 62,
+      s"zorderKey: need 1+ columns and bits*cols <= 62")
+    val m = cols.size
+    (0 until bits).flatMap { i =>
+      cols.zipWithIndex.map { case (c, j) =>
+        // bit i of column j -> output bit i*m + (m-1-j)
+        shiftleft(shiftright(c.cast("long"), i).bitwiseAND(lit(1L)),
+          i * m + (m - 1 - j))
+      }
+    }.reduce(_ + _)
+  }
+
+  /** DuckDB oracle twin of [[zorderKey]] — identical bit placement. */
+  def zorderKeySql(cols: Seq[String], bits: Int): String = {
+    val m = cols.size
+    (0 until bits).flatMap { i =>
+      cols.zipWithIndex.map { case (c, j) =>
+        s"(((cast($c as bigint) >> $i) & 1) << ${i * m + (m - 1 - j)})"
+      }
+    }.mkString(" + ")
+  }
+
   /** `table_duplicate`: copy with row-count verification metadata
     * (reference: table_duplicate.R:231-237 SELECT * + row-count compare).
     * Returns (copy, qa) — qa is a 1-row frame with the source count.

@@ -190,6 +190,52 @@ object Sampling {
       WHERE ${bucketSql(keyCol)} < cut"""
   }
 
+  /** Deterministic per-group sample of exactly `k` rows (the group-wise
+    * "reservoir" of eval-set construction: k docs per language, k users
+    * per cohort): rows are ranked inside each group by content-hash
+    * order (bucket, then key — total, engine-independent) and the first
+    * k kept, so the sample is replayable anywhere and stable under
+    * reruns. Unlike the RATE samplers above, the output size per group
+    * is exact, not expected.
+    *
+    * Scale shape: the `topk_by` bounded-heap aggregate when the session
+    * registered it — map-side partial top-k, k rows per (group,
+    * partition) shuffled, O(k) state per group, never a whole-group
+    * window funnel. The hash bucket rides as the (negated) score —
+    * bucket is a small integer, exact in a double — with the key as the
+    * integer tiebreak, so the rank order is the same total integer
+    * order the SQL twin's (bucket, key) window uses. Falls back to the
+    * window formulation (spec-equal) without the extension.
+    */
+  def groupSample(df: DataFrame, groupCol: String, keyCol: String,
+                  k: Int): DataFrame = {
+    require(k > 0, "groupSample: k must be positive")
+    val withB = df.withColumn("__b", bucket(df, keyCol).cast("long"))
+    if (df.sparkSession.catalog.functionExists("topk_by")) {
+      withB.groupBy(col(groupCol))
+        .agg(expr(s"topk_by(cast(-__b as double), cast($keyCol as bigint)," +
+          s" struct($keyCol), $k)").as("__top"))
+        .select(col(groupCol),
+          posexplode(col("__top")).as(Seq("__pos", "__e")))
+        .select(col(groupCol), col(s"__e.payload.$keyCol").as(keyCol),
+          (col("__pos") + 1).cast("int").as("rnk"))
+    } else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(groupCol)).orderBy(col("__b"), col(keyCol))
+      withB.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+        .select(col(groupCol), col(keyCol), col("rnk"))
+    }
+  }
+
+  /** DuckDB oracle twin of [[groupSample]]. */
+  def groupSampleSql(table: String, groupCol: String, keyCol: String,
+                     k: Int): String =
+    s"""SELECT $groupCol, $keyCol,
+              cast(row_number() OVER (PARTITION BY $groupCol
+                ORDER BY ${bucketSql(keyCol)}, $keyCol) as int) AS rnk
+       FROM $table QUALIFY rnk <= $k"""
+
   /** Token-budget selection — cap each source's contribution at `budget`
     * whitespace tokens: documents are taken in deterministic hash order
     * (bucket, then key — total and engine-independent) until the

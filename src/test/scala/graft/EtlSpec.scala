@@ -123,6 +123,60 @@ class EtlSpec extends SparkSpec {
     assert(!byLang.contains("fr"))                      // default 0 drops all
   }
 
+  test("zorder layout narrows per-file min/max on BOTH columns; linear only on the first") {
+    // two independent uniform dimensions; the written files' min/max
+    // ranges are what parquet row-group skipping prunes with
+    val df = spark.range(40000).selectExpr(
+      s"cast(${graft.dedup.MinHashSpec.hpExpr(spark, "cast(id as string)")} % 1024 as long) as a",
+      s"cast(${graft.dedup.MinHashSpec.hpExpr(spark, "cast(id + 999999 as string)")} % 1024 as long) as b")
+    def avgSpan(dir: String, c: String): Double = {
+      val spans = spark.read.parquet(dir)
+        .groupBy(input_file_name()).agg((max(col(c)) - min(col(c))).as("s"))
+        .collect().map(_.getLong(1).toDouble)
+      spans.sum / spans.length / 1024.0
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    // linear clustering on (a, b): 16 range partitions keyed by a
+    df.repartitionByRange(16, col("a"), col("b"))
+      .sortWithinPartitions("a", "b").write.parquet(s"$tmp/linear")
+    // z-order: 16 range partitions of the interleaved key
+    val zk = graft.etl.Etl.zorderKey(Seq(col("a"), col("b")), 10)
+    df.withColumn("zk", zk).repartitionByRange(16, col("zk"))
+      .sortWithinPartitions("zk").drop("zk").write.parquet(s"$tmp/zorder")
+    val (linA, linB) = (avgSpan(s"$tmp/linear", "a"), avgSpan(s"$tmp/linear", "b"))
+    val (zA, zB) = (avgSpan(s"$tmp/zorder", "a"), avgSpan(s"$tmp/zorder", "b"))
+    // linear: a is tightly ranged (~1/16), b spans nearly everything
+    assert(linA < 0.2 && linB > 0.8)
+    // z-order: BOTH dimensions tile to a fraction of the domain (ideal
+    // 1/4 for 16 tiles on a 2-d curve; range-partition boundaries cut
+    // mid-tile, so allow up to 1/2) — the b-column span in particular
+    // must collapse vs the linear layout, which is the whole point
+    assert(zA < 0.5 && zB < 0.5, s"zorder spans a=$zA b=$zB")
+    assert(zB < linB / 1.8, s"zorder b=$zB vs linear b=$linB")
+  }
+
+  test("groupSample: exact k per group, agg path equals window fallback") {
+    val df = spark.range(3000).selectExpr("id as k",
+      "CASE WHEN id % 3 = 0 THEN 'a' WHEN id % 3 = 1 THEN 'b' ELSE 'c' END as g")
+      .repartition(7)
+    val viaAgg = graft.etl.Sampling.groupSample(df, "g", "k", 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    // every group has exactly k rows, ranks 1..k
+    assert(viaAgg.groupBy(_._1).forall { case (_, rows) =>
+      rows.size == 10 && rows.map(_._3).toSet == (1 to 10).toSet })
+    // the window formulation (the no-extension fallback) picks the
+    // identical rows in the identical order
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("__b"), col("k"))
+    val viaWindow = df
+      .withColumn("__b", expr(
+        graft.dedup.MinHashSpec.hpExpr(spark, "cast(k as string)") + " % 10000"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10)
+      .select("g", "k", "rnk")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaAgg == viaWindow)
+  }
+
   test("hashSplit covers every row once with ~weight proportions") {
     val df = spark.range(10000).toDF("k")
     val out = graft.etl.Sampling.hashSplit(df, "k",
