@@ -61,6 +61,13 @@ object Joins {
   /** [[asofFused]] with a COMPOSITE key (e.g. (user_id, device)): both
     * sides cluster on all key columns and the merge compares them
     * lexicographically — same contract otherwise.
+    *
+    * Pruning note: a custom logical node is opaque to ColumnPruning —
+    * Catalyst cannot push a parent's column selection through it into
+    * the probe scan. SELECT the probe columns you need BEFORE calling
+    * (the build side is already narrowed to key+ts+buildCols here).
+    * The union-window [[asof]] does not have this edge; prefer it when
+    * the probe projection is decided far above the join.
     */
   def asofFusedKeys(probe: DataFrame, build: DataFrame, keys: Seq[String],
                     ts: String, buildCols: Seq[String] = Nil,
