@@ -23,16 +23,23 @@ object AsofProfile {
     val spark = Tables.session("graft-asof-profile", cores = 32)
     spark.sparkContext.setLogLevel("ERROR")
 
-    // events-only replica is enough here; reuse ScaleCheck's if complete
-    if (!new java.io.File(s"$dst/_REPLICATED").exists()) {
+    // events-only replica is enough here; reuse ScaleCheck's full
+    // replica OR a previous AsofProfile run's events-only one. The
+    // events marker is separate from ScaleCheck's _REPLICATED so an
+    // events-only dir is never mistaken for a complete replica.
+    val evMarker = new java.io.File(s"$dst/_EVENTS_REPLICATED")
+    if (new java.io.File(s"$dst/_REPLICATED").exists() || evMarker.exists()) {
+      println(s"reusing replica at $dst")
+    } else {
       val base = Tables(spark, src, "events")
       (0 until n).map { i =>
         base.withColumn("event_id", col("event_id") + lit(i * 100000000L))
           .withColumn("user_id", col("user_id") + lit(i * 1000000L))
       }.reduce(_.unionByName(_))
         .write.mode("overwrite").parquet(s"$dst/events.parquet")
+      java.nio.file.Files.writeString(evMarker.toPath, "ok"): Unit
       println(s"replicated events x$n into $dst")
-    } else println(s"reusing replica at $dst")
+    }
 
     @volatile var shuffleBytes = 0L
     @volatile var shuffleRecords = 0L

@@ -20,6 +20,12 @@ object Joins {
     * Union + carry-forward window: ONE shuffle on the key, running
     * `last(..., ignoreNulls)` in (ts, build-first) order — build rows at
     * the exact probe timestamp are visible (DuckDB ASOF `>=` semantics).
+    * The carried value is ONE struct of (ts, buildCols) built only for
+    * build rows — row-atomic, so a matched build row's NULL payload
+    * column stays NULL (a per-column carry would instead back-fill it
+    * from an OLDER build row, silently mixing two rows' values — the
+    * divergence a self-review caught; struct-carry matches DuckDB ASOF
+    * and [[asofFused]] exactly).
     * Output: all probe columns + `<prefix><ts>` (matched build
     * timestamp, NULL when no build row precedes) + `<prefix><c>` for
     * each requested build column. `buildCols` must not collide with
@@ -35,13 +41,15 @@ object Joins {
     val unioned = pb.unionByName(bd, allowMissingColumns = true)
     val w = Window.partitionBy(col(key)).orderBy(col(ts), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    def carried(c: String): Column =
-      last(when(col("__side") === 0, col(c)), ignoreNulls = true).over(w)
-    val withCarry = (ts +: buildCols).foldLeft(unioned) { (d, c) =>
-      d.withColumn(prefix + c, carried(c))
-    }
-    withCarry.filter(col("__side") === 1)
-      .drop("__side").drop(buildCols: _*)
+    val buildStruct = when(col("__side") === 0,
+      struct((ts +: buildCols).map(col): _*))
+    val withCarry = unioned
+      .withColumn("__carry", last(buildStruct, ignoreNulls = true).over(w))
+    (ts +: buildCols).foldLeft(withCarry) { (d, c) =>
+        d.withColumn(prefix + c, col(s"__carry.$c"))
+      }
+      .filter(col("__side") === 1)
+      .drop("__side", "__carry").drop(buildCols: _*)
   }
 
   /** [[asof]] via the fused physical operator
@@ -89,6 +97,14 @@ object Joins {
       throw new IllegalArgumentException(s"asofFused: no column $n"))
     val payload = buildCols.map(attr(bPlan.output, _))
     val bTs = attr(bPlan.output, ts)
+    // fail at plan-build time, not as a ClassCastException mid-merge on
+    // the executors: the interpreted orderings are built from the
+    // PROBE side's types and applied to both
+    (keys :+ ts).foreach { c =>
+      val (pt, bt) = (attr(pPlan.output, c).dataType, attr(bPlan.output, c).dataType)
+      require(pt == bt,
+        s"asofFused: column $c type mismatch probe=$pt build=$bt")
+    }
     val matchedOut = (bTs +: payload).map(a =>
       org.apache.spark.sql.catalyst.expressions.AttributeReference(
         prefix + a.name, a.dataType, nullable = true)())

@@ -211,7 +211,18 @@ object Sampling {
                   k: Int): DataFrame = {
     require(k > 0, "groupSample: k must be positive")
     val withB = df.withColumn("__b", bucket(df, keyCol).cast("long"))
-    if (df.sparkSession.catalog.functionExists("topk_by")) {
+    // the topk_by path needs the key as its bigint tiebreak — a
+    // non-integral key would cast to NULL and the aggregate would
+    // silently skip every row (self-review catch); string/uuid keys
+    // take the spec-equal window path instead
+    val integralKey = df.schema(keyCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    if (integralKey && df.sparkSession.catalog.functionExists("topk_by")) {
       withB.groupBy(col(groupCol))
         .agg(expr(s"topk_by(cast(-__b as double), cast($keyCol as bigint)," +
           s" struct($keyCol), $k)").as("__top"))

@@ -908,6 +908,18 @@ object Text {
         "(need sketchK+1 >= 1000/perMille for the Misra-Gries guarantee)")
     val spark = df.sparkSession
     val toks = df.select(explode(tokens(col(textCol))).as("tok"))
+    if (!spark.catalog.functionExists("misra_gries")) {
+      // builtin fallback (house contract: every operator runs without
+      // the extension): the naive full-vocab groupBy — correct, and
+      // fine while the vocabulary fits the shuffle; the sketch path is
+      // the open-web-scale shape
+      val counted = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val total = counted.agg(sum(col("cnt")).as("n"))
+      return counted.crossJoin(broadcast(total))
+        .filter(col("cnt") * 1000 > col("n") * perMille)
+        .select(col("tok"), col("cnt"))
+    }
     // pass 1: sketch + total token count in the SAME single-pass agg
     val sketch = toks.agg(
       expr(s"misra_gries(tok, $sketchK)").as("mg"),

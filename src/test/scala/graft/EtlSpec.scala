@@ -177,6 +177,17 @@ class EtlSpec extends SparkSpec {
     assert(viaAgg == viaWindow)
   }
 
+  test("groupSample with a STRING key takes the window path and still returns exact k") {
+    val df = spark.range(300).selectExpr("concat('key_', id) as k",
+      "CASE WHEN id % 2 = 0 THEN 'x' ELSE 'y' END as g")
+    val out = graft.etl.Sampling.groupSample(df, "g", "k", 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    // a bigint-tiebreak fast path would cast the string key to NULL and
+    // silently return zero rows (self-review catch)
+    assert(out.length == 10)
+    assert(out.groupBy(_._1).forall(_._2.map(_._3).toSet == (1 to 5).toSet))
+  }
+
   test("hashSplit covers every row once with ~weight proportions") {
     val df = spark.range(10000).toDF("k")
     val out = graft.etl.Sampling.hashSplit(df, "k",

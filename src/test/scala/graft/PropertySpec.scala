@@ -128,6 +128,23 @@ class PropertySpec extends SparkSpec {
     assert(self == Map(10L -> null, 30L -> 20L))
   }
 
+  test("as-of carry is row-atomic: matched build row's NULL payload stays NULL in both forms") {
+    import graft.analytics.Joins
+    import spark.implicits._
+    // build rows: older one HAS a payload, newest (the match) has NULL —
+    // a per-column ignoreNulls carry would back-fill 'a' from ts=5;
+    // the row-atomic contract (DuckDB ASOF) keeps the matched row's NULL
+    val probe = Seq((1L, 20L)).toDF("k", "ms")
+    val build = Seq((1L, 5L, Some("a")), (1L, 10L, None))
+      .toDF("k", "ms", "v")
+    def run(f: => org.apache.spark.sql.DataFrame) = f
+      .select("asof_ms", "asof_v").collect().map(r =>
+        (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1))).head
+    val win = run(Joins.asof(probe, build, "k", "ms", buildCols = Seq("v")))
+    val fus = run(Joins.asofFused(probe, build, "k", "ms", buildCols = Seq("v")))
+    assert(win == ((10L, null)) && fus == ((10L, null)))
+  }
+
   test("fused as-of with composite key matches per-key-pair expectations") {
     import graft.analytics.Joins
     import spark.implicits._
