@@ -83,6 +83,15 @@ object AsofProfile {
       println(f"[asof-profile] $label%-28s ${t}%7.2f s  shuffle=${b / 1e6}%9.1f MB  rows=$r%,12d")
     }
 
+    // wide-payload variant: 9 build columns — measures how the union
+    // form's widening tax (one null slot per payload column per probe
+    // row) grows with payload width vs the fused form
+    def buildWide(dir: String) = events(dir).filter(col("event_type") === "click")
+      .select(Seq(col("user_id"), col("ms"), col("event_id").as("w1"),
+        col("event_type").as("w2")) ++
+        (3 to 9).map(i => (col("ms") % (991 + i)).as(s"w$i")): _*)
+    val wideCols = Seq("w1", "w2") ++ (3 to 9).map(i => s"w$i")
+
     Seq("1x" -> src, s"${n}x" -> dst).foreach { case (tag, dir) =>
       time(s"asof_window   $tag",
         Joins.asof(probe(dir), build(dir), "user_id", "ms",
@@ -90,6 +99,12 @@ object AsofProfile {
       time(s"asof_fused    $tag",
         Joins.asofFused(probe(dir), build(dir), "user_id", "ms",
           buildCols = Seq("click_id", "click_type", "click_feature")))
+      time(s"asof_window w9 $tag",
+        Joins.asof(probe(dir), buildWide(dir), "user_id", "ms",
+          buildCols = wideCols))
+      time(s"asof_fused  w9 $tag",
+        Joins.asofFused(probe(dir), buildWide(dir), "user_id", "ms",
+          buildCols = wideCols))
       // the gated interval query as-is (replication caveat: same time
       // range, so OUTPUT grows quadratically at 10× — the shuffle-bytes
       // column is the comparable number, not wall time)

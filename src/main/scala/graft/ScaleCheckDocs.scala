@@ -187,7 +187,8 @@ object ScaleCheckDocs {
       "dedup_ngram_jaccard", "dedup_spans", "text_unigram_logprob",
       "text_contamination", "corpus_pack_sequences", "sim_semdedup",
       "text_entropy", "sample_temperature", "dedup_containment",
-      "emb_quantize", "text_tfidf_keywords", "text_collocations")
+      "emb_quantize", "text_tfidf_keywords", "text_collocations",
+      "text_heavy_hitters", "emb_norm_filter", "sample_group_topk")
     val unknown = only.toSet -- allNames.toSet
     require(unknown.isEmpty,
       s"unknown query names (would be silently skipped): ${unknown.mkString(", ")}")

@@ -22,11 +22,14 @@ import org.apache.spark.sql.types.DataType
   * every build row ships `null` probe columns) and then shuffles + sorts
   * the widened union as ONE dataset. The fused form shuffles each side
   * with its OWN schema and streams a per-partition merge, so
-  *   - shuffled bytes drop by the widening factor (AsofProfile, 3
-  *     payload cols on the purchase/click shape, 50× events: 39.9 →
-  *     33.2 MB and 0.90 → 0.68 s wall, stable at 10×/50×; the byte
-  *     gap widens with payload width since every probe row ships one
-  *     null slot per payload column in the union form), and
+  *   - shuffled bytes drop (AsofProfile on the purchase/click shape,
+  *     50× events: 38.5 → 33.2 MB at 3 payload cols, 62.8 → 56.8 at
+  *     9; wall 1.03 → 0.80 s / 0.88 → 0.69 s, stable at 10×/50×).
+  *     Measured honestly: the RELATIVE byte gap stays ~1.1–1.2× and
+  *     does NOT grow with payload width — lz4 compresses the union
+  *     form's null slots almost away — so the ~1.3× wall win comes
+  *     mostly from the split sorts and from dropping the window
+  *     operator, not from raw bytes; and
   *   - the sort cost splits into two smaller sorts (n·log n + m·log m
   *     < (n+m)·log(n+m)), each of which AQE can also skip entirely when
   *     a side arrives pre-sorted — impossible for the union, whose sort
