@@ -128,6 +128,43 @@ class PropertySpec extends SparkSpec {
     assert(self == Map(10L -> null, 30L -> 20L))
   }
 
+  test("fused as-of survives aggressive AQE partition coalescing (co-partitioned zip)") {
+    import graft.analytics.Joins
+    // zipPartitions requires BOTH shuffled children to end with the
+    // same partition count — AQE's CoalesceShufflePartitions must
+    // treat the two sides as one coalesce group. Force it to actually
+    // fire: many initial partitions, tiny advisory size.
+    val conf = spark.conf
+    val keys = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val prev = keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "64")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+      val e = Tables(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("unix_micros(ts) div 1000").as("ms"))
+      val probe = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ms"))
+      val build = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ms"))
+      val fused = Joins.asofFused(probe, build, "user_id", "ms")
+        .select("event_id", "asof_ms").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+      val window = Joins.asof(probe, build, "user_id", "ms")
+        .select("event_id", "asof_ms").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+      assert(fused.nonEmpty && fused == window)
+    } finally prev.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
+
   test("as-of carry is row-atomic: matched build row's NULL payload stays NULL in both forms") {
     import graft.analytics.Joins
     import spark.implicits._
