@@ -402,6 +402,8 @@ object SparkEntry {
     // same query through the tier-(c) fused physical operator
     // (graft.plans.AsofJoinExec), gated against the same ASOF oracle
     "q_asof_join_fused" -> ((s, dir) => Queries.asofJoinFused(s, dir)),
+    // the fused operator's carried-PAYLOAD path, tie-deduped build side
+    "q_asof_join_payload" -> ((s, dir) => Queries.asofJoinPayload(s, dir)),
     // the O(1)-state streaming as-of enrichment driven end-to-end,
     // gated against the SAME ASOF JOIN oracle as the batch twin
     "stream_asof_enrich" -> ((s, dir) =>
@@ -417,6 +419,10 @@ object SparkEntry {
 
     // ---- D. LLM-data-pipeline ----
     "dedup_exact_docs" -> ((s, dir) => Dedup.exact(Tables(s, dir, "documents"))),
+    // cluster-size histogram: the distribution that prices every
+    // pair-emitting dedup stage (pair space is sigma cluster^2)
+    "dedup_cluster_stats" -> ((s, dir) =>
+      Dedup.clusterSizeStats(Tables(s, dir, "documents"))),
     "dedup_exact_normalized" -> ((s, dir) =>
       Dedup.exactNormalized(Tables(s, dir, "documents"))),
     "dedup_corpus_clean" -> ((s, dir) =>
@@ -1258,6 +1264,22 @@ object SparkEntry {
     // exactly the window form's answer
     "q_asof_join_fused" -> asofOracle,
 
+    // DuckDB native ASOF with a carried build column (build side
+    // deduped per (user, ms) so the payload is engine-deterministic)
+    "q_asof_join_payload" ->
+      """WITH p AS (
+           SELECT event_id, user_id,
+                  epoch_us(cast(ts as timestamp)) // 1000 AS ms
+           FROM events WHERE event_type = 'purchase'),
+         c AS (
+           SELECT user_id,
+                  epoch_us(cast(ts as timestamp)) // 1000 AS cms,
+                  max(event_id) AS click_id
+           FROM events WHERE event_type = 'click'
+           GROUP BY user_id, cms)
+         SELECT p.event_id, p.ms - c.cms AS ms_since_click, c.click_id
+         FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ms >= c.cms""",
+
     // identical oracle: the streaming as-of path must land on exactly
     // the batch answer
     "stream_asof_enrich" -> asofOracle,
@@ -1267,6 +1289,15 @@ object SparkEntry {
     // identical oracle: the streaming stateful path must land on exactly
     // the batch answer
     "stream_sessionize" -> sessionizeOracle,
+
+    "dedup_cluster_stats" ->
+      """WITH c AS (
+           SELECT md5(text) AS text_hash, cast(count(*) as bigint)
+                    AS cluster_size
+           FROM documents GROUP BY text_hash)
+         SELECT cluster_size, cast(count(*) as bigint) AS n_clusters,
+                cast(count(*) * cluster_size as bigint) AS n_docs
+         FROM c GROUP BY cluster_size""",
 
     "dedup_exact_docs" ->
       """WITH h AS (SELECT doc_id, md5(text) AS text_hash FROM documents),

@@ -190,6 +190,32 @@ object Queries {
       .select(col("event_id"), (col("ms") - col("asof_ms")).as("ms_since_click"))
   }
 
+  /** [[asofJoinFused]] carrying a PAYLOAD column — gates the fused
+    * operator's matched-row value path (not just the matched
+    * timestamp) against DuckDB ASOF. The build side is pre-aggregated
+    * to one click per (user, ms): several clicks can share a truncated
+    * millisecond, and which of them "is" the as-of match at a tie is
+    * physical-order-dependent in BOTH engines — the pre-agg makes the
+    * carried payload well-defined, which is what a production as-of
+    * enrich does anyway.
+    */
+  def asofJoinPayload(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("unix_micros(ts) div 1000").as("ms"))
+    val probe = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ms"))
+    val build = e.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ms"))
+      .agg(max(col("event_id")).as("click_id"))
+    Joins.asofFused(probe, build, "user_id", "ms",
+        buildCols = Seq("click_id"))
+      .filter(col("asof_ms").isNotNull)
+      .select(col("event_id"),
+        (col("ms") - col("asof_ms")).as("ms_since_click"),
+        col("asof_click_id").as("click_id"))
+  }
+
   /** Correlated-aggregate filter: orders priced above their priority
     * class average — the window formulation reuses one shuffle instead
     * of the self-join a literal correlated subquery would plan.

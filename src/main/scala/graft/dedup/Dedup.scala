@@ -30,6 +30,22 @@ object Dedup {
         (col(idCol) =!= col("keep_id")).cast("int").as("is_duplicate"))
   }
 
+  /** Duplicate-cluster SIZE histogram over [[exact]]'s classes: how
+    * many clusters have 1, 2, … members — THE diagnostic that prices
+    * every pair-emitting stage before running it (candidate pairs and
+    * postings joins are Σ cluster², so one mega-cluster dominates; the
+    * §8a scale tables attribute every super-linear ratio to exactly
+    * this distribution). Two bounded aggregations after the one content
+    * shuffle; output is at most |distinct cluster sizes| rows.
+    */
+  def clusterSizeStats(df: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame =
+    df.select(md5(col(textCol)).as("text_hash"))
+      .groupBy(col("text_hash")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        (count(lit(1)) * col("cluster_size")).as("n_docs"))
+
   /** Fuzzy-exact dedup: [[exact]] over [[Text.normalize]]d text, so
     * case / punctuation / whitespace variants fall into one duplicate
     * class. Same single-shuffle shape as exact; the standard first pass

@@ -412,4 +412,15 @@ class TextDedupSpec extends SparkSpec {
       r.getAs[Long](s"band_$j") << (j * SimHash.BAND_BITS)).sum
     assert(rebuilt == r.getAs[Long]("simhash"))
   }
+
+  test("clusterSizeStats histograms planted duplicate clusters exactly") {
+    // 4 singletons, one pair, one triple -> sizes {1:4, 2:1, 3:1}
+    val docs = (Seq.tabulate(4)(i => s"unique doc $i") ++
+      Seq.fill(2)("pair doc") ++ Seq.fill(3)("triple doc"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val out = Dedup.clusterSizeStats(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(1L -> ((4L, 4L)), 2L -> ((1L, 2L)), 3L -> ((1L, 3L))))
+  }
 }
