@@ -327,6 +327,10 @@ object SparkEntry {
     "q_join_star" -> ((s, dir) => Queries.starJoin(s, dir)),
     "q_join_large" -> ((s, dir) => Queries.joinLarge(s, dir)
       .withColumn("o_orderdate", col("o_orderdate").cast("date").cast("string"))),
+    // the same fact-dim join through the SALTED path (Skew.saltedJoin)
+    // gated against the PLAIN join oracle: the skew lever is
+    // value-identical, end to end
+    "q_join_salted" -> ((s, dir) => Queries.joinSalted(s, dir)),
     "q_window_topn" -> ((s, dir) => Queries.windowTopN(s, dir)),
     "q_rollup" -> ((s, dir) => Queries.rollupAgg(s, dir)),
     "q_cube" -> ((s, dir) => Queries.cubeAgg(s, dir)),
@@ -462,6 +466,10 @@ object SparkEntry {
     "corpus_pack_sequences" -> ((s, dir) =>
       graft.etl.Sampling.packSequences(Tables(s, dir, "documents"),
         "doc_id", "text", seqLen = 256, shards = 8)),
+    // per-source composition report (docs / tokens / chars / ppm
+    // shares) — the mixture table every selection stage starts from
+    "corpus_source_stats" -> ((s, dir) =>
+      graft.etl.Sampling.sourceStats(Tables(s, dir, "documents"))),
     // temperature mixing (α = 0.5 via the correctly-rounded sqrt) over
     // the SKEWED language mix (en dominates): low-resource languages
     // keep ~everything, en thins to ~0.54 — the mT5 balancing move
@@ -514,6 +522,11 @@ object SparkEntry {
     // surviving spans
     "dedup_spans" -> ((s, dir) =>
       Dedup.spanDedup(Tables(s, dir, "documents"))),
+    // df-threshold boilerplate removal: spans occurring in >2 distinct
+    // docs are dropped EVERYWHERE (vs dedup_spans' first-occurrence
+    // keep) — the CCNet line-dedup recipe on token spans
+    "dedup_boilerplate" -> ((s, dir) =>
+      Dedup.boilerplateDedup(Tables(s, dir, "documents"))),
     "sim_cosine_topk" -> ((s, dir) =>
       Similarity.cosineTopK(Tables(s, dir, "embeddings"), (0L until 10L), 5)),
     "sim_ann_lsh" -> ((s, dir) =>
@@ -1141,6 +1154,13 @@ object SparkEntry {
          ORDER BY revenue DESC, o_orderkey
          LIMIT 10""",
 
+    // the PLAIN join: the salted path must be indistinguishable by value
+    "q_join_salted" ->
+      """SELECT c_nationkey, round(sum(o_totalprice), 2) AS revenue,
+                cast(count(*) as bigint) AS n_orders
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_nationkey""",
+
     "q_window_topn" ->
       """SELECT p_brand, p_partkey, p_retailprice,
                 cast(row_number() OVER (PARTITION BY p_brand
@@ -1379,6 +1399,8 @@ object SparkEntry {
     "corpus_pack_sequences" -> graft.etl.Sampling.packSequencesSql(
       "documents", "doc_id", "text", seqLen = 256, shards = 8),
 
+    "corpus_source_stats" -> graft.etl.Sampling.sourceStatsSql(),
+
     "sample_temperature" -> graft.etl.Sampling.temperatureMixSql(
       "documents", "lang", "doc_id", sqrtApplications = 1,
       "doc_id, lang"),
@@ -1565,6 +1587,7 @@ object SparkEntry {
     "dedup_lsh_jaccard" -> MinHashSpec.duckdbJaccardSql(),
     "dedup_simhash" -> SimHash.duckdbSql(),
     "dedup_spans" -> Dedup.spanDedupSql(),
+    "dedup_boilerplate" -> Dedup.boilerplateDedupSql(),
     "text_fingerprint" -> Text.fingerprintSql(),
     "text_ngram_freq" -> Text.ngramFreqSql(),
     "text_contamination" -> Text.contaminationSql(),

@@ -67,6 +67,25 @@ object Queries {
       .limit(10)
   }
 
+  /** [[joinLarge]]'s shape through the SALTED join ([[graft.etl.Skew
+    * .saltedJoin]]): fact keys spread over saltFactor sub-keys, the dim
+    * side replicated to match, results exactly the plain join's — gated
+    * here against the plain-join DuckDB oracle, so the skew lever is
+    * proven value-identical end to end, not just spec-equal. Use when a
+    * handful of hot keys dominate and AQE's post-shuffle split is
+    * unavailable (sort-merge feeding a stateful op).
+    */
+  def joinSalted(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_totalprice"))
+    val c = Tables(spark, dir, "customer")
+      .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))
+    graft.etl.Skew.saltedJoin(o, c, "o_custkey", saltFactor = 8)
+      .groupBy(col("c_nationkey"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+  }
+
   /** Window top-N: top 3 parts by retail price within each brand. */
   def windowTopN(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables(spark, dir, "part")

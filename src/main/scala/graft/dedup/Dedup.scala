@@ -337,9 +337,24 @@ object Dedup {
     */
   def spanDedup(df: DataFrame, idCol: String = "doc_id",
                 textCol: String = "text", window: Int = 10): DataFrame = {
+    val keyed = spanSegments(df, idCol, textCol, window)
+    val byContent = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__h")).orderBy(col(idCol), col("seg"))
+    val marked = keyed.withColumn("kept",
+      (row_number().over(byContent) === 1).cast("int"))
+    reassemble(marked, idCol)
+  }
+
+  /** Non-overlapping `window`-token spans of each document, keyed for a
+    * content shuffle: full spans by md5(text) (bounded 32-char key);
+    * partial tail spans by a unique per-instance key, so they are kept
+    * by construction and never form a skewed null/constant partition.
+    * Shared segmentation of [[spanDedup]] and [[boilerplateDedup]].
+    */
+  private def spanSegments(df: DataFrame, idCol: String, textCol: String,
+                           window: Int): DataFrame = {
     val w = window
-    val segs = df
-      .withColumn("__toks", split(col(textCol), " "))
+    df.withColumn("__toks", split(col(textCol), " "))
       .select(col(idCol), posexplode(expr(
         s"""transform(sequence(0, (size(__toks) - 1) div $w),
               i -> struct(array_join(slice(__toks, i * $w + 1, $w), ' ')
@@ -347,15 +362,15 @@ object Dedup {
                           size(slice(__toks, i * $w + 1, $w)) AS seg_len))""")))
       .select(col(idCol), col("pos").as("seg"),
         col("col.seg_text").as("seg_text"), col("col.seg_len").as("seg_len"))
-    // Full spans key on content; partials on a unique per-instance key
-    // (kept by construction, and no skewed null/constant partition).
-    val keyed = segs.withColumn("__h",
-      when(col("seg_len") === w, md5(col("seg_text")))
-        .otherwise(concat(lit("p:"), col(idCol), lit(":"), col("seg"))))
-    val byContent = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__h")).orderBy(col(idCol), col("seg"))
-    val marked = keyed.withColumn("kept",
-      (row_number().over(byContent) === 1).cast("int"))
+      .withColumn("__h",
+        when(col("seg_len") === w, md5(col("seg_text")))
+          .otherwise(concat(lit("p:"), col(idCol), lit(":"), col("seg"))))
+  }
+
+  /** Re-assemble each document from its `kept`-marked spans, in span
+    * order, with the span ledger (total vs kept counts).
+    */
+  private def reassemble(marked: DataFrame, idCol: String): DataFrame =
     marked.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_spans"),
         sum(col("kept")).as("n_kept"),
@@ -363,6 +378,71 @@ object Dedup {
             when(col("kept") === 1, struct(col("seg"), col("seg_text"))))),
           x => x("seg_text")), " ").as("clean_text"))
       .select(col(idCol), col("n_spans"), col("n_kept"), col("clean_text"))
+
+  /** Boilerplate (df-threshold) span removal — the CCNet / RefinedWeb
+    * line-dedup recipe adapted to token spans: a full span whose text
+    * occurs in MORE THAN `maxDf` distinct documents is boilerplate and
+    * is dropped from EVERY document — including the first occurrence,
+    * which is what separates this from [[spanDedup]] (first-occurrence
+    * keep): headers, navigation chrome and license blocks carry no
+    * signal anywhere, so no copy survives. Rare spans (df <= maxDf) are
+    * kept in all their documents; partial tail spans are never
+    * candidates.
+    *
+    * Scale shape: TWO corpus scans by design — the span inventory is
+    * derived once for the distinct-doc count per span hash (bounded md5
+    * key, partial-combined) and re-derived for the removal join, rather
+    * than materialized: the exploded span table is larger than the
+    * source corpus, so at scale recomputing a scan+explode is the cheap
+    * side of that trade. The df filter runs before the join, so the
+    * join's right side is ONLY the (small) set of spans repeating
+    * across >maxDf documents, not the full span inventory — AQE
+    * broadcasts it when it fits. One groupBy(doc) to re-assemble.
+    */
+  def boilerplateDedup(df: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text", window: Int = 10,
+                       maxDf: Int = 2): DataFrame = {
+    val keyed = spanSegments(df, idCol, textCol, window)
+    val boiler = keyed.filter(col("seg_len") === window)
+      .groupBy(col("__h"))
+      .agg(count_distinct(col(idCol)).as("__df"))
+      .filter(col("__df") > maxDf)
+      .select(col("__h"), lit(1).as("__is_boiler"))
+    val marked = keyed.join(boiler, Seq("__h"), "left")
+      .withColumn("kept", col("__is_boiler").isNull.cast("int"))
+    reassemble(marked, idCol)
+  }
+
+  /** DuckDB oracle mirroring [[boilerplateDedup]] exactly (distinct-doc
+    * count per full-span text; spans over the threshold dropped
+    * everywhere; partial tails always kept).
+    */
+  def boilerplateDedupSql(table: String = "documents",
+                          idCol: String = "doc_id", textCol: String = "text",
+                          window: Int = 10, maxDf: Int = 2): String = {
+    val w = window
+    s"""WITH segs AS (
+      SELECT $idCol, u.i AS seg,
+             array_to_string(ts[u.i * $w + 1 : u.i * $w + $w], ' ') AS seg_text,
+             len(ts[u.i * $w + 1 : u.i * $w + $w]) AS seg_len
+      FROM (SELECT $idCol, string_split($textCol, ' ') AS ts FROM $table),
+           LATERAL (SELECT unnest(generate_series(0, (len(ts) - 1) // $w)) AS i) u
+    ), boiler AS (
+      SELECT seg_text FROM segs WHERE seg_len = $w
+      GROUP BY seg_text HAVING count(DISTINCT $idCol) > $maxDf
+    ), marked AS (
+      SELECT s.$idCol, s.seg, s.seg_text,
+             CASE WHEN s.seg_len < $w THEN 1
+                  WHEN b.seg_text IS NULL THEN 1 ELSE 0 END AS kept
+      FROM segs s LEFT JOIN boiler b
+        ON s.seg_len = $w AND s.seg_text = b.seg_text
+    )
+    SELECT $idCol,
+           cast(count(*) as bigint) AS n_spans,
+           cast(sum(kept) as bigint) AS n_kept,
+           coalesce(string_agg(CASE WHEN kept = 1 THEN seg_text END,
+                               ' ' ORDER BY seg), '') AS clean_text
+    FROM marked GROUP BY $idCol"""
   }
 
   /** DuckDB oracle mirroring [[spanDedup]] exactly (first occurrence by

@@ -397,4 +397,58 @@ object Sampling {
             cast(floor((e - 1) / $seqLen)
               - floor((e - n_tokens) / $seqLen) + 1 as int) AS n_seqs
      FROM cum"""
+
+  /** Corpus composition report: per-source document / token / character
+    * counts plus parts-per-million shares — the mixture table every
+    * selection decision ([[mixRebalance]], [[temperatureMix]],
+    * [[tokenBudget]]) starts from, and the number a pipeline prints
+    * before and after every cleaning stage. Shares are integer ppm
+    * (`n * 1_000_000 div total`): engine-exact, no float division.
+    *
+    * Scale shape: ONE corpus scan with a partial-combined per-source
+    * aggregate; the totals come from an unpartitioned window over that
+    * aggregate's |sources| rows (bounded — one source list fits one
+    * partition by definition), so the corpus is never scanned twice and
+    * never shuffles beyond the per-source combine.
+    */
+  def sourceStats(df: DataFrame, sourceCol: String = "source",
+                  textCol: String = "text"): DataFrame = {
+    val per = df
+      .select(col(sourceCol),
+        size(graft.text.Text.tokens(col(textCol))).cast("long").as("__t"),
+        length(col(textCol)).cast("long").as("__c"))
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("n_tokens"),
+        sum(col("__c")).as("n_chars"))
+    val all = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    // ppm products in decimal: bigint n_tokens * 1e6 overflows Long
+    // around 9e12 total tokens — inside 100 TB corpus range
+    per.withColumn("__td", sum(col("n_docs")).over(all))
+      .withColumn("__tt", sum(col("n_tokens")).over(all))
+      .select(col(sourceCol), col("n_docs"), col("n_tokens"), col("n_chars"),
+        expr("cast(n_docs as decimal(38,0)) * 1000000" +
+          " div cast(__td as decimal(38,0))").as("doc_ppm"),
+        expr("cast(n_tokens as decimal(38,0)) * 1000000" +
+          " div cast(__tt as decimal(38,0))").as("tok_ppm"))
+  }
+
+  /** DuckDB oracle twin of [[sourceStats]]. */
+  def sourceStatsSql(table: String = "documents",
+                     sourceCol: String = "source",
+                     textCol: String = "text"): String =
+    s"""WITH per AS (
+         SELECT $sourceCol,
+                cast(count(*) as bigint) AS n_docs,
+                cast(sum(len(string_split_regex(trim(lower($textCol)),
+                  '${graft.text.Text.wsRe}'))) as bigint) AS n_tokens,
+                cast(sum(length($textCol)) as bigint) AS n_chars
+         FROM $table GROUP BY $sourceCol)
+       SELECT $sourceCol, n_docs, n_tokens, n_chars,
+              cast(cast(n_docs as hugeint) * 1000000
+                // (SELECT sum(n_docs) FROM per) as bigint) AS doc_ppm,
+              cast(cast(n_tokens as hugeint) * 1000000
+                // (SELECT sum(n_tokens) FROM per) as bigint) AS tok_ppm
+       FROM per"""
 }

@@ -636,4 +636,14 @@ class EtlSpec extends SparkSpec {
       "text", seqLen = 64, shards = 4).collect().map(_.toSeq).toSet
     assert(a == b)
   }
+
+  test("sourceStats: exact counts and integer-ppm shares on planted mix") {
+    val docs = Seq(("A", "a b"), ("A", "c"), ("B", "d e f"))
+      .toDF("source", "text")
+    val out = graft.etl.Sampling.sourceStats(docs).collect()
+      .map(r => r.getString(0) -> r.toSeq.tail).toMap
+    // A: 2 docs / 3 tokens / 4 chars; totals 3 docs / 6 tokens
+    assert(out("A") == Seq(2L, 3L, 4L, 2L * 1000000L / 3L, 500000L))
+    assert(out("B") == Seq(1L, 3L, 5L, 1000000L / 3L, 500000L))
+  }
 }

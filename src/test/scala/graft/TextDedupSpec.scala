@@ -423,4 +423,25 @@ class TextDedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(out == Map(1L -> ((4L, 4L)), 2L -> ((1L, 2L)), 3L -> ((1L, 3L))))
   }
+
+  test("boilerplateDedup drops >maxDf spans EVERYWHERE, keeps rare and partial") {
+    def span(p: String) = (1 to 10).map(p + _).mkString(" ")
+    val boiler = span("b") // in 4 docs (df=4 > 2): dropped from ALL
+    val rare = span("r")   // in 2 docs (df=2 <= 2): kept in both
+    val tail = "t1 t2 t3"  // partial span in all docs: never a candidate
+    val docs = (0 until 4).map { i =>
+      val head = if (i < 2) rare + " " else ""
+      (i.toLong, s"$head${span("u" + i)} $boiler $tail")
+    }.toDF("doc_id", "text")
+    val out = Dedup.boilerplateDedup(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc0: rare + unique + boiler + tail = 4 spans, boiler dropped
+    assert(out(0L).getAs[Long]("n_spans") == 4L)
+    assert(out(0L).getAs[Long]("n_kept") == 3L)
+    assert(out(0L).getAs[String]("clean_text") ==
+      s"$rare ${span("u0")} $tail")
+    // doc2 has no rare span: 3 spans, boiler dropped, tail kept
+    assert(out(2L).getAs[Long]("n_kept") == 2L)
+    assert(out(2L).getAs[String]("clean_text") == s"${span("u2")} $tail")
+  }
 }
