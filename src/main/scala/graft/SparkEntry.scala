@@ -327,9 +327,9 @@ object SparkEntry {
     "q_join_star" -> ((s, dir) => Queries.starJoin(s, dir)),
     "q_join_large" -> ((s, dir) => Queries.joinLarge(s, dir)
       .withColumn("o_orderdate", col("o_orderdate").cast("date").cast("string"))),
-    // the same fact-dim join through the SALTED path (Skew.saltedJoin)
-    // gated against the PLAIN join oracle: the skew lever is
-    // value-identical, end to end
+    // a fact-dim join (orders ⨝ customer per nation) through the
+    // SALTED path (Skew.saltedJoin), gated against the PLAIN join
+    // oracle: the skew lever is value-identical, end to end
     "q_join_salted" -> ((s, dir) => Queries.joinSalted(s, dir)),
     "q_window_topn" -> ((s, dir) => Queries.windowTopN(s, dir)),
     "q_rollup" -> ((s, dir) => Queries.rollupAgg(s, dir)),

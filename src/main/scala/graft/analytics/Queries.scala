@@ -67,7 +67,8 @@ object Queries {
       .limit(10)
   }
 
-  /** [[joinLarge]]'s shape through the SALTED join ([[graft.etl.Skew
+  /** A fact-dim join ([[starJoin]]'s family: orders ⨝ customer,
+    * aggregated per nation) through the SALTED path ([[graft.etl.Skew
     * .saltedJoin]]): fact keys spread over saltFactor sub-keys, the dim
     * side replicated to match, results exactly the plain join's — gated
     * here against the plain-join DuckDB oracle, so the skew lever is
@@ -197,16 +198,27 @@ object Queries {
     * comparison of the two shapes at 1× and 10×.
     */
   def asofJoinFused(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables(spark, dir, "events")
-      .select(col("event_id"), col("user_id"), col("event_type"),
-        expr("unix_micros(ts) div 1000").as("ms"))
-    val probe = e.filter(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id"), col("ms"))
+    val (e, probe) = asofEventsProbe(spark, dir)
     val build = e.filter(col("event_type") === "click")
       .select(col("user_id"), col("ms"))
     Joins.asofFused(probe, build, "user_id", "ms")
       .filter(col("asof_ms").isNotNull)
       .select(col("event_id"), (col("ms") - col("asof_ms")).as("ms_since_click"))
+  }
+
+  /** The ms-truncated events scan and purchase-probe projection shared
+    * by every fused as-of gate — one definition, so the fused and
+    * payload gates stay on the identical probe vs the shared ASOF
+    * oracle family.
+    */
+  private def asofEventsProbe(spark: SparkSession,
+                              dir: String): (DataFrame, DataFrame) = {
+    val e = Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("unix_micros(ts) div 1000").as("ms"))
+    val probe = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ms"))
+    (e, probe)
   }
 
   /** [[asofJoinFused]] carrying a PAYLOAD column — gates the fused
@@ -219,11 +231,7 @@ object Queries {
     * enrich does anyway.
     */
   def asofJoinPayload(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables(spark, dir, "events")
-      .select(col("event_id"), col("user_id"), col("event_type"),
-        expr("unix_micros(ts) div 1000").as("ms"))
-    val probe = e.filter(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id"), col("ms"))
+    val (e, probe) = asofEventsProbe(spark, dir)
     val build = e.filter(col("event_type") === "click")
       .groupBy(col("user_id"), col("ms"))
       .agg(max(col("event_id")).as("click_id"))

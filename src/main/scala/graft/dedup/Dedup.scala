@@ -38,8 +38,7 @@ object Dedup {
     * this distribution). Two bounded aggregations after the one content
     * shuffle; output is at most |distinct cluster sizes| rows.
     */
-  def clusterSizeStats(df: DataFrame, idCol: String = "doc_id",
-                       textCol: String = "text"): DataFrame =
+  def clusterSizeStats(df: DataFrame, textCol: String = "text"): DataFrame =
     df.select(md5(col(textCol)).as("text_hash"))
       .groupBy(col("text_hash")).agg(count(lit(1)).as("cluster_size"))
       .groupBy(col("cluster_size"))
@@ -421,13 +420,7 @@ object Dedup {
                           idCol: String = "doc_id", textCol: String = "text",
                           window: Int = 10, maxDf: Int = 2): String = {
     val w = window
-    s"""WITH segs AS (
-      SELECT $idCol, u.i AS seg,
-             array_to_string(ts[u.i * $w + 1 : u.i * $w + $w], ' ') AS seg_text,
-             len(ts[u.i * $w + 1 : u.i * $w + $w]) AS seg_len
-      FROM (SELECT $idCol, string_split($textCol, ' ') AS ts FROM $table),
-           LATERAL (SELECT unnest(generate_series(0, (len(ts) - 1) // $w)) AS i) u
-    ), boiler AS (
+    s"""WITH ${segsCteSql(table, idCol, textCol, w)}, boiler AS (
       SELECT seg_text FROM segs WHERE seg_len = $w
       GROUP BY seg_text HAVING count(DISTINCT $idCol) > $maxDf
     ), marked AS (
@@ -437,13 +430,34 @@ object Dedup {
       FROM segs s LEFT JOIN boiler b
         ON s.seg_len = $w AND s.seg_text = b.seg_text
     )
-    SELECT $idCol,
+    ${reassembleSql(idCol)}"""
+  }
+
+  /** The `segs` CTE shared by [[spanDedupSql]] and
+    * [[boilerplateDedupSql]] — one definition of the span slicing, so
+    * the two oracles cannot drift apart on segmentation (the SQL twin
+    * of [[spanSegments]]).
+    */
+  private def segsCteSql(table: String, idCol: String, textCol: String,
+                         w: Int): String =
+    s"""segs AS (
+      SELECT $idCol, u.i AS seg,
+             array_to_string(ts[u.i * $w + 1 : u.i * $w + $w], ' ') AS seg_text,
+             len(ts[u.i * $w + 1 : u.i * $w + $w]) AS seg_len
+      FROM (SELECT $idCol, string_split($textCol, ' ') AS ts FROM $table),
+           LATERAL (SELECT unnest(generate_series(0, (len(ts) - 1) // $w)) AS i) u
+    )"""
+
+  /** The final re-assembly SELECT over a `marked` CTE — the SQL twin of
+    * [[reassemble]], shared for the same no-drift reason.
+    */
+  private def reassembleSql(idCol: String): String =
+    s"""SELECT $idCol,
            cast(count(*) as bigint) AS n_spans,
            cast(sum(kept) as bigint) AS n_kept,
            coalesce(string_agg(CASE WHEN kept = 1 THEN seg_text END,
                                ' ' ORDER BY seg), '') AS clean_text
     FROM marked GROUP BY $idCol"""
-  }
 
   /** DuckDB oracle mirroring [[spanDedup]] exactly (first occurrence by
     * (doc, span index) via a rank over the span text; partial tail spans
@@ -452,13 +466,7 @@ object Dedup {
   def spanDedupSql(table: String = "documents", idCol: String = "doc_id",
                    textCol: String = "text", window: Int = 10): String = {
     val w = window
-    s"""WITH segs AS (
-      SELECT $idCol, u.i AS seg,
-             array_to_string(ts[u.i * $w + 1 : u.i * $w + $w], ' ') AS seg_text,
-             len(ts[u.i * $w + 1 : u.i * $w + $w]) AS seg_len
-      FROM (SELECT $idCol, string_split($textCol, ' ') AS ts FROM $table),
-           LATERAL (SELECT unnest(generate_series(0, (len(ts) - 1) // $w)) AS i) u
-    ), marked AS (
+    s"""WITH ${segsCteSql(table, idCol, textCol, w)}, marked AS (
       SELECT $idCol, seg, seg_text,
              CASE WHEN seg_len < $w THEN 1
                   WHEN row_number() OVER (PARTITION BY seg_text
@@ -466,12 +474,7 @@ object Dedup {
                   ELSE 0 END AS kept
       FROM segs
     )
-    SELECT $idCol,
-           cast(count(*) as bigint) AS n_spans,
-           cast(sum(kept) as bigint) AS n_kept,
-           coalesce(string_agg(CASE WHEN kept = 1 THEN seg_text END,
-                               ' ' ORDER BY seg), '') AS clean_text
-    FROM marked GROUP BY $idCol"""
+    ${reassembleSql(idCol)}"""
   }
 }
 
