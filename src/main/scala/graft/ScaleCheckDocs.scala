@@ -189,7 +189,8 @@ object ScaleCheckDocs {
       "text_entropy", "sample_temperature", "dedup_containment",
       "emb_quantize", "text_tfidf_keywords", "text_collocations",
       "text_heavy_hitters", "emb_norm_filter", "sample_group_topk",
-      "dedup_cluster_stats", "dedup_boilerplate", "corpus_source_stats")
+      "dedup_cluster_stats", "dedup_boilerplate", "corpus_source_stats",
+      "dedup_incremental")
     val unknown = only.toSet -- allNames.toSet
     require(unknown.isEmpty,
       s"unknown query names (would be silently skipped): ${unknown.mkString(", ")}")

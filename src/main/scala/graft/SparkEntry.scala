@@ -489,6 +489,16 @@ object SparkEntry {
       MinHashSpec.candidatePairs(Tables(s, dir, "documents"))),
     "dedup_lsh_jaccard" -> ((s, dir) =>
       Dedup.jaccardOnCandidates(Tables(s, dir, "documents"), threshold = 0.5)),
+    // continuous-crawl dedup: a deterministic 20% "incoming" batch
+    // screened (exact + LSH-near) against the 80% "corpus" side only —
+    // the pair space is incoming-vs-corpus candidates, never corpus²
+    "dedup_incremental" -> ((s, dir) => {
+      val split = graft.etl.Sampling.hashSplit(Tables(s, dir, "documents"),
+        "doc_id", incrementalSplit)
+      Dedup.incremental(
+        split.filter(col("split") === "corpus").drop("split"),
+        split.filter(col("split") === "incoming").drop("split"))
+    }),
     // streaming MinHash-LSH candidate generation driven end-to-end over
     // a synthesized-arrival-order documents replay, gated against the
     // batch candidate pairs
@@ -626,6 +636,10 @@ object SparkEntry {
   // bottleneck at acceptance rate 1.0).
   private val mixTargets =
     Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
+
+  // Corpus/incoming hash-split for dedup_incremental — shared by the
+  // Spark query and its oracle.
+  private val incrementalSplit = Seq("corpus" -> 0.8, "incoming" -> 0.2)
 
   // 2024-01-15T00:00:00Z in epoch-µs — the etl_scd2_asof point-in-time,
   // shared by the Spark query and its oracle.
@@ -1585,6 +1599,8 @@ object SparkEntry {
     "sim_ann_ivf_seeded" -> Similarity.ivfSeededDuckdbSql((0L until 10L), 5),
     "sim_near_dup" -> Similarity.cosineNearDupDuckdbSql(threshold = 0.4),
     "dedup_lsh_jaccard" -> MinHashSpec.duckdbJaccardSql(),
+    "dedup_incremental" -> MinHashSpec.duckdbIncrementalSql(
+      splitCaseSql = graft.etl.Sampling.hashSplitSql("doc_id", incrementalSplit)),
     "dedup_simhash" -> SimHash.duckdbSql(),
     "dedup_spans" -> Dedup.spanDedupSql(),
     "dedup_boilerplate" -> Dedup.boilerplateDedupSql(),

@@ -167,6 +167,71 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Incremental (new-batch-vs-corpus) dedup — the continuous-crawl
+    * shape: an INCOMING batch is screened against the EXISTING corpus
+    * and never against itself, so re-ingesting what the corpus already
+    * holds is caught without re-running corpus-wide dedup. Two screens,
+    * flags independent: exact (md5 content match against the corpus
+    * hash set) and near (incoming LSH bands joined against CORPUS bands
+    * only — the pair space is |incoming candidates|, not corpus² —
+    * then exact shingle-Jaccard verification of just those pairs).
+    * Output is one row per incoming doc: `(id, is_dup_exact,
+    * is_dup_near, kept)`.
+    *
+    * Scale shape: in production the corpus-side md5 set and banded
+    * signatures are a PERSISTED INDEX maintained incrementally (the
+    * same train-once/reuse loop as the IVF quantizer); here they are
+    * derived in-query, which prices the first build. Every join keys on
+    * a bounded hash (md5 / band signature), the verify explode is
+    * semi-join-pruned to candidate docs, and nothing materializes a
+    * cross product.
+    */
+  def incremental(corpus: DataFrame, incoming: DataFrame,
+                  idCol: String = "doc_id", textCol: String = "text",
+                  k: Int = 3, threshold: Double = 0.5,
+                  digits: Int = 4): DataFrame = {
+    val exactDup = incoming
+      .select(col(idCol), md5(col(textCol)).as("__h"))
+      .join(corpus.select(md5(col(textCol)).as("__h")).distinct(),
+        Seq("__h"), "left_semi")
+      .select(col(idCol)).withColumn("is_dup_exact", lit(1))
+    val cand = MinHashSpec.bandedSignatures(incoming, idCol, textCol).as("x")
+      .join(MinHashSpec.bandedSignatures(corpus, idCol, textCol).as("y"),
+        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig"))
+      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
+      .distinct().localCheckpoint()
+    def words(df: DataFrame, side: String) = df
+      .join(cand.select(col(side).as("id")).distinct(),
+        df(idCol) === col("id"), "left_semi")
+      .withColumn("__toks", Text.tokens(col(textCol)))
+      .select(col(idCol).as("id"),
+        explode(expr(Text.shingleExpr("__toks", k))).as("w"))
+    val wa = words(incoming, "doc_a")
+    val wb = words(corpus, "doc_b")
+    val sa = wa.groupBy(col("id")).agg(count(lit(1)).as("n_a"))
+    val sb = wb.groupBy(col("id")).agg(count(lit(1)).as("n_b"))
+    val nearDup = cand
+      .join(wa.select(col("id").as("doc_a"), col("w")), Seq("doc_a"))
+      .join(wb.select(col("id").as("doc_b"), col("w")), Seq("doc_b", "w"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sa.select(col("id").as("doc_a"), col("n_a")), "doc_a")
+      .join(sb.select(col("id").as("doc_b"), col("n_b")), "doc_b")
+      .filter(round(col("n_common") /
+        (col("n_a") + col("n_b") - col("n_common")), digits) >= threshold)
+      .select(col("doc_a").as(idCol)).distinct()
+      .withColumn("is_dup_near", lit(1))
+    incoming.select(col(idCol))
+      .join(exactDup, Seq(idCol), "left")
+      .join(nearDup, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("is_dup_exact"), lit(0)).as("is_dup_exact"),
+        coalesce(col("is_dup_near"), lit(0)).as("is_dup_near"),
+        (coalesce(col("is_dup_exact"), lit(0)) === 0 &&
+          coalesce(col("is_dup_near"), lit(0)) === 0)
+          .cast("int").as("kept"))
+  }
+
   /** Shingle-containment pairs — the ASYMMETRIC near-dup detector:
     * C(A,B) = |S(A)∩S(B)| / min(|S(A)|,|S(B)|) flags a small document
     * largely CONTAINED in a big one (quotes, boilerplate inclusion,
@@ -574,18 +639,7 @@ object MinHashSpec {
     */
   def candidatePairs(df: DataFrame, idCol: String = "doc_id",
                      textCol: String = "text", digits: Int = 4): DataFrame = {
-    // localCheckpoint (not cache): both sides of the self-join read the
-    // materialized signatures; no CacheManager entry left behind.
-    val sig = signatures(df, idCol, textCol).localCheckpoint()
-    // one pass over the cached signatures: band signatures as an array,
-    // posexploded — instead of a BANDS-way union re-scanning the cache
-    val bandSigs = (0 until BANDS).map { j =>
-      val cs = (j * ROWS until (j + 1) * ROWS).map(i => col(s"mh_$i"))
-      concat_ws("_", cs: _*)
-    }
-    val sigArr = array((0 until K).map(i => col(s"mh_$i")): _*)
-    val bands = sig.select(col(idCol).as("id"), sigArr.as("sigv"),
-        posexplode(array(bandSigs: _*)).as(Seq("band", "bsig")))
+    val bands = bandedSignatures(df, idCol, textCol)
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
           col("x.id") < col("y.id"))
@@ -593,6 +647,26 @@ object MinHashSpec {
         round(expr("aggregate(zip_with(x.sigv, y.sigv, (p, q) -> IF(p = q, 1, 0)), 0, (acc, v) -> acc + v)")
           .cast("double") / K, digits).as("est_jaccard"))
       .distinct()
+  }
+
+  /** Banded signature rows `(id, sigv, band, bsig)` for a frame — the
+    * LSH bucket coordinates behind [[candidatePairs]] (self-join) and
+    * [[Dedup.incremental]] (incoming-vs-corpus join). The signature
+    * aggregate is materialized once (localCheckpoint, not cache: no
+    * CacheManager entry left behind), then banded in one pass with the
+    * band signatures posexploded from an array — not a BANDS-way union
+    * re-scanning it.
+    */
+  def bandedSignatures(df: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val sig = signatures(df, idCol, textCol).localCheckpoint()
+    val bandSigs = (0 until BANDS).map { j =>
+      val cs = (j * ROWS until (j + 1) * ROWS).map(i => col(s"mh_$i"))
+      concat_ws("_", cs: _*)
+    }
+    val sigArr = array((0 until K).map(i => col(s"mh_$i")): _*)
+    sig.select(col(idCol).as("id"), sigArr.as("sigv"),
+      posexplode(array(bandSigs: _*)).as(Seq("band", "bsig")))
   }
 
   /** Shared CTE chain (tokens → hashes → signatures → bands → candidate
@@ -658,6 +732,83 @@ object MinHashSpec {
     FROM cand
     JOIN sig sa ON cand.doc_a = sa.$idCol
     JOIN sig sb ON cand.doc_b = sb.$idCol"""
+  }
+
+  /** One side's tokens→hashes→signatures→bands CTE chain, suffixed so
+    * [[duckdbIncrementalSql]] can instantiate it once per frame (the
+    * incoming batch and the corpus). Same constants as
+    * [[duckdbCandidateCtes]], so signatures stay bit-identical to the
+    * Spark side.
+    */
+  private def duckdbSideCtes(src: String, sfx: String, idCol: String,
+                             textCol: String): String = {
+    val mh = (0 until K).map(i =>
+      s"min((h * ${a(i)} + ${b(i)}) % $P) AS mh_$i").mkString(",\n      ")
+    val bandSelects = (0 until BANDS).map { j =>
+      val cs = (j * ROWS until (j + 1) * ROWS).map(i => s"mh_$i").mkString(", ")
+      s"SELECT id, $j AS band, concat_ws('_', $cs) AS bsig FROM sig_$sfx"
+    }.mkString("\n      UNION ALL ")
+    s"""toks_$sfx AS (
+      SELECT $idCol AS id, unnest(${graft.text.Text.shingleSql(textCol, SHINGLE_K)}) AS w
+      FROM $src
+    ), hashed_$sfx AS (
+      SELECT id, CAST(md5_number_lower(w) % $P AS BIGINT) AS h FROM toks_$sfx
+    ), sig_$sfx AS (
+      SELECT id,
+      $mh
+      FROM hashed_$sfx GROUP BY id
+    ), bands_$sfx AS (
+      $bandSelects
+    )"""
+  }
+
+  /** DuckDB oracle for [[Dedup.incremental]]: the table is split into
+    * corpus/incoming by `splitCaseSql` (the shared deterministic
+    * hash-split CASE, [[graft.etl.Sampling.hashSplitSql]]), then the
+    * incoming side is screened exactly (md5 membership) and nearly
+    * (incoming bands × corpus bands → exact shingle Jaccard) against
+    * the corpus only — never against itself — mirroring the Spark
+    * operator flag for flag.
+    */
+  def duckdbIncrementalSql(table: String = "documents",
+                           idCol: String = "doc_id", textCol: String = "text",
+                           splitCaseSql: String, threshold: Double = 0.5): String = {
+    val jac = "round(nc / cast(sa.n + sb.n - nc as double), 4)"
+    s"""WITH corpus AS (
+      SELECT $idCol, $textCol FROM $table WHERE $splitCaseSql = 'corpus'
+    ), incoming AS (
+      SELECT $idCol, $textCol FROM $table WHERE $splitCaseSql = 'incoming'
+    ), exact_dup AS (
+      SELECT $idCol AS id FROM incoming
+      WHERE md5($textCol) IN (SELECT md5($textCol) FROM corpus)
+    ), ${duckdbSideCtes("incoming", "i", idCol, textCol)},
+    ${duckdbSideCtes("corpus", "c", idCol, textCol)},
+    cand AS (
+      SELECT DISTINCT x.id AS doc_a, y.id AS doc_b
+      FROM bands_i x JOIN bands_c y
+        ON x.band = y.band AND x.bsig = y.bsig
+    ), sizes_i AS (SELECT id, count(*) AS n FROM toks_i GROUP BY 1),
+    sizes_c AS (SELECT id, count(*) AS n FROM toks_c GROUP BY 1),
+    inter AS (
+      SELECT cd.doc_a, cd.doc_b, count(*) AS nc
+      FROM cand cd
+      JOIN toks_i wa ON cd.doc_a = wa.id
+      JOIN toks_c wb ON cd.doc_b = wb.id AND wa.w = wb.w
+      GROUP BY 1, 2
+    ), near_dup AS (
+      SELECT DISTINCT i.doc_a AS id
+      FROM inter i
+      JOIN sizes_i sa ON i.doc_a = sa.id
+      JOIN sizes_c sb ON i.doc_b = sb.id
+      WHERE $jac >= $threshold
+    )
+    SELECT inc.$idCol,
+           CASE WHEN e.id IS NOT NULL THEN 1 ELSE 0 END AS is_dup_exact,
+           CASE WHEN n.id IS NOT NULL THEN 1 ELSE 0 END AS is_dup_near,
+           CASE WHEN e.id IS NULL AND n.id IS NULL THEN 1 ELSE 0 END AS kept
+    FROM incoming inc
+    LEFT JOIN exact_dup e ON inc.$idCol = e.id
+    LEFT JOIN near_dup n ON inc.$idCol = n.id"""
   }
 }
 

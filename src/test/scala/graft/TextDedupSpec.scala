@@ -444,4 +444,31 @@ class TextDedupSpec extends SparkSpec {
     assert(out(2L).getAs[Long]("n_kept") == 2L)
     assert(out(2L).getAs[String]("clean_text") == s"${span("u2")} $tail")
   }
+
+  test("incremental screens incoming vs corpus only — never vs itself") {
+    val a = "alpha beta gamma delta epsilon zeta"
+    val b = "one two three four five six seven eight"
+    val corpus = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, a),                  // exact copy of corpus doc 1
+      // same tokens as corpus doc 2 after lowering (identical shingles →
+      // identical signature → LSH candidate, jaccard 1.0) but different
+      // raw bytes → near-dup, NOT exact
+      (11L, "One two three four five six seven Eight"),
+      (12L, "totally fresh unrelated content right here"), // unique
+      // exact copies of EACH OTHER, absent from the corpus: a batch-
+      // internal pair must NOT be flagged (corpus-only screening)
+      (13L, "same batch duplicate text goes here today"),
+      (14L, "same batch duplicate text goes here today")
+    ).toDF("doc_id", "text")
+    val out = Dedup.incremental(corpus, incoming).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3))))
+      .toMap
+    assert(out.keySet == Set(10L, 11L, 12L, 13L, 14L))
+    assert(out(10L) == ((1, 1, 0))) // exact implies near (jaccard 1.0)
+    assert(out(11L) == ((0, 1, 0)))
+    assert(out(12L) == ((0, 0, 1)))
+    assert(out(13L) == ((0, 0, 1)))
+    assert(out(14L) == ((0, 0, 1)))
+  }
 }
