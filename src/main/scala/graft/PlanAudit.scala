@@ -43,7 +43,13 @@ object PlanAudit {
       // non-empty PushedFilters on any scan: a pushdown regression
       // (filter evaluated after a full read) is a classic scale killer
       val pushed = "PushedFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined
+      // drop localCheckpoint RDDs too, not just CacheManager entries:
+      // 100+ queries of accumulated blocks shift memory stats enough to
+      // flip AQE plan choices for later queries (qa_drift_psi flapped
+      // 6/7 exchanges from this before the audit adopted Bench's hygiene)
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
       (n, scans, exchanges, pushed)
     }
     if (record) {

@@ -499,6 +499,17 @@ object SparkEntry {
         split.filter(col("split") === "corpus").drop("split"),
         split.filter(col("split") === "incoming").drop("split"))
     }),
+    // the index-MAINTENANCE loop: batch 1 screened against the corpus
+    // index, kept docs merged in, batch 2 screened against the merged
+    // index — the oracle re-derives corpus 2 from scratch, so equality
+    // proves merge == rebuild
+    "dedup_incremental_loop" -> ((s, dir) => {
+      val split = graft.etl.Sampling.hashSplit(Tables(s, dir, "documents"),
+        "doc_id", incrementalLoopSplit)
+      def part(p: String) = split.filter(col("split") === p).drop("split")
+      Dedup.incrementalLoop(part("corpus"),
+        Seq("b1" -> part("b1"), "b2" -> part("b2")))
+    }),
     // streaming MinHash-LSH candidate generation driven end-to-end over
     // a synthesized-arrival-order documents replay, gated against the
     // batch candidate pairs
@@ -640,6 +651,10 @@ object SparkEntry {
   // Corpus/incoming hash-split for dedup_incremental — shared by the
   // Spark query and its oracle.
   private val incrementalSplit = Seq("corpus" -> 0.8, "incoming" -> 0.2)
+
+  // Corpus + two-batch split for the index-maintenance loop gate.
+  private val incrementalLoopSplit =
+    Seq("corpus" -> 0.7, "b1" -> 0.15, "b2" -> 0.15)
 
   // 2024-01-15T00:00:00Z in epoch-µs — the etl_scd2_asof point-in-time,
   // shared by the Spark query and its oracle.
@@ -1601,6 +1616,8 @@ object SparkEntry {
     "dedup_lsh_jaccard" -> MinHashSpec.duckdbJaccardSql(),
     "dedup_incremental" -> MinHashSpec.duckdbIncrementalSql(
       splitCaseSql = graft.etl.Sampling.hashSplitSql("doc_id", incrementalSplit)),
+    "dedup_incremental_loop" -> MinHashSpec.duckdbIncrementalLoopSql(
+      splitCaseSql = graft.etl.Sampling.hashSplitSql("doc_id", incrementalLoopSplit)),
     "dedup_simhash" -> SimHash.duckdbSql(),
     "dedup_spans" -> Dedup.spanDedupSql(),
     "dedup_boilerplate" -> Dedup.boilerplateDedupSql(),

@@ -41,9 +41,12 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // operators cache intermediates (LSH signatures, candidate pairs)
-      // for their own plan; drop them between queries so a 40+-query run
-      // doesn't accumulate dead cached blocks
+      // for their own plan; drop them between queries so a 100+-query run
+      // doesn't accumulate dead cached blocks — including localCheckpoint
+      // RDDs, which clearCache alone leaves resident (Bench's hygiene)
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
     }
     // Failure marker: check.py (and any human) can see at a glance which
     // queries produced no output this run.

@@ -13,6 +13,15 @@ import graft.text.Text
   * band) and only joins within buckets. The bucket join shuffles on the
   * bucket key; bucket sizes are bounded by construction.
   */
+/** Persisted screening index for [[Dedup.incrementalFromIndex]]:
+  * `hashes` is the corpus content-hash set (`content_hash`), `bands`
+  * the banded MinHash signature rows (`id, sigv, band, bsig` — the
+  * [[MinHashSpec.bandedSignatures]] layout). Both frames are plain
+  * DataFrames so they persist as ordinary tables (parquet/bucketed)
+  * and reload across screening runs.
+  */
+final case class DedupIndex(hashes: DataFrame, bands: DataFrame)
+
 object Dedup {
 
   /** Exact dedup via content hash. One shuffle on the 128-bit hash.
@@ -189,14 +198,55 @@ object Dedup {
   def incremental(corpus: DataFrame, incoming: DataFrame,
                   idCol: String = "doc_id", textCol: String = "text",
                   k: Int = 3, threshold: Double = 0.5,
-                  digits: Int = 4): DataFrame = {
+                  digits: Int = 4): DataFrame =
+    incrementalFromIndex(corpus, buildIndex(corpus, idCol, textCol),
+      incoming, idCol, textCol, k, threshold, digits)
+
+  /** The persisted screening index behind [[incremental]]: the corpus
+    * content-hash set (exact screen) and its banded MinHash signatures
+    * (near-screen bucket coordinates). Both are bounded per doc (~16 B
+    * hash + ~BANDS band rows), so the index is a small fraction of the
+    * corpus and cheap to store/shuffle. [[mergeIndex]] maintains it
+    * incrementally as batches are accepted — the build cost is paid
+    * once per doc, ever, not once per screening run.
+    */
+  def buildIndex(corpus: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DedupIndex = DedupIndex(
+    corpus.select(md5(col(textCol)).as("content_hash")).distinct(),
+    MinHashSpec.bandedSignatures(corpus, idCol, textCol))
+
+  /** Fold a batch's ACCEPTED (kept) docs into the index. Contract: the
+    * kept docs' ids are disjoint from those already indexed (they were
+    * just screened as new). The hash set re-distincts because two kept
+    * docs from different batches may legitimately share content only
+    * pre-merge — never, by construction, within one merge.
+    */
+  def mergeIndex(index: DedupIndex, keptDocs: DataFrame,
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): DedupIndex = DedupIndex(
+    index.hashes
+      .union(keptDocs.select(md5(col(textCol)).as("content_hash")))
+      .distinct(),
+    index.bands.union(MinHashSpec.bandedSignatures(keptDocs, idCol, textCol)))
+
+  /** [[incremental]] against a PREBUILT [[DedupIndex]] — the production
+    * path: the index is loaded, not derived, so a screening run costs
+    * only the incoming batch's signatures plus candidate-pruned
+    * verification. `corpus` is still needed for the verify stage (the
+    * shingle sets of candidate corpus docs); it must contain every doc
+    * the index covers.
+    */
+  def incrementalFromIndex(corpus: DataFrame, index: DedupIndex,
+                           incoming: DataFrame,
+                           idCol: String = "doc_id", textCol: String = "text",
+                           k: Int = 3, threshold: Double = 0.5,
+                           digits: Int = 4): DataFrame = {
     val exactDup = incoming
-      .select(col(idCol), md5(col(textCol)).as("__h"))
-      .join(corpus.select(md5(col(textCol)).as("__h")).distinct(),
-        Seq("__h"), "left_semi")
+      .select(col(idCol), md5(col(textCol)).as("content_hash"))
+      .join(index.hashes, Seq("content_hash"), "left_semi")
       .select(col(idCol)).withColumn("is_dup_exact", lit(1))
     val cand = MinHashSpec.bandedSignatures(incoming, idCol, textCol).as("x")
-      .join(MinHashSpec.bandedSignatures(corpus, idCol, textCol).as("y"),
+      .join(index.bands.as("y"),
         col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig"))
       .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
       .distinct().localCheckpoint()
@@ -230,6 +280,37 @@ object Dedup {
         (coalesce(col("is_dup_exact"), lit(0)) === 0 &&
           coalesce(col("is_dup_near"), lit(0)) === 0)
           .cast("int").as("kept"))
+  }
+
+  /** Screen a SEQUENCE of batches against an evolving corpus — the full
+    * index-maintenance loop: each batch is screened via
+    * [[incrementalFromIndex]], its kept docs are folded into the index
+    * ([[mergeIndex]]) and the verify corpus, and the next batch sees
+    * them. A batch-2 doc duplicating a batch-1 KEPT doc is flagged; one
+    * duplicating a batch-1 REJECTED doc is not (the reject never entered
+    * the corpus — its original is already there and screens it instead).
+    * Output: one row per batch doc, tagged with the batch label.
+    *
+    * Each batch's flags are materialized once (localCheckpoint) — they
+    * feed the output AND the kept-set that grows the index, and without
+    * the cut screen N's plan would re-derive every earlier screen.
+    */
+  def incrementalLoop(corpus: DataFrame, batches: Seq[(String, DataFrame)],
+                      idCol: String = "doc_id", textCol: String = "text",
+                      k: Int = 3, threshold: Double = 0.5,
+                      digits: Int = 4): DataFrame = {
+    var corp = corpus.select(col(idCol), col(textCol))
+    var idx = buildIndex(corp, idCol, textCol)
+    batches.map { case (tag, batch) =>
+      val flags = incrementalFromIndex(corp, idx, batch, idCol, textCol,
+        k, threshold, digits).localCheckpoint()
+      val kept = batch.select(col(idCol), col(textCol))
+        .join(flags.filter(col("kept") === 1).select(col(idCol)),
+          Seq(idCol), "left_semi")
+      idx = mergeIndex(idx, kept, idCol, textCol)
+      corp = corp.union(kept)
+      flags.withColumn("batch", lit(tag))
+    }.reduce(_.union(_))
   }
 
   /** Shingle-containment pairs — the ASYMMETRIC near-dup detector:
@@ -762,6 +843,51 @@ object MinHashSpec {
     )"""
   }
 
+  /** One full screen of `incomingSrc` against `corpusSrc` (exact md5
+    * membership + banded-LSH propose → shingle-Jaccard verify), ending
+    * in a `flags_$sfx` CTE with one row per incoming doc — the SQL twin
+    * of [[Dedup.incrementalFromIndex]], suffixed so
+    * [[duckdbIncrementalLoopSql]] can chain screens against evolving
+    * corpora.
+    */
+  private def duckdbScreenCtes(corpusSrc: String, incomingSrc: String,
+                               sfx: String, idCol: String, textCol: String,
+                               threshold: Double): String = {
+    val jac = "round(nc / cast(sa.n + sb.n - nc as double), 4)"
+    s"""exact_dup_$sfx AS (
+      SELECT $idCol AS id FROM $incomingSrc
+      WHERE md5($textCol) IN (SELECT md5($textCol) FROM $corpusSrc)
+    ), ${duckdbSideCtes(incomingSrc, s"i$sfx", idCol, textCol)},
+    ${duckdbSideCtes(corpusSrc, s"c$sfx", idCol, textCol)},
+    cand_$sfx AS (
+      SELECT DISTINCT x.id AS doc_a, y.id AS doc_b
+      FROM bands_i$sfx x JOIN bands_c$sfx y
+        ON x.band = y.band AND x.bsig = y.bsig
+    ), sizes_i$sfx AS (SELECT id, count(*) AS n FROM toks_i$sfx GROUP BY 1),
+    sizes_c$sfx AS (SELECT id, count(*) AS n FROM toks_c$sfx GROUP BY 1),
+    inter_$sfx AS (
+      SELECT cd.doc_a, cd.doc_b, count(*) AS nc
+      FROM cand_$sfx cd
+      JOIN toks_i$sfx wa ON cd.doc_a = wa.id
+      JOIN toks_c$sfx wb ON cd.doc_b = wb.id AND wa.w = wb.w
+      GROUP BY 1, 2
+    ), near_dup_$sfx AS (
+      SELECT DISTINCT i.doc_a AS id
+      FROM inter_$sfx i
+      JOIN sizes_i$sfx sa ON i.doc_a = sa.id
+      JOIN sizes_c$sfx sb ON i.doc_b = sb.id
+      WHERE $jac >= $threshold
+    ), flags_$sfx AS (
+      SELECT inc.$idCol,
+             CASE WHEN e.id IS NOT NULL THEN 1 ELSE 0 END AS is_dup_exact,
+             CASE WHEN n.id IS NOT NULL THEN 1 ELSE 0 END AS is_dup_near,
+             CASE WHEN e.id IS NULL AND n.id IS NULL THEN 1 ELSE 0 END AS kept
+      FROM $incomingSrc inc
+      LEFT JOIN exact_dup_$sfx e ON inc.$idCol = e.id
+      LEFT JOIN near_dup_$sfx n ON inc.$idCol = n.id
+    )"""
+  }
+
   /** DuckDB oracle for [[Dedup.incremental]]: the table is split into
     * corpus/incoming by `splitCaseSql` (the shared deterministic
     * hash-split CASE, [[graft.etl.Sampling.hashSplitSql]]), then the
@@ -772,44 +898,40 @@ object MinHashSpec {
     */
   def duckdbIncrementalSql(table: String = "documents",
                            idCol: String = "doc_id", textCol: String = "text",
-                           splitCaseSql: String, threshold: Double = 0.5): String = {
-    val jac = "round(nc / cast(sa.n + sb.n - nc as double), 4)"
+                           splitCaseSql: String, threshold: Double = 0.5): String =
     s"""WITH corpus AS (
       SELECT $idCol, $textCol FROM $table WHERE $splitCaseSql = 'corpus'
     ), incoming AS (
       SELECT $idCol, $textCol FROM $table WHERE $splitCaseSql = 'incoming'
-    ), exact_dup AS (
-      SELECT $idCol AS id FROM incoming
-      WHERE md5($textCol) IN (SELECT md5($textCol) FROM corpus)
-    ), ${duckdbSideCtes("incoming", "i", idCol, textCol)},
-    ${duckdbSideCtes("corpus", "c", idCol, textCol)},
-    cand AS (
-      SELECT DISTINCT x.id AS doc_a, y.id AS doc_b
-      FROM bands_i x JOIN bands_c y
-        ON x.band = y.band AND x.bsig = y.bsig
-    ), sizes_i AS (SELECT id, count(*) AS n FROM toks_i GROUP BY 1),
-    sizes_c AS (SELECT id, count(*) AS n FROM toks_c GROUP BY 1),
-    inter AS (
-      SELECT cd.doc_a, cd.doc_b, count(*) AS nc
-      FROM cand cd
-      JOIN toks_i wa ON cd.doc_a = wa.id
-      JOIN toks_c wb ON cd.doc_b = wb.id AND wa.w = wb.w
-      GROUP BY 1, 2
-    ), near_dup AS (
-      SELECT DISTINCT i.doc_a AS id
-      FROM inter i
-      JOIN sizes_i sa ON i.doc_a = sa.id
-      JOIN sizes_c sb ON i.doc_b = sb.id
-      WHERE $jac >= $threshold
-    )
-    SELECT inc.$idCol,
-           CASE WHEN e.id IS NOT NULL THEN 1 ELSE 0 END AS is_dup_exact,
-           CASE WHEN n.id IS NOT NULL THEN 1 ELSE 0 END AS is_dup_near,
-           CASE WHEN e.id IS NULL AND n.id IS NULL THEN 1 ELSE 0 END AS kept
-    FROM incoming inc
-    LEFT JOIN exact_dup e ON inc.$idCol = e.id
-    LEFT JOIN near_dup n ON inc.$idCol = n.id"""
-  }
+    ), ${duckdbScreenCtes("corpus", "incoming", "0", idCol, textCol, threshold)}
+    SELECT $idCol, is_dup_exact, is_dup_near, kept FROM flags_0"""
+
+  /** DuckDB oracle for [[Dedup.incrementalLoop]] over two batches: the
+    * second screen's corpus is re-derived FROM SCRATCH as
+    * corpus ∪ batch-1-kept, while the Spark side MERGES the persisted
+    * index — value equality across engines is what proves the merge
+    * path equivalent to a rebuild.
+    */
+  def duckdbIncrementalLoopSql(table: String = "documents",
+                               idCol: String = "doc_id", textCol: String = "text",
+                               splitCaseSql: String,
+                               threshold: Double = 0.5): String =
+    s"""WITH corpus0 AS (
+      SELECT $idCol, $textCol FROM $table WHERE $splitCaseSql = 'corpus'
+    ), b1 AS (
+      SELECT $idCol, $textCol FROM $table WHERE $splitCaseSql = 'b1'
+    ), b2 AS (
+      SELECT $idCol, $textCol FROM $table WHERE $splitCaseSql = 'b2'
+    ), ${duckdbScreenCtes("corpus0", "b1", "1", idCol, textCol, threshold)},
+    corpus1 AS (
+      SELECT $idCol, $textCol FROM corpus0
+      UNION ALL
+      SELECT b.$idCol, b.$textCol FROM b1 b
+      JOIN flags_1 f ON b.$idCol = f.$idCol AND f.kept = 1
+    ), ${duckdbScreenCtes("corpus1", "b2", "2", idCol, textCol, threshold)}
+    SELECT $idCol, 'b1' AS batch, is_dup_exact, is_dup_near, kept FROM flags_1
+    UNION ALL
+    SELECT $idCol, 'b2' AS batch, is_dup_exact, is_dup_near, kept FROM flags_2"""
 }
 
 /** SimHash: 32-bit fingerprint. Bit j of the fingerprint is the sign of

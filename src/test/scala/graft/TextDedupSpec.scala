@@ -471,4 +471,34 @@ class TextDedupSpec extends SparkSpec {
     assert(out(13L) == ((0, 0, 1)))
     assert(out(14L) == ((0, 0, 1)))
   }
+
+  test("incrementalLoop: kept docs join the index, rejected docs never do") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val b = "one two three four five six seven eight nine"
+    val corpus = Seq((1L, a)).toDF("doc_id", "text")
+    val b1 = Seq(
+      (10L, a.replace("zeta", "ZETA")), // near-dup of corpus doc 1 → rejected
+      (11L, b)                          // fresh → kept, merged into index
+    ).toDF("doc_id", "text")
+    val b2 = Seq(
+      (20L, b),                          // exact copy of b1-KEPT doc 11
+      (21L, a.replace("zeta", "ZETA")),  // exact copy of b1-REJECTED doc 10:
+                                         // 10 never entered the corpus, so no
+                                         // exact hit — but its original (doc 1)
+                                         // is there and near-screens it
+      (22L, a),                          // exact copy of the original corpus
+      (23L, "completely different words appear in this one")
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalLoop(corpus, Seq("b1" -> b1, "b2" -> b2))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))))
+      .toMap
+    assert(out(10L) == ((0, 1, 0, "b1")))
+    assert(out(11L) == ((0, 0, 1, "b1")))
+    assert(out(20L) == ((1, 1, 0, "b2"))) // caught ONLY because 11 was merged
+    assert(out(21L) == ((0, 1, 0, "b2"))) // near via doc 1, exact correctly 0
+    assert(out(22L) == ((1, 1, 0, "b2")))
+    assert(out(23L) == ((0, 0, 1, "b2")))
+  }
 }
