@@ -499,6 +499,16 @@ object SparkEntry {
         split.filter(col("split") === "corpus").drop("split"),
         split.filter(col("split") === "incoming").drop("split"))
     }),
+    // the exact screen with a broadcast Bloom pre-filter: definite-new
+    // docs never reach the verification join; the oracle is plain
+    // membership, so the gate proves fp-verify restores exactness
+    "dedup_bloom_screen" -> ((s, dir) => {
+      val split = graft.etl.Sampling.hashSplit(Tables(s, dir, "documents"),
+        "doc_id", incrementalSplit)
+      val corpus = split.filter(col("split") === "corpus").drop("split")
+      Dedup.exactScreenBloom(Dedup.buildIndex(corpus),
+        split.filter(col("split") === "incoming").drop("split"))
+    }),
     // the index-MAINTENANCE loop: batch 1 screened against the corpus
     // index, kept docs merged in, batch 2 screened against the merged
     // index — the oracle re-derives corpus 2 from scratch, so equality
@@ -1618,6 +1628,8 @@ object SparkEntry {
       splitCaseSql = graft.etl.Sampling.hashSplitSql("doc_id", incrementalSplit)),
     "dedup_incremental_loop" -> MinHashSpec.duckdbIncrementalLoopSql(
       splitCaseSql = graft.etl.Sampling.hashSplitSql("doc_id", incrementalLoopSplit)),
+    "dedup_bloom_screen" -> Dedup.bloomScreenSql(
+      splitCaseSql = graft.etl.Sampling.hashSplitSql("doc_id", incrementalSplit)),
     "dedup_simhash" -> SimHash.duckdbSql(),
     "dedup_spans" -> Dedup.spanDedupSql(),
     "dedup_boilerplate" -> Dedup.boilerplateDedupSql(),

@@ -282,6 +282,81 @@ object Dedup {
           .cast("int").as("kept"))
   }
 
+  /** Serialize the index's content-hash set into a Bloom filter (Spark's
+    * own sketch, via the `bloom_build` session function). Returns None in
+    * an extension-free session — callers fall back to the un-screened
+    * path, which is value-identical.
+    *
+    * At 100 TB the hash SET is ~16 B/doc and must be joined; the Bloom
+    * filter is ~1.2 B/doc at 1% fpp and BROADCASTS, so the exact screen
+    * of a crawl batch becomes a map-side probe: definite-new docs (the
+    * vast majority of a healthy crawl) never enter the verification join
+    * at all. Production builds this once per index version and persists
+    * the bytes next to the index; the in-query build prices that first
+    * construction. `numBits` caps at 64 Mbit (Spark's runtime-filter
+    * default ceiling, 8 MB serialized — ~50 M docs at 1% fpp); beyond
+    * that, shard the filter by hash prefix and probe the matching shard.
+    */
+  def buildBloom(index: DedupIndex, fpp: Double = 0.01,
+                 numBits: Option[Long] = None): Option[Array[Byte]] = {
+    val spark = index.hashes.sparkSession
+    if (!spark.catalog.functionExists("bloom_build")) None
+    else {
+      val n = math.max(1L, index.hashes.count())
+      val bits = numBits.getOrElse {
+        val optimal = math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+        math.min(67108864L, math.max(64L, optimal))
+      }
+      Some(index.hashes
+        .agg(call_function("bloom_build",
+          xxhash64(col("content_hash")), lit(n), lit(bits)).as("bf"))
+        .head().getAs[Array[Byte]]("bf"))
+    }
+  }
+
+  /** Exact-duplicate screen of `incoming` against the index with a
+    * broadcast Bloom pre-filter: probe first (map-side, no shuffle),
+    * verify only the maybes against the real hash set (removing the
+    * ~fpp false positives), flag every incoming doc. The pre-filter is
+    * invisible in the result BY CONSTRUCTION — the oracle is the plain
+    * membership semantics, and the gate proves the fp-verify restores
+    * exactness. `numBits` is a test hook (a saturated tiny filter forces
+    * false positives); production uses the fpp-derived size.
+    */
+  def exactScreenBloom(index: DedupIndex, incoming: DataFrame,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       fpp: Double = 0.01,
+                       numBits: Option[Long] = None): DataFrame = {
+    val hashed = incoming.select(col(idCol), md5(col(textCol)).as("content_hash"))
+    val maybes = buildBloom(index, fpp, numBits) match {
+      case Some(bytes) => hashed.filter(
+        call_function("bloom_contains", lit(bytes),
+          xxhash64(col("content_hash"))))
+      case None => hashed
+    }
+    val confirmed = maybes.join(index.hashes, Seq("content_hash"), "left_semi")
+      .select(col(idCol)).withColumn("is_dup_exact", lit(1))
+    incoming.select(col(idCol))
+      .join(confirmed, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("is_dup_exact"), lit(0)).as("is_dup_exact"))
+  }
+
+  /** DuckDB oracle for [[exactScreenBloom]]: plain membership — the
+    * Bloom pre-filter must not change a single flag.
+    */
+  def bloomScreenSql(table: String = "documents", idCol: String = "doc_id",
+                     textCol: String = "text", splitCaseSql: String): String =
+    s"""WITH corpus AS (
+      SELECT $textCol FROM $table WHERE $splitCaseSql = 'corpus'
+    ), incoming AS (
+      SELECT $idCol, $textCol FROM $table WHERE $splitCaseSql = 'incoming'
+    )
+    SELECT $idCol,
+           CASE WHEN md5($textCol) IN (SELECT md5($textCol) FROM corpus)
+                THEN 1 ELSE 0 END AS is_dup_exact
+    FROM incoming"""
+
   /** Screen a SEQUENCE of batches against an evolving corpus — the full
     * index-maintenance loop: each batch is screened via
     * [[incrementalFromIndex]], its kept docs are folded into the index

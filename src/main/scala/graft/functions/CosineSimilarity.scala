@@ -136,6 +136,31 @@ object GraftFunctions {
     (exprs: Seq[Expression]) => MisraGriesAgg(exprs(0),
       exprs(1).eval().asInstanceOf[Int]))
 
+  // Spark's own Bloom-filter kernels (the ones behind AQE's runtime
+  // filters), surfaced as session functions so operators can build and
+  // probe a membership sketch without a UDF: bloom_build(xxhash64_col,
+  // est_items, num_bits) aggregates to the serialized filter binary;
+  // bloom_contains(filter_binary, xxhash64_col) is the codegen'd probe.
+  // The probe's filter argument must be foldable (a lit() of the bytes)
+  // — the same contract the planner's injected runtime filters obey.
+  val bloomBuildDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bloom_build"),
+    new ExpressionInfo(
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+      "bloom_build"),
+    (exprs: Seq[Expression]) =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        exprs(0), exprs(1), exprs(2)))
+
+  val bloomContainsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bloom_contains"),
+    new ExpressionInfo(
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+      "bloom_contains"),
+    (exprs: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        exprs(0), exprs(1)))
+
   def register(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(cosineSimDescriptor)
     ext.injectFunction(md5ModPDescriptor)
@@ -144,6 +169,8 @@ object GraftFunctions {
     ext.injectFunction(centroidDistsDescriptor)
     ext.injectFunction(topKByDescriptor)
     ext.injectFunction(misraGriesDescriptor)
+    ext.injectFunction(bloomBuildDescriptor)
+    ext.injectFunction(bloomContainsDescriptor)
     // tier (c) of the custom-operator ladder: the fused as-of join's
     // planner strategy (graft.plans.AsofJoinNode -> AsofJoinExec)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)

@@ -472,6 +472,37 @@ class TextDedupSpec extends SparkSpec {
     assert(out(14L) == ((0, 0, 1)))
   }
 
+  test("exactScreenBloom: saturated filter forces false positives, flags stay exact") {
+    import org.apache.spark.sql.functions.{call_function, col, lit, md5, xxhash64}
+    // 60 distinct corpus docs into a 64-bit filter: guaranteed saturation
+    val corpus = (1 to 60).map(i => (i.toLong, s"corpus document number $i body"))
+      .toDF("doc_id", "text")
+    val incoming = (
+      Seq((100L, "corpus document number 7 body"),   // true exact dup
+          (101L, "corpus document number 42 body"))  // true exact dup
+      ++ (102 to 140).map(i => (i.toLong, s"fresh incoming doc $i"))
+    ).toDF("doc_id", "text")
+    val idx = Dedup.buildIndex(corpus)
+    val tinyBits = Some(64L)
+    // the saturated filter really does pass non-dups (false positives)...
+    val bytes = Dedup.buildBloom(idx, numBits = tinyBits).get
+    val maybes = incoming
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+      .filter(call_function("bloom_contains", lit(bytes),
+        xxhash64(col("content_hash"))))
+      .count()
+    assert(maybes > 2, s"expected false positives through a 64-bit filter, got $maybes maybes")
+    // ...and the verified flags are still exactly the membership truth
+    val expect = ((100 to 101).map(_.toLong -> 1) ++ (102 to 140).map(_.toLong -> 0)).toMap
+    val got = Dedup.exactScreenBloom(idx, incoming, numBits = tinyBits)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == expect)
+    // the right-sized (fpp-derived) filter agrees too
+    val sized = Dedup.exactScreenBloom(idx, incoming)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(sized == expect)
+  }
+
   test("incrementalLoop: kept docs join the index, rejected docs never do") {
     val a = "alpha beta gamma delta epsilon zeta eta theta"
     val b = "one two three four five six seven eight nine"
