@@ -66,7 +66,7 @@ object ScaleCheck {
       "qa_drift_ks", "etl_pk_check", "q_json_extract",
       "etl_scd2_history", "etl_scd2_asof", "qa_freshness",
       "q_asof_join_fused", "etl_zorder_key", "text_heavy_hitters",
-      "emb_norm_filter", "sample_group_topk", "q_asof_join_payload",
+      "emb_norm_filter", "emb_project", "sample_group_topk", "q_asof_join_payload",
       "dedup_cluster_stats", "q_join_salted", "dedup_boilerplate",
       "corpus_source_stats")
     // Replication shape for the three r6 additions above: key-shifted

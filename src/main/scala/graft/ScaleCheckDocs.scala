@@ -188,7 +188,7 @@ object ScaleCheckDocs {
       "text_contamination", "corpus_pack_sequences", "sim_semdedup",
       "text_entropy", "sample_temperature", "dedup_containment",
       "emb_quantize", "text_tfidf_keywords", "text_collocations",
-      "text_heavy_hitters", "emb_norm_filter", "sample_group_topk",
+      "text_heavy_hitters", "emb_norm_filter", "emb_project", "sample_group_topk",
       "dedup_cluster_stats", "dedup_boilerplate", "corpus_source_stats",
       "dedup_incremental", "dedup_incremental_loop", "dedup_bloom_screen")
     val unknown = only.toSet -- allNames.toSet

@@ -639,6 +639,11 @@ object SparkEntry {
     // flags, one scan (the row-level QA gate before any similarity op)
     "emb_norm_filter" -> ((s, dir) =>
       Similarity.normFilter(Tables(s, dir, "embeddings"))),
+    // Achlioptas ±1 random projection to 8 dims: the cheap pre-ANN
+    // compression stage — deterministic driver-constant matrix, one
+    // scan, zero shuffle
+    "emb_project" -> ((s, dir) =>
+      Similarity.project(Tables(s, dir, "embeddings"))),
     "mm_binary_meta" -> ((s, dir) =>
       Multimodal.pipeline(s, Tables(s, dir, "documents"))),
     // metadata layer of the multimodal pipeline (no decode) — the part
@@ -1645,6 +1650,7 @@ object SparkEntry {
     "emb_quantize" -> Similarity.quantizeInt8Sql(),
 
     "emb_norm_filter" -> Similarity.normFilterSql(),
+    "emb_project" -> Similarity.projectDuckdbSql(),
 
     "text_corpus_filter" ->
       s"""WITH rep AS (${Text.repetitionSql()}),

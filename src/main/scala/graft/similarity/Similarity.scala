@@ -539,6 +539,61 @@ object Similarity {
                    AND norm_sq <= ${hi * hi} THEN 1 ELSE 0 END AS norm_ok
       FROM n"""
 
+  // Plane-index namespace for the projection matrix — disjoint from the
+  // LSH tables' planes (t*nBits+j, small ints) so the two operators
+  // never share a row of signs.
+  private val projPlaneBase = 1 << 20
+
+  /** Random-projection dimensionality reduction (Achlioptas 2003: R_ij
+    * ∈ {±1} i.i.d., x' = R·x / √k preserves pairwise distances within
+    * 1±ε per Johnson–Lindenstrauss): 64-dim float embeddings down to
+    * `outDims` doubles — the cheap pre-ANN compression stage (4×-16×
+    * smaller vectors for the candidate scan, exact re-rank on the full
+    * vectors afterwards).
+    *
+    * Pure projection: the ±1 matrix is a deterministic driver constant
+    * ([[planeSign]] splitmix64, same generator as the LSH planes but a
+    * disjoint index namespace), so this is one scan, zero shuffle,
+    * scan-speed at any corpus size. Each output dim accumulates in
+    * double precision in index order, then scales by the PRE-COMPUTED
+    * 1/√k multiplier (multiply, never divide — the oracle embeds the
+    * same double literal, keeping both engines on the identical IEEE
+    * rounding sequence).
+    */
+  def project(embeddings: DataFrame, outDims: Int = 8, dim: Int = 64,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              digits: Int = 4): DataFrame = {
+    val scale = 1.0 / math.sqrt(outDims.toDouble)
+    val cols = (0 until outDims).map { j =>
+      val row = Array.tabulate(dim)(d => planeSign(projPlaneBase + j, d))
+      round(aggregate(
+        zip_with(col(vecCol), typedLit(row), (x, r) => x.cast("double") * r),
+        lit(0.0), (acc, v) => acc + v) * lit(scale), digits).as(s"p$j")
+    }
+    embeddings.select(col(idCol) +: cols: _*)
+  }
+
+  /** DuckDB oracle for [[project]]: the same ±1 rows as literals,
+    * `list_dot_product`'s index-order accumulation, the same 1/√k
+    * multiplier literal (Scala's Double formatting round-trips, so both
+    * engines multiply by the bit-identical double).
+    */
+  def projectDuckdbSql(outDims: Int = 8, dim: Int = 64,
+                       table: String = "embeddings", idCol: String = "vec_id",
+                       vecCol: String = "embedding",
+                       digits: Int = 4): String = {
+    val scale = 1.0 / math.sqrt(outDims.toDouble)
+    val cols = (0 until outDims).map { j =>
+      val row = Array.tabulate(dim)(d => planeSign(projPlaneBase + j, d))
+        .mkString("[", ", ", "]")
+      // cast the float vector up front: list_dot_product(FLOAT[], literal)
+      // otherwise resolves to FLOAT arithmetic, not the double fold the
+      // Spark side runs
+      s"round(list_dot_product(CAST($vecCol AS DOUBLE[]), $row) * $scale, $digits) AS p$j"
+    }.mkString(", ")
+    s"SELECT $idCol, $cols FROM $table"
+  }
+
   /** Per-group embedding centroids (mean pooling): the elementwise mean
     * vector of each group — class prototypes, query-free cluster seeds,
     * pooled document representations. Emitted LONG (group, dim position,

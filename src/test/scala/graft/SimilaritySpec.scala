@@ -258,4 +258,34 @@ class SimilaritySpec extends SparkSpec {
     assert(out(3L)._1 == 32 && out(3L)._3 == 0)
     assert(out(4L)._3 == 1 && out(4L)._4 == 0)
   }
+
+  test("project: matches a driver-side replay of the same signs, linear in the input") {
+    import spark.implicits._
+    val v1 = Array.tabulate(64)(i => (i % 7 - 3) * 0.25f)
+    val v2 = Array.tabulate(64)(i => math.sin(i.toDouble).toFloat)
+    val rows = Seq((1L, v1), (2L, v2),
+      (3L, v1.zip(v2).map { case (a, b) => a + b })).toDF("vec_id", "embedding")
+    val out = graft.similarity.Similarity.project(rows, outDims = 4)
+      .collect().map(r => r.getLong(0) ->
+        (1 to 4).map(j => r.getDouble(j)).toArray).toMap
+    // driver replay: same sign generator, same index-order double fold,
+    // same multiply-then-round sequence
+    val scale = 1.0 / math.sqrt(4.0)
+    def replay(v: Array[Float]): Array[Double] =
+      Array.tabulate(4) { j =>
+        var acc = 0.0
+        v.indices.foreach { d =>
+          acc += v(d).toDouble *
+            graft.similarity.Similarity.planeSign((1 << 20) + j, d)
+        }
+        BigDecimal(acc * scale)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    assert(out(1L).sameElements(replay(v1)))
+    assert(out(2L).sameElements(replay(v2)))
+    // linearity within rounding: project(x+y) ≈ project(x)+project(y)
+    (0 until 4).foreach { j =>
+      assert(math.abs(out(3L)(j) - (out(1L)(j) + out(2L)(j))) < 2e-4)
+    }
+  }
 }
