@@ -96,7 +96,14 @@ object ScaleCheck {
       val t = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.format("noop")
         .mode("overwrite").save()
-      (System.nanoTime() - t) / 1e9
+      val secs = (System.nanoTime() - t) / 1e9
+      // Bench's hygiene: drop cached AND localCheckpoint blocks between
+      // queries — accumulated blocks shift memory stats enough to flip
+      // AQE choices and inflate later timings (outside the timed window)
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      secs
     }
     // warm both paths once
     names.foreach(q => time(src, q))

@@ -206,6 +206,8 @@ object ScaleCheckDocs {
       val secs = (System.nanoTime() - t) / 1e9
       val rows = obs.get("rows").asInstanceOf[Long]
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
       (secs, rows)
     }
     // warm BOTH dirs: first-touch costs (file listing, parquet footers,
@@ -246,6 +248,8 @@ object ScaleCheckDocs {
           .cosineNearDup(Tables(spark, dir, "embeddings"), threshold = 0.9)
           .count()
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
         ((System.nanoTime() - t) / 1e9, c)
       }
       timeHi(src) // warm

@@ -501,13 +501,20 @@ object SparkEntry {
     }),
     // the exact screen with a broadcast Bloom pre-filter: definite-new
     // docs never reach the verification join; the oracle is plain
-    // membership, so the gate proves fp-verify restores exactness
+    // membership, so the gate proves fp-verify restores exactness.
+    // Incoming = the 20% split RESUBMITTED against the full corpus with
+    // odd ids salted — the corpora hold no exact dups, so a disjoint
+    // split would gate a constant-zero flag (vacuous); this shape
+    // exercises both flag classes at every SF
     "dedup_bloom_screen" -> ((s, dir) => {
-      val split = graft.etl.Sampling.hashSplit(Tables(s, dir, "documents"),
-        "doc_id", incrementalSplit)
-      val corpus = split.filter(col("split") === "corpus").drop("split")
-      Dedup.exactScreenBloom(Dedup.buildIndex(corpus),
-        split.filter(col("split") === "incoming").drop("split"))
+      val docs = Tables(s, dir, "documents")
+      val incoming = graft.etl.Sampling.hashSplit(docs, "doc_id", incrementalSplit)
+        .filter(col("split") === "incoming")
+        .select(col("doc_id"),
+          when(col("doc_id") % 2 === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" resubmission salt")))
+            .as("text"))
+      Dedup.exactScreenBloom(Dedup.corpusHashes(docs), incoming)
     }),
     // the index-MAINTENANCE loop: batch 1 screened against the corpus
     // index, kept docs merged in, batch 2 screened against the merged

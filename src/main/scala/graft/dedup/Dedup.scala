@@ -212,14 +212,26 @@ object Dedup {
     */
   def buildIndex(corpus: DataFrame, idCol: String = "doc_id",
                  textCol: String = "text"): DedupIndex = DedupIndex(
-    corpus.select(md5(col(textCol)).as("content_hash")).distinct(),
+    corpusHashes(corpus, textCol),
     MinHashSpec.bandedSignatures(corpus, idCol, textCol))
+
+  /** The exact-screen half of the index alone: the distinct content-hash
+    * set. [[exactScreenBloom]] needs only this — building the full
+    * [[DedupIndex]] would eagerly derive the banded MinHash signatures
+    * it never reads.
+    */
+  def corpusHashes(corpus: DataFrame, textCol: String = "text"): DataFrame =
+    corpus.select(md5(col(textCol)).as("content_hash")).distinct()
 
   /** Fold a batch's ACCEPTED (kept) docs into the index. Contract: the
     * kept docs' ids are disjoint from those already indexed (they were
-    * just screened as new). The hash set re-distincts because two kept
-    * docs from different batches may legitimately share content only
-    * pre-merge — never, by construction, within one merge.
+    * just screened as new). The `.distinct()` is load-bearing for the
+    * WITHIN-batch case: batch-internal duplicates are deliberately
+    * un-flagged by the screen (neither copy is in the corpus yet), so
+    * one merge can receive several kept docs with identical content —
+    * they must collapse to one hash row. ACROSS merges duplicate
+    * content cannot arrive: the later copy is exact-flagged by the
+    * already-merged hash and rejected.
     */
   def mergeIndex(index: DedupIndex, keptDocs: DataFrame,
                  idCol: String = "doc_id",
@@ -297,17 +309,17 @@ object Dedup {
     * default ceiling, 8 MB serialized — ~50 M docs at 1% fpp); beyond
     * that, shard the filter by hash prefix and probe the matching shard.
     */
-  def buildBloom(index: DedupIndex, fpp: Double = 0.01,
+  def buildBloom(hashes: DataFrame, fpp: Double = 0.01,
                  numBits: Option[Long] = None): Option[Array[Byte]] = {
-    val spark = index.hashes.sparkSession
+    val spark = hashes.sparkSession
     if (!spark.catalog.functionExists("bloom_build")) None
     else {
-      val n = math.max(1L, index.hashes.count())
+      val n = math.max(1L, hashes.count())
       val bits = numBits.getOrElse {
         val optimal = math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong
         math.min(67108864L, math.max(64L, optimal))
       }
-      Some(index.hashes
+      Some(hashes
         .agg(call_function("bloom_build",
           xxhash64(col("content_hash")), lit(n), lit(bits)).as("bf"))
         .head().getAs[Array[Byte]]("bf"))
@@ -323,18 +335,23 @@ object Dedup {
     * exactness. `numBits` is a test hook (a saturated tiny filter forces
     * false positives); production uses the fpp-derived size.
     */
-  def exactScreenBloom(index: DedupIndex, incoming: DataFrame,
+  def exactScreenBloom(hashesIn: DataFrame, incoming: DataFrame,
                        idCol: String = "doc_id", textCol: String = "text",
                        fpp: Double = 0.01,
                        numBits: Option[Long] = None): DataFrame = {
+    // materialize the hash set once: the un-cut frame would re-derive
+    // the corpus distinct THREE times (count job, bloom-agg job, verify
+    // join) — in production this frame is the loaded index table and the
+    // cut is free
+    val hashes = hashesIn.localCheckpoint()
     val hashed = incoming.select(col(idCol), md5(col(textCol)).as("content_hash"))
-    val maybes = buildBloom(index, fpp, numBits) match {
+    val maybes = buildBloom(hashes, fpp, numBits) match {
       case Some(bytes) => hashed.filter(
         call_function("bloom_contains", lit(bytes),
           xxhash64(col("content_hash"))))
       case None => hashed
     }
-    val confirmed = maybes.join(index.hashes, Seq("content_hash"), "left_semi")
+    val confirmed = maybes.join(hashes, Seq("content_hash"), "left_semi")
       .select(col(idCol)).withColumn("is_dup_exact", lit(1))
     incoming.select(col(idCol))
       .join(confirmed, Seq(idCol), "left")
@@ -342,18 +359,24 @@ object Dedup {
         coalesce(col("is_dup_exact"), lit(0)).as("is_dup_exact"))
   }
 
-  /** DuckDB oracle for [[exactScreenBloom]]: plain membership — the
-    * Bloom pre-filter must not change a single flag.
+  /** DuckDB oracle for [[exactScreenBloom]] as gated: plain membership —
+    * the Bloom pre-filter must not change a single flag. The gate's
+    * incoming batch is the 20% hash-split resubmitted against the FULL
+    * corpus with every odd doc_id's text salted, so BOTH flag classes
+    * exist at every scale factor (the raw corpora contain no exact
+    * duplicates at all — screening disjoint splits would gate a
+    * constant-zero column, i.e. nothing).
     */
   def bloomScreenSql(table: String = "documents", idCol: String = "doc_id",
                      textCol: String = "text", splitCaseSql: String): String =
-    s"""WITH corpus AS (
-      SELECT $textCol FROM $table WHERE $splitCaseSql = 'corpus'
-    ), incoming AS (
-      SELECT $idCol, $textCol FROM $table WHERE $splitCaseSql = 'incoming'
+    s"""WITH incoming AS (
+      SELECT $idCol,
+             CASE WHEN $idCol % 2 = 0 THEN $textCol
+                  ELSE $textCol || ' resubmission salt' END AS $textCol
+      FROM $table WHERE $splitCaseSql = 'incoming'
     )
     SELECT $idCol,
-           CASE WHEN md5($textCol) IN (SELECT md5($textCol) FROM corpus)
+           CASE WHEN md5($textCol) IN (SELECT md5($textCol) FROM $table)
                 THEN 1 ELSE 0 END AS is_dup_exact
     FROM incoming"""
 
@@ -374,6 +397,7 @@ object Dedup {
                       idCol: String = "doc_id", textCol: String = "text",
                       k: Int = 3, threshold: Double = 0.5,
                       digits: Int = 4): DataFrame = {
+    require(batches.nonEmpty, "incrementalLoop needs at least one batch")
     var corp = corpus.select(col(idCol), col(textCol))
     var idx = buildIndex(corp, idCol, textCol)
     batches.map { case (tag, batch) =>

@@ -482,10 +482,10 @@ class TextDedupSpec extends SparkSpec {
           (101L, "corpus document number 42 body"))  // true exact dup
       ++ (102 to 140).map(i => (i.toLong, s"fresh incoming doc $i"))
     ).toDF("doc_id", "text")
-    val idx = Dedup.buildIndex(corpus)
+    val hashes = Dedup.corpusHashes(corpus)
     val tinyBits = Some(64L)
     // the saturated filter really does pass non-dups (false positives)...
-    val bytes = Dedup.buildBloom(idx, numBits = tinyBits).get
+    val bytes = Dedup.buildBloom(hashes, numBits = tinyBits).get
     val maybes = incoming
       .select(col("doc_id"), md5(col("text")).as("content_hash"))
       .filter(call_function("bloom_contains", lit(bytes),
@@ -494,11 +494,11 @@ class TextDedupSpec extends SparkSpec {
     assert(maybes > 2, s"expected false positives through a 64-bit filter, got $maybes maybes")
     // ...and the verified flags are still exactly the membership truth
     val expect = ((100 to 101).map(_.toLong -> 1) ++ (102 to 140).map(_.toLong -> 0)).toMap
-    val got = Dedup.exactScreenBloom(idx, incoming, numBits = tinyBits)
+    val got = Dedup.exactScreenBloom(hashes, incoming, numBits = tinyBits)
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(got == expect)
     // the right-sized (fpp-derived) filter agrees too
-    val sized = Dedup.exactScreenBloom(idx, incoming)
+    val sized = Dedup.exactScreenBloom(hashes, incoming)
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(sized == expect)
   }
