@@ -68,7 +68,7 @@ object ScaleCheck {
       "q_asof_join_fused", "etl_zorder_key", "text_heavy_hitters",
       "emb_norm_filter", "emb_project", "sample_group_topk", "q_asof_join_payload",
       "dedup_cluster_stats", "q_join_salted", "dedup_boilerplate",
-      "corpus_source_stats")
+      "corpus_source_stats", "sim_knn_join", "sim_knn_graph")
     // Replication shape for the three r6 additions above: key-shifted
     // user_id clones multiply the number of SCD2 entities, not the
     // per-entity run length, so scd2 history/asof should scale linearly
@@ -84,9 +84,10 @@ object ScaleCheck {
     // quadratically by construction; that measures the replication
     // artifact, not the operator (cost is O(n + output) by design).
     // Caveat for the pair-emitting ops that ARE listed (minhash,
-    // lsh_jaccard, sim_near_dup): replication clones every row 10×, so
-    // every clone pair is a TRUE duplicate/near-dup and the output —
-    // hence the ratio — grows ~100×; per-pair cost stays flat.
+    // lsh_jaccard, sim_near_dup, sim_knn_graph): replication clones
+    // every row 10×, so every clone pair is a TRUE duplicate/near-dup
+    // and the candidate space — hence the ratio — grows ~100×; per-pair
+    // cost stays flat. ScaleCheckDocs' unique corpus is the honest view.
     val unknown = only.toSet -- allNames.toSet
     require(unknown.isEmpty,
       s"unknown/excluded query names: ${unknown.mkString(", ")} " +

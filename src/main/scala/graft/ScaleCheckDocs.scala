@@ -190,7 +190,8 @@ object ScaleCheckDocs {
       "emb_quantize", "text_tfidf_keywords", "text_collocations",
       "text_heavy_hitters", "emb_norm_filter", "emb_project", "sample_group_topk",
       "dedup_cluster_stats", "dedup_boilerplate", "corpus_source_stats",
-      "dedup_incremental", "dedup_incremental_loop", "dedup_bloom_screen")
+      "dedup_incremental", "dedup_incremental_loop", "dedup_bloom_screen",
+      "sim_knn_join", "sim_knn_graph")
     val unknown = only.toSet -- allNames.toSet
     require(unknown.isEmpty,
       s"unknown query names (would be silently skipped): ${unknown.mkString(", ")}")

@@ -580,6 +580,18 @@ object SparkEntry {
     // pair-dedup, scoring and filtering on real output rows
     "sim_near_dup" -> ((s, dir) =>
       Similarity.cosineNearDup(Tables(s, dir, "embeddings"), threshold = 0.4)),
+    // table-to-table kNN join: a 2% hash-carved probe table against the
+    // rest — annTopK's contract without the small-driver-list assumption
+    "sim_knn_join" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      Similarity.knnJoin(e.filter(col("vec_id") % 50 === 0),
+        e.filter(col("vec_id") % 50 =!= 0), k = 3)
+    }),
+    // the kNN GRAPH of the whole table (every vector's top-2 neighbors)
+    "sim_knn_graph" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      Similarity.knnJoin(e, e, k = 2, excludeSelf = true)
+    }),
     // SemDeDup: cluster-then-dedup with the seeded quantizer (same
     // cross-engine contract as sim_ann_ivf_seeded); threshold 0.4 for
     // the same no-true-near-dups reason as sim_near_dup
@@ -1635,6 +1647,10 @@ object SparkEntry {
     "sim_ann_lsh" -> Similarity.annTopKDuckdbSql((0L until 10L), 5),
     "sim_ann_ivf_seeded" -> Similarity.ivfSeededDuckdbSql((0L until 10L), 5),
     "sim_near_dup" -> Similarity.cosineNearDupDuckdbSql(threshold = 0.4),
+    "sim_knn_join" -> Similarity.knnJoinDuckdbSql(
+      probeWhere = "vec_id % 50 = 0", corpusWhere = "vec_id % 50 <> 0", k = 3),
+    "sim_knn_graph" -> Similarity.knnJoinDuckdbSql(
+      probeWhere = "1 = 1", corpusWhere = "1 = 1", k = 2, excludeSelf = true),
     "dedup_lsh_jaccard" -> MinHashSpec.duckdbJaccardSql(),
     "dedup_incremental" -> MinHashSpec.duckdbIncrementalSql(
       splitCaseSql = graft.etl.Sampling.hashSplitSql("doc_id", incrementalSplit)),

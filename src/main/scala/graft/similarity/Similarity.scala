@@ -169,12 +169,54 @@ object Similarity {
     rankTopK(scored, "probe_id", k)
   }
 
+  /** k-nearest-neighbor JOIN between two embedding TABLES: every probe
+    * row gets its top-k corpus neighbors by cosine, LSH-blocked so the
+    * |P|×|C| pair space never materializes. This is [[annTopK]]'s
+    * contract lifted from "small driver-side probe id list" to
+    * "arbitrary probe DataFrame": no broadcast assumption on either
+    * side. Both sides are bucketed independently with the SAME plane
+    * matrix (a probe and a candidate collide iff they'd collide in a
+    * self-join), the candidate join is keyed on (table, bucket), ids
+    * only ride the multi-table join and the pair dedup, and each side's
+    * vectors attach exactly once on the deduped pairs. Ranking is the
+    * bounded-heap `topk_by` aggregate (map-side partial top-k).
+    *
+    * `probes eq corpus` with `excludeSelf = true` builds the kNN GRAPH
+    * of a table — the input to kNN clustering, graph dedup and
+    * retrieval-style analyses. At 100 TB: shuffle ∝ nTables×(|P|+|C|)
+    * id/bucket rows + the deduped candidate pairs (Σ per-bucket
+    * |P_b|×|C_b|, bounded by nBits), never |P|×|C|.
+    *
+    * Recall caveat (same contract as [[annTopK]]): a true neighbor in
+    * no shared bucket is unreachable; nTables OR-amplifies recall.
+    */
+  def knnJoin(probes: DataFrame, corpus: DataFrame, k: Int,
+              nBits: Int = 6, nTables: Int = 8, dim: Int = 64,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              excludeSelf: Boolean = false, digits: Int = 4): DataFrame = {
+    val pb = lshBuckets(probes, nBits, nTables, dim, idCol, vecCol)
+      .select(col("table"), col("bucket"), col(idCol).as("probe_id"))
+    val cb = lshBuckets(corpus, nBits, nTables, dim, idCol, vecCol)
+      .select(col("table"), col("bucket"), col(idCol).as("cand_id"))
+    val joined = pb.join(cb, Seq("table", "bucket"))
+    val pairs = (if (excludeSelf) joined.filter(col("probe_id") =!= col("cand_id"))
+                 else joined)
+      .select(col("probe_id"), col("cand_id")).distinct()
+    val pv = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
+    val cv = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"))
+    val scored = pairs.join(pv, Seq("probe_id")).join(cv, Seq("cand_id"))
+      .withColumn("cosine",
+        round(expr(cosineSql(probes, "probe_vec", "cand_vec")), digits))
+    rankTopK(scored, "probe_id", k)
+  }
+
   /** Shared DuckDB CTE fragment: every (vector, table, bucket) row of the
     * multi-table hyperplane LSH, with the driver-computed ±1 plane matrix
-    * embedded as SQL literals. Expects a CTE `e($idCol, $vecCol)`.
+    * embedded as SQL literals. Expects a CTE `$src($idCol, $vecCol)`.
     */
   private def duckdbBucketBranches(nBits: Int, nTables: Int, dim: Int,
-                                   idCol: String, vecCol: String): String = {
+                                   idCol: String, vecCol: String,
+                                   src: String = "e"): String = {
     def planeList(p: Int): String =
       Array.tabulate(dim)(d => planeSign(p, d)).mkString("[", ", ", "]")
     def bucketExpr(t: Int): String =
@@ -182,7 +224,7 @@ object Similarity {
         s"(CASE WHEN list_dot_product($vecCol, ${planeList(t * nBits + j)}) >= 0 THEN ${1L << j} ELSE 0 END)"
       }.mkString(" + ")
     (0 until nTables).map(t =>
-      s"SELECT $idCol, $vecCol, $t AS tbl, ${bucketExpr(t)} AS bucket FROM e")
+      s"SELECT $idCol, $vecCol, $t AS tbl, ${bucketExpr(t)} AS bucket FROM $src")
       .mkString("\n  UNION ALL ")
   }
 
@@ -225,6 +267,44 @@ object Similarity {
          FROM cand
          JOIN e pe ON cand.probe_id = pe.$idCol
          JOIN e ce ON cand.cand_id = ce.$idCol)
+       SELECT probe_id, cand_id, cosine,
+              cast(row_number() OVER (PARTITION BY probe_id
+                ORDER BY cosine DESC, cand_id) as int) AS rnk
+       FROM s
+       QUALIFY rnk <= $k"""
+  }
+
+  /** DuckDB oracle for [[knnJoin]]: both sides' LSH buckets replayed
+    * with the literal plane matrix, candidate join on (tbl, bucket),
+    * pair dedup, cosine scoring, per-probe rank. `probeWhere` /
+    * `corpusWhere` carve the two sides out of the same table exactly as
+    * the gate's DataFrame filters do; pass the same predicate (and
+    * `excludeSelf = true`) for the kNN-graph form.
+    */
+  def knnJoinDuckdbSql(probeWhere: String, corpusWhere: String, k: Int,
+                       nBits: Int = 6, nTables: Int = 8, dim: Int = 64,
+                       table: String = "embeddings", idCol: String = "vec_id",
+                       vecCol: String = "embedding",
+                       excludeSelf: Boolean = false): String = {
+    val pBranches = duckdbBucketBranches(nBits, nTables, dim, idCol, vecCol, "p")
+    val cBranches = duckdbBucketBranches(nBits, nTables, dim, idCol, vecCol, "c")
+    val selfGuard = if (excludeSelf) "AND cb.$id <> pb.$id".replace("$id", idCol) else ""
+    s"""WITH p AS (SELECT $idCol, $vecCol FROM $table WHERE $probeWhere),
+       c AS (SELECT $idCol, $vecCol FROM $table WHERE $corpusWhere),
+       pb AS (
+         $pBranches),
+       cb AS (
+         $cBranches),
+       cand AS (
+         SELECT DISTINCT pb.$idCol AS probe_id, cb.$idCol AS cand_id
+         FROM pb JOIN cb USING (tbl, bucket)
+         WHERE 1 = 1 $selfGuard),
+       s AS (
+         SELECT probe_id, cand_id,
+                ${duckdbCosine(s"pe.$vecCol", s"ce.$vecCol")} AS cosine
+         FROM cand
+         JOIN p pe ON cand.probe_id = pe.$idCol
+         JOIN c ce ON cand.cand_id = ce.$idCol)
        SELECT probe_id, cand_id, cosine,
               cast(row_number() OVER (PARTITION BY probe_id
                 ORDER BY cosine DESC, cand_id) as int) AS rnk

@@ -129,6 +129,47 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.15, f"recall $recall too low")
   }
 
+  test("knnJoin with a filtered-subset probe table equals annTopK exactly") {
+    // same planes, same buckets: lifting the probe side from a driver id
+    // list to a DataFrame must not change a single (probe, cand, rnk) row
+    val ids = (0L until 10L)
+    val viaList = Similarity.annTopK(emb, ids, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val viaJoin = Similarity.knnJoin(
+      emb.filter(col("vec_id").isInCollection(ids)), emb, k = 5,
+      excludeSelf = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(viaJoin == viaList)
+    assert(viaJoin.nonEmpty)
+  }
+
+  test("knnJoin: planted twin ranks first at cosine 1.0; graph form has no self pairs") {
+    val corpus = emb.filter(col("vec_id") < 100)
+    // probes are exact copies of corpus vectors under fresh ids: identical
+    // vectors share every bucket, so the twin is always a candidate and
+    // (max pairwise cosine of distinct vectors ~0.51) always rank 1
+    val probes = corpus.filter(col("vec_id") < 3)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    val out = Similarity.knnJoin(probes, corpus, k = 3).collect()
+    val byProbe = out.groupBy(_.getAs[Long]("probe_id"))
+    assert(byProbe.keySet == Set(1000000L, 1000001L, 1000002L))
+    byProbe.foreach { case (pid, rs) =>
+      assert(rs.length <= 3)
+      val sorted = rs.sortBy(_.getAs[Int]("rnk"))
+      assert(sorted.map(_.getAs[Int]("rnk")).toSeq == (1 to rs.length))
+      val cosines = sorted.map(_.getAs[Double]("cosine")).toSeq
+      assert(cosines == cosines.sorted.reverse)
+      assert(sorted.head.getAs[Long]("cand_id") == pid - 1000000L)
+      assert(sorted.head.getAs[Double]("cosine") == 1.0)
+    }
+    val graph = Similarity.knnJoin(corpus, corpus, k = 2, excludeSelf = true)
+      .collect()
+    assert(graph.nonEmpty)
+    graph.foreach { r =>
+      assert(r.getAs[Long]("probe_id") != r.getAs[Long]("cand_id"))
+    }
+  }
+
   test("ivf: centroids deterministic, assignments partition the corpus") {
     val c1 = Similarity.ivfCentroids(emb, k = 8, iters = 2)
     val c2 = Similarity.ivfCentroids(emb, k = 8, iters = 2)
