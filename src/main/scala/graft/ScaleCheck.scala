@@ -68,7 +68,8 @@ object ScaleCheck {
       "q_asof_join_fused", "etl_zorder_key", "text_heavy_hitters",
       "emb_norm_filter", "emb_project", "sample_group_topk", "q_asof_join_payload",
       "dedup_cluster_stats", "q_join_salted", "dedup_boilerplate",
-      "corpus_source_stats", "sim_knn_join", "sim_knn_graph")
+      "corpus_source_stats", "sim_knn_join", "sim_knn_graph",
+      "sample_mix_upsample", "emb_pq_encode")
     // Replication shape for the three r6 additions above: key-shifted
     // user_id clones multiply the number of SCD2 entities, not the
     // per-entity run length, so scd2 history/asof should scale linearly

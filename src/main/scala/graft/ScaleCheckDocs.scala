@@ -191,7 +191,8 @@ object ScaleCheckDocs {
       "text_heavy_hitters", "emb_norm_filter", "emb_project", "sample_group_topk",
       "dedup_cluster_stats", "dedup_boilerplate", "corpus_source_stats",
       "dedup_incremental", "dedup_incremental_loop", "dedup_bloom_screen",
-      "sim_knn_join", "sim_knn_graph")
+      "sim_knn_join", "sim_knn_graph", "sample_mix_upsample",
+      "emb_pq_encode")
     val unknown = only.toSet -- allNames.toSet
     require(unknown.isEmpty,
       s"unknown query names (would be silently skipped): ${unknown.mkString(", ")}")

@@ -455,6 +455,12 @@ object SparkEntry {
       graft.etl.Sampling.mixRebalance(Tables(s, dir, "documents"),
         "source", "doc_id", mixTargets)
         .select("doc_id", "source")),
+    // epochs-based upsampling: the complement of mix_rebalance's
+    // no-upsampling contract (repeat scarce sources N times)
+    "sample_mix_upsample" -> ((s, dir) =>
+      graft.etl.Sampling.upsampleEpochs(Tables(s, dir, "documents"),
+        "source", "doc_id", upsampleFactors)
+        .select("doc_id", "source", "epoch")),
     // token-budget selection: each source contributes at most 800 ws
     // tokens, docs taken in deterministic hash order
     "corpus_token_budget" -> ((s, dir) =>
@@ -592,6 +598,11 @@ object SparkEntry {
       val e = Tables(s, dir, "embeddings")
       Similarity.knnJoin(e, e, k = 2, excludeSelf = true)
     }),
+    // PQ encode with the seeded codebook contract (same cross-engine
+    // discipline as sim_ann_ivf_seeded; trained codebooks are driver
+    // state behind the same save/load loop)
+    "emb_pq_encode" -> ((s, dir) =>
+      Similarity.pqEncode(Tables(s, dir, "embeddings"))),
     // SemDeDup: cluster-then-dedup with the seeded quantizer (same
     // cross-engine contract as sim_ann_ivf_seeded); threshold 0.4 for
     // the same no-true-near-dups reason as sim_near_dup
@@ -681,6 +692,13 @@ object SparkEntry {
   // bottleneck at acceptance rate 1.0).
   private val mixTargets =
     Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
+
+  // Upsample epoch factors — shared by the Spark query and its oracle.
+  // Exercises every regime: integer epochs (3.0), fractional (2.5),
+  // sub-1 downsample (0.3), explicit drop (0.0), default pass-through
+  // (every other source at 1.0).
+  private val upsampleFactors = Map(
+    "src0" -> 3.0, "src1" -> 2.5, "src2" -> 0.3, "src3" -> 0.0)
 
   // Corpus/incoming hash-split for dedup_incremental — shared by the
   // Spark query and its oracle.
@@ -1455,6 +1473,10 @@ object SparkEntry {
     "sample_mix_rebalance" -> graft.etl.Sampling.mixRebalanceSql(
       "documents", "source", "doc_id", mixTargets, "d.doc_id, d.source"),
 
+    "sample_mix_upsample" -> graft.etl.Sampling.upsampleEpochsSql(
+      "documents", "source", "doc_id", upsampleFactors,
+      selectCols = "doc_id, source"),
+
     "corpus_token_budget" -> graft.etl.Sampling.tokenBudgetSql(
       "documents", "source", "doc_id", "text", budget = 800L,
       "doc_id, source"),
@@ -1651,6 +1673,7 @@ object SparkEntry {
       probeWhere = "vec_id % 50 = 0", corpusWhere = "vec_id % 50 <> 0", k = 3),
     "sim_knn_graph" -> Similarity.knnJoinDuckdbSql(
       probeWhere = "1 = 1", corpusWhere = "1 = 1", k = 2, excludeSelf = true),
+    "emb_pq_encode" -> Similarity.pqEncodeSeededDuckdbSql(),
     "dedup_lsh_jaccard" -> MinHashSpec.duckdbJaccardSql(),
     "dedup_incremental" -> MinHashSpec.duckdbIncrementalSql(
       splitCaseSql = graft.etl.Sampling.hashSplitSql("doc_id", incrementalSplit)),

@@ -190,6 +190,79 @@ object Sampling {
       WHERE ${bucketSql(keyCol)} < cut"""
   }
 
+  /** Epochs-based UPSAMPLING — the complement of [[mixRebalance]]'s
+    * no-upsampling contract: training mixes repeat scarce, high-value
+    * sources (the classic "N epochs of Wikipedia/books" pattern) while
+    * passing the rest through once. Each row is emitted ⌊r⌋ times, plus
+    * one more iff its hash bucket clears the fractional part — so a
+    * source at r = 2.5 yields exactly 2 copies of half its rows
+    * (deterministically chosen: the SAME half [[hashSample]] at 0.5
+    * would keep) and 3 of the other half. r < 1 degrades to plain
+    * downsampling, r = 0 drops the source; sources absent from `epochs`
+    * get `defaultEpochs` (1.0 = pass-through — upsampling is not a
+    * whitelist). The output `epoch` column (1..copies) makes each
+    * repeat addressable downstream (e.g. epoch-aware shuffling).
+    *
+    * Scale shape: pure projection + bounded explode (≤ ⌈max r⌉ rows per
+    * input row), NO shuffle and no counts pass — unlike the rate
+    * samplers there is no feasibility min to derive, so the factor map
+    * is a driver literal CASE. The ⌊r⌋/fraction-cut split is computed
+    * ONCE on the driver and embedded as integer literals in both
+    * engines, so the copy sets match exactly.
+    */
+  def upsampleEpochs(df: DataFrame, sourceCol: String, keyCol: String,
+                     epochs: Map[String, Double],
+                     defaultEpochs: Double = 1.0): DataFrame = {
+    require(epochs.values.forall(_ >= 0) && defaultEpochs >= 0,
+      "upsampleEpochs: epoch factors must be >= 0")
+    def baseOf(r: Double): Long = math.floor(r).toLong
+    def cutOf(r: Double): Long = ((r - math.floor(r)) * BUCKETS).round
+    val baseCol = epochs.foldLeft(lit(baseOf(defaultEpochs))) {
+      case (acc, (s, r)) =>
+        when(col(sourceCol) === s, lit(baseOf(r))).otherwise(acc)
+    }
+    val cutCol = epochs.foldLeft(lit(cutOf(defaultEpochs))) {
+      case (acc, (s, r)) =>
+        when(col(sourceCol) === s, lit(cutOf(r))).otherwise(acc)
+    }
+    df.withColumn("__copies",
+        baseCol + when(bucket(df, keyCol) < cutCol, 1L).otherwise(0L))
+      // the >= 1 guard is load-bearing: Spark's sequence(1, 0) counts
+      // DOWN ([1, 0]), it does not return empty
+      .filter(col("__copies") >= 1L)
+      .withColumn("epoch",
+        explode(sequence(lit(1), col("__copies").cast("int"))))
+      .drop("__copies")
+  }
+
+  /** DuckDB oracle twin of [[upsampleEpochs]]: the same driver-rounded
+    * (base, cut) literals per source, LEFT JOIN + COALESCE for the
+    * default, `generate_series` for the repeats (inclusive bounds match
+    * Spark's `sequence`).
+    */
+  def upsampleEpochsSql(table: String, sourceCol: String, keyCol: String,
+                        epochs: Map[String, Double],
+                        defaultEpochs: Double = 1.0,
+                        selectCols: String): String = {
+    def baseOf(r: Double): Long = math.floor(r).toLong
+    def cutOf(r: Double): Long = ((r - math.floor(r)) * BUCKETS).round
+    val values = epochs.toSeq.sortBy(_._1)
+      .map { case (s, r) =>
+        s"('$s', cast(${baseOf(r)} as bigint), cast(${cutOf(r)} as bigint))" }
+      .mkString(", ")
+    s"""WITH f($sourceCol, base, cut) AS (VALUES $values),
+        c AS (
+          SELECT $selectCols,
+                 coalesce(f.base, ${baseOf(defaultEpochs)})
+                   + CASE WHEN ${bucketSql(keyCol)}
+                            < coalesce(f.cut, ${cutOf(defaultEpochs)})
+                          THEN 1 ELSE 0 END AS copies
+          FROM $table d LEFT JOIN f USING ($sourceCol))
+      SELECT $selectCols,
+             cast(unnest(generate_series(1, copies)) as int) AS epoch
+      FROM c WHERE copies >= 1"""
+  }
+
   /** Deterministic per-group sample of exactly `k` rows (the group-wise
     * "reservoir" of eval-set construction: k docs per language, k users
     * per cohort): rows are ranked inside each group by content-hash

@@ -389,10 +389,13 @@ object Similarity {
        QUALIFY rnk <= $topK"""
   }
 
-  /** Squared-L2 distance of a vector column to a literal centroid. */
+  /** Squared-L2 distance of a vector expression (a column name or any
+    * array<float> SQL fragment, e.g. a `slice(...)`) to a literal
+    * centroid.
+    */
   private def l2Sq(vecCol: String, centroid: Array[Double]): Column =
     aggregate(
-      zip_with(col(vecCol), typedLit(centroid),
+      zip_with(expr(vecCol), typedLit(centroid),
         (x, c) => { val d = x.cast("double") - c; d * d }),
       lit(0.0), (acc, v) => acc + v)
 
@@ -570,6 +573,128 @@ object Similarity {
                     cast(floor(cast(v as double) / scale + 0.5) as bigint),
                     -127), 127) END AS q
       FROM s"""
+
+  /** Product-quantization codebooks (Jégou, Douze, Schmid: "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): the vector
+    * space is split into `m` contiguous subspaces of dim/m dims; each
+    * subspace gets its own k-codeword quantizer trained independently.
+    * Same driver-side bounded-sample Lloyd shape as [[ivfCentroids]]
+    * (deterministic lowest-id init and sample; O(sample × dim) collect,
+    * constant in corpus size); `iters = 0` is the SEEDED contract —
+    * codebook j of every subspace is the j-th lowest-id vector's
+    * subvector, which the DuckDB oracle can replay from the table.
+    * Returns [m][k][dim/m].
+    */
+  def pqCodebooks(embeddings: DataFrame, m: Int = 8, k: Int = 16,
+                  iters: Int = 5, dim: Int = 64, idCol: String = "vec_id",
+                  vecCol: String = "embedding",
+                  maxTrainSamples: Int = 4096): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"pqCodebooks: m=$m must divide dim=$dim")
+    val sub = dim / m
+    val sample: Array[Array[Double]] = embeddings
+      .select(col(idCol), col(vecCol)).orderBy(col(idCol))
+      .limit(maxTrainSamples)
+      .select(col(vecCol)).collect()
+      .map(r => java.util.Arrays.copyOf(
+        r.getSeq[Float](0).toArray.map(_.toDouble), dim))
+    Array.tabulate(m) { s =>
+      val subSample = sample.map(v => v.slice(s * sub, (s + 1) * sub))
+      var cents = subSample.take(k).map(_.clone())
+      for (_ <- 1 to iters) {
+        val sums = Array.fill(k, sub)(0.0)
+        val counts = Array.fill(k)(0L)
+        subSample.foreach { v =>
+          var best = 0; var bestD = Double.MaxValue; var c = 0
+          while (c < k) {
+            var d = 0.0; var i = 0
+            while (i < sub) { val t = v(i) - cents(c)(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          var i = 0
+          while (i < sub) { sums(best)(i) += v(i); i += 1 }
+        }
+        cents = Array.tabulate(k)(c =>
+          if (counts(c) == 0L) cents(c)
+          else Array.tabulate(sub)(i => sums(c)(i) / counts(c)))
+      }
+      cents
+    }
+  }
+
+  /** PQ ENCODE: each vector compresses to `m` small codes (one byte
+    * each at k ≤ 256 — a 64-dim float vector becomes 8 bytes, 32×
+    * smaller than SQ8's 64). Output long shape (id, subspace, code);
+    * assignment is argmin squared-L2 within each subspace, ties to the
+    * lowest code (`array_position` returns the FIRST minimum).
+    *
+    * Pure projection — one scan, 0 exchanges, no shuffle: the m×k×(dim/m)
+    * codebook ships as expression literals exactly like the IVF
+    * centroids. Distances per subspace reuse the same index-order
+    * double arithmetic as [[ivfTopK]], so with the seeded codebooks
+    * (`pqCodebooks(iters = 0)`) the DuckDB oracle reproduces every code
+    * bit-for-bit; trained codebooks are driver state, persistable via
+    * the same save/load loop as the IVF quantizer.
+    */
+  def pqEncode(embeddings: DataFrame, m: Int = 8, k: Int = 16,
+               dim: Int = 64, idCol: String = "vec_id",
+               vecCol: String = "embedding",
+               codebooks: Option[Array[Array[Array[Double]]]] = None)
+      : DataFrame = {
+    require(dim % m == 0, s"pqEncode: m=$m must divide dim=$dim")
+    val sub = dim / m
+    val cbs = codebooks.getOrElse(
+      pqCodebooks(embeddings, m, k, iters = 0, dim, idCol, vecCol))
+    require(cbs.length == m && cbs.forall(_.forall(_.length == sub)),
+      "pqEncode: codebook shape must be [m][k][dim/m]")
+    val codeCols = (0 until m).map { s =>
+      // the fused native centroid_dists when registered (one plan node
+      // per subspace), else k composed l2Sq trees — [[centroidDistsCol]]
+      // picks; either way the slice fragment keeps it one scan, 0 shuffle
+      val dists = centroidDistsCol(embeddings,
+        s"slice($vecCol, ${s * sub + 1}, $sub)", cbs(s))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+    embeddings
+      .withColumn("__codes", array(codeCols: _*))
+      .select(col(idCol), posexplode(col("__codes")).as(Seq("subspace", "code")))
+      .select(col(idCol), col("subspace").cast("int").as("subspace"),
+        col("code"))
+  }
+
+  /** DuckDB oracle for [[pqEncode]] with SEEDED codebooks: codebook j of
+    * subspace s is the subvector of the j-th lowest-id vector — in SQL,
+    * a join against the first-k rows with per-subspace slices. Distances
+    * accumulate in index order via the same list_transform/list_sum
+    * shape as [[ivfSeededDuckdbSql]]; the QUALIFY tie rule (l2, then
+    * code) mirrors `array_position`'s first-minimum.
+    */
+  def pqEncodeSeededDuckdbSql(m: Int = 8, k: Int = 16, dim: Int = 64,
+                              table: String = "embeddings",
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding"): String = {
+    val sub = dim / m
+    s"""WITH e AS (SELECT $idCol, $vecCol FROM $table),
+       cb AS (SELECT row_number() OVER (ORDER BY $idCol) - 1 AS code,
+                     $vecCol AS cv
+              FROM (SELECT * FROM e ORDER BY $idCol LIMIT $k)),
+       subs AS (SELECT unnest(range(0, $m)) AS subspace),
+       dists AS (
+         SELECT e.$idCol, subs.subspace, cb.code,
+                list_sum(list_transform(range(1, ${sub + 1}),
+                  d -> (cast(e.$vecCol[subspace * $sub + d] as double)
+                        - cast(cb.cv[subspace * $sub + d] as double))
+                     * (cast(e.$vecCol[subspace * $sub + d] as double)
+                        - cast(cb.cv[subspace * $sub + d] as double))))
+                  AS l2
+         FROM e CROSS JOIN subs CROSS JOIN cb)
+       SELECT $idCol, cast(subspace as int) AS subspace,
+              cast(code as int) AS code
+       FROM dists
+       QUALIFY row_number() OVER (PARTITION BY $idCol, subspace
+         ORDER BY l2, code) = 1"""
+  }
 
   /** Embedding hygiene screen — the row-level QA gate an embedding
     * pipeline runs before any similarity work: per vector, its

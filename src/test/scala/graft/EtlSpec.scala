@@ -228,6 +228,45 @@ class EtlSpec extends SparkSpec {
     assert(k1 == k2)
   }
 
+  test("upsampleEpochs: exact integer epochs, hash-deterministic fractional copy, drop and pass-through") {
+    val df = spark.range(8000).selectExpr("id as k",
+      """CASE WHEN id < 2000 THEN 'a' WHEN id < 4000 THEN 'b'
+              WHEN id < 6000 THEN 'c' ELSE 'd' END as src""")
+    val out = graft.etl.Sampling.upsampleEpochs(df, "src", "k",
+      Map("a" -> 3.0, "b" -> 2.5, "c" -> 0.3))
+    val rows = out.select("src", "k", "epoch").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    val copies = rows.groupBy(t => (t._1, t._2)).map { case (sk, rs) =>
+      // epochs are contiguous 1..copies per row
+      assert(rs.map(_._3).sorted.toSeq == (1 to rs.length))
+      sk -> rs.length
+    }
+    // r=3.0: every 'a' row exactly 3 times
+    assert(copies.filter(_._1._1 == "a").values.toSet == Set(3))
+    assert(copies.count(_._1._1 == "a") == 2000)
+    // r=2.5: 2 or 3 copies, and the 3-copy rows are EXACTLY the rows
+    // hashSample at the fractional part would keep
+    val b3 = copies.collect { case (("b", k), 3) => k }.toSet
+    assert(copies.filter(_._1._1 == "b").values.toSet == Set(2, 3))
+    val half = graft.etl.Sampling.hashSample(
+        df.filter(col("src") === "b"), "k", 0.5)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(b3 == half)
+    // r=0.3 degrades to plain downsampling (same rows as hashSample)
+    val cKeep = copies.collect { case (("c", k), n) => assert(n == 1); k }.toSet
+    val cSample = graft.etl.Sampling.hashSample(
+        df.filter(col("src") === "c"), "k", 0.3)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(cKeep == cSample)
+    // default 1.0: unlisted source passes through exactly once
+    assert(copies.count(_._1._1 == "d") == 2000)
+    assert(copies.filter(_._1._1 == "d").values.toSet == Set(1))
+    // r=0.0 drops a source entirely
+    val dropped = graft.etl.Sampling.upsampleEpochs(df, "src", "k",
+      Map("a" -> 0.0)).filter(col("src") === "a").count()
+    assert(dropped == 0L)
+  }
+
   test("tokenBudget takes docs in hash order until the source budget") {
     val df = Seq(
       (1L, "s", "t1 t2 t3"), (2L, "s", "t1 t2 t3"), (3L, "s", "t1 t2 t3"),

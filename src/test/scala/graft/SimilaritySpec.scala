@@ -283,6 +283,50 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pqEncode: codeword twin encodes to itself, codes bounded, trained codebooks cut distortion") {
+    val m = 8; val k = 16; val sub = 8
+    val out = Similarity.pqEncode(emb, m, k).collect()
+    assert(out.length.toLong == emb.count() * m)
+    out.foreach { r =>
+      val s = r.getAs[Int]("subspace"); val c = r.getAs[Int]("code")
+      assert(s >= 0 && s < m && c >= 0 && c < k)
+    }
+    // seeded contract: codebook j of every subspace IS vector j's
+    // subvector, so vector j (one of the k seeds) encodes to code j in
+    // every subspace — its distance there is exactly 0.0
+    val seeds = out.filter(_.getAs[Long]("vec_id") < k)
+    assert(seeds.length == k * m)
+    seeds.foreach { r =>
+      assert(r.getAs[Int]("code").toLong == r.getAs[Long]("vec_id"))
+    }
+    // trained codebooks (Lloyd on the bounded sample) must not increase
+    // total sample distortion vs the seeded init
+    def distortion(cbs: Array[Array[Array[Double]]]): Double = {
+      val sample = emb.orderBy("vec_id").limit(256)
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      sample.map { v =>
+        (0 until m).map { s =>
+          cbs(s).map { cw =>
+            (0 until sub).map { i =>
+              val d = v(s * sub + i) - cw(i); d * d }.sum
+          }.min
+        }.sum
+      }.sum
+    }
+    val seeded = Similarity.pqCodebooks(emb, m, k, iters = 0,
+      maxTrainSamples = 256)
+    val trained = Similarity.pqCodebooks(emb, m, k, iters = 5,
+      maxTrainSamples = 256)
+    val (d0, d5) = (distortion(seeded), distortion(trained))
+    info(f"PQ sample distortion: seeded $d0%.2f -> trained $d5%.2f")
+    assert(d5 <= d0)
+    // explicit-codebook path agrees with the in-query seeded derivation
+    val explicit = Similarity.pqEncode(emb, m, k, codebooks = Some(seeded))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(explicit == out.map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet)
+  }
+
   test("normFilter flags zero, ragged, and runaway vectors; passes healthy ones") {
     import spark.implicits._
     val rows = Seq(
