@@ -603,6 +603,14 @@ object SparkEntry {
     // state behind the same save/load loop)
     "emb_pq_encode" -> ((s, dir) =>
       Similarity.pqEncode(Tables(s, dir, "embeddings"))),
+    // PQ ADC search: the same probe/corpus hash carve as sim_knn_join,
+    // but the corpus scan reads only the 8-byte codes (asymmetric
+    // distance via per-probe lookup tables)
+    "sim_ann_pq" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      Similarity.pqSearch(e.filter(col("vec_id") % 50 === 0),
+        e.filter(col("vec_id") % 50 =!= 0), topK = 3)
+    }),
     // SemDeDup: cluster-then-dedup with the seeded quantizer (same
     // cross-engine contract as sim_ann_ivf_seeded); threshold 0.4 for
     // the same no-true-near-dups reason as sim_near_dup
@@ -1674,6 +1682,9 @@ object SparkEntry {
     "sim_knn_graph" -> Similarity.knnJoinDuckdbSql(
       probeWhere = "1 = 1", corpusWhere = "1 = 1", k = 2, excludeSelf = true),
     "emb_pq_encode" -> Similarity.pqEncodeSeededDuckdbSql(),
+    "sim_ann_pq" -> Similarity.pqSearchSeededDuckdbSql(
+      probeWhere = "vec_id % 50 = 0", corpusWhere = "vec_id % 50 <> 0",
+      topK = 3),
     "dedup_lsh_jaccard" -> MinHashSpec.duckdbJaccardSql(),
     "dedup_incremental" -> MinHashSpec.duckdbIncrementalSql(
       splitCaseSql = graft.etl.Sampling.hashSplitSql("doc_id", incrementalSplit)),

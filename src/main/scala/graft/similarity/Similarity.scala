@@ -648,20 +648,29 @@ object Similarity {
       pqCodebooks(embeddings, m, k, iters = 0, dim, idCol, vecCol))
     require(cbs.length == m && cbs.forall(_.forall(_.length == sub)),
       "pqEncode: codebook shape must be [m][k][dim/m]")
-    val codeCols = (0 until m).map { s =>
-      // the fused native centroid_dists when registered (one plan node
-      // per subspace), else k composed l2Sq trees — [[centroidDistsCol]]
-      // picks; either way the slice fragment keeps it one scan, 0 shuffle
-      val dists = centroidDistsCol(embeddings,
-        s"slice($vecCol, ${s * sub + 1}, $sub)", cbs(s))
-      (array_position(dists, array_min(dists)) - 1).cast("int")
-    }
     embeddings
-      .withColumn("__codes", array(codeCols: _*))
+      .withColumn("__codes", pqCodesCol(embeddings, vecCol, cbs, sub))
       .select(col(idCol), posexplode(col("__codes")).as(Seq("subspace", "code")))
       .select(col(idCol), col("subspace").cast("int").as("subspace"),
         col("code"))
   }
+
+  /** The m PQ codes of a vector as one `array<int>` column — argmin
+    * squared-L2 per subspace, first minimum on ties. The fused native
+    * `centroid_dists` when registered (one plan node per subspace), else
+    * k composed [[l2Sq]] trees — [[centroidDistsCol]] picks; either way
+    * the slice fragments keep it a pure projection, 0 shuffle. Shared by
+    * [[pqEncode]] (the long output shape) and [[pqSearch]] (the
+    * compressed corpus side of the ADC scan).
+    */
+  private def pqCodesCol(df: DataFrame, vecCol: String,
+                         cbs: Array[Array[Array[Double]]],
+                         sub: Int): Column =
+    array(cbs.indices.map { s =>
+      val dists = centroidDistsCol(df,
+        s"slice($vecCol, ${s * sub + 1}, $sub)", cbs(s))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }: _*)
 
   /** DuckDB oracle for [[pqEncode]] with SEEDED codebooks: codebook j of
     * subspace s is the subvector of the j-th lowest-id vector — in SQL,
@@ -694,6 +703,126 @@ object Similarity {
        FROM dists
        QUALIFY row_number() OVER (PARTITION BY $idCol, subspace
          ORDER BY l2, code) = 1"""
+  }
+
+  /** PQ ADC SEARCH (Jégou et al. TPAMI 2011 §IV.A, asymmetric distance
+    * computation) — the payoff of [[pqEncode]]: top-k nearest corpus
+    * vectors per probe, scanning only the m-byte CODES instead of the
+    * dim-float vectors. Each probe precomputes its m×k distance table
+    * (exact squared L2 from the probe's own subvectors to every
+    * codeword); a corpus vector's approximate distance is then m array
+    * lookups summed — no float-vector arithmetic in the scan loop.
+    *
+    * Scale shape: the corpus side carries (id, m codes) only — at 100 TB
+    * the codes table is the 32× smaller persisted artifact and the raw
+    * vectors are never read by the scan (encode once, search many). The
+    * probe side is a broadcast of |probes| rows × (m·k doubles); the scan
+    * is embarrassingly parallel with NO shuffle of corpus data — the only
+    * exchange is the final bounded-heap `topk_by` on probe_id (map-side
+    * partial top-k, ≤ topK rows per probe per task). Exact re-rank of the
+    * survivors on full vectors (the standard two-stage retrieval) is
+    * [[cosineTopK]] over the returned candidate ids.
+    *
+    * adist sums the per-subspace table entries in subspace order (a left
+    * fold from 0.0), and each entry is the same index-order accumulation
+    * as [[pqEncode]] — with seeded codebooks the DuckDB oracle reproduces
+    * every distance bit-for-bit, so ranks (ties: adist, then cand_id)
+    * are engine-exact. Trained codebooks are driver state behind the
+    * same save/load loop as the IVF quantizer.
+    */
+  def pqSearch(probes: DataFrame, corpus: DataFrame, topK: Int,
+               m: Int = 8, k: Int = 16, dim: Int = 64,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               codebooks: Option[Array[Array[Array[Double]]]] = None)
+      : DataFrame = {
+    require(dim % m == 0, s"pqSearch: m=$m must divide dim=$dim")
+    val sub = dim / m
+    val cbs = codebooks.getOrElse(
+      pqCodebooks(corpus, m, k, iters = 0, dim, idCol, vecCol))
+    require(cbs.length == m && cbs.forall(_.forall(_.length == sub)),
+      "pqSearch: codebook shape must be [m][k][dim/m]")
+    val codes = corpus.select(col(idCol).as("cand_id"),
+      pqCodesCol(corpus, vecCol, cbs, sub).as("__codes"))
+    // per-probe ADC distance tables: m arrays of k exact subspace L2s
+    val dt = array((0 until m).map { s =>
+      centroidDistsCol(probes, s"slice($vecCol, ${s * sub + 1}, $sub)",
+        cbs(s))
+    }: _*)
+    val pdt = probes.select(col(idCol).as("probe_id"), dt.as("__dt"))
+    val scored = codes.crossJoin(broadcast(pdt))
+      .withColumn("adist",
+        aggregate(
+          zip_with(col("__dt"), col("__codes"),
+            (t, c) => element_at(t, (c + 1).cast("int"))),
+          lit(0.0), (acc, v) => acc + v))
+      .select(col("probe_id"), col("cand_id"), col("adist"))
+    // min-first rank: topk_by orders (score DESC, tiebreak ASC), so the
+    // negated distance gives (adist ASC, cand_id ASC) — exact negation,
+    // no precision loss
+    if (scored.sparkSession.catalog.functionExists("topk_by")) {
+      scored.groupBy(col("probe_id"))
+        .agg(expr(
+          s"topk_by(-adist, cast(cand_id as bigint), struct(cand_id, adist), $topK)")
+          .as("__top"))
+        .select(col("probe_id"), posexplode(col("__top")).as(Seq("__pos", "__e")))
+        .select(col("probe_id"), col("__e.payload.cand_id").as("cand_id"),
+          col("__e.payload.adist").as("adist"),
+          (col("__pos") + 1).cast("int").as("rnk"))
+    } else
+      topKPerGroup(scored, "probe_id", topK,
+        Seq(col("adist"), col("cand_id")), hash(col("cand_id")))
+        .select(col("probe_id"), col("cand_id"), col("adist"), col("rnk"))
+  }
+
+  /** DuckDB oracle for [[pqSearch]] with SEEDED codebooks (codeword j =
+    * j-th lowest-id CORPUS vector's subvector): corpus codes and probe
+    * distance tables replayed from the same first-k rows, adist as the
+    * identical subspace-order left fold (`list(... ORDER BY subspace)`
+    * then a 0.0-seeded list_reduce), ranks by (adist, cand_id).
+    */
+  def pqSearchSeededDuckdbSql(probeWhere: String, corpusWhere: String,
+                              topK: Int, m: Int = 8, k: Int = 16,
+                              dim: Int = 64, table: String = "embeddings",
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding"): String = {
+    val sub = dim / m
+    def l2(side: String) =
+      s"""list_sum(list_transform(range(1, ${sub + 1}),
+         d -> (cast($side.$vecCol[subspace * $sub + d] as double)
+               - cast(cb.cv[subspace * $sub + d] as double))
+            * (cast($side.$vecCol[subspace * $sub + d] as double)
+               - cast(cb.cv[subspace * $sub + d] as double))))"""
+    s"""WITH p AS (SELECT $idCol, $vecCol FROM $table WHERE $probeWhere),
+       c AS (SELECT $idCol, $vecCol FROM $table WHERE $corpusWhere),
+       cb AS (SELECT row_number() OVER (ORDER BY $idCol) - 1 AS code,
+                     $vecCol AS cv
+              FROM (SELECT * FROM c ORDER BY $idCol LIMIT $k)),
+       subs AS (SELECT unnest(range(0, $m)) AS subspace),
+       cd AS (
+         SELECT c.$idCol AS cand_id, subs.subspace, cb.code,
+                ${l2("c")} AS l2
+         FROM c CROSS JOIN subs CROSS JOIN cb),
+       codes AS (
+         SELECT cand_id, subspace, code FROM cd
+         QUALIFY row_number() OVER (PARTITION BY cand_id, subspace
+           ORDER BY l2, code) = 1),
+       pd AS (
+         SELECT p.$idCol AS probe_id, subs.subspace, cb.code,
+                ${l2("p")} AS l2
+         FROM p CROSS JOIN subs CROSS JOIN cb),
+       s AS (
+         SELECT pd.probe_id, co.cand_id,
+                list_reduce(list_prepend(cast(0.0 as double),
+                  list(pd.l2 ORDER BY pd.subspace)),
+                  (acc, v) -> acc + v) AS adist
+         FROM codes co
+         JOIN pd ON co.subspace = pd.subspace AND co.code = pd.code
+         GROUP BY 1, 2)
+       SELECT probe_id, cand_id, adist,
+              cast(row_number() OVER (PARTITION BY probe_id
+                ORDER BY adist, cand_id) as int) AS rnk
+       FROM s
+       QUALIFY rnk <= $topK"""
   }
 
   /** Embedding hygiene screen — the row-level QA gate an embedding

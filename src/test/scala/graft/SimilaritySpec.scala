@@ -327,6 +327,80 @@ class SimilaritySpec extends SparkSpec {
     assert(explicit == out.map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet)
   }
 
+  // Driver-side ADC reference with the ENGINES' exact fold order (index-
+  // order subspace L2 from 0.0, then subspace-order adist sum from 0.0),
+  // so equality assertions are bitwise, not approximate.
+  private def adcReference(probes: Seq[(Long, Array[Double])],
+                           corpus: Seq[(Long, Array[Double])],
+                           cbs: Array[Array[Array[Double]]], topK: Int)
+      : Set[(Long, Long, Double, Int)] = {
+    val m = cbs.length; val sub = cbs(0)(0).length
+    def l2(v: Array[Double], off: Int, cw: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < cw.length) { val t = v(off + i) - cw(i); d += t * t; i += 1 }
+      d
+    }
+    val codes = corpus.map { case (id, v) =>
+      id -> Array.tabulate(m) { s =>
+        val ds = cbs(s).map(cw => l2(v, s * sub, cw))
+        ds.indexOf(ds.min) // first minimum, same as array_position
+      }
+    }
+    probes.flatMap { case (pid, pv) =>
+      val dt = Array.tabulate(m)(s => cbs(s).map(cw => l2(pv, s * sub, cw)))
+      codes.map { case (cid, cc) =>
+        var a = 0.0; var s = 0
+        while (s < m) { a += dt(s)(cc(s)); s += 1 }
+        (pid, cid, a)
+      }.sortBy { case (_, cid, a) => (a, cid) }
+        .take(topK).zipWithIndex
+        .map { case ((p, c, a), i) => (p, c, a, i + 1) }
+    }.toSet
+  }
+
+  test("pqSearch: ADC ranks equal the driver reference bitwise on the gate carve") {
+    val probes = emb.filter(col("vec_id") % 50 === 0)
+    val corpus = emb.filter(col("vec_id") % 50 =!= 0)
+    val out = Similarity.pqSearch(probes, corpus, topK = 3).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("cand_id"),
+        r.getAs[Double]("adist"), r.getAs[Int]("rnk"))).toSet
+    def collectVecs(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+        .toSeq
+    val cbs = Similarity.pqCodebooks(corpus, m = 8, k = 16, iters = 0)
+    val expected =
+      adcReference(collectVecs(probes), collectVecs(corpus), cbs, topK = 3)
+    assert(out == expected)
+    out.foreach { case (_, _, a, _) => assert(a >= 0.0) }
+  }
+
+  test("pqSearch: a planted twin attains the per-probe ADC lower bound at rank 1") {
+    import spark.implicits._
+    val corpus = emb.filter(col("vec_id") < 40)
+    // the probe IS corpus vector 20 (not a codeword seed: those are
+    // ids 0..15), so its codes are the per-subspace argmins of its own
+    // distance table and its adist is exactly sum_s min(dt_s) — the
+    // smallest ADC distance any candidate can attain
+    val twinVec = corpus.filter(col("vec_id") === 20)
+      .select("embedding").collect().head.getSeq[Float](0).toArray
+    val probes = Seq((1000L, twinVec)).toDF("vec_id", "embedding")
+    val out = Similarity.pqSearch(probes, corpus, topK = 3).collect()
+      .sortBy(_.getAs[Int]("rnk"))
+    val cbs = Similarity.pqCodebooks(corpus, m = 8, k = 16, iters = 0)
+    val pv = twinVec.map(_.toDouble)
+    val lowerBound = (0 until 8).map { s =>
+      cbs(s).map { cw =>
+        var d = 0.0; var i = 0
+        while (i < 8) { val t = pv(s * 8 + i) - cw(i); d += t * t; i += 1 }
+        d
+      }.min
+    }.foldLeft(0.0)(_ + _)
+    assert(out.head.getAs[Double]("adist") == lowerBound)
+    val twinRow = out.filter(_.getAs[Long]("cand_id") == 20L)
+    assert(twinRow.nonEmpty && twinRow.head.getAs[Double]("adist") == lowerBound)
+  }
+
   test("normFilter flags zero, ragged, and runaway vectors; passes healthy ones") {
     import spark.implicits._
     val rows = Seq(
