@@ -623,6 +623,11 @@ object SparkEntry {
     "text_token_count" -> ((s, dir) =>
       Text.tokenCounts(Tables(s, dir, "documents"))
         .select("doc_id", "ws_tokens", "bpe_tokens")),
+    // sliding-window chunking (context-window prep): 32-token windows
+    // advancing by 24 — the testdata's 10-99-token docs produce 1-4
+    // chunks each, covering the short-doc and multi-chunk regimes
+    "text_chunk" -> ((s, dir) =>
+      Text.chunk(Tables(s, dir, "documents"), chunkSize = 32, overlap = 8)),
     "text_lang_id" -> ((s, dir) =>
       Text.langId(Tables(s, dir, "documents"))
         .select("doc_id", "lang", "hits_de", "hits_en", "hits_es", "hits_fr",
@@ -1811,6 +1816,8 @@ object SparkEntry {
                       + (stop_count / cast(word_count as double)) * 0.25, 4)
                   AS quality_score
          FROM u""",
+
+    "text_chunk" -> Text.chunkSql(chunkSize = 32, overlap = 8),
 
     "text_token_count" ->
       s"""SELECT doc_id,

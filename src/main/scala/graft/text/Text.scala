@@ -95,6 +95,73 @@ object Text {
       .withColumn("bpe_tokens",
         regexp_count(lower(col(textCol)), lit(s"[a-z]+|[0-9]+|[^a-z0-9$WS]")))
 
+  /** Sliding-window CHUNKING: split each document into ≤ `chunkSize`
+    * token windows advancing by `chunkSize − overlap` — the
+    * context-window preparation step between cleaning and sequence
+    * packing (a doc longer than the model context is chunked with
+    * overlap so no span is ever cut without context; chunks then feed
+    * [[graft.etl.Sampling.packSequences]]). Uses the library-wide
+    * [[tokens]] contract, so `n_toks` agrees with [[tokenCounts]]'
+    * `ws_tokens` and the chunk text is the normalized token stream.
+    *
+    * Chunk count is 1 + ⌈(n − size) / stride⌉ (never 0: an empty doc is
+    * one empty chunk, the [[bm25]] one-empty-token convention), all in
+    * integer arithmetic — both engines compute the identical count, and
+    * the per-chunk slice bounds are driver literals in the expression.
+    * Pure projection + bounded explode (output rows ≈ n_tokens/stride
+    * per doc): one scan, no shuffle, embarrassingly parallel at any
+    * corpus size.
+    */
+  def chunk(df: DataFrame, chunkSize: Int = 64, overlap: Int = 16,
+            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(overlap >= 0 && overlap < chunkSize,
+      s"chunk: need 0 <= overlap < chunkSize, got $overlap / $chunkSize")
+    val stride = chunkSize - overlap
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .withColumn("__nc",
+        when(col("__n") <= chunkSize, lit(1L)).otherwise(
+          expr(s"(__n - $chunkSize + ${stride - 1}) div $stride") + 1L))
+      .select(col(idCol), col("__toks"),
+        posexplode(expr("sequence(0, __nc - 1)")).as(Seq("__pos", "chunk_idx")))
+      .select(col(idCol), col("chunk_idx").cast("int").as("chunk_idx"),
+        (col("chunk_idx") * stride).cast("int").as("start_tok"),
+        expr(s"slice(__toks, chunk_idx * $stride + 1, $chunkSize)").as("__sl"))
+      .select(col(idCol), col("chunk_idx"), col("start_tok"),
+        size(col("__sl")).as("n_toks"),
+        array_join(col("__sl"), " ").as("chunk_text"))
+  }
+
+  /** DuckDB oracle for [[chunk]] — identical tokenization, integer
+    * chunk-count arithmetic, and inclusive-bound slices.
+    */
+  def chunkSql(chunkSize: Int = 64, overlap: Int = 16,
+               table: String = "documents", idCol: String = "doc_id",
+               textCol: String = "text"): String = {
+    val stride = chunkSize - overlap
+    val toks = s"string_split_regex(trim(lower($textCol)), '$wsRe')"
+    s"""WITH t AS (
+         SELECT $idCol, $toks AS toks, len($toks) AS n FROM $table),
+       c AS (
+         SELECT $idCol, toks,
+                CASE WHEN n <= $chunkSize THEN 1
+                     ELSE ((n - $chunkSize + ${stride - 1}) // $stride) + 1
+                END AS nc
+         FROM t),
+       x AS (
+         SELECT $idCol, toks, unnest(range(0, nc)) AS chunk_idx FROM c),
+       sl AS (
+         SELECT $idCol, chunk_idx,
+                toks[chunk_idx * $stride + 1 : chunk_idx * $stride + $chunkSize]
+                  AS sl
+         FROM x)
+       SELECT $idCol, cast(chunk_idx as int) AS chunk_idx,
+              cast(chunk_idx * $stride as int) AS start_tok,
+              cast(len(sl) as int) AS n_toks,
+              array_to_string(sl, ' ') AS chunk_text
+       FROM sl"""
+  }
+
   /** Language ID: argmax of marker-word hit counts, ties broken by
     * language-code order. Single pass; the per-language counts are
     * independent filters over the same token array.

@@ -25,6 +25,42 @@ class TextDedupSpec extends SparkSpec {
     assert(r.getAs[Int]("bpe_tokens") == 5)
   }
 
+  test("chunk: overlap reconstruction, short-doc identity, empty-doc convention") {
+    import spark.implicits._
+    val longText = (1 to 100).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, longText),              // 100 tokens -> 4 chunks at 32/8
+      (2L, "just a short doc"),    // <= size -> single chunk
+      (3L, "")                     // empty -> one empty chunk
+    ).toDF("doc_id", "text")
+    val out = graft.text.Text.chunk(docs, chunkSize = 32, overlap = 8)
+      .collect().groupBy(_.getAs[Long]("doc_id"))
+      .map { case (id, rs) => id -> rs.sortBy(_.getAs[Int]("chunk_idx")) }
+
+    val long = out(1L)
+    // 1 + ceil((100-32)/24) = 4 chunks, starts at multiples of the stride
+    assert(long.length == 4)
+    assert(long.map(_.getAs[Int]("start_tok")).toSeq == Seq(0, 24, 48, 72))
+    assert(long.map(_.getAs[Int]("n_toks")).toSeq == Seq(32, 32, 32, 28))
+    // dropping each later chunk's leading overlap reconstructs the doc
+    val chunksToks = long.map(_.getAs[String]("chunk_text").split(" ").toSeq)
+    val rebuilt = chunksToks.head ++ chunksToks.tail.flatMap(_.drop(8))
+    assert(rebuilt == longText.split(" ").toSeq)
+    // consecutive chunks agree on the shared overlap window
+    chunksToks.sliding(2).foreach { w =>
+      assert(w(0).takeRight(8) == w(1).take(8))
+    }
+
+    val short = out(2L)
+    assert(short.length == 1 && short.head.getAs[Int]("n_toks") == 4)
+    assert(short.head.getAs[String]("chunk_text") == "just a short doc")
+
+    // the bm25 one-empty-token convention: one chunk, empty text
+    val empty = out(3L)
+    assert(empty.length == 1 && empty.head.getAs[Int]("n_toks") == 1)
+    assert(empty.head.getAs[String]("chunk_text") == "")
+  }
+
   test("langId picks the language with most marker hits, tie → first") {
     val df = Seq((1L, "der und ist fine"), (2L, "xyz qqq")).toDF("doc_id", "text")
     val out = Text.langId(df).collect().map(r =>
