@@ -559,6 +559,10 @@ object SparkEntry {
         .select(docs("doc_id"),
           coalesce(cc("cluster"), docs("doc_id")).as("cluster"))
     }),
+    // quality-aware survivor selection: keep the BEST-quality member of
+    // each near-dup cluster (cleanCorpus's keep-min-id is the baseline)
+    "dedup_keep_best" -> ((s, dir) =>
+      Dedup.keepBest(Tables(s, dir, "documents"), threshold = 0.5)),
     "dedup_simhash" -> ((s, dir) =>
       SimHash.fingerprints(Tables(s, dir, "documents"))),
     // C4-style span-level dedup: every repeated 10-token span (exact,
@@ -603,6 +607,10 @@ object SparkEntry {
     // state behind the same save/load loop)
     "emb_pq_encode" -> ((s, dir) =>
       Similarity.pqEncode(Tables(s, dir, "embeddings"))),
+    // PQ distortion audit: per-vector squared reconstruction error under
+    // the seeded codebooks (the m/k-selection measurement)
+    "emb_pq_distortion" -> ((s, dir) =>
+      Similarity.pqDistortion(Tables(s, dir, "embeddings"))),
     // PQ ADC search: the same probe/corpus hash carve as sim_knn_join,
     // but the corpus scan reads only the 8-byte codes (asymmetric
     // distance via per-probe lookup tables)
@@ -1687,6 +1695,7 @@ object SparkEntry {
     "sim_knn_graph" -> Similarity.knnJoinDuckdbSql(
       probeWhere = "1 = 1", corpusWhere = "1 = 1", k = 2, excludeSelf = true),
     "emb_pq_encode" -> Similarity.pqEncodeSeededDuckdbSql(),
+    "emb_pq_distortion" -> Similarity.pqDistortionSeededDuckdbSql(),
     "sim_ann_pq" -> Similarity.pqSearchSeededDuckdbSql(
       probeWhere = "vec_id % 50 = 0", corpusWhere = "vec_id % 50 <> 0",
       topK = 3),
@@ -1757,6 +1766,8 @@ object SparkEntry {
     // (UNION dedups states, so the recursion terminates); min(lbl) per id
     // is the component minimum — exactly what the Spark label propagation
     // converges to
+    "dedup_keep_best" -> Dedup.keepBestSql(threshold = 0.5),
+
     "dedup_cc_clusters" ->
       s"""WITH RECURSIVE pairs AS (
            ${MinHashSpec.duckdbJaccardSql()}

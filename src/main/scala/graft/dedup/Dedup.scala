@@ -562,6 +562,79 @@ object Dedup {
     labels.select(col("id"), col("lbl").as("cluster"))
   }
 
+  /** Quality-aware SURVIVOR SELECTION: label every doc with its near-dup
+    * cluster ([[jaccardOnCandidates]] propose-verify pairs →
+    * [[connectedComponents]]), score every doc with the library's
+    * composite quality score, and keep the BEST-quality member of each
+    * cluster (ties → lowest id; singletons keep themselves). This is the
+    * curation rule real pipelines use — "of these near-duplicates, keep
+    * the cleanest copy" — where [[cleanCorpus]]'s keep-min-id is the
+    * arbitrary-but-deterministic baseline.
+    *
+    * Output: one row per cluster (cluster, keep_doc_id, quality_score,
+    * n_docs). Scale shape: the pair family's labeled blocking bounds the
+    * cluster work; scoring is one scan; survivor selection is a single
+    * partial-aggregated `max(struct(score, −id))` per cluster — one
+    * shuffle of (cluster, score, id) triples, never the texts.
+    */
+  def keepBest(docs: DataFrame, threshold: Double = 0.5,
+               idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    val pairs = jaccardOnCandidates(docs, idCol, textCol,
+      threshold = threshold)
+    val cc = connectedComponents(pairs)
+    val scored = Text.quality(docs.select(col(idCol), col(textCol)), textCol)
+      .select(col(idCol), col("quality_score"))
+    val labeled = scored.join(cc, scored(idCol) === cc("id"), "left")
+      .select(scored(idCol).as("__id"),
+        coalesce(cc("cluster"), scored(idCol)).as("cluster"),
+        col("quality_score"))
+    labeled.groupBy(col("cluster"))
+      .agg(count(lit(1)).cast("int").as("n_docs"),
+        max(struct(col("quality_score"), (-col("__id")).as("__negid"),
+          col("__id").as("__id"))).as("__best"))
+      .select(col("cluster"), col("__best.__id").as("keep_doc_id"),
+        col("__best.quality_score").as("quality_score"), col("n_docs"))
+  }
+
+  /** DuckDB oracle for [[keepBest]]: the recursive-CTE transitive
+    * closure over the same propose-verify pairs, the exact
+    * [[Text.qualityScoreSql]] composite, and (score DESC, id ASC)
+    * survivor selection.
+    */
+  def keepBestSql(table: String = "documents", idCol: String = "doc_id",
+                  textCol: String = "text",
+                  threshold: Double = 0.5): String =
+    s"""WITH RECURSIVE pairs AS (
+         ${MinHashSpec.duckdbJaccardSql(table, idCol, textCol, threshold)}
+       ),
+       edges AS (
+         SELECT doc_a AS src, doc_b AS dst FROM pairs
+         UNION ALL
+         SELECT doc_b AS src, doc_a AS dst FROM pairs
+       ),
+       walk AS (
+         SELECT DISTINCT src AS id, src AS lbl FROM edges
+         UNION
+         SELECT e.dst AS id, w.lbl AS lbl
+         FROM walk w JOIN edges e ON e.src = w.id
+       ),
+       cc AS (SELECT id, min(lbl) AS cluster FROM walk GROUP BY 1),
+       q AS (${Text.qualityScoreSql(table, idCol, textCol)}),
+       j AS (
+         SELECT coalesce(cc.cluster, q.$idCol) AS cluster, q.$idCol AS id,
+                q.quality_score
+         FROM q LEFT JOIN cc ON q.$idCol = cc.id),
+       r AS (
+         SELECT cluster, id, quality_score,
+                row_number() OVER (PARTITION BY cluster
+                  ORDER BY quality_score DESC, id) AS rn,
+                count(*) OVER (PARTITION BY cluster) AS n_docs
+         FROM j)
+       SELECT cluster, id AS keep_doc_id, quality_score,
+              cast(n_docs as int) AS n_docs
+       FROM r WHERE rn = 1"""
+
   /** Span-level exact dedup (the C4 recipe, reference: "Exploring the
     * Limits of Transfer Learning" §2.2's three-sentence-span dedup,
     * adapted to token windows): the corpus is cut into NON-overlapping

@@ -705,6 +705,69 @@ object Similarity {
          ORDER BY l2, code) = 1"""
   }
 
+  /** PQ DISTORTION AUDIT: each vector's squared L2 reconstruction error
+    * under the codebooks — the per-subspace distance to the NEAREST
+    * codeword (which is exactly the assigned code's reconstruction
+    * error), summed in subspace order. The QA gate for compression
+    * loss: this measurement is how m and k get chosen before an encode
+    * job commits a 100 TB corpus to 8-byte codes, and its distribution
+    * (not just the mean) exposes out-of-distribution vectors the
+    * codebooks cannot represent. No code materialization needed —
+    * `array_min` over the same fused [[centroidDistsCol]] kernels as
+    * [[pqEncode]]. Pure projection: 1 scan, 0 exchanges.
+    */
+  def pqDistortion(embeddings: DataFrame, m: Int = 8, k: Int = 16,
+                   dim: Int = 64, idCol: String = "vec_id",
+                   vecCol: String = "embedding",
+                   codebooks: Option[Array[Array[Array[Double]]]] = None)
+      : DataFrame = {
+    require(dim % m == 0, s"pqDistortion: m=$m must divide dim=$dim")
+    val sub = dim / m
+    val cbs = codebooks.getOrElse(
+      pqCodebooks(embeddings, m, k, iters = 0, dim, idCol, vecCol))
+    require(cbs.length == m && cbs.forall(_.forall(_.length == sub)),
+      "pqDistortion: codebook shape must be [m][k][dim/m]")
+    val dist = (0 until m).map { s =>
+      array_min(centroidDistsCol(embeddings,
+        s"slice($vecCol, ${s * sub + 1}, $sub)", cbs(s)))
+    }.foldLeft(lit(0.0))(_ + _)
+    embeddings.select(col(idCol), dist.as("distortion"))
+  }
+
+  /** DuckDB oracle for [[pqDistortion]] with SEEDED codebooks: per
+    * (vector, subspace) min L2 over the first-k-row codewords
+    * (order-independent), summed with the identical subspace-order left
+    * fold from 0.0.
+    */
+  def pqDistortionSeededDuckdbSql(m: Int = 8, k: Int = 16, dim: Int = 64,
+                                  table: String = "embeddings",
+                                  idCol: String = "vec_id",
+                                  vecCol: String = "embedding"): String = {
+    val sub = dim / m
+    s"""WITH e AS (SELECT $idCol, $vecCol FROM $table),
+       cb AS (SELECT row_number() OVER (ORDER BY $idCol) - 1 AS code,
+                     $vecCol AS cv
+              FROM (SELECT * FROM e ORDER BY $idCol LIMIT $k)),
+       subs AS (SELECT unnest(range(0, $m)) AS subspace),
+       cd AS (
+         SELECT e.$idCol, subs.subspace,
+                list_sum(list_transform(range(1, ${sub + 1}),
+                  d -> (cast(e.$vecCol[subspace * $sub + d] as double)
+                        - cast(cb.cv[subspace * $sub + d] as double))
+                     * (cast(e.$vecCol[subspace * $sub + d] as double)
+                        - cast(cb.cv[subspace * $sub + d] as double))))
+                  AS l2
+         FROM e CROSS JOIN subs CROSS JOIN cb),
+       mn AS (
+         SELECT $idCol, subspace, min(l2) AS ml
+         FROM cd GROUP BY 1, 2)
+       SELECT $idCol,
+              list_reduce(list_prepend(cast(0.0 as double),
+                list(ml ORDER BY subspace)), (acc, v) -> acc + v)
+                AS distortion
+       FROM mn GROUP BY 1"""
+  }
+
   /** PQ ADC SEARCH (Jégou et al. TPAMI 2011 §IV.A, asymmetric distance
     * computation) — the payoff of [[pqEncode]]: top-k nearest corpus
     * vectors per probe, scanning only the m-byte CODES instead of the

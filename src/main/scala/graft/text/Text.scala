@@ -162,6 +162,34 @@ object Text {
        FROM sl"""
   }
 
+  /** DuckDB (idCol, quality_score) fragment with [[quality]]'s exact
+    * formula and operation order — usable as a CTE body wherever an
+    * oracle needs the composite score (e.g. quality-aware dedup
+    * survivor selection). The composite uses RAW ratios, rounding once
+    * at the end, for the same 1-ulp midpoint reason as [[quality]].
+    */
+  def qualityScoreSql(table: String = "documents", idCol: String = "doc_id",
+                      textCol: String = "text", digits: Int = 4): String = {
+    val stopList =
+      langMarkers.flatMap(_._2).distinct.sorted.map(w => s"'$w'").mkString(", ")
+    s"""SELECT $idCol,
+         round(least(word_count / 100.0, 1.0) * 0.5
+               + (1.0 - punct_count / cast(n_chars as double)) * 0.25
+               + (stop_count / cast(word_count as double)) * 0.25, $digits)
+           AS quality_score
+       FROM (
+         SELECT $idCol,
+                cast(length($textCol) as int) AS n_chars,
+                cast(len(__toks) as int) AS word_count,
+                cast(length(regexp_replace($textCol, '[\\w$WS]', '', 'g')) as int)
+                  AS punct_count,
+                cast(len(list_filter(__toks, x -> x IN ($stopList))) as int)
+                  AS stop_count
+         FROM (SELECT $idCol, $textCol,
+                      string_split_regex(trim(lower($textCol)), '$wsRe') AS __toks
+               FROM $table))"""
+  }
+
   /** Language ID: argmax of marker-word hit counts, ties broken by
     * language-code order. Single pass; the per-language counts are
     * independent filters over the same token array.

@@ -401,6 +401,23 @@ class SimilaritySpec extends SparkSpec {
     assert(twinRow.nonEmpty && twinRow.head.getAs[Double]("adist") == lowerBound)
   }
 
+  test("pqDistortion: seeds reconstruct exactly, training never increases total distortion") {
+    val out = Similarity.pqDistortion(emb).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("distortion")).toMap
+    assert(out.size.toLong == emb.count())
+    out.values.foreach(d => assert(d >= 0.0))
+    // seeded contract: vectors 0..15 ARE the codewords in every
+    // subspace, so their reconstruction is lossless
+    (0L until 16L).foreach(id => assert(out(id) == 0.0))
+    assert(out.values.sum > 0.0) // non-seeds have real quantization loss
+    // trained codebooks must not increase the corpus-wide distortion
+    val trained = Similarity.pqCodebooks(emb, iters = 5)
+    val trainedTotal = Similarity.pqDistortion(emb, codebooks = Some(trained))
+      .agg(sum(col("distortion"))).collect().head.getDouble(0)
+    info(f"PQ total distortion: seeded ${out.values.sum}%.3f -> trained $trainedTotal%.3f")
+    assert(trainedTotal <= out.values.sum)
+  }
+
   test("normFilter flags zero, ragged, and runaway vectors; passes healthy ones") {
     import spark.implicits._
     val rows = Seq(

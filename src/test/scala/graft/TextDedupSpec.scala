@@ -159,6 +159,35 @@ class TextDedupSpec extends SparkSpec {
     pairs.foreach { case (_, b) => assert(!kept.contains(b)) }
   }
 
+  test("keepBest keeps the highest-quality cluster member, not the min id") {
+    import spark.implicits._
+    // docs 1/2/3 are near-identical (one differing trailing token, so
+    // Jaccard stays high); docs 1 and 2 carry punctuation-noise tokens
+    // that depress their quality score, doc 3 is clean — the best-
+    // quality member is NOT the min id, so keepBest must beat
+    // cleanCorpus's keep-min-id rule.
+    val core = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, s"$core #!!?%"),
+      (2L, s"$core &*@!)"),
+      (3L, s"$core okays"),
+      (10L, "a completely different singleton document about spark plans")
+    ).toDF("doc_id", "text")
+    val out = graft.dedup.Dedup.keepBest(docs, threshold = 0.5)
+      .collect().map(r => r.getAs[Long]("cluster") ->
+        (r.getAs[Long]("keep_doc_id"), r.getAs[Int]("n_docs"))).toMap
+    assert(out.contains(1L), s"expected cluster labeled 1, got ${out.keys}")
+    val (keep, n) = out(1L)
+    assert(n == 3)
+    assert(keep == 3L) // highest quality_score wins, not min id
+    assert(out(10L) == ((10L, 1))) // singleton keeps itself
+    // survivor's score equals the max member score
+    val q = graft.text.Text.quality(docs).select("doc_id", "quality_score")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(q(3L) > q(1L) && q(3L) > q(2L),
+      s"test premise: doc 3 must score highest, got $q")
+  }
+
   test("spanDedup drops repeated full spans, keeps first occurrence and tails") {
     val a = (1 to 10).map(i => s"a$i").mkString(" ")  // span A (10 tokens)
     val b = (1 to 10).map(i => s"b$i").mkString(" ")  // span B
