@@ -288,6 +288,11 @@ object SparkEntry {
       Qa.freshness(Tables(s, dir, "events"), "event_type", "ts",
         asOfUs = freshnessAsOfUs, slaUs = 30L * 60 * 1000000)),
 
+    // Pearson correlation between business-column pairs: exact decimal
+    // moments (order-independent sums), one scan, formula in doubles
+    // cast once from the exact sums
+    "qa_correlation" -> ((s, dir) =>
+      Qa.correlation(Tables(s, dir, "lineitem"), corrPairs)),
     // KS drift monitor: the continuous counterpart of qa_drift_psi —
     // max ECDF distance per calendar-adjacent transition, argmax over
     // exact cross-multiplied integers
@@ -457,6 +462,12 @@ object SparkEntry {
         .select("doc_id", "source")),
     // epochs-based upsampling: the complement of mix_rebalance's
     // no-upsampling contract (repeat scarce sources N times)
+    // deterministic global shuffle: reproducible (shard, pos) training
+    // order from the content hash — stable under reruns and appends
+    "corpus_shuffle" -> ((s, dir) =>
+      graft.etl.Sampling.shuffleShards(
+        Tables(s, dir, "documents").select("doc_id", "source"), "doc_id",
+        nShards = 16)),
     "sample_mix_upsample" -> ((s, dir) =>
       graft.etl.Sampling.upsampleEpochs(Tables(s, dir, "documents"),
         "source", "doc_id", upsampleFactors)
@@ -713,6 +724,12 @@ object SparkEntry {
   // bottleneck at acceptance rate 1.0).
   private val mixTargets =
     Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
+
+  // Correlation column pairs — shared by the Spark query and its oracle.
+  private val corrPairs = Seq(
+    ("l_quantity", "l_extendedprice"),
+    ("l_quantity", "l_discount"),
+    ("l_extendedprice", "l_discount"))
 
   // Upsample epoch factors — shared by the Spark query and its oracle.
   // Exercises every regime: integer epochs (3.0), fractional (2.5),
@@ -1494,6 +1511,9 @@ object SparkEntry {
     "sample_mix_rebalance" -> graft.etl.Sampling.mixRebalanceSql(
       "documents", "source", "doc_id", mixTargets, "d.doc_id, d.source"),
 
+    "corpus_shuffle" -> graft.etl.Sampling.shuffleShardsSql(
+      "documents", "doc_id", nShards = 16, selectCols = "doc_id, source"),
+
     "sample_mix_upsample" -> graft.etl.Sampling.upsampleEpochsSql(
       "documents", "source", "doc_id", upsampleFactors,
       selectCols = "doc_id, source"),
@@ -1566,6 +1586,8 @@ object SparkEntry {
 
     "qa_drift_ks" -> Qa.driftKsSql("events",
       "cast(date_trunc('day', ts) as date)", "value"),
+
+    "qa_correlation" -> Qa.correlationSql("lineitem", corrPairs),
 
     "qa_freshness" -> Qa.freshnessSql("events", "event_type", "ts",
       asOfUs = freshnessAsOfUs, slaUs = 30L * 60 * 1000000),

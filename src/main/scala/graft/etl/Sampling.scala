@@ -1,6 +1,7 @@
 package graft.etl
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.dedup.MinHashSpec
@@ -72,6 +73,48 @@ object Sampling {
       case (((name, _), i), acc) => when(b < cuts(i + 1), lit(name)).otherwise(acc)
     }
     df.withColumn("split", splitCol)
+  }
+
+  /** Deterministic GLOBAL SHUFFLE into shards — the reproducible
+    * "shuffle the corpus before training" op: every row gets a
+    * pseudo-random (shard, pos) coordinate from its content-hash, so
+    * the order is stable under reruns, appends, engine changes, and
+    * cluster size (none of which is true of `orderBy(rand())`).
+    * shard = hash mod `nShards`; pos = the row's rank within its shard
+    * by (hash, key) — pseudo-random order WITHIN each shard too, keys
+    * adjacent in the source scattered across and within shards.
+    *
+    * Scale shape: one scan + ONE exchange on shard; the ranking window
+    * partitions per shard, never globally — `nShards` is the
+    * parallelism dial (size it so a shard's (hash, key) pairs fit a
+    * task's sort buffer; the row payload never enters the sort). This
+    * is the [[packSequences]] per-shard-window layout applied to
+    * ordering.
+    */
+  def shuffleShards(df: DataFrame, keyCol: String,
+                    nShards: Int = 64): DataFrame = {
+    require(nShards > 0, "shuffleShards: nShards must be positive")
+    val h = expr(
+      s"${MinHashSpec.hpExpr(df.sparkSession, s"cast($keyCol as string)")}")
+    val withH = df.withColumn("__h", h)
+      .withColumn("shard", (col("__h") % nShards).cast("int"))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__h"), col(keyCol))
+    withH.withColumn("pos", row_number().over(w))
+      .drop("__h")
+  }
+
+  /** DuckDB oracle twin of [[shuffleShards]] over a table. */
+  def shuffleShardsSql(table: String, keyCol: String, nShards: Int = 64,
+                       selectCols: String = "*"): String = {
+    val h = s"(md5_number_lower(cast($keyCol as varchar)) % ${MinHashSpec.P})"
+    s"""WITH s AS (
+         SELECT $selectCols, $h AS __h, cast($h % $nShards as int) AS shard
+         FROM $table)
+       SELECT $selectCols, shard,
+              cast(row_number() OVER (PARTITION BY shard ORDER BY __h, $keyCol)
+                as int) AS pos
+       FROM s"""
   }
 
   /** DuckDB oracle twin of [[hashSample]] (as a WHERE fragment). */

@@ -903,4 +903,97 @@ object Qa {
             any_value(f.hi) / $scale.0 AS fence_hi
      FROM q JOIN f USING (period)
      GROUP BY q.period"""
+
+  /** Pearson CORRELATION between numeric column pairs — the QA
+    * relationship check behind "did the price/quantity coupling change
+    * after the reload": one exact pass, then the textbook formula.
+    *
+    * Exactness discipline: the five moments (Σx, Σy, Σx², Σy², Σxy)
+    * accumulate as DECIMALS (inputs quantized to decimal(12,2) — exact
+    * for the ≤2-decimal business columns, and narrow enough that the
+    * per-row products stay on DuckDB's int64 fast path), so sums are
+    * bit-identical in
+    * both engines REGARDLESS of partition/accumulation order — a plain
+    * double `corr()` is order-dependent in the last ulps and can flip a
+    * rounded digit between engines (and between runs at different
+    * parallelism). The final r/cov arithmetic runs in doubles cast ONCE
+    * from the exact sums, identical operation order both sides, rounded
+    * once at the end.
+    *
+    * Scale shape: ONE scan + one 1-row global aggregate (partial
+    * map-side combine does the heavy lifting; the exchange carries one
+    * row per task), then a pure projection unpivots the requested
+    * pairs. Adding pairs/columns widens the aggregate row, never adds a
+    * pass.
+    */
+  def correlation(df: DataFrame, pairs: Seq[(String, String)],
+                  digits: Int = 6): DataFrame = {
+    require(pairs.nonEmpty, "correlation: need at least one column pair")
+    val cols = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    def dec(c: String) = col(c).cast("decimal(12,2)")
+    val aggs =
+      Seq(count(lit(1)).as("__n")) ++
+        cols.map(c => sum(dec(c)).as(s"__s_$c")) ++
+        cols.map(c => sum(dec(c) * dec(c)).as(s"__ss_$c")) ++
+        pairs.map { case (x, y) =>
+          sum(dec(x) * dec(y)).as(s"__sp_${x}_$y")
+        }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val derived = pairs.zipWithIndex.foldLeft(one) {
+      case (d, ((x, y), i)) =>
+        val nd = col("__n").cast("double")
+        val sx = col(s"__s_$x").cast("double")
+        val sy = col(s"__s_$y").cast("double")
+        val sxx = col(s"__ss_$x").cast("double")
+        val syy = col(s"__ss_$y").cast("double")
+        val sxy = col(s"__sp_${x}_$y").cast("double")
+        d.withColumn(s"__corr_$i",
+          round((nd * sxy - sx * sy) /
+            (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy)), digits))
+          .withColumn(s"__cov_$i",
+            round((sxy - sx * sy / nd) / (nd - 1.0), digits))
+    }
+    val stackArgs = pairs.zipWithIndex.map { case ((x, y), i) =>
+      s"'$x', '$y', __corr_$i, __cov_$i"
+    }.mkString(", ")
+    derived.select(col("__n").as("n_rows"),
+        expr(s"stack(${pairs.size}, $stackArgs) as (x_var, y_var, corr, cov)"))
+      .select(col("x_var"), col("y_var"), col("n_rows"), col("corr"),
+        col("cov"))
+  }
+
+  /** DuckDB oracle for [[correlation]] — identical decimal quantization
+    * and exact sums, identical double formula and single rounding.
+    */
+  def correlationSql(table: String, pairs: Seq[(String, String)],
+                     digits: Int = 6): String = {
+    val cols = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    def dec(c: String) = s"cast($c as decimal(12,2))"
+    val sums =
+      (Seq("count(*) AS __n") ++
+        cols.map(c => s"sum(${dec(c)}) AS __s_$c") ++
+        cols.map(c => s"sum(${dec(c)} * ${dec(c)}) AS __ss_$c") ++
+        pairs.map { case (x, y) =>
+          s"sum(${dec(x)} * ${dec(y)}) AS __sp_${x}_$y"
+        }).mkString(",\n                ")
+    val rows = pairs.map { case (x, y) =>
+      s"""SELECT '$x' AS x_var, '$y' AS y_var, __n AS n_rows,
+            round((cast(__n as double) * cast(__sp_${x}_$y as double)
+                   - cast(__s_$x as double) * cast(__s_$y as double))
+                  / (sqrt(cast(__n as double) * cast(__ss_$x as double)
+                          - cast(__s_$x as double) * cast(__s_$x as double))
+                     * sqrt(cast(__n as double) * cast(__ss_$y as double)
+                            - cast(__s_$y as double) * cast(__s_$y as double))),
+                  $digits) AS corr,
+            round((cast(__sp_${x}_$y as double)
+                   - cast(__s_$x as double) * cast(__s_$y as double)
+                     / cast(__n as double))
+                  / (cast(__n as double) - 1.0), $digits) AS cov
+         FROM a"""
+    }.mkString("\n       UNION ALL\n       ")
+    s"""WITH a AS (
+         SELECT $sums
+         FROM $table)
+       $rows"""
+  }
 }

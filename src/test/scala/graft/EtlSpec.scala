@@ -610,6 +610,36 @@ class EtlSpec extends SparkSpec {
     assert(k1 == k2)
   }
 
+  test("shuffleShards: contiguous positions, layout-independent, append-stable order") {
+    val df = spark.range(500).selectExpr("id as k", "cast(id % 3 as string) as tag")
+    val out = graft.etl.Sampling.shuffleShards(df, "k", nShards = 8).collect()
+    assert(out.length == 500)
+    // every shard's positions are exactly 1..count
+    out.groupBy(_.getAs[Int]("shard")).values.foreach { rs =>
+      val ps = rs.map(_.getAs[Int]("pos")).sorted.toSeq
+      assert(ps == (1 to rs.length))
+    }
+    // genuinely shuffled: within-shard key order differs from source order
+    val someShard = out.groupBy(_.getAs[Int]("shard")).values.maxBy(_.length)
+    val keysByPos = someShard.sortBy(_.getAs[Int]("pos")).map(_.getAs[Long]("k")).toSeq
+    assert(keysByPos != keysByPos.sorted)
+    // deterministic under physical layout
+    val out2 = graft.etl.Sampling.shuffleShards(df.repartition(7), "k", nShards = 8)
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Int]("shard"), r.getAs[Int]("pos"))).toSet
+    assert(out2 == out.map(r => (r.getAs[Long]("k"), r.getAs[Int]("shard"), r.getAs[Int]("pos"))).toSet)
+    // APPEND-STABLE: adding rows never reorders existing pairs within a
+    // shard (hash order is content-determined) — the property
+    // orderBy(rand()) lacks
+    val bigger = spark.range(600).selectExpr("id as k", "cast(id % 3 as string) as tag")
+    val after = graft.etl.Sampling.shuffleShards(bigger, "k", nShards = 8)
+      .collect().filter(_.getAs[Long]("k") < 500)
+    def orderWithin(rs: Array[org.apache.spark.sql.Row]): Map[Int, Seq[Long]] =
+      rs.groupBy(_.getAs[Int]("shard")).map { case (s, g) =>
+        s -> g.sortBy(_.getAs[Int]("pos")).map(_.getAs[Long]("k")).toSeq
+      }
+    assert(orderWithin(after) == orderWithin(out))
+  }
+
   test("scd2AsOf returns exactly the intervals covering the instant") {
     val hist = Seq(
       (1L, "s1", 1L, Some(5L)), (1L, "s2", 5L, Some(10L)),

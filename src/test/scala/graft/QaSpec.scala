@@ -197,6 +197,26 @@ class QaSpec extends SparkSpec {
     assert(out("b") == ((4L * 3600 * 1000000, 1))) // 4h stale
   }
 
+  test("correlation: perfect linear pair hits ±1, hand-computed r and cov for the rest") {
+    val df = Seq(
+      (1.0, 2.0, 5.0), (2.0, 4.0, 1.0), (3.0, 6.0, 4.0), (4.0, 8.0, 2.0)
+    ).toDF("x", "y", "z")
+    val out = Qa.correlation(df, Seq(("x", "y"), ("x", "z")))
+      .collect().map(r => (r.getAs[String]("x_var"), r.getAs[String]("y_var")) ->
+        (r.getAs[Long]("n_rows"), r.getAs[Double]("corr"), r.getAs[Double]("cov"))).toMap
+    val (n, rxy, cxy) = out(("x", "y"))
+    assert(n == 4L)
+    assert(rxy == 1.0) // y = 2x exactly
+    // sample cov(x, 2x) = 2 * var(x) = 2 * (5/3)
+    assert(math.abs(cxy - math.rint(2.0 * 5.0 / 3.0 * 1e6) / 1e6) < 1e-9)
+    // hand-computed from the same formula: n=4, Sx=10, Sz=12, Sxx=30,
+    // Szz=46, Sxz=27 -> r = (4*27-120)/(sqrt(4*30-100)*sqrt(4*46-144))
+    val (_, rxz, cxz) = out(("x", "z"))
+    val expR = (4.0 * 27 - 120) / (math.sqrt(20.0) * math.sqrt(40.0))
+    assert(math.abs(rxz - math.rint(expR * 1e6) / 1e6) < 1e-9)
+    assert(math.abs(cxz - math.rint((27.0 - 120.0 / 4) / 3.0 * 1e6) / 1e6) < 1e-9)
+  }
+
   test("driftKs: hand-computed max ECDF distance, zero for identical, adjacency respected") {
     // day1 {1,2,3,4} vs day2 {3,4,5,6}: max |F1−F2| = 0.5 (at v=2 and 4)
     // day2 vs day3 {3,4,5,6}: identical → KS = 0
