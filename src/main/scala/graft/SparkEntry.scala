@@ -668,6 +668,10 @@ object SparkEntry {
     // corpus's own distribution, integer micro-nat quantization
     "text_unigram_logprob" -> ((s, dir) =>
       Text.unigramLogProb(Tables(s, dir, "documents"))),
+    // interpolated bigram LM score (the actual CCNet filter shape):
+    // catches word-salad docs whose unigram profile looks normal
+    "text_bigram_logprob" -> ((s, dir) =>
+      Text.bigramLogProb(Tables(s, dir, "documents"))),
     // corpus heavy hitters (>2% of tokens) via the fixed-memory
     // Misra-Gries propose -> exact-verify composition; the tight
     // 59-counter sketch still guarantees the candidate superset
@@ -1735,6 +1739,7 @@ object SparkEntry {
     "text_ngram_freq" -> Text.ngramFreqSql(),
     "text_contamination" -> Text.contaminationSql(),
     "text_unigram_logprob" -> Text.unigramLogProbSql(),
+    "text_bigram_logprob" -> Text.bigramLogProbSql(),
 
     "text_heavy_hitters" -> Text.heavyHittersSql(perMille = 20),
     "text_repetition" -> Text.repetitionSql(),

@@ -728,6 +728,106 @@ object Text {
           / lit(1000000.0))
   }
 
+  /** Interpolated BIGRAM log-probability scoring — [[unigramLogProb]]
+    * upgraded to the actual CCNet-style LM filter shape (arXiv:1911.00359
+    * §3.3): score(doc) = Σ over adjacent pairs of
+    * ln(λ·P(cur|prev) + (1−λ)·P(cur)), with P(cur|prev) =
+    * cnt(prev,cur)/cnt(prev) and P(cur) the corpus unigram frequency.
+    * The unigram backoff means unseen-context mass never zeroes, and the
+    * bigram term catches word-salad documents whose unigram profile
+    * looks normal (shuffled text has the same unigram score but
+    * improbable transitions).
+    *
+    * Cross-engine determinism: the interpolated ln is quantized ONCE per
+    * DISTINCT bigram to integer micro-nats with one fixed IEEE op order,
+    * so per-document aggregation is an order-independent integer sum.
+    * Shape: one bigram-count shuffle + one unigram-count shuffle build
+    * the LM (both vocabulary-sized); `broadcastLm` joins it back onto
+    * the bigram stream (assumes the distinct-bigram table fits an
+    * executor — holds for curated corpora; pass false for open-web scale
+    * to shuffle-join on (prev, cur) instead). Documents with fewer than
+    * two tokens have no bigrams and are absent from the output.
+    */
+  def bigramLogProb(df: DataFrame, lambda: Double = 0.8,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    broadcastLm: Boolean = true): DataFrame = {
+    require(lambda > 0.0 && lambda <= 1.0, "bigramLogProb: lambda in (0,1]")
+    val base = df.withColumn("__toks", tokens(col(textCol)))
+    val toks = base.select(col(idCol), explode(col("__toks")).as("tok"))
+    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // consumed twice (context + backoff joins)
+    val tot = uni.agg(sum(col("cnt")).as("total"))
+    // adjacent pairs via zip_with of the two shifted slices: empty for
+    // 1-token docs with no sequence(1,0)-counts-down hazard
+    val bigs = base.select(col(idCol),
+        explode(expr(
+          """zip_with(slice(__toks, 1, size(__toks) - 1),
+                      slice(__toks, 2, size(__toks) - 1),
+                      (a, b) -> struct(a as prev, b as cur))""")).as("__bg"))
+      .select(col(idCol), col("__bg.prev").as("prev"), col("__bg.cur").as("cur"))
+      .localCheckpoint() // consumed twice (LM counts + scoring join)
+    val cb = bigs.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("cb"))
+    val scored = cb
+      .join(uni.select(col("tok").as("prev"), col("cnt").as("cp")), Seq("prev"))
+      .join(uni.select(col("tok").as("cur"), col("cnt").as("cc")), Seq("cur"))
+      .crossJoin(broadcast(tot))
+      .select(col("prev"), col("cur"),
+        floor(log(
+          lit(lambda) * (col("cb").cast("double") / col("cp").cast("double"))
+            + lit(1.0 - lambda)
+              * (col("cc").cast("double") / col("total").cast("double")))
+          * lit(1000000.0)).as("lp_micro"))
+    val lmSide = if (broadcastLm) broadcast(scored) else scored
+    bigs.join(lmSide, Seq("prev", "cur"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_bigrams"),
+        sum(col("lp_micro")).as("lp_micro_sum"))
+      .withColumn("avg_logprob",
+        col("lp_micro_sum").cast("double") / col("n_bigrams").cast("double")
+          / lit(1000000.0))
+  }
+
+  /** DuckDB oracle for [[bigramLogProb]] — identical pair extraction,
+    * interpolation op order, micro-nat quantization, and final average.
+    */
+  def bigramLogProbSql(lambda: Double = 0.8, table: String = "documents",
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): String = {
+    val toks = s"string_split_regex(trim(lower($textCol)), '$wsRe')"
+    s"""WITH t AS (
+      SELECT $idCol, $toks AS toks FROM $table
+    ), u AS (
+      SELECT tok, count(*) AS cnt
+      FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok
+    ), tot AS (
+      SELECT cast(sum(cnt) as bigint) AS total FROM u
+    ), bi AS (
+      SELECT $idCol, toks, unnest(range(1, len(toks))) AS i FROM t
+    ), bg AS (
+      SELECT $idCol, toks[i] AS prev, toks[i + 1] AS cur FROM bi
+    ), cb AS (
+      SELECT prev, cur, count(*) AS cb FROM bg GROUP BY 1, 2
+    ), sc AS (
+      SELECT cb.prev, cb.cur,
+             cast(floor(ln(
+               $lambda * (cast(cb.cb as double) / cast(up.cnt as double))
+               + ${1.0 - lambda}
+                 * (cast(uc.cnt as double) / cast(tot.total as double)))
+               * 1000000.0) as bigint) AS lp_micro
+      FROM cb
+      JOIN u up ON cb.prev = up.tok
+      JOIN u uc ON cb.cur = uc.tok
+      CROSS JOIN tot
+    )
+    SELECT bg.$idCol, cast(count(*) as int) AS n_bigrams,
+           cast(sum(sc.lp_micro) as bigint) AS lp_micro_sum,
+           cast(sum(sc.lp_micro) as double)
+             / cast(cast(count(*) as int) as double) / 1000000.0
+             AS avg_logprob
+    FROM bg JOIN sc ON bg.prev = sc.prev AND bg.cur = sc.cur
+    GROUP BY bg.$idCol"""
+  }
+
   /** Per-document TF-IDF keyword extraction: the top `topK` terms of
     * each document by tf·idf — the corpus-exploration counterpart of
     * [[bm25]] (which ranks DOCS for a query; this ranks TERMS for a

@@ -61,6 +61,29 @@ class TextDedupSpec extends SparkSpec {
     assert(empty.head.getAs[String]("chunk_text") == "")
   }
 
+  test("bigramLogProb: hand-computed interpolated scores, word-salad discrimination") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b"), (2L, "a a b b"), (3L, "a")).toDF("doc_id", "text")
+    val out = graft.text.Text.bigramLogProb(docs, lambda = 0.8)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_bigrams"), r.getAs[Long]("lp_micro_sum"))).toMap
+    // uni: a=5, b=4, T=9. cb: (a,b)=3 cp=5; (b,a)=1 cp=4; (a,a)=1 cp=5;
+    // (b,b)=1 cp=4 — replicated with the engines' exact double sequence
+    val mu = 1.0 - 0.8
+    def lp(cb: Long, cp: Long, cc: Long): Long =
+      math.floor(math.log(0.8 * (cb.toDouble / cp.toDouble)
+        + mu * (cc.toDouble / 9.0)) * 1000000.0).toLong
+    assert(out(1L) == ((3, 2 * lp(3, 5, 4) + lp(1, 4, 5))))
+    assert(out(2L) == ((3, lp(1, 5, 5) + lp(3, 5, 4) + lp(1, 4, 4))))
+    assert(!out.contains(3L)) // no bigrams -> absent, never a 0/0 row
+    // word salad: same unigram profile, improbable transitions score lower
+    val corpus = ((1L to 8L).map(i => (i, "c d c d c d c d")) :+
+      (9L, "d c d d c c c d")).toDF("doc_id", "text")
+    val avg = graft.text.Text.bigramLogProb(corpus)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_logprob")).toMap
+    assert(avg(9L) < avg(1L))
+  }
+
   test("langId picks the language with most marker hits, tie → first") {
     val df = Seq((1L, "der und ist fine"), (2L, "xyz qqq")).toDF("doc_id", "text")
     val out = Text.langId(df).collect().map(r =>
