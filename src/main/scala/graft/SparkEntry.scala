@@ -380,6 +380,12 @@ object SparkEntry {
     // day-list range join is the relational shape)
     "q_rolling_active_users" -> ((s, dir) =>
       Queries.rollingActiveUsers(s, dir)),
+    // ordered funnel: view -> click -> purchase, each stage strictly
+    // after the user's earliest completion of the previous one
+    "q_funnel" -> ((s, dir) => Queries.funnel(s, dir)),
+    // cohort retention triangle: first-activity week x weeks-since,
+    // integer-µs week offsets
+    "q_retention_cohorts" -> ((s, dir) => Queries.retentionCohorts(s, dir)),
     // fixed-bin histogram over events.value: data-derived bounds,
     // integer bin ids, empty bins zero-filled
     "q_histogram" -> ((s, dir) => Queries.histogram(s, dir)),
@@ -1632,6 +1638,9 @@ object SparkEntry {
          SELECT cast(template.bin as int) AS bin,
                 cast(coalesce(binned.n, 0) as bigint) AS n
          FROM template LEFT JOIN binned USING (bin)""",
+
+    "q_funnel" -> Queries.funnelSql(),
+    "q_retention_cohorts" -> Queries.retentionCohortsSql(),
 
     "q_rolling_active_users" ->
       """WITH du AS (

@@ -343,6 +343,147 @@ object Queries {
         col(s"active_${windowDays}d"))
   }
 
+  /** ORDERED FUNNEL: how many users complete stage₁ → stage₂ → … in
+    * order, each stage strictly AFTER the user's earliest completion of
+    * the previous one (the product-analytics staple: view → click →
+    * purchase conversion). Per user, t₁ = min ts of stage₁; tᵢ = min ts
+    * of stageᵢ with ts > tᵢ₋₁ — the earliest-completion chain, so a
+    * user who clicks before ever viewing does NOT convert at stage 2.
+    *
+    * Time is integer µs (`unix_micros`), never timestamps, so the
+    * strict inequalities are engine-exact. Shape: one scan checkpointed,
+    * then per stage a (filter → join on user_id → min) chain — each
+    * stage's frame only shrinks, all joins are user-keyed shuffles
+    * co-partitioned after the first; the stage counts union into a
+    * bounded |stages|-row result with conversion ratios off stage 1.
+    */
+  def funnel(spark: SparkSession, dir: String,
+             stages: Seq[String] = Seq("view", "click", "purchase"),
+             digits: Int = 4): DataFrame = {
+    require(stages.nonEmpty, "funnel: need at least one stage")
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+      .localCheckpoint() // consumed once per stage
+    // reached(i): per-user earliest completion time of stage i
+    val reached = stages.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (stage, _)) =>
+        val mine = ev.filter(col("event_type") === stage)
+        val gated = prev match {
+          case None => mine
+          case Some(p) => mine.join(p, Seq("user_id"))
+            .filter(col("us") > col("t_prev")).drop("t_prev")
+        }
+        Some(gated.groupBy(col("user_id"))
+          .agg(min(col("us")).as("t_prev"))
+          .localCheckpoint()) // each stage feeds the next AND its count
+    }.flatten
+    val counts = reached.zip(stages).zipWithIndex.map {
+      case ((df, stage), i) =>
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(i + 1).as("stage"), lit(stage).as("event_type"),
+            col("n_users"))
+    }.reduce(_.unionByName(_))
+    val base = counts.filter(col("stage") === 1)
+      .select(col("n_users").as("__n1"))
+    counts.crossJoin(broadcast(base))
+      .select(col("stage"), col("event_type"), col("n_users"),
+        round(col("n_users").cast("double") / col("__n1").cast("double"),
+          digits).as("conversion"))
+  }
+
+  /** DuckDB oracle for [[funnel]] — identical earliest-completion chain
+    * in integer µs.
+    */
+  def funnelSql(stages: Seq[String] = Seq("view", "click", "purchase"),
+                digits: Int = 4): String = {
+    val ctes = stages.zipWithIndex.map { case (stage, i) =>
+      val n = i + 1
+      if (i == 0)
+        s"""r$n AS (
+           SELECT user_id, min(epoch_us(ts)) AS t
+           FROM events WHERE event_type = '$stage' GROUP BY 1)"""
+      else
+        s"""r$n AS (
+           SELECT e.user_id, min(epoch_us(e.ts)) AS t
+           FROM events e JOIN r$i USING (user_id)
+           WHERE e.event_type = '$stage' AND epoch_us(e.ts) > r$i.t
+           GROUP BY 1)"""
+    }.mkString(",\n       ")
+    val rows = stages.zipWithIndex.map { case (stage, i) =>
+      s"SELECT ${i + 1} AS stage, '$stage' AS event_type, " +
+        s"cast(count(*) as bigint) AS n_users FROM r${i + 1}"
+    }.mkString("\n       UNION ALL\n       ")
+    s"""WITH $ctes,
+       counts AS (
+       $rows),
+       base AS (SELECT n_users AS n1 FROM counts WHERE stage = 1)
+       SELECT stage, event_type, n_users,
+              round(cast(n_users as double) / cast(n1 as double), $digits)
+                AS conversion
+       FROM counts CROSS JOIN base"""
+  }
+
+  /** COHORT RETENTION: users grouped by their first-activity week, then
+    * per (cohort, week-offset) the count and share still active — the
+    * classic retention triangle. Offsets are exact integer weeks
+    * computed from µs differences of `date_trunc('week', …)` values
+    * (UTC, DST-free), so the matrix cells are engine-exact.
+    *
+    * Shape: one scan → distinct (user, week) pairs; per-user cohort is
+    * a min over those SAME pairs (no second scan); one user-keyed join
+    * attaches cohorts to activity; the matrix and the cohort sizes are
+    * bounded aggregates; sizes broadcast back for the ratio.
+    */
+  def retentionCohorts(spark: SparkSession, dir: String,
+                       digits: Int = 4): DataFrame = {
+    val weekUs = 7L * 24 * 3600 * 1000000L
+    val uw = Tables(spark, dir, "events")
+      .select(col("user_id"),
+        expr("unix_micros(date_trunc('week', ts))").as("wk"))
+      .distinct()
+      .localCheckpoint() // consumed twice (cohort min + activity join)
+    val cohorts = uw.groupBy(col("user_id")).agg(min(col("wk")).as("c0"))
+    val cells = uw.join(cohorts, Seq("user_id"))
+      .groupBy(col("c0"),
+        expr(s"(wk - c0) div $weekUs").cast("int").as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = cohorts.groupBy(col("c0")).agg(count(lit(1)).as("__size"))
+    cells.join(broadcast(sizes), Seq("c0"))
+      .select(
+        expr("cast(cast(timestamp_micros(c0) as date) as string)")
+          .as("cohort_week"),
+        col("week_offset"), col("n_active"),
+        round(col("n_active").cast("double") / col("__size").cast("double"),
+          digits).as("retention"))
+  }
+
+  /** DuckDB oracle for [[retentionCohorts]] — identical week
+    * truncation, integer-µs offsets, and ratio arithmetic.
+    */
+  def retentionCohortsSql(digits: Int = 4): String = {
+    val weekUs = 7L * 24 * 3600 * 1000000L
+    s"""WITH uw AS (
+         SELECT DISTINCT user_id,
+                epoch_us(date_trunc('week', ts)) AS wk
+         FROM events),
+       cohorts AS (
+         SELECT user_id, min(wk) AS c0 FROM uw GROUP BY 1),
+       cells AS (
+         SELECT c0, cast((wk - c0) // $weekUs as int) AS week_offset,
+                cast(count(*) as bigint) AS n_active
+         FROM uw JOIN cohorts USING (user_id)
+         GROUP BY 1, 2),
+       sizes AS (
+         SELECT c0, cast(count(*) as bigint) AS sz FROM cohorts GROUP BY 1)
+       SELECT cast(cast(make_timestamp(c0) as date) as varchar)
+                AS cohort_week,
+              week_offset, n_active,
+              round(cast(n_active as double) / cast(sz as double), $digits)
+                AS retention
+       FROM cells JOIN sizes USING (c0)"""
+  }
+
   /** CUBE over (status, priority): all four grouping-set combinations in
     * one pass with partial aggregation.
     */

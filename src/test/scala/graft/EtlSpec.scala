@@ -640,6 +640,53 @@ class EtlSpec extends SparkSpec {
     assert(orderWithin(after) == orderWithin(out))
   }
 
+  test("funnel: out-of-order stages don't convert; strictly-after rule enforced") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel").toString
+    def ts(min: Int) = new java.sql.Timestamp(60000L * min)
+    // u1 completes in order; u2 clicks BEFORE viewing (no stage-2);
+    // u3 purchases BEFORE clicking (stage 2 yes, stage 3 no);
+    // u4 only views
+    Seq(
+      (1L, ts(1), 1L, "view"), (2L, ts(2), 1L, "click"), (3L, ts(3), 1L, "purchase"),
+      (4L, ts(2), 2L, "click"), (5L, ts(3), 2L, "view"),
+      (6L, ts(1), 3L, "view"), (7L, ts(5), 3L, "click"), (8L, ts(4), 3L, "purchase"),
+      (9L, ts(1), 4L, "view")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.analytics.Queries.funnel(spark, dir)
+      .collect().map(r => r.getAs[Int]("stage") ->
+        (r.getAs[Long]("n_users"), r.getAs[Double]("conversion"))).toMap
+    assert(out(1) == ((4L, 1.0)))   // all four view (u2 later, still views)
+    assert(out(2) == ((2L, 0.5)))   // u1, u3 click after first view
+    assert(out(3) == ((1L, 0.25)))  // only u1 purchases after the click
+  }
+
+  test("retentionCohorts: hand-built two-cohort triangle, shares of cohort size") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ret").toString
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:00:00")
+    // week1 = 2024-01-01 (Mon): users 1,2 start; week2 = 2024-01-08:
+    // user 3 starts, user 1 returns; week3: user 2 returns
+    Seq(
+      (1L, ts(2), 1L), (2L, ts(3), 2L),               // cohort w1
+      (3L, ts(9), 3L), (4L, ts(10), 1L),              // w2: new u3, u1 back
+      (5L, ts(16), 2L)                                // w3: u2 back
+    ).map { case (e, t, u) => (e, t, u, "view") }
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.analytics.Queries.retentionCohorts(spark, dir)
+      .collect().map(r => (r.getAs[String]("cohort_week"), r.getAs[Int]("week_offset")) ->
+        (r.getAs[Long]("n_active"), r.getAs[Double]("retention"))).toMap
+    assert(out(("2024-01-01", 0)) == ((2L, 1.0)))
+    assert(out(("2024-01-01", 1)) == ((1L, 0.5)))  // u1 back in w2
+    assert(out(("2024-01-01", 2)) == ((1L, 0.5)))  // u2 back in w3
+    assert(out(("2024-01-08", 0)) == ((1L, 1.0)))  // u3's own cohort
+    assert(out.size == 4)
+  }
+
   test("scd2AsOf returns exactly the intervals covering the instant") {
     val hist = Seq(
       (1L, "s1", 1L, Some(5L)), (1L, "s2", 5L, Some(10L)),
