@@ -636,6 +636,13 @@ object SparkEntry {
       Similarity.pqSearch(e.filter(col("vec_id") % 50 === 0),
         e.filter(col("vec_id") % 50 =!= 0), topK = 3)
     }),
+    // IVF-PQ: coarse cluster pruning + ADC ranking from codes — the
+    // two-level index that actually ships at corpus scale
+    "sim_ann_ivfpq" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      Similarity.ivfPqSearch(e.filter(col("vec_id") % 50 === 0),
+        e.filter(col("vec_id") % 50 =!= 0), topK = 3)
+    }),
     // SemDeDup: cluster-then-dedup with the seeded quantizer (same
     // cross-engine contract as sim_ann_ivf_seeded); threshold 0.4 for
     // the same no-true-near-dups reason as sim_near_dup
@@ -1732,6 +1739,9 @@ object SparkEntry {
     "emb_pq_encode" -> Similarity.pqEncodeSeededDuckdbSql(),
     "emb_pq_distortion" -> Similarity.pqDistortionSeededDuckdbSql(),
     "sim_ann_pq" -> Similarity.pqSearchSeededDuckdbSql(
+      probeWhere = "vec_id % 50 = 0", corpusWhere = "vec_id % 50 <> 0",
+      topK = 3),
+    "sim_ann_ivfpq" -> Similarity.ivfPqSeededDuckdbSql(
       probeWhere = "vec_id % 50 = 0", corpusWhere = "vec_id % 50 <> 0",
       topK = 3),
     "dedup_lsh_jaccard" -> MinHashSpec.duckdbJaccardSql(),

@@ -819,9 +819,15 @@ object Similarity {
             (t, c) => element_at(t, (c + 1).cast("int"))),
           lit(0.0), (acc, v) => acc + v))
       .select(col("probe_id"), col("cand_id"), col("adist"))
-    // min-first rank: topk_by orders (score DESC, tiebreak ASC), so the
-    // negated distance gives (adist ASC, cand_id ASC) — exact negation,
-    // no precision loss
+    rankMinDist(scored, topK)
+  }
+
+  /** Min-first rank of an ADC-scored (probe_id, cand_id, adist) frame:
+    * `topk_by` orders (score DESC, tiebreak ASC), so the negated
+    * distance gives (adist ASC, cand_id ASC) — exact negation, no
+    * precision loss. Salted two-phase window fallback, same total order.
+    */
+  private def rankMinDist(scored: DataFrame, topK: Int): DataFrame =
     if (scored.sparkSession.catalog.functionExists("topk_by")) {
       scored.groupBy(col("probe_id"))
         .agg(expr(
@@ -835,7 +841,6 @@ object Similarity {
       topKPerGroup(scored, "probe_id", topK,
         Seq(col("adist"), col("cand_id")), hash(col("cand_id")))
         .select(col("probe_id"), col("cand_id"), col("adist"), col("rnk"))
-  }
 
   /** DuckDB oracle for [[pqSearch]] with SEEDED codebooks (codeword j =
     * j-th lowest-id CORPUS vector's subvector): corpus codes and probe
@@ -880,6 +885,146 @@ object Similarity {
                   (acc, v) -> acc + v) AS adist
          FROM codes co
          JOIN pd ON co.subspace = pd.subspace AND co.code = pd.code
+         GROUP BY 1, 2)
+       SELECT probe_id, cand_id, adist,
+              cast(row_number() OVER (PARTITION BY probe_id
+                ORDER BY adist, cand_id) as int) AS rnk
+       FROM s
+       QUALIFY rnk <= $topK"""
+  }
+
+  /** IVF-PQ SEARCH — the classic two-level ANN index (FAISS IVFPQ;
+    * Jégou et al. TPAMI 2011 §V): the IVF coarse quantizer prunes the
+    * corpus to the probe's `nprobe` nearest clusters, then PQ ADC ranks
+    * ONLY those candidates from their codes. The composition is what
+    * actually ships at 100 TB: the coarse filter cuts the scan to
+    * ~nprobe/kc of the corpus and the fine ranking never touches a raw
+    * vector — memory per corpus row is one small int (cluster) + m
+    * bytes (codes).
+    *
+    * Corpus side is ONE pure-projection scan emitting (id, cluster,
+    * codes); the probe side broadcasts (probe, probed-cluster, ADC
+    * table) rows; the candidate join is a hash equi-join on cluster
+    * (each candidate lives in exactly ONE cluster, so no pair dedup is
+    * needed); ranking is the bounded-heap `topk_by`. Same seeded
+    * contracts as [[ivfTopK]] (centroids = first kc corpus vectors) and
+    * [[pqSearch]] (codewords = first k corpus subvectors), so the
+    * DuckDB oracle replays clusters, codes, tables, and folds
+    * bit-for-bit; trained centroids/codebooks are driver state behind
+    * the same save/load loop.
+    */
+  def ivfPqSearch(probes: DataFrame, corpus: DataFrame, topK: Int,
+                  kc: Int = 16, nprobe: Int = 4, m: Int = 8, k: Int = 16,
+                  dim: Int = 64, idCol: String = "vec_id",
+                  vecCol: String = "embedding",
+                  centroids: Option[Array[Array[Double]]] = None,
+                  codebooks: Option[Array[Array[Array[Double]]]] = None)
+      : DataFrame = {
+    require(dim % m == 0, s"ivfPqSearch: m=$m must divide dim=$dim")
+    val sub = dim / m
+    val cents = centroids.getOrElse(
+      ivfCentroids(corpus, kc, iters = 0, dim, idCol, vecCol))
+    val cbs = codebooks.getOrElse(
+      pqCodebooks(corpus, m, k, iters = 0, dim, idCol, vecCol))
+    val codes = corpus
+      .withColumn("__cd", centroidDistsCol(corpus, vecCol, cents))
+      .select(col(idCol).as("cand_id"),
+        (array_position(col("__cd"), array_min(col("__cd"))) - 1)
+          .cast("int").as("cluster"),
+        pqCodesCol(corpus, vecCol, cbs, sub).as("__codes"))
+    val probeClusters = expr(
+      """transform(
+         array_sort(transform(__cd, (d, i) -> struct(d as d, i as i))),
+         s -> s.i)""")
+    val dt = array((0 until m).map { s =>
+      centroidDistsCol(probes, s"slice($vecCol, ${s * sub + 1}, $sub)",
+        cbs(s))
+    }: _*)
+    val pdt = probes
+      .withColumn("__cd", centroidDistsCol(probes, vecCol, cents))
+      .withColumn("__dt", dt)
+      .select(col(idCol).as("probe_id"), col("__dt"),
+        explode(slice(probeClusters, 1, nprobe)).as("cluster"))
+    val scored = codes.join(broadcast(pdt), Seq("cluster"))
+      .withColumn("adist",
+        aggregate(
+          zip_with(col("__dt"), col("__codes"),
+            (t, c) => element_at(t, (c + 1).cast("int"))),
+          lit(0.0), (acc, v) => acc + v))
+      .select(col("probe_id"), col("cand_id"), col("adist"))
+    rankMinDist(scored, topK)
+  }
+
+  /** DuckDB oracle for [[ivfPqSearch]] with SEEDED centroids AND
+    * codebooks: coarse assignment / nprobe probe lists replayed as in
+    * [[ivfSeededDuckdbSql]], codes and ADC tables as in
+    * [[pqSearchSeededDuckdbSql]], candidates joined on cluster (one
+    * cluster per candidate — no dedup), identical subspace-order fold.
+    */
+  def ivfPqSeededDuckdbSql(probeWhere: String, corpusWhere: String,
+                           topK: Int, kc: Int = 16, nprobe: Int = 4,
+                           m: Int = 8, k: Int = 16, dim: Int = 64,
+                           table: String = "embeddings",
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding"): String = {
+    val sub = dim / m
+    def fullL2(side: String) =
+      s"""list_sum(list_transform(range(1, ${dim + 1}),
+         d -> (cast($side.$vecCol[d] as double) - cast(ct.cv[d] as double))
+            * (cast($side.$vecCol[d] as double) - cast(ct.cv[d] as double))))"""
+    def subL2(side: String) =
+      s"""list_sum(list_transform(range(1, ${sub + 1}),
+         d -> (cast($side.$vecCol[subspace * $sub + d] as double)
+               - cast(cb.cv[subspace * $sub + d] as double))
+            * (cast($side.$vecCol[subspace * $sub + d] as double)
+               - cast(cb.cv[subspace * $sub + d] as double))))"""
+    s"""WITH p AS (SELECT $idCol, $vecCol FROM $table WHERE $probeWhere),
+       c AS (SELECT $idCol, $vecCol FROM $table WHERE $corpusWhere),
+       cent AS (SELECT row_number() OVER (ORDER BY $idCol) - 1 AS cluster,
+                       $vecCol AS cv
+                FROM (SELECT * FROM c ORDER BY $idCol LIMIT $kc)),
+       cb AS (SELECT row_number() OVER (ORDER BY $idCol) - 1 AS code,
+                     $vecCol AS cv
+              FROM (SELECT * FROM c ORDER BY $idCol LIMIT $k)),
+       subs AS (SELECT unnest(range(0, $m)) AS subspace),
+       ccd AS (
+         SELECT c.$idCol AS cand_id, ct.cluster, ${fullL2("c")} AS l2
+         FROM c CROSS JOIN cent ct),
+       assign AS (
+         SELECT cand_id, cluster FROM ccd
+         QUALIFY row_number() OVER (PARTITION BY cand_id
+           ORDER BY l2, cluster) = 1),
+       pcd AS (
+         SELECT p.$idCol AS probe_id, ct.cluster, ${fullL2("p")} AS l2
+         FROM p CROSS JOIN cent ct),
+       pc AS (
+         SELECT probe_id, cluster FROM pcd
+         QUALIFY row_number() OVER (PARTITION BY probe_id
+           ORDER BY l2, cluster) <= $nprobe),
+       cd AS (
+         SELECT c.$idCol AS cand_id, subs.subspace, cb.code,
+                ${subL2("c")} AS l2
+         FROM c CROSS JOIN subs CROSS JOIN cb),
+       codes AS (
+         SELECT cand_id, subspace, code FROM cd
+         QUALIFY row_number() OVER (PARTITION BY cand_id, subspace
+           ORDER BY l2, code) = 1),
+       pd AS (
+         SELECT p.$idCol AS probe_id, subs.subspace, cb.code,
+                ${subL2("p")} AS l2
+         FROM p CROSS JOIN subs CROSS JOIN cb),
+       cand AS (
+         SELECT pc.probe_id, a.cand_id
+         FROM pc JOIN assign a USING (cluster)),
+       s AS (
+         SELECT cand.probe_id, cand.cand_id,
+                list_reduce(list_prepend(cast(0.0 as double),
+                  list(pd.l2 ORDER BY pd.subspace)),
+                  (acc, v) -> acc + v) AS adist
+         FROM cand
+         JOIN codes co ON co.cand_id = cand.cand_id
+         JOIN pd ON pd.probe_id = cand.probe_id
+           AND pd.subspace = co.subspace AND pd.code = co.code
          GROUP BY 1, 2)
        SELECT probe_id, cand_id, adist,
               cast(row_number() OVER (PARTITION BY probe_id

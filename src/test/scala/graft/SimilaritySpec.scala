@@ -375,6 +375,29 @@ class SimilaritySpec extends SparkSpec {
     out.foreach { case (_, _, a, _) => assert(a >= 0.0) }
   }
 
+  test("ivfPqSearch: equals pqSearch exactly when probing all clusters; prunes under nprobe") {
+    val probes = emb.filter(col("vec_id") % 50 === 0)
+    val corpus = emb.filter(col("vec_id") % 50 =!= 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("cand_id"),
+        r.getAs[Double]("adist"), r.getAs[Int]("rnk"))).toSet
+    // nprobe = kc -> the coarse filter admits every candidate, so the
+    // two-level index must reproduce the flat ADC scan bit-for-bit
+    val full = rows(Similarity.ivfPqSearch(probes, corpus, topK = 3,
+      kc = 16, nprobe = 16))
+    assert(full == rows(Similarity.pqSearch(probes, corpus, topK = 3)))
+    // real pruning (nprobe = 4): still topK rows per probe here (clusters
+    // hold plenty of candidates), every adist no better than the flat
+    // scan's rank-1 (pruning can only lose candidates, never invent)
+    val pruned = Similarity.ivfPqSearch(probes, corpus, topK = 3).collect()
+    val flatBest = rows(Similarity.pqSearch(probes, corpus, topK = 1))
+      .map { case (p, _, a, _) => p -> a }.toMap
+    pruned.groupBy(_.getAs[Long]("probe_id")).foreach { case (p, rs) =>
+      assert(rs.length == 3)
+      assert(rs.map(_.getAs[Double]("adist")).min >= flatBest(p))
+    }
+  }
+
   test("pqSearch: a planted twin attains the per-probe ADC lower bound at rank 1") {
     import spark.implicits._
     val corpus = emb.filter(col("vec_id") < 40)
