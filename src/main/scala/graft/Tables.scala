@@ -16,16 +16,21 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS) — Spark reads it only as a
+    // Normalize events.ts to session-tz TIMESTAMP regardless of how the
+    // generator encoded it: parquet TIMESTAMP(NANOS) arrives as a
     // nanosecond long (spark.sql.legacy.parquet.nanosAsLong, set in
-    // Verify/Bench/session builders); normalize back to a timestamp.
-    df.schema.find(f => f.name == "ts" &&
-        f.dataType == org.apache.spark.sql.types.LongType) match {
+    // Verify/Bench/session builders); plain timestamp[us] with
+    // isAdjustedToUTC=false arrives as TIMESTAMP_NTZ. Sessions run in
+    // UTC, so the NTZ→LTZ cast is value-preserving.
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema.find(_.name == "ts").map(_.dataType) match {
       // integer `div`, NOT `/`: double division loses µs precision for
       // epoch-nanos beyond 2^51 (observed: ...885461000 ns → ...885460 µs)
-      case Some(_) => df.withColumn("ts",
+      case Some(LongType) => df.withColumn("ts",
         org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-      case None => df
+      case Some(TimestampNTZType) => df.withColumn("ts",
+        org.apache.spark.sql.functions.expr("cast(ts as timestamp)"))
+      case _ => df
     }
   }
 

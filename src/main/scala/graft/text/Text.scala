@@ -504,48 +504,47 @@ object Text {
     * boilerplate/spam/degenerate text — the standard repetition screen a
     * training-data pipeline runs alongside [[quality]].
     *
-    * Shape at scale: ONE corpus scan. Unigrams and bigrams are tagged
-    * (tag 1 / tag 2) and ride a single explode; one groupBy on
-    * (doc, tag, term) counts occurrences, one groupBy on doc folds both
-    * families with conditional aggregation. The line stats are pure
-    * per-row expressions computed BEFORE the explode and carried through
-    * both shuffles as `first(...)` (two ints per exploded row — cheaper
-    * than the extra scan + join they replace). Cost stays linear in
-    * corpus token count; only the max COUNT is kept per doc, so no
-    * tie-breaking is ever needed.
+    * Shape at scale: ONE corpus scan, ZERO shuffles. Every statistic
+    * here is per-document, so none of them needs an exchange: the
+    * max-occurrence counts come from `array_sort` + `aggregate` (max
+    * run length in the sorted token/bigram array — a per-row
+    * codegen'd fold, no explode, no groupBy), and the type/line
+    * counts are `size(array_distinct(...))`. Embarrassingly parallel
+    * at any scale — the earlier tagged-explode form (still the right
+    * shape for CORPUS-level counts, see [[collocations]]) paid two
+    * shuffles and a 2n-row struct explode for stats the row already
+    * contained, and its allocation tail was the one multi-second
+    * variance outlier in the r6 bench.
     */
   def repetition(df: DataFrame, idCol: String = "doc_id",
                  textCol: String = "text", digits: Int = 4): DataFrame = {
     val lines = split(col(textCol), "\n")
-    // Tagged term stream: struct(1, token) for unigrams, struct(2, bigram)
-    // for bigrams, concatenated so ONE explode covers both families.
-    val tagged = df
+    // Max occurrence count of any element = max run length in the
+    // sorted array. Null-safe <=> starts a fresh run on the first
+    // element (prev initialises to NULL).
+    def maxRepeat(arr: String): Column = expr(
+      s"""aggregate(
+         array_sort($arr),
+         named_struct('prev', cast(null as string), 'run', 0, 'best', 0),
+         (a, t) -> named_struct(
+           'prev', t,
+           'run',  CASE WHEN a.prev <=> t THEN a.run + 1 ELSE 1 END,
+           'best', greatest(a.best,
+                     CASE WHEN a.prev <=> t THEN a.run + 1 ELSE 1 END)),
+         a -> a.best)""")
+    df
       .select(col(idCol),
         size(lines).as("n_lines"),
         size(array_distinct(lines)).as("n_distinct_lines"),
         tokens(col(textCol)).as("__toks"))
       .select(col(idCol), col("n_lines"), col("n_distinct_lines"),
-        explode(expr(
-          s"""concat(
-             transform(__toks, t -> named_struct('tag', 1, 'term', t)),
-             transform(${ngramAllExpr("__toks", 2)},
-               b -> named_struct('tag', 2, 'term', b)))""")).as("tt"))
+        col("__toks"), expr(ngramAllExpr("__toks", 2)).as("__bgs"))
       .select(col(idCol), col("n_lines"), col("n_distinct_lines"),
-        col("tt.tag").as("tag"), col("tt.term").as("term"))
-    val stats = tagged
-      .groupBy(col(idCol), col("tag"), col("term"))
-      .agg(count(lit(1)).as("cnt"),
-        first(col("n_lines")).as("n_lines"),
-        first(col("n_distinct_lines")).as("n_distinct_lines"))
-      .groupBy(col(idCol)).agg(
-        sum(when(col("tag") === 1, col("cnt"))).as("n_tokens"),
-        count(when(col("tag") === 1, lit(1))).as("n_types"),
-        max(when(col("tag") === 1, col("cnt"))).as("top_cnt"),
-        max(when(col("tag") === 2, col("cnt"))).as("top_bg_cnt"),
-        sum(when(col("tag") === 2, col("cnt"))).as("n_bigrams"),
-        first(col("n_lines")).as("n_lines"),
-        first(col("n_distinct_lines")).as("n_distinct_lines"))
-    stats
+        size(col("__toks")).as("n_tokens"),
+        size(array_distinct(col("__toks"))).as("n_types"),
+        maxRepeat("__toks").as("top_cnt"),
+        size(col("__bgs")).as("n_bigrams"),
+        maxRepeat("__bgs").as("top_bg_cnt"))
       .select(col(idCol),
         col("n_tokens").cast("int").as("n_tokens"),
         col("n_types").cast("int").as("n_types"),
