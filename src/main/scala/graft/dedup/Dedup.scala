@@ -235,11 +235,17 @@ object Dedup {
     */
   def mergeIndex(index: DedupIndex, keptDocs: DataFrame,
                  idCol: String = "doc_id",
-                 textCol: String = "text"): DedupIndex = DedupIndex(
+                 textCol: String = "text",
+                 keptBands: Option[DataFrame] = None): DedupIndex = DedupIndex(
     index.hashes
       .union(keptDocs.select(md5(col(textCol)).as("content_hash")))
       .distinct(),
-    index.bands.union(MinHashSpec.bandedSignatures(keptDocs, idCol, textCol)))
+    // keptBands: signatures the caller already derived for these docs
+    // (the screening run computes the full batch's bands — re-deriving
+    // the kept subset's MinHash from raw text would double the loop's
+    // dominant cost); default derives them for standalone merges
+    index.bands.union(keptBands.getOrElse(
+      MinHashSpec.bandedSignatures(keptDocs, idCol, textCol))))
 
   /** [[incremental]] against a PREBUILT [[DedupIndex]] — the production
     * path: the index is loaded, not derived, so a screening run costs
@@ -252,12 +258,18 @@ object Dedup {
                            incoming: DataFrame,
                            idCol: String = "doc_id", textCol: String = "text",
                            k: Int = 3, threshold: Double = 0.5,
-                           digits: Int = 4): DataFrame = {
+                           digits: Int = 4,
+                           incomingBands: Option[DataFrame] = None)
+      : DataFrame = {
     val exactDup = incoming
       .select(col(idCol), md5(col(textCol)).as("content_hash"))
       .join(index.hashes, Seq("content_hash"), "left_semi")
       .select(col(idCol)).withColumn("is_dup_exact", lit(1))
-    val cand = MinHashSpec.bandedSignatures(incoming, idCol, textCol).as("x")
+    // incomingBands: a caller that also MAINTAINS the index (the loop)
+    // derives the batch's signatures once and shares them between the
+    // screen and the merge
+    val cand = incomingBands
+      .getOrElse(MinHashSpec.bandedSignatures(incoming, idCol, textCol)).as("x")
       .join(index.bands.as("y"),
         col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig"))
       .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
@@ -389,24 +401,40 @@ object Dedup {
     * the corpus — its original is already there and screens it instead).
     * Output: one row per batch doc, tagged with the batch label.
     *
-    * Each batch's flags are materialized once (localCheckpoint) — they
-    * feed the output AND the kept-set that grows the index, and without
-    * the cut screen N's plan would re-derive every earlier screen.
+    * Materialization discipline (this is where the loop's cost lives):
+    * each batch's flags are cut once (localCheckpoint) — they feed the
+    * output AND the kept-set that grows the index, and without the cut
+    * screen N's plan would re-derive every earlier screen. The INDEX is
+    * cut at every version too, and each batch's banded signatures are
+    * derived ONCE and shared between its screen and its merge (the
+    * kept rows are a filter of them) — so every doc's MinHash is
+    * computed exactly once across the whole loop, the "build cost is
+    * paid once per doc, ever" contract. Before this, the un-cut corpus
+    * signatures sat in BOTH screens' plans and the merge re-shingled
+    * the kept docs from raw text: ~2.5× the dominant cost, and the
+    * accumulated lineage re-ran under memory pressure (observed 6.5 →
+    * 19.6 s swings at sf0.1).
     */
   def incrementalLoop(corpus: DataFrame, batches: Seq[(String, DataFrame)],
                       idCol: String = "doc_id", textCol: String = "text",
                       k: Int = 3, threshold: Double = 0.5,
                       digits: Int = 4): DataFrame = {
     require(batches.nonEmpty, "incrementalLoop needs at least one batch")
+    def cut(i: DedupIndex) =
+      DedupIndex(i.hashes.localCheckpoint(), i.bands.localCheckpoint())
     var corp = corpus.select(col(idCol), col(textCol))
-    var idx = buildIndex(corp, idCol, textCol)
+    var idx = cut(buildIndex(corp, idCol, textCol))
     batches.map { case (tag, batch) =>
+      val bands = MinHashSpec.bandedSignatures(batch, idCol, textCol)
+        .localCheckpoint()
       val flags = incrementalFromIndex(corp, idx, batch, idCol, textCol,
-        k, threshold, digits).localCheckpoint()
+        k, threshold, digits, incomingBands = Some(bands)).localCheckpoint()
+      val keptIds = flags.filter(col("kept") === 1).select(col(idCol))
       val kept = batch.select(col(idCol), col(textCol))
-        .join(flags.filter(col("kept") === 1).select(col(idCol)),
-          Seq(idCol), "left_semi")
-      idx = mergeIndex(idx, kept, idCol, textCol)
+        .join(keptIds, Seq(idCol), "left_semi")
+      idx = cut(mergeIndex(idx, kept, idCol, textCol,
+        keptBands = Some(bands.join(keptIds.select(col(idCol).as("id")),
+          Seq("id"), "left_semi"))))
       corp = corp.union(kept)
       flags.withColumn("batch", lit(tag))
     }.reduce(_.union(_))
