@@ -565,6 +565,11 @@ object SparkEntry {
     // append sink would double that batch's rows and fail the hash
     "stream_sink_replay" -> ((s, dir) =>
       graft.streaming.Streams.dedupDocsSinkReplayAvailableNow(s, dir)),
+    // stateless streaming decontamination: every arriving doc screened
+    // per-row against the broadcast eval-set fingerprints — zero
+    // streaming state (the suite's one statefulOps=0 gate)
+    "stream_contamination" -> ((s, dir) =>
+      graft.streaming.Streams.contaminationAvailableNow(s, dir)),
     // pairs → clusters: transitive closure of the verified near-dup pairs,
     // every doc labeled with its cluster's min id (singletons label
     // themselves)
@@ -1729,6 +1734,9 @@ object SparkEntry {
     // the SAME oracle value by construction: the retried batch must
     // change NOTHING in the sink
     "stream_sink_replay" -> streamDedupOracle,
+    // stateless stream screen vs the batch SQL; distinct-fp count is the
+    // array_intersect semantics (see Text.contaminationSql)
+    "stream_contamination" -> Text.contaminationSql(distinctFps = true),
     "sim_ann_lsh" -> Similarity.annTopKDuckdbSql((0L until 10L), 5),
     "sim_ann_ivf_seeded" -> Similarity.ivfSeededDuckdbSql((0L until 10L), 5),
     "sim_near_dup" -> Similarity.cosineNearDupDuckdbSql(threshold = 0.4),

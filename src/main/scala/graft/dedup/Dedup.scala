@@ -885,7 +885,11 @@ object MinHashSpec {
     */
   def fingerprint62Expr(spark: org.apache.spark.sql.SparkSession,
                         strExpr: String): String =
-    s"(${h32Expr(spark, strExpr)} % 2147483648L) * 4294967296L + ${hpExpr(spark, strExpr)}"
+    // fused native form first: the composed spelling digests the string
+    // TWICE, and inside a transform lambda (per-gram fingerprints)
+    // subexpression elimination cannot merge the two md5 calls
+    if (spark.catalog.functionExists("md5_fp62")) s"md5_fp62($strExpr)"
+    else s"(${h32Expr(spark, strExpr)} % 2147483648L) * 4294967296L + ${hpExpr(spark, strExpr)}"
 
   /** DuckDB twin of [[fingerprint62Expr]] (UBIGINT arithmetic; the result
     * is < 2^63 so the final BIGINT cast cannot overflow).

@@ -103,6 +103,11 @@ object GraftFunctions {
     new ExpressionInfo(classOf[Md5H32].getName, "md5_h32"),
     (exprs: Seq[Expression]) => Md5H32(exprs.head))
 
+  val md5Fp62Descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("md5_fp62"),
+    new ExpressionInfo(classOf[Md5Fp62].getName, "md5_fp62"),
+    (exprs: Seq[Expression]) => Md5Fp62(exprs.head))
+
   val lshBucketsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("lsh_buckets"),
     new ExpressionInfo(classOf[HyperplaneBuckets].getName, "lsh_buckets"),
@@ -165,6 +170,7 @@ object GraftFunctions {
     ext.injectFunction(cosineSimDescriptor)
     ext.injectFunction(md5ModPDescriptor)
     ext.injectFunction(md5H32Descriptor)
+    ext.injectFunction(md5Fp62Descriptor)
     ext.injectFunction(lshBucketsDescriptor)
     ext.injectFunction(centroidDistsDescriptor)
     ext.injectFunction(topKByDescriptor)

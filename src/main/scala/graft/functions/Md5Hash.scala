@@ -84,3 +84,22 @@ case class Md5H32(child: Expression) extends Md5LongExpression {
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
+
+/** `md5_fp62(str)` — the full 62-bit content fingerprint
+  * ((H32 mod 2^31)·2^32 + H-mod-P, see `MinHashSpec.fingerprint62Expr`)
+  * from ONE digest. The composed `md5_h32`/`md5_mod_p` spelling hashes
+  * every string twice — inside a `transform` lambda (per-gram
+  * fingerprints) subexpression elimination cannot merge them, so the
+  * fused form halves the dominant md5 cost of the fingerprint path.
+  */
+case class Md5Fp62(child: Expression) extends Md5LongExpression {
+  override def prettyName: String = "md5_fp62"
+  protected def finish(u64: Long): Long =
+    ((u64 >>> 32) % 2147483648L) * 4294967296L +
+      java.lang.Long.remainderUnsigned(u64, graft.dedup.MinHashSpec.P)
+  protected def finishCode(u64: String): String =
+    s"(($u64 >>> 32) % 2147483648L) * 4294967296L + " +
+      s"java.lang.Long.remainderUnsigned($u64, ${graft.dedup.MinHashSpec.P}L)"
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

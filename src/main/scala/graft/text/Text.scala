@@ -366,7 +366,12 @@ object Text {
   def contaminationSql(table: String = "documents",
                        benchPredicate: String = "doc_id % 50 = 0",
                        n: Int = 8, idCol: String = "doc_id",
-                       textCol: String = "text"): String =
+                       textCol: String = "text",
+                       distinctFps: Boolean = false): String = {
+    // distinctFps: the streaming twin counts DISTINCT contaminated
+    // fingerprints per doc (array_intersect semantics) — identical to
+    // the per-gram count unless two of a doc's grams collide in 62 bits
+    val cnt = if (distinctFps) "count(DISTINCT g.gram_fp)" else "count(*)"
     s"""WITH bench AS (
          SELECT DISTINCT ${graft.dedup.MinHashSpec.duckFingerprint62Sql("gram")}
                   AS gram_fp
@@ -379,13 +384,14 @@ object Text {
          FROM (SELECT $idCol, unnest(${shingleSql(textCol, n)}) AS gram
                FROM $table)),
        hits AS (
-         SELECT g.$idCol, cast(count(*) as int) AS n_contaminated
+         SELECT g.$idCol, cast($cnt as int) AS n_contaminated
          FROM grams g JOIN bench b USING (gram_fp) GROUP BY g.$idCol)
      SELECT d.$idCol,
             coalesce(h.n_contaminated, 0) AS n_contaminated,
             CASE WHEN coalesce(h.n_contaminated, 0) > 0
                  THEN 1 ELSE 0 END AS contaminated
      FROM $table d LEFT JOIN hits h USING ($idCol)"""
+  }
 
   /** k-token shingles WITHOUT the distinct — repetition statistics need
     * every occurrence (the dedup/MinHash ops use [[shingleExpr]]'s

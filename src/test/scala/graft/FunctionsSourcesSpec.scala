@@ -93,6 +93,23 @@ class FunctionsSourcesSpec extends SparkSpec {
       .exists(_.getLong(0) == java.lang.Long.remainderUnsigned(8250560606382298838L, p)))
   }
 
+  test("native md5_fp62 equals the composed h32/mod_p fingerprint") {
+    val df = Seq("abc", "", "the fast key", "x,y z").toDF("w")
+    val p = graft.dedup.MinHashSpec.P
+    val out = df.select(
+      expr("md5_fp62(w)").as("fused"),
+      expr("(md5_h32(w) % 2147483648L) * 4294967296L + md5_mod_p(w)")
+        .as("composed"))
+      .collect()
+    out.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // known value from md5_number_lower('abc') = 8250560606382298838
+    val u = 8250560606382298838L
+    val want = ((u >>> 32) % 2147483648L) * 4294967296L +
+      java.lang.Long.remainderUnsigned(u, p)
+    assert(df.select(expr("md5_fp62(w)")).collect()
+      .exists(_.getLong(0) == want))
+  }
+
   test("copyInto reads lake csv per config, auto-creates missing columns, stamps audit") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ci").toString
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/lake.csv"),

@@ -163,6 +163,43 @@ class StreamingSpec extends SparkSpec {
     assert(!spark.table("docdedup_test").columns.contains("__text_hash"))
   }
 
+  test("stateless contamination stream equals the batch screen, keeps no state") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.text.Text
+    // tiny corpus: doc 2 shares a full 3-gram with the benchmark doc,
+    // docs 1/3 share nothing
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "nothing in common here at all"),
+      (2L, "prefix alpha beta gamma suffix words"),
+      (3L, "entirely unrelated content"))
+    val batchExpected = Text.contamination(
+      corpus.toDF("doc_id", "text"), bench, n = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+
+    val benchFps = Streams.benchmarkFingerprints(bench, n = 3)
+      .localCheckpoint()
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val q = Streams.contaminationStream(docs, benchFps, n = 3)
+      .writeStream.format("memory").queryName("contam_test")
+      .outputMode("append").start()
+    val t = Timestamp.valueOf("2024-01-01 10:00:00")
+    // split across two micro-batches: per-row screen is batch-independent
+    input.addData((1L, t, corpus(0)._2), (2L, t, corpus(1)._2))
+    q.processAllAvailable()
+    input.addData((3L, t, corpus(2)._2))
+    q.processAllAvailable()
+    val got = spark.table("contam_test")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    // the streaming plan holds NO stateful operator
+    val progress = q.lastProgress
+    q.stop()
+    assert(got == batchExpected)
+    assert(got.exists(_._3 == 1) && got.exists(_._3 == 0))
+    assert(progress.stateOperators.isEmpty)
+  }
+
   test("streaming as-of enrichment carries last-click state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Streams.Event]
