@@ -102,6 +102,33 @@ object SparkEntry {
       copy.crossJoin(broadcast(qa))
     },
 
+    // the config-driven end-to-end flow gated as ONE query: parquet
+    // source → conform to the declared schema (props dropped by the
+    // config, pruned at the scan) → rule gate with quarantine (one
+    // dropping rule, one passing rule — both audit paths non-vacuous)
+    // → keep-latest dedup per (user, type). Proves the STAGES COMPOSE:
+    // quarantine runs before dedup, so an invalid row can never win
+    // keep-latest (the property the composed oracle encodes).
+    "etl_pipeline_run" -> { (s, dir) =>
+      val cfg = graft.config.TableConfig(toTable = "events_curated",
+        vars = Seq(ColumnSpec("event_id", "bigint"),
+          ColumnSpec("user_id", "bigint"),
+          ColumnSpec("event_type", "varchar(20)"),
+          ColumnSpec("value", "float"),
+          ColumnSpec("ts", "datetime")))
+      graft.etl.Pipeline.run(s, cfg,
+        source = Some(Tables(s, dir, "events")),
+        dedupKeys = Seq("user_id", "event_type"),
+        dedupOrder = Seq("ts", "event_id"),
+        validationRules = Seq(
+          "value_in_range" -> (col("value") <= 400.0),
+          "user_present" -> col("user_id").isNotNull),
+        quarantineInvalid = true)
+        .table
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          expr("unix_micros(ts)").as("ts_us"), col("value"))
+    },
+
     "etl_table_diff" -> { (s, dir) =>
       val o = Tables(s, dir, "orders")
       val a = o.filter(col("o_totalprice") > 100000).select(col("o_orderkey"))
@@ -442,6 +469,35 @@ object SparkEntry {
       Dedup.exactNormalized(Tables(s, dir, "documents"))),
     "dedup_corpus_clean" -> ((s, dir) =>
       Dedup.cleanCorpus(Tables(s, dir, "documents")).select("doc_id", "lang")),
+
+    // the LLM-corpus pipeline gated as ONE composed query:
+    // clean (exact + near dedup, keep-min survivor) → decontaminate
+    // (drop docs sharing an 8-gram with the planted eval set) → quality
+    // screen (corpus_filter's keep rule). Every stage is separately
+    // gated; this proves they COMPOSE — column contracts line up and
+    // each stage's filter is applied to the previous stage's survivors.
+    // Output: the curated corpus manifest (id, source, token count).
+    "corpus_curate" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val bench = docs.filter(expr("doc_id % 50 = 0"))
+      // materialize-once discipline between stages: each survivor frame
+      // has MULTIPLE consumers (the next stage's screens scan it 2-3
+      // times), and without the cut the clean stage's propose-verify
+      // dedup lineage re-runs per consumer (measured: 7 scans / 37
+      // exchanges / 5.2 s → the checkpointed shape below). A deployment
+      // writes each stage's survivor table; the cut is that table.
+      val cleaned = Dedup.cleanCorpus(docs).localCheckpoint()
+      val decontam = cleaned.join(
+        Text.contamination(cleaned, bench)
+          .filter(col("contaminated") === 1).select(col("doc_id")),
+        Seq("doc_id"), "left_anti").localCheckpoint()
+      decontam.join(
+        Text.corpusFilter(decontam).filter(col("keep") === 1)
+          .select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("source"),
+          size(Text.tokens(col("text"))).as("n_tokens"))
+    }),
     "text_pii_scrub" -> ((s, dir) =>
       Text.piiScrub(Tables(s, dir, "documents"))
         .select("doc_id", "n_emails", "n_urls", "n_phones",
@@ -830,6 +886,63 @@ object SparkEntry {
     s"CASE $cases ELSE 'und' END"
   }
 
+  /** Corpus-filter oracle — shared by `text_corpus_filter` and the
+    * composed `corpus_curate` gate (one source of truth per stage).
+    */
+  private lazy val corpusFilterOracle: String =
+    s"""WITH rep AS (${Text.repetitionSql()}),
+         pii AS (${Text.piiScrubSql()}),
+         lt AS (
+           SELECT doc_id, lang,
+                  string_split_regex(trim(lower(text)), '${Text.wsRe}') AS __toks,
+                  cast(len(string_split_regex(trim(lower(text)), '${Text.wsRe}')) as int) AS word_count
+           FROM documents),
+         lh AS (
+           SELECT doc_id, lang, word_count,
+      $langHitsSql
+           FROM lt),
+         lid AS (
+           SELECT doc_id, lang, word_count,
+                  $langPredSql AS pred_lang
+           FROM lh),
+         j AS (
+           SELECT lid.doc_id, lid.lang, lid.word_count, lid.pred_lang,
+                  pii.n_emails + pii.n_phones AS pii_n,
+                  rep.dup_token_frac, rep.top_token_frac
+           FROM lid
+           JOIN pii ON lid.doc_id = pii.doc_id
+           JOIN rep ON lid.doc_id = rep.doc_id)
+         SELECT doc_id,
+                CASE WHEN word_count < 20 THEN 'too_short'
+                     WHEN dup_token_frac > 0.6 THEN 'repetitive'
+                     WHEN top_token_frac > 0.12 THEN 'top_token'
+                     WHEN pii_n > 0 THEN 'pii'
+                     WHEN pred_lang <> lang THEN 'lang_mismatch'
+                     ELSE 'keep' END AS reason,
+                CASE WHEN word_count < 20 THEN 0
+                     WHEN dup_token_frac > 0.6 THEN 0
+                     WHEN top_token_frac > 0.12 THEN 0
+                     WHEN pii_n > 0 THEN 0
+                     WHEN pred_lang <> lang THEN 0
+                     ELSE 1 END AS keep
+         FROM j"""
+
+  /** Corpus-clean (exact + near dedup) survivor oracle — shared by
+    * `dedup_corpus_clean` and `corpus_curate`.
+    */
+  private lazy val corpusCleanOracle: String =
+    s"""SELECT doc_id, lang FROM documents
+         WHERE doc_id NOT IN (
+           SELECT doc_id FROM (
+             WITH h AS (SELECT doc_id, md5(${Text.normalizeSql("text")}) AS text_hash
+                        FROM documents),
+                  c AS (SELECT text_hash, min(doc_id) AS keep_id
+                        FROM h GROUP BY 1)
+             SELECT doc_id FROM h JOIN c USING (text_hash)
+             WHERE doc_id <> keep_id)
+           UNION
+           SELECT doc_b FROM (${MinHashSpec.duckdbJaccardSql()}))"""
+
   // ---- reusable DuckDB oracle fragments (shared by the per-family QA
   // gates and the qa_report composition — ONE source of truth per family)
   private val qaMissingnessSql =
@@ -1141,6 +1254,22 @@ object SparkEntry {
          FROM lineitem
          QUALIFY row_number() OVER (PARTITION BY l_orderkey
            ORDER BY l_shipdate DESC, l_linenumber DESC, l_quantity DESC) = 1""",
+
+    // conform → quarantine (coalesce(p, false), matching Pipeline.run's
+    // null-rejecting gate) → keep-latest; ts as epoch-µs for the compare
+    "etl_pipeline_run" ->
+      """WITH conformed AS (
+           SELECT event_id, user_id, cast(event_type as varchar) AS event_type,
+                  cast(value as double) AS value, cast(ts as timestamp) AS ts
+           FROM events),
+         gated AS (
+           SELECT * FROM conformed
+           WHERE coalesce(value <= 400.0, false)
+             AND coalesce(user_id IS NOT NULL, false))
+         SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value
+         FROM gated
+         QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+           ORDER BY ts DESC, event_id DESC) = 1""",
 
     "qa_missingness" -> qaMissingnessSql,
 
@@ -1497,18 +1626,26 @@ object SparkEntry {
 
     "text_pii_scrub" -> Text.piiScrubSql(),
 
-    "dedup_corpus_clean" ->
-      s"""SELECT doc_id, lang FROM documents
-         WHERE doc_id NOT IN (
-           SELECT doc_id FROM (
-             WITH h AS (SELECT doc_id, md5(${Text.normalizeSql("text")}) AS text_hash
-                        FROM documents),
-                  c AS (SELECT text_hash, min(doc_id) AS keep_id
-                        FROM h GROUP BY 1)
-             SELECT doc_id FROM h JOIN c USING (text_hash)
-             WHERE doc_id <> keep_id)
-           UNION
-           SELECT doc_b FROM (${MinHashSpec.duckdbJaccardSql()}))""",
+    "dedup_corpus_clean" -> corpusCleanOracle,
+
+    // stage oracles composed exactly as the Spark side composes the
+    // operators: every screen is per-doc, so computing each over the
+    // full table and intersecting equals computing over the previous
+    // stage's survivors
+    "corpus_curate" ->
+      s"""WITH survivors AS ($corpusCleanOracle),
+         contam AS (
+           SELECT doc_id FROM (${Text.contaminationSql()})
+           WHERE contaminated = 1),
+         quality AS (
+           SELECT doc_id FROM ($corpusFilterOracle) WHERE keep = 1)
+         SELECT d.doc_id, d.source,
+                cast(len(string_split_regex(trim(lower(d.text)), '${Text.wsRe}')) as int)
+                  AS n_tokens
+         FROM documents d
+         JOIN survivors s ON d.doc_id = s.doc_id
+         JOIN quality q ON d.doc_id = q.doc_id
+         WHERE d.doc_id NOT IN (SELECT doc_id FROM contam)""",
 
     "mm_meta_only" ->
       """SELECT doc_id,
@@ -1777,43 +1914,7 @@ object SparkEntry {
     "emb_norm_filter" -> Similarity.normFilterSql(),
     "emb_project" -> Similarity.projectDuckdbSql(),
 
-    "text_corpus_filter" ->
-      s"""WITH rep AS (${Text.repetitionSql()}),
-         pii AS (${Text.piiScrubSql()}),
-         lt AS (
-           SELECT doc_id, lang,
-                  string_split_regex(trim(lower(text)), '${Text.wsRe}') AS __toks,
-                  cast(len(string_split_regex(trim(lower(text)), '${Text.wsRe}')) as int) AS word_count
-           FROM documents),
-         lh AS (
-           SELECT doc_id, lang, word_count,
-      $langHitsSql
-           FROM lt),
-         lid AS (
-           SELECT doc_id, lang, word_count,
-                  $langPredSql AS pred_lang
-           FROM lh),
-         j AS (
-           SELECT lid.doc_id, lid.lang, lid.word_count, lid.pred_lang,
-                  pii.n_emails + pii.n_phones AS pii_n,
-                  rep.dup_token_frac, rep.top_token_frac
-           FROM lid
-           JOIN pii ON lid.doc_id = pii.doc_id
-           JOIN rep ON lid.doc_id = rep.doc_id)
-         SELECT doc_id,
-                CASE WHEN word_count < 20 THEN 'too_short'
-                     WHEN dup_token_frac > 0.6 THEN 'repetitive'
-                     WHEN top_token_frac > 0.12 THEN 'top_token'
-                     WHEN pii_n > 0 THEN 'pii'
-                     WHEN pred_lang <> lang THEN 'lang_mismatch'
-                     ELSE 'keep' END AS reason,
-                CASE WHEN word_count < 20 THEN 0
-                     WHEN dup_token_frac > 0.6 THEN 0
-                     WHEN top_token_frac > 0.12 THEN 0
-                     WHEN pii_n > 0 THEN 0
-                     WHEN pred_lang <> lang THEN 0
-                     ELSE 1 END AS keep
-         FROM j""",
+    "text_corpus_filter" -> corpusFilterOracle,
 
     // connected components as a recursive CTE: walk(id, lbl) enumerates
     // every (node, reachable-label) pair over the undirected pair edges
