@@ -62,6 +62,13 @@ object StreamAudit {
               s"${s.dataBatches} (was $db) statefulOps=${s.statefulOps}" +
               s" (was $so) — the replay no longer exercises the" +
               " recorded incremental structure")
+          // statefulOps=0 is an EXACT pin, not a floor: a stateless gate
+          // exists to prove the map-only class, and gaining a stateful
+          // op loses that invariant as surely as losing one elsewhere
+          case Some((_, 0)) if s.statefulOps > 0 =>
+            failed += 1
+            println(s"[stream-audit] REGRESSED $n statefulOps=" +
+              s"${s.statefulOps} (was 0) — the gate is pinned STATELESS")
           case Some((db, so)) if s.dataBatches > db || s.statefulOps > so =>
             println(s"[stream-audit] changed $n dataBatches=${s.dataBatches}" +
               s" (was $db) statefulOps=${s.statefulOps} (was $so)" +

@@ -322,18 +322,28 @@ object Dedup {
     * that, shard the filter by hash prefix and probe the matching shard.
     */
   def buildBloom(hashes: DataFrame, fpp: Double = 0.01,
-                 numBits: Option[Long] = None): Option[Array[Byte]] = {
-    val spark = hashes.sparkSession
+                 numBits: Option[Long] = None): Option[Array[Byte]] =
+    buildBloomOver(hashes, xxhash64(col("content_hash")), fpp, numBits)
+
+  /** Core Bloom build over an arbitrary LONG value column — one sizing
+    * rule (optimal bits at `fpp`, 64 Mbit cap, 64-bit floor) for every
+    * Bloom user (the content-hash screen above, the streaming
+    * decontamination screen's gram fingerprints). None in an
+    * extension-free session; callers fall back to the exact path.
+    */
+  def buildBloomOver(df: DataFrame, value: org.apache.spark.sql.Column,
+                     fpp: Double = 0.01,
+                     numBits: Option[Long] = None): Option[Array[Byte]] = {
+    val spark = df.sparkSession
     if (!spark.catalog.functionExists("bloom_build")) None
     else {
-      val n = math.max(1L, hashes.count())
+      val n = math.max(1L, df.count())
       val bits = numBits.getOrElse {
         val optimal = math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong
         math.min(67108864L, math.max(64L, optimal))
       }
-      Some(hashes
-        .agg(call_function("bloom_build",
-          xxhash64(col("content_hash")), lit(n), lit(bits)).as("bf"))
+      Some(df
+        .agg(call_function("bloom_build", value, lit(n), lit(bits)).as("bf"))
         .head().getAs[Array[Byte]]("bf"))
     }
   }

@@ -29,11 +29,17 @@ object Pipeline {
   final case class FreshnessSla(groupCol: String, tsCol: String,
                                 asOfUs: Long, slaUs: Long)
 
+  // rowCount is LAZY: a caller that only consumes `table` (the gate, a
+  // write-through deployment) must not pay a second full pipeline run
+  // for a count it never reads — the eager form silently doubled every
+  // consumer's cost (count job + the table action re-running the same
+  // scan/exchange chain).
   final case class Result(table: DataFrame,
                           qa: Map[String, DataFrame],
-                          rowCount: Long,
                           validation: Option[DataFrame] = None,
-                          freshness: Option[DataFrame] = None)
+                          freshness: Option[DataFrame] = None) {
+    lazy val rowCount: Long = table.count()
+  }
 
   def run(spark: SparkSession, cfg: TableConfig,
           source: Option[DataFrame] = None,
@@ -99,6 +105,6 @@ object Pipeline {
           Sources.reclusterTable(spark, p, cfg.indexVars)
       } else Sources.writeTable(deduped, p, clusterKeys = cfg.indexVars)
     }
-    Result(deduped, qa, deduped.count(), validation, fresh)
+    Result(deduped, qa, validation, fresh)
   }
 }

@@ -579,7 +579,7 @@ object Streams {
     * (measured: +1.4 s over the gate's harness floor at sf0.1). So the
     * screen composes the suite's Bloom kernels instead, the same
     * pre-filter-then-verify pattern as `dedup_bloom_screen` made
-    * per-row: each gram probes a ~1.2 bit/gram Bloom filter of the
+    * per-row: each gram probes a ~1.2 byte/gram (9.6-bit, 1% fpp) Bloom filter of the
     * benchmark (O(1) per gram), and only the surviving "maybe" grams —
     * true hits plus ~fpp noise — pay the exact `array_intersect`
     * verify, which restores exactness BY CONSTRUCTION. A clean
@@ -640,22 +640,11 @@ object Streams {
       .distinct()
   }
 
-  /** Bloom filter over the benchmark fingerprints (1% fpp, same sizing
-    * rule as `Dedup.buildBloom`); None in an extension-free session.
+  /** Bloom filter over the benchmark fingerprints — one shared sizing
+    * rule (`Dedup.buildBloomOver`); None in an extension-free session.
     */
-  private def benchBloom(fpsRows: DataFrame): Option[Array[Byte]] = {
-    val spark = fpsRows.sparkSession
-    if (!spark.catalog.functionExists("bloom_build")) None
-    else {
-      val n = math.max(1L, fpsRows.count())
-      val bits = math.min(67108864L, math.max(64L,
-        math.ceil(-n * math.log(0.01) / (math.log(2) * math.log(2))).toLong))
-      Some(fpsRows
-        .agg(call_function("bloom_build", col("gram_fp"), lit(n), lit(bits))
-          .as("bf"))
-        .head().getAs[Array[Byte]]("bf"))
-    }
-  }
+  private def benchBloom(fpsRows: DataFrame): Option[Array[Byte]] =
+    graft.dedup.Dedup.buildBloomOver(fpsRows, col("gram_fp"))
 
   /** [[contaminationStream]] through the AvailableNow harness —
     * oracle-gated as `stream_contamination` (the per-doc screen result
