@@ -72,7 +72,8 @@ object ScaleCheck {
       "sample_mix_upsample", "emb_pq_encode", "sim_ann_pq", "text_chunk",
       "dedup_keep_best", "emb_pq_distortion", "qa_correlation",
       "corpus_shuffle", "text_bigram_logprob", "q_funnel",
-      "q_retention_cohorts", "sim_ann_ivfpq", "etl_pipeline_run")
+      "q_retention_cohorts", "sim_ann_ivfpq", "etl_pipeline_run",
+      "qa_volume_anomaly")
     // Replication shape for the three r6 additions above: key-shifted
     // user_id clones multiply the number of SCD2 entities, not the
     // per-entity run length, so scd2 history/asof should scale linearly

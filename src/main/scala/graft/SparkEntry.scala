@@ -315,6 +315,13 @@ object SparkEntry {
       Qa.freshness(Tables(s, dir, "events"), "event_type", "ts",
         asOfUs = freshnessAsOfUs, slaUs = 30L * 60 * 1000000)),
 
+    // rolling volume-anomaly monitor: per-type daily counts vs the
+    // trailing 7 observed days, 3-sigma flag as a pure integer
+    // inequality (no sqrt, no float stats — decimal/HUGEINT
+    // cross-products per the drift_psi overflow rule)
+    "qa_volume_anomaly" -> ((s, dir) =>
+      Qa.volumeAnomaly(Tables(s, dir, "events"), "event_type", "ts")),
+
     // Pearson correlation between business-column pairs: exact decimal
     // moments (order-independent sums), one scan, formula in doubles
     // cast once from the exact sums
@@ -679,6 +686,14 @@ object SparkEntry {
     "sim_knn_graph" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings")
       Similarity.knnJoin(e, e, k = 2, excludeSelf = true)
+    }),
+    // radius retrieval (FAISS range_search): everything within a cosine
+    // radius of each probe — the data-dependent-output twin of the
+    // top-k join, same bucketed candidates + exact verify
+    "sim_range_search" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      Similarity.rangeSearch(e.filter(col("vec_id") % 50 === 0),
+        e.filter(col("vec_id") % 50 =!= 0), threshold = 0.3)
     }),
     // PQ encode with the seeded codebook contract (same cross-engine
     // discipline as sim_ann_ivf_seeded; trained codebooks are driver
@@ -1748,6 +1763,8 @@ object SparkEntry {
 
     "qa_correlation" -> Qa.correlationSql("lineitem", corrPairs),
 
+    "qa_volume_anomaly" -> Qa.volumeAnomalySql("events", "event_type", "ts"),
+
     "qa_freshness" -> Qa.freshnessSql("events", "event_type", "ts",
       asOfUs = freshnessAsOfUs, slaUs = 30L * 60 * 1000000),
 
@@ -1881,6 +1898,9 @@ object SparkEntry {
       probeWhere = "vec_id % 50 = 0", corpusWhere = "vec_id % 50 <> 0", k = 3),
     "sim_knn_graph" -> Similarity.knnJoinDuckdbSql(
       probeWhere = "1 = 1", corpusWhere = "1 = 1", k = 2, excludeSelf = true),
+    "sim_range_search" -> Similarity.rangeSearchDuckdbSql(
+      probeWhere = "vec_id % 50 = 0", corpusWhere = "vec_id % 50 <> 0",
+      threshold = 0.3),
     "emb_pq_encode" -> Similarity.pqEncodeSeededDuckdbSql(),
     "emb_pq_distortion" -> Similarity.pqDistortionSeededDuckdbSql(),
     "sim_ann_pq" -> Similarity.pqSearchSeededDuckdbSql(

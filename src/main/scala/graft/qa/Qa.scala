@@ -710,6 +710,75 @@ object Qa {
                 AS stale
        FROM f"""
 
+  /** Rolling volume-anomaly monitor — the ops staple next to
+    * [[freshness]]'s "did the feed stop" check: "did the feed's VOLUME
+    * jump or collapse". Per (group, day) row counts are compared to the
+    * trailing `window` observed days' mean, flagged when the squared
+    * deviation exceeds `z2`× the window variance (z² > 9 = the 3σ
+    * rule). Days without a full trailing window are not scored.
+    *
+    * Engine-exact WITHOUT sqrt or float stats: with S1 = Σ prev counts
+    * and S2 = Σ prev counts², z² > z2 rewrites as the pure-integer
+    *   (w·n − S1)² > z2·(w·S2 − S1²)
+    * (both sides are the z² inequality multiplied through by w²·σ²).
+    * Cross-products are decimal(38,0)/HUGEINT — daily counts at the
+    * 100 TB scale (~1e12 rows/day) square to ~1e26, past bigint (the
+    * [[driftPsi]] overflow rule). A zero-variance window flags ANY
+    * deviation, which is what σ = 0 means. Shape: one scan → bounded
+    * per-(group, day) aggregate; windows partition by group, never
+    * global.
+    */
+  def volumeAnomaly(df: DataFrame, groupCol: String, tsCol: String,
+                    window: Int = 7, z2: Int = 9): DataFrame = {
+    val daily = df
+      .groupBy(col(groupCol),
+        date_trunc("day", col(tsCol)).cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("day"))
+      .rowsBetween(-window, -1)
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    daily
+      .withColumn("s1", sum(col("n")).over(w))
+      .withColumn("s2", sum(dec(col("n")) * dec(col("n"))).over(w))
+      .withColumn("n_win", count(col("n")).over(w))
+      .filter(col("n_win") === window)
+      .select(col(groupCol), col("day").cast("string").as("day"), col("n"),
+        col("s1").as("window_sum"),
+        round(col("s1").cast("double") / lit(window.toDouble), 4)
+          .as("window_mean"),
+        when((dec(lit(window)) * dec(col("n")) - dec(col("s1"))) *
+             (dec(lit(window)) * dec(col("n")) - dec(col("s1"))) >
+             dec(lit(z2)) * (dec(lit(window)) * col("s2") -
+               dec(col("s1")) * dec(col("s1"))), 1).otherwise(0)
+          .as("is_anomaly"))
+  }
+
+  /** DuckDB oracle for [[volumeAnomaly]] — identical trailing-window
+    * frame, HUGEINT cross-products, and integer inequality.
+    */
+  def volumeAnomalySql(table: String, groupCol: String, tsCol: String,
+                       window: Int = 7, z2: Int = 9): String =
+    s"""WITH daily AS (
+         SELECT $groupCol, cast(date_trunc('day', $tsCol) as date) AS day,
+                count(*) AS n
+         FROM $table GROUP BY 1, 2),
+       win AS (
+         SELECT $groupCol, day, n,
+                sum(n) OVER w AS s1,
+                sum(cast(n as hugeint) * cast(n as hugeint)) OVER w AS s2,
+                count(n) OVER w AS n_win
+         FROM daily
+         WINDOW w AS (PARTITION BY $groupCol ORDER BY day
+                      ROWS BETWEEN $window PRECEDING AND 1 PRECEDING))
+     SELECT $groupCol, cast(day as varchar) AS day, n,
+            cast(s1 as bigint) AS window_sum,
+            round(cast(s1 as double) / $window, 4) AS window_mean,
+            CASE WHEN ($window * cast(n as hugeint) - s1)
+                      * ($window * cast(n as hugeint) - s1)
+                    > $z2 * ($window * s2 - cast(s1 as hugeint) * cast(s1 as hugeint))
+                 THEN 1 ELSE 0 END AS is_anomaly
+     FROM win WHERE n_win = $window"""
+
   /** Kolmogorov–Smirnov drift monitor per (period, numeric column)
     * transition — the CONTINUOUS counterpart of [[driftPsi]]: the KS
     * statistic max_v |ECDF_cur(v) − ECDF_prev(v)| between each

@@ -193,7 +193,37 @@ object Similarity {
   def knnJoin(probes: DataFrame, corpus: DataFrame, k: Int,
               nBits: Int = 6, nTables: Int = 8, dim: Int = 64,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              excludeSelf: Boolean = false, digits: Int = 4): DataFrame = {
+              excludeSelf: Boolean = false, digits: Int = 4): DataFrame =
+    rankTopK(scoredCandidates(probes, corpus, nBits, nTables, dim, idCol,
+      vecCol, excludeSelf, digits), "probe_id", k)
+
+  /** Range search — the OTHER standard retrieval query next to top-k
+    * (FAISS `range_search`): every corpus vector within a cosine radius
+    * of each probe, rather than a fixed count. Same bucketed candidate
+    * machinery as [[knnJoin]] (candidates = bucket collisions, part of
+    * the operator contract exactly as in the ANN family); the threshold
+    * filter replaces the bounded-heap ranking, so output size is
+    * data-dependent — the caller owns the radius-vs-tail trade the
+    * near-dup operator documents (an absolute cosine radius must be
+    * chosen against the corpus's random-pair tail).
+    */
+  def rangeSearch(probes: DataFrame, corpus: DataFrame, threshold: Double,
+                  nBits: Int = 6, nTables: Int = 8, dim: Int = 64,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  excludeSelf: Boolean = false, digits: Int = 4): DataFrame =
+    scoredCandidates(probes, corpus, nBits, nTables, dim, idCol, vecCol,
+      excludeSelf, digits)
+      .filter(col("cosine") >= threshold)
+      .select(col("probe_id"), col("cand_id"), col("cosine"))
+
+  /** Shared candidate + exact-score pipeline of [[knnJoin]] /
+    * [[rangeSearch]]: both sides bucket with the same plane matrix,
+    * ids-only pair dedup across tables, vectors attach once per side.
+    */
+  private def scoredCandidates(probes: DataFrame, corpus: DataFrame,
+                               nBits: Int, nTables: Int, dim: Int,
+                               idCol: String, vecCol: String,
+                               excludeSelf: Boolean, digits: Int): DataFrame = {
     val pb = lshBuckets(probes, nBits, nTables, dim, idCol, vecCol)
       .select(col("table"), col("bucket"), col(idCol).as("probe_id"))
     val cb = lshBuckets(corpus, nBits, nTables, dim, idCol, vecCol)
@@ -204,10 +234,9 @@ object Similarity {
       .select(col("probe_id"), col("cand_id")).distinct()
     val pv = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
     val cv = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"))
-    val scored = pairs.join(pv, Seq("probe_id")).join(cv, Seq("cand_id"))
+    pairs.join(pv, Seq("probe_id")).join(cv, Seq("cand_id"))
       .withColumn("cosine",
         round(expr(cosineSql(probes, "probe_vec", "cand_vec")), digits))
-    rankTopK(scored, "probe_id", k)
   }
 
   /** Shared DuckDB CTE fragment: every (vector, table, bucket) row of the
@@ -285,7 +314,41 @@ object Similarity {
                        nBits: Int = 6, nTables: Int = 8, dim: Int = 64,
                        table: String = "embeddings", idCol: String = "vec_id",
                        vecCol: String = "embedding",
-                       excludeSelf: Boolean = false): String = {
+                       excludeSelf: Boolean = false): String =
+    s"""${scoredCandidatesDuckdbCtes(probeWhere, corpusWhere, nBits, nTables,
+          dim, table, idCol, vecCol, excludeSelf)}
+       SELECT probe_id, cand_id, cosine,
+              cast(row_number() OVER (PARTITION BY probe_id
+                ORDER BY cosine DESC, cand_id) as int) AS rnk
+       FROM s
+       QUALIFY rnk <= $k"""
+
+  /** DuckDB oracle for [[rangeSearch]] — the shared candidate/score
+    * CTEs with the radius filter instead of the ranking.
+    */
+  def rangeSearchDuckdbSql(probeWhere: String, corpusWhere: String,
+                           threshold: Double,
+                           nBits: Int = 6, nTables: Int = 8, dim: Int = 64,
+                           table: String = "embeddings",
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding",
+                           excludeSelf: Boolean = false): String =
+    s"""${scoredCandidatesDuckdbCtes(probeWhere, corpusWhere, nBits, nTables,
+          dim, table, idCol, vecCol, excludeSelf)}
+       SELECT probe_id, cand_id, cosine
+       FROM s WHERE cosine >= $threshold"""
+
+  /** Shared DuckDB CTE chain of [[knnJoinDuckdbSql]] /
+    * [[rangeSearchDuckdbSql]]: probe/corpus carve, both sides' literal
+    * plane buckets, distinct candidate pairs, exact rounded cosine.
+    * Ends with CTE `s(probe_id, cand_id, cosine)`.
+    */
+  private def scoredCandidatesDuckdbCtes(probeWhere: String,
+                                         corpusWhere: String,
+                                         nBits: Int, nTables: Int, dim: Int,
+                                         table: String, idCol: String,
+                                         vecCol: String,
+                                         excludeSelf: Boolean): String = {
     val pBranches = duckdbBucketBranches(nBits, nTables, dim, idCol, vecCol, "p")
     val cBranches = duckdbBucketBranches(nBits, nTables, dim, idCol, vecCol, "c")
     val selfGuard = if (excludeSelf) "AND cb.$id <> pb.$id".replace("$id", idCol) else ""
@@ -304,12 +367,7 @@ object Similarity {
                 ${duckdbCosine(s"pe.$vecCol", s"ce.$vecCol")} AS cosine
          FROM cand
          JOIN p pe ON cand.probe_id = pe.$idCol
-         JOIN c ce ON cand.cand_id = ce.$idCol)
-       SELECT probe_id, cand_id, cosine,
-              cast(row_number() OVER (PARTITION BY probe_id
-                ORDER BY cosine DESC, cand_id) as int) AS rnk
-       FROM s
-       QUALIFY rnk <= $k"""
+         JOIN c ce ON cand.cand_id = ce.$idCol)"""
   }
 
   /** DuckDB oracle for [[cosineNearDup]]: LSH-blocked pair generation
