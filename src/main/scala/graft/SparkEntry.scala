@@ -695,6 +695,14 @@ object SparkEntry {
       Similarity.rangeSearch(e.filter(col("vec_id") % 50 === 0),
         e.filter(col("vec_id") % 50 =!= 0), threshold = 0.3)
     }),
+    // the ANN measurement loop: bucketed kNN vs brute-force ground
+    // truth on the probe sample, per-probe recall@k — engine-exact
+    // because both rankings share the (rounded cosine DESC, id) order
+    "emb_recall_eval" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      Similarity.recallEval(e.filter(col("vec_id") % 50 === 0),
+        e.filter(col("vec_id") % 50 =!= 0), k = 5)
+    }),
     // PQ encode with the seeded codebook contract (same cross-engine
     // discipline as sim_ann_ivf_seeded; trained codebooks are driver
     // state behind the same save/load loop)
@@ -1901,6 +1909,9 @@ object SparkEntry {
     "sim_range_search" -> Similarity.rangeSearchDuckdbSql(
       probeWhere = "vec_id % 50 = 0", corpusWhere = "vec_id % 50 <> 0",
       threshold = 0.3),
+    "emb_recall_eval" -> Similarity.recallEvalDuckdbSql(
+      probeWhere = "vec_id % 50 = 0", corpusWhere = "vec_id % 50 <> 0",
+      k = 5),
     "emb_pq_encode" -> Similarity.pqEncodeSeededDuckdbSql(),
     "emb_pq_distortion" -> Similarity.pqDistortionSeededDuckdbSql(),
     "sim_ann_pq" -> Similarity.pqSearchSeededDuckdbSql(

@@ -239,6 +239,76 @@ object Similarity {
         round(expr(cosineSql(probes, "probe_vec", "cand_vec")), digits))
   }
 
+  /** ANN recall@k evaluation — the measurement loop of the ANN family:
+    * the bucketed kNN join ([[knnJoin]]) scored against brute-force
+    * ground truth on a probe TABLE, one (n_hits, recall) row per probe.
+    * This is how an index's (nBits, nTables) — or any ANN variant — is
+    * actually tuned: run the approximate path and the exact path on a
+    * probe sample, count the overlap. The probe side broadcasts (it is
+    * a sample by construction — recall eval over every vector IS the
+    * brute-force join); the corpus side stays one scan per path. Both
+    * rankings share the deterministic total order (rounded cosine DESC,
+    * cand_id), so the intersection — and therefore recall — is
+    * engine-exact, not approximately compared.
+    */
+  def recallEval(probes: DataFrame, corpus: DataFrame, k: Int,
+                 nBits: Int = 6, nTables: Int = 8, dim: Int = 64,
+                 idCol: String = "vec_id", vecCol: String = "embedding",
+                 digits: Int = 4): DataFrame = {
+    val ann = knnJoin(probes, corpus, k, nBits, nTables, dim, idCol, vecCol,
+      excludeSelf = false, digits)
+      .select(col("probe_id"), col("cand_id"))
+    val pv = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
+    val cv = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"))
+    val brute = rankTopK(
+      cv.crossJoin(broadcast(pv))
+        .withColumn("cosine",
+          round(expr(cosineSql(probes, "probe_vec", "cand_vec")), digits)),
+      "probe_id", k)
+      .select(col("probe_id"), col("cand_id"))
+    val hits = brute.join(ann, Seq("probe_id", "cand_id"), "left_semi")
+      .groupBy(col("probe_id")).agg(count(lit(1)).cast("int").as("n_hits"))
+    pv.select(col("probe_id"))
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("n_hits"), lit(0)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0)) / lit(k.toDouble), digits)
+          .as("recall"))
+  }
+
+  /** DuckDB oracle for [[recallEval]]: the bucketed candidate CTEs plus
+    * a brute-force cross-join ranking, intersected per probe.
+    */
+  def recallEvalDuckdbSql(probeWhere: String, corpusWhere: String, k: Int,
+                          nBits: Int = 6, nTables: Int = 8, dim: Int = 64,
+                          table: String = "embeddings",
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): String =
+    s"""${scoredCandidatesDuckdbCtes(probeWhere, corpusWhere, nBits, nTables,
+          dim, table, idCol, vecCol, excludeSelf = false)},
+       ann AS (
+         SELECT probe_id, cand_id FROM (
+           SELECT probe_id, cand_id,
+                  row_number() OVER (PARTITION BY probe_id
+                    ORDER BY cosine DESC, cand_id) AS rnk
+           FROM s) WHERE rnk <= $k),
+       brute AS (
+         SELECT probe_id, cand_id FROM (
+           SELECT pe.$idCol AS probe_id, ce.$idCol AS cand_id,
+                  row_number() OVER (PARTITION BY pe.$idCol
+                    ORDER BY ${duckdbCosine(s"pe.$vecCol", s"ce.$vecCol")} DESC,
+                             ce.$idCol) AS rnk
+           FROM p pe CROSS JOIN c ce) WHERE rnk <= $k),
+       hits AS (
+         SELECT b.probe_id, cast(count(*) as int) AS n_hits
+         FROM brute b JOIN ann a
+           ON b.probe_id = a.probe_id AND b.cand_id = a.cand_id
+         GROUP BY 1)
+     SELECT p.$idCol AS probe_id,
+            coalesce(h.n_hits, 0) AS n_hits,
+            round(coalesce(h.n_hits, 0) / cast($k as double), 4) AS recall
+     FROM p LEFT JOIN hits h ON p.$idCol = h.probe_id"""
+
   /** Shared DuckDB CTE fragment: every (vector, table, bucket) row of the
     * multi-table hyperplane LSH, with the driver-computed ±1 plane matrix
     * embedded as SQL literals. Expects a CTE `$src($idCol, $vecCol)`.
