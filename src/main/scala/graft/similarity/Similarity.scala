@@ -283,22 +283,21 @@ object Similarity {
                           nBits: Int = 6, nTables: Int = 8, dim: Int = 64,
                           table: String = "embeddings",
                           idCol: String = "vec_id",
-                          vecCol: String = "embedding"): String =
+                          vecCol: String = "embedding",
+                          digits: Int = 4): String =
     s"""${scoredCandidatesDuckdbCtes(probeWhere, corpusWhere, nBits, nTables,
-          dim, table, idCol, vecCol, excludeSelf = false)},
+          dim, table, idCol, vecCol, excludeSelf = false, digits)},
        ann AS (
          SELECT probe_id, cand_id FROM (
-           SELECT probe_id, cand_id,
-                  row_number() OVER (PARTITION BY probe_id
-                    ORDER BY cosine DESC, cand_id) AS rnk
+           SELECT probe_id, cand_id, $knnRankSql AS rnk
            FROM s) WHERE rnk <= $k),
        brute AS (
          SELECT probe_id, cand_id FROM (
-           SELECT pe.$idCol AS probe_id, ce.$idCol AS cand_id,
-                  row_number() OVER (PARTITION BY pe.$idCol
-                    ORDER BY ${duckdbCosine(s"pe.$vecCol", s"ce.$vecCol")} DESC,
-                             ce.$idCol) AS rnk
-           FROM p pe CROSS JOIN c ce) WHERE rnk <= $k),
+           SELECT probe_id, cand_id, $knnRankSql AS rnk
+           FROM (
+             SELECT pe.$idCol AS probe_id, ce.$idCol AS cand_id,
+                    ${duckdbCosine(s"pe.$vecCol", s"ce.$vecCol", digits)} AS cosine
+             FROM p pe CROSS JOIN c ce)) WHERE rnk <= $k),
        hits AS (
          SELECT b.probe_id, cast(count(*) as int) AS n_hits
          FROM brute b JOIN ann a
@@ -306,7 +305,7 @@ object Similarity {
          GROUP BY 1)
      SELECT p.$idCol AS probe_id,
             coalesce(h.n_hits, 0) AS n_hits,
-            round(coalesce(h.n_hits, 0) / cast($k as double), 4) AS recall
+            round(coalesce(h.n_hits, 0) / cast($k as double), $digits) AS recall
      FROM p LEFT JOIN hits h ON p.$idCol = h.probe_id"""
 
   /** Shared DuckDB CTE fragment: every (vector, table, bucket) row of the
@@ -330,12 +329,12 @@ object Similarity {
   /** Zero-norm-guarded rounded cosine between two vector expressions
     * (DuckDB SQL) — mirrors the native `cosine_sim` exactly.
     */
-  private def duckdbCosine(a: String, b: String): String =
+  private def duckdbCosine(a: String, b: String, digits: Int = 4): String =
     s"""round(CASE WHEN list_dot_product($a, $a) = 0
                      OR list_dot_product($b, $b) = 0 THEN 0.0
               ELSE list_dot_product($a, $b) /
                 (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))
-              END, 4)"""
+              END, $digits)"""
 
   /** DuckDB oracle for [[annTopK]]: the full multi-table hyperplane-LSH
     * pipeline in SQL, with the ±1 plane matrix embedded as literals
@@ -384,14 +383,22 @@ object Similarity {
                        nBits: Int = 6, nTables: Int = 8, dim: Int = 64,
                        table: String = "embeddings", idCol: String = "vec_id",
                        vecCol: String = "embedding",
-                       excludeSelf: Boolean = false): String =
+                       excludeSelf: Boolean = false,
+                       digits: Int = 4): String =
     s"""${scoredCandidatesDuckdbCtes(probeWhere, corpusWhere, nBits, nTables,
-          dim, table, idCol, vecCol, excludeSelf)}
+          dim, table, idCol, vecCol, excludeSelf, digits)}
        SELECT probe_id, cand_id, cosine,
-              cast(row_number() OVER (PARTITION BY probe_id
-                ORDER BY cosine DESC, cand_id) as int) AS rnk
+              cast($knnRankSql as int) AS rnk
        FROM s
        QUALIFY rnk <= $k"""
+
+  /** The ONE definition of the kNN oracle ranking (over CTE `s`):
+    * shared by [[knnJoinDuckdbSql]] and [[recallEvalDuckdbSql]]'s ann
+    * branch so a tie-break change cannot drift between the gated join
+    * and the recall measurement of that same join.
+    */
+  private val knnRankSql: String =
+    "row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id)"
 
   /** DuckDB oracle for [[rangeSearch]] — the shared candidate/score
     * CTEs with the radius filter instead of the ranking.
@@ -402,9 +409,10 @@ object Similarity {
                            table: String = "embeddings",
                            idCol: String = "vec_id",
                            vecCol: String = "embedding",
-                           excludeSelf: Boolean = false): String =
+                           excludeSelf: Boolean = false,
+                           digits: Int = 4): String =
     s"""${scoredCandidatesDuckdbCtes(probeWhere, corpusWhere, nBits, nTables,
-          dim, table, idCol, vecCol, excludeSelf)}
+          dim, table, idCol, vecCol, excludeSelf, digits)}
        SELECT probe_id, cand_id, cosine
        FROM s WHERE cosine >= $threshold"""
 
@@ -418,7 +426,8 @@ object Similarity {
                                          nBits: Int, nTables: Int, dim: Int,
                                          table: String, idCol: String,
                                          vecCol: String,
-                                         excludeSelf: Boolean): String = {
+                                         excludeSelf: Boolean,
+                                         digits: Int = 4): String = {
     val pBranches = duckdbBucketBranches(nBits, nTables, dim, idCol, vecCol, "p")
     val cBranches = duckdbBucketBranches(nBits, nTables, dim, idCol, vecCol, "c")
     val selfGuard = if (excludeSelf) "AND cb.$id <> pb.$id".replace("$id", idCol) else ""
@@ -434,7 +443,7 @@ object Similarity {
          WHERE 1 = 1 $selfGuard),
        s AS (
          SELECT probe_id, cand_id,
-                ${duckdbCosine(s"pe.$vecCol", s"ce.$vecCol")} AS cosine
+                ${duckdbCosine(s"pe.$vecCol", s"ce.$vecCol", digits)} AS cosine
          FROM cand
          JOIN p pe ON cand.probe_id = pe.$idCol
          JOIN c ce ON cand.cand_id = ce.$idCol)"""

@@ -73,6 +73,39 @@ class QaSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/missing_data").count() == 6)
   }
 
+  test("volumeAnomaly: 3σ integer rule, zero-variance flags any deviation, short windows excluded") {
+    import java.sql.Timestamp
+    // group "a": daily counts 2,2,2,2,3 — the first scored day (day 4,
+    // window days 1-3: S1=6, S2=12, var=0) deviates by 0 → NOT flagged
+    // (0 > 0 is false); day 5 (window days 2-4, still var=0) deviates
+    // by 1 → flagged by the zero-variance any-deviation rule:
+    // (3·3−6)² = 9 > 9·(3·12−36) = 0.
+    // group "b": counts 1,3,2,2,6 — day 4 (S1=6, S2=14): (6−6)²=0 >
+    // 9·(42−36)=54? no. day 5 (window 3,2,2: S1=7, S2=17):
+    // (18−7)²=121 > 9·(51−49)=18 → flagged.
+    // group "c": 3 days only → no scored rows (short window excluded).
+    val counts = Map(
+      ("a", 1) -> 2, ("a", 2) -> 2, ("a", 3) -> 2, ("a", 4) -> 2, ("a", 5) -> 3,
+      ("b", 1) -> 1, ("b", 2) -> 3, ("b", 3) -> 2, ("b", 4) -> 2, ("b", 5) -> 6,
+      ("c", 1) -> 1, ("c", 2) -> 1, ("c", 3) -> 1)
+    val rows = counts.toSeq.flatMap { case ((g, d), n) =>
+      (1 to n).map(i =>
+        (g, Timestamp.valueOf(f"2024-01-$d%02d 10:0$i:00")))
+    }
+    val df = rows.toDF("grp", "ts")
+    val out = Qa.volumeAnomaly(df, "grp", "ts", window = 3).collect()
+      .map(r => (r.getString(0), r.getString(1).substring(8, 10).toInt,
+        r.getLong(2), r.getInt(5))).toSet
+    assert(out == Set(
+      ("a", 4, 2L, 0), ("a", 5, 3L, 1),
+      ("b", 4, 2L, 0), ("b", 5, 6L, 1)))
+    // window_mean is S1/w rounded once from the raw ratio
+    val means = Qa.volumeAnomaly(df, "grp", "ts", window = 3).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4)).toMap
+    assert(means(("b", "2024-01-04")) == 2.0)      // (1+3+2)/3
+    assert(means(("b", "2024-01-05")) == 2.3333)   // (3+2+2)/3 rounded
+  }
+
   test("comparePeriods flags relative mean change above threshold") {
     val longDf = Seq(("p1", "x", 100.0), ("p2", "x", 101.0), ("p3", "x", 110.0))
       .toDF("period", "varname", "mean")

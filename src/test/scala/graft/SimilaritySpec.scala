@@ -170,6 +170,59 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("rangeSearch: equals knnJoin-with-large-k filtered at the radius; twin included") {
+    val corpus = emb.filter(col("vec_id") >= 100 && col("vec_id") < 300)
+    val probes = emb.filter(col("vec_id") < 3)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+      .unionByName(corpus.filter(col("vec_id") === 100L)
+        .withColumn("vec_id", lit(2000000L))) // planted twin of corpus 100
+    val t = 0.3
+    val range = Similarity.rangeSearch(probes, corpus, threshold = t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the radius form IS the rank form with the rank bound removed: a k
+    // larger than any candidate set makes them the same set post-filter
+    val viaKnn = Similarity.knnJoin(probes, corpus, k = 100000)
+      .filter(col("cosine") >= t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(range == viaKnn)
+    // the planted twin shares every bucket and sits inside any radius
+    assert(range.contains((2000000L, 100L, 1.0)))
+    // the radius actually cuts something (the filter is not vacuous)
+    val all = Similarity.rangeSearch(probes, corpus, threshold = -1.0).collect()
+    assert(all.length > range.size)
+  }
+
+  test("recallEval: dense per-probe output, hits = |ann ∩ brute|, twin always hits") {
+    val corpus = emb.filter(col("vec_id") >= 100 && col("vec_id") < 300)
+    val probes = emb.filter(col("vec_id") < 4)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+      .unionByName(corpus.filter(col("vec_id") === 100L)
+        .withColumn("vec_id", lit(2000000L)))
+    val k = 3
+    val out = Similarity.recallEval(probes, corpus, k).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toList
+    // dense: one row per probe, hit or not
+    assert(out.map(_._1).toSet ==
+      Set(1000000L, 1000001L, 1000002L, 1000003L, 2000000L))
+    // recall is n_hits/k rounded, bounded
+    out.foreach { case (_, h, r) =>
+      assert(h >= 0 && h <= k)
+      assert(math.abs(r - math.round(h.toDouble / k * 10000) / 10000.0) < 1e-12)
+    }
+    // pin the intersection semantics against an independent composition
+    val ann = Similarity.knnJoin(probes, corpus, k)
+      .select(col("probe_id"), col("cand_id"))
+    val brute = Similarity.knnJoin(probes, corpus, k, nBits = 0, nTables = 1)
+    // (nBits=0 → one bucket → candidates = all pairs = brute force)
+    val expect = brute.select(col("probe_id"), col("cand_id"))
+      .join(ann, Seq("probe_id", "cand_id"), "left_semi")
+      .groupBy("probe_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    out.foreach { case (pid, h, _) => assert(h == expect.getOrElse(pid, 0)) }
+    // the planted twin is rank 1 in BOTH paths, so its probe has ≥1 hit
+    assert(out.find(_._1 == 2000000L).get._2 >= 1)
+  }
+
   test("ivf: centroids deterministic, assignments partition the corpus") {
     val c1 = Similarity.ivfCentroids(emb, k = 8, iters = 2)
     val c2 = Similarity.ivfCentroids(emb, k = 8, iters = 2)
