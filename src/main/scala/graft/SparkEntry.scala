@@ -703,6 +703,13 @@ object SparkEntry {
       Similarity.recallEval(e.filter(col("vec_id") % 50 === 0),
         e.filter(col("vec_id") % 50 =!= 0), k = 5)
     }),
+    // recall of the PRODUCTION index (seeded IVFPQ) vs exact-L2 ground
+    // truth — the deployment tuning number for (kc, nprobe, m, k)
+    "emb_recall_ivfpq" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      Similarity.recallIvfPq(e.filter(col("vec_id") % 50 === 0),
+        e.filter(col("vec_id") % 50 =!= 0), topK = 5)
+    }),
     // PQ encode with the seeded codebook contract (same cross-engine
     // discipline as sim_ann_ivf_seeded; trained codebooks are driver
     // state behind the same save/load loop)
@@ -1912,6 +1919,9 @@ object SparkEntry {
     "emb_recall_eval" -> Similarity.recallEvalDuckdbSql(
       probeWhere = "vec_id % 50 = 0", corpusWhere = "vec_id % 50 <> 0",
       k = 5),
+    "emb_recall_ivfpq" -> Similarity.recallIvfPqDuckdbSql(
+      probeWhere = "vec_id % 50 = 0", corpusWhere = "vec_id % 50 <> 0",
+      topK = 5),
     "emb_pq_encode" -> Similarity.pqEncodeSeededDuckdbSql(),
     "emb_pq_distortion" -> Similarity.pqDistortionSeededDuckdbSql(),
     "sim_ann_pq" -> Similarity.pqSearchSeededDuckdbSql(

@@ -255,9 +255,6 @@ object Similarity {
                  nBits: Int = 6, nTables: Int = 8, dim: Int = 64,
                  idCol: String = "vec_id", vecCol: String = "embedding",
                  digits: Int = 4): DataFrame = {
-    val ann = knnJoin(probes, corpus, k, nBits, nTables, dim, idCol, vecCol,
-      excludeSelf = false, digits)
-      .select(col("probe_id"), col("cand_id"))
     val pv = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
     val cv = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"))
     val brute = rankTopK(
@@ -265,15 +262,69 @@ object Similarity {
         .withColumn("cosine",
           round(expr(cosineSql(probes, "probe_vec", "cand_vec")), digits)),
       "probe_id", k)
-      .select(col("probe_id"), col("cand_id"))
-    val hits = brute.join(ann, Seq("probe_id", "cand_id"), "left_semi")
+    recallOf(
+      knnJoin(probes, corpus, k, nBits, nTables, dim, idCol, vecCol,
+        excludeSelf = false, digits),
+      brute, probes, k, idCol, digits)
+  }
+
+  /** Recall of ANY approximate retrieval against ANY ground truth: both
+    * frames are (probe_id, cand_id, ...) rankings; output is one dense
+    * (n_hits, recall) row per probe. The measurement core shared by
+    * [[recallEval]] (LSH kNN vs brute cosine) and [[recallIvfPq]]
+    * (IVFPQ vs brute L2) — and by any future variant: recall is always
+    * |approx ∩ truth| / k, whatever produced the two rankings.
+    */
+  def recallOf(approx: DataFrame, truth: DataFrame, probes: DataFrame,
+               k: Int, idCol: String = "vec_id",
+               digits: Int = 4): DataFrame = {
+    val hits = truth.select(col("probe_id"), col("cand_id"))
+      .join(approx.select(col("probe_id"), col("cand_id")),
+        Seq("probe_id", "cand_id"), "left_semi")
       .groupBy(col("probe_id")).agg(count(lit(1)).cast("int").as("n_hits"))
-    pv.select(col("probe_id"))
+    probes.select(col(idCol).as("probe_id"))
       .join(hits, Seq("probe_id"), "left")
       .select(col("probe_id"),
         coalesce(col("n_hits"), lit(0)).as("n_hits"),
         round(coalesce(col("n_hits"), lit(0)) / lit(k.toDouble), digits)
           .as("recall"))
+  }
+
+  /** Recall@k of the PRODUCTION index ([[ivfPqSearch]], seeded
+    * contracts) against exact-L2 brute force — the number an IVFPQ
+    * deployment actually watches when tuning (kc, nprobe, m, k).
+    * Ground truth is squared L2 via the strict index-order fold
+    * (zip_with + aggregate — one IEEE sequence, replayed by the oracle
+    * with the identical prepend-0.0 list_reduce), so the intersection
+    * is engine-exact like [[recallEval]]'s.
+    */
+  def recallIvfPq(probes: DataFrame, corpus: DataFrame, topK: Int,
+                  kc: Int = 16, nprobe: Int = 4, m: Int = 8, k: Int = 16,
+                  dim: Int = 64, idCol: String = "vec_id",
+                  vecCol: String = "embedding", digits: Int = 4): DataFrame =
+    recallOf(
+      ivfPqSearch(probes, corpus, topK, kc, nprobe, m, k, dim, idCol, vecCol),
+      bruteL2TopK(probes, corpus, topK, idCol, vecCol),
+      probes, topK, idCol, digits)
+
+  /** Exact squared-L2 top-k by brute force — the ground truth of the
+    * distance-based ANN family. Strict left fold in index order; probe
+    * side broadcasts (it is a sample by construction).
+    */
+  def bruteL2TopK(probes: DataFrame, corpus: DataFrame, k: Int,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val pv = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
+    val cv = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"))
+    val scored = cv.crossJoin(broadcast(pv))
+      .withColumn("adist", expr(
+        """aggregate(
+           zip_with(probe_vec, cand_vec,
+             (x, y) -> (cast(x as double) - cast(y as double))
+                     * (cast(x as double) - cast(y as double))),
+           cast(0.0 as double), (acc, v) -> acc + v)"""))
+      .select(col("probe_id"), col("cand_id"), col("adist"))
+    rankMinDist(scored, k)
   }
 
   /** DuckDB oracle for [[recallEval]]: the bucketed candidate CTEs plus
@@ -307,6 +358,45 @@ object Similarity {
             coalesce(h.n_hits, 0) AS n_hits,
             round(coalesce(h.n_hits, 0) / cast($k as double), $digits) AS recall
      FROM p LEFT JOIN hits h ON p.$idCol = h.probe_id"""
+
+  /** DuckDB oracle for [[recallIvfPq]]: the seeded IVFPQ oracle as the
+    * approx branch, exact-L2 brute force (the identical prepend-0.0
+    * index-order fold) as ground truth, intersected per probe.
+    */
+  def recallIvfPqDuckdbSql(probeWhere: String, corpusWhere: String,
+                           topK: Int, kc: Int = 16, nprobe: Int = 4,
+                           m: Int = 8, k: Int = 16, dim: Int = 64,
+                           table: String = "embeddings",
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding"): String = {
+    val l2 =
+      s"""list_reduce(list_prepend(cast(0.0 as double),
+         list_transform(range(1, ${dim + 1}),
+           d -> (cast(pe.$vecCol[d] as double) - cast(ce.$vecCol[d] as double))
+              * (cast(pe.$vecCol[d] as double) - cast(ce.$vecCol[d] as double)))),
+         (acc, v) -> acc + v)"""
+    s"""WITH approx AS (
+         SELECT probe_id, cand_id
+         FROM (${ivfPqSeededDuckdbSql(probeWhere, corpusWhere, topK, kc,
+               nprobe, m, k, dim, table, idCol, vecCol)})),
+       p2 AS (SELECT $idCol, $vecCol FROM $table WHERE $probeWhere),
+       c2 AS (SELECT $idCol, $vecCol FROM $table WHERE $corpusWhere),
+       bt AS (
+         SELECT probe_id, cand_id FROM (
+           SELECT pe.$idCol AS probe_id, ce.$idCol AS cand_id,
+                  row_number() OVER (PARTITION BY pe.$idCol
+                    ORDER BY $l2, ce.$idCol) AS rnk
+           FROM p2 pe CROSS JOIN c2 ce) WHERE rnk <= $topK),
+       hits AS (
+         SELECT b.probe_id, cast(count(*) as int) AS n_hits
+         FROM bt b JOIN approx a
+           ON b.probe_id = a.probe_id AND b.cand_id = a.cand_id
+         GROUP BY 1)
+     SELECT p2.$idCol AS probe_id,
+            coalesce(h.n_hits, 0) AS n_hits,
+            round(coalesce(h.n_hits, 0) / cast($topK as double), 4) AS recall
+     FROM p2 LEFT JOIN hits h ON p2.$idCol = h.probe_id"""
+  }
 
   /** Shared DuckDB CTE fragment: every (vector, table, bucket) row of the
     * multi-table hyperplane LSH, with the driver-computed ±1 plane matrix
