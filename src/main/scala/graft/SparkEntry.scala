@@ -1989,10 +1989,12 @@ object SparkEntry {
             c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
             s AS (
               SELECT probe_id, cand_id,
-                     round(CASE WHEN list_dot_product(pv, pv) = 0
-                                  OR list_dot_product(cv, cv) = 0 THEN 0.0
-                           ELSE list_dot_product(pv, cv) /
-                             (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(cv, cv)))
+                     -- CAST to DOUBLE[]: float accumulation drifts vs the
+                     -- Spark double kernels (see Similarity.duckdbCosine)
+                     round(CASE WHEN list_dot_product(CAST(pv AS DOUBLE[]), CAST(pv AS DOUBLE[])) = 0
+                                  OR list_dot_product(CAST(cv AS DOUBLE[]), CAST(cv AS DOUBLE[])) = 0 THEN 0.0
+                           ELSE list_dot_product(CAST(pv AS DOUBLE[]), CAST(cv AS DOUBLE[])) /
+                             (sqrt(list_dot_product(CAST(pv AS DOUBLE[]), CAST(pv AS DOUBLE[]))) * sqrt(list_dot_product(CAST(cv AS DOUBLE[]), CAST(cv AS DOUBLE[]))))
                            END, 4) AS cosine
               FROM p, c WHERE probe_id <> cand_id)
          SELECT probe_id, cand_id, cosine,
@@ -2016,11 +2018,12 @@ object SparkEntry {
                     AS stop_count
            FROM t)
          SELECT doc_id, n_chars_calc, word_count, punct_count, stop_count,
-                round(punct_count / cast(n_chars_calc as double), 4) AS punct_ratio,
-                round(stop_count / cast(word_count as double), 4) AS stop_ratio,
-                round(least(word_count / 100.0, 1.0) * 0.5
+                ${Text.halfUpSql("punct_count / cast(n_chars_calc as double)", 4)} AS punct_ratio,
+                ${Text.halfUpSql("stop_count / cast(word_count as double)", 4)} AS stop_ratio,
+                ${Text.halfUpSql(
+                  """least(word_count / 100.0, 1.0) * 0.5
                       + (1.0 - punct_count / cast(n_chars_calc as double)) * 0.25
-                      + (stop_count / cast(word_count as double)) * 0.25, 4)
+                      + (stop_count / cast(word_count as double)) * 0.25""", 4)}
                   AS quality_score
          FROM u""",
 

@@ -409,7 +409,7 @@ object Similarity {
       Array.tabulate(dim)(d => planeSign(p, d)).mkString("[", ", ", "]")
     def bucketExpr(t: Int): String =
       (0 until nBits).map { j =>
-        s"(CASE WHEN list_dot_product($vecCol, ${planeList(t * nBits + j)}) >= 0 THEN ${1L << j} ELSE 0 END)"
+        s"(CASE WHEN list_dot_product(CAST($vecCol AS DOUBLE[]), ${planeList(t * nBits + j)}) >= 0 THEN ${1L << j} ELSE 0 END)"
       }.mkString(" + ")
     (0 until nTables).map(t =>
       s"SELECT $idCol, $vecCol, $t AS tbl, ${bucketExpr(t)} AS bucket FROM $src")
@@ -419,12 +419,20 @@ object Similarity {
   /** Zero-norm-guarded rounded cosine between two vector expressions
     * (DuckDB SQL) — mirrors the native `cosine_sim` exactly.
     */
-  private def duckdbCosine(a: String, b: String, digits: Int = 4): String =
-    s"""round(CASE WHEN list_dot_product($a, $a) = 0
-                     OR list_dot_product($b, $b) = 0 THEN 0.0
-              ELSE list_dot_product($a, $b) /
-                (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))
+  private def duckdbCosine(a: String, b: String, digits: Int = 4): String = {
+    // CAST to DOUBLE[] or DuckDB accumulates list_dot_product(FLOAT[],
+    // FLOAT[]) in FLOAT while every Spark kernel (native cosine_sim and
+    // the aggregate fallback) accumulates double — a ~1e-7 relative
+    // drift that flips the 4th rounded digit on ~1/1000 pairs (first
+    // surfaced by the sf0.1 oracle sweep; the emb_project literal-dot
+    // lesson applied to the cosine family)
+    val (ad, bd) = (s"CAST($a AS DOUBLE[])", s"CAST($b AS DOUBLE[])")
+    s"""round(CASE WHEN list_dot_product($ad, $ad) = 0
+                     OR list_dot_product($bd, $bd) = 0 THEN 0.0
+              ELSE list_dot_product($ad, $bd) /
+                (sqrt(list_dot_product($ad, $ad)) * sqrt(list_dot_product($bd, $bd)))
               END, $digits)"""
+  }
 
   /** DuckDB oracle for [[annTopK]]: the full multi-table hyperplane-LSH
     * pipeline in SQL, with the ±1 plane matrix embedded as literals

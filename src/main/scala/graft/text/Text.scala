@@ -72,18 +72,41 @@ object Text {
         length(regexp_replace(col(textCol), s"[\\w$WS]", "")))
       .withColumn("stop_count",
         expr(s"size(filter(__toks, t -> ${inList("t", stop)}))"))
+      // halfUp (floor(x·10^d + 0.5)·10^-d), NOT round(): the engines
+      // compute the IDENTICAL double here, but Spark's round is exact
+      // BigDecimal HALF_UP while DuckDB's is scale-multiply half-even —
+      // they disagree whenever the value lands on an exact decimal
+      // midpoint, which integer-count ratios genuinely hit (observed at
+      // sf0.1: quality_score 0.44+0.25+0.03125 = 0.72125 → 0.7213 vs
+      // 0.7212; stop ratios like 9/160 = 0.05625 are the same class).
+      // The floor spelling is one deterministic function of the double.
       .withColumn("punct_ratio",
-        round(col("punct_count") / col("n_chars_calc"), digits))
+        halfUp(col("punct_count") / col("n_chars_calc"), digits))
       .withColumn("stop_ratio",
-        round(col("stop_count") / col("word_count"), digits))
+        halfUp(col("stop_count") / col("word_count"), digits))
       // Composite uses the RAW ratios (not the display-rounded columns):
       // rounding pre-rounded values lands exactly on .00005 decimal
       // boundaries where engines' double-rounding can disagree by 1 ulp.
-      .withColumn("quality_score", round(
+      .withColumn("quality_score", halfUp(
         least(col("word_count") / lit(100.0), lit(1.0)) * 0.5
           + (lit(1.0) - col("punct_count") / col("n_chars_calc")) * 0.25
           + (col("stop_count") / col("word_count")) * 0.25, digits))
       .drop("__toks")
+  }
+
+  /** Deterministic half-up rounding of a non-negative double:
+    * floor(x·10^d + 0.5)/10^d. Unlike `round`, identical in Spark and
+    * DuckDB GIVEN the same input double (see [[quality]]'s note).
+    */
+  private[graft] def halfUp(c: Column, digits: Int): Column = {
+    val scale = math.pow(10.0, digits)
+    floor(c * lit(scale) + lit(0.5)) / lit(scale)
+  }
+
+  /** DuckDB twin of [[halfUp]]. */
+  private[graft] def halfUpSql(e: String, digits: Int): String = {
+    val scale = s"1e$digits"
+    s"floor(($e) * $scale + 0.5) / $scale"
   }
 
   /** Token counting: whitespace tokens + a BPE-ish segmentation count
@@ -173,9 +196,10 @@ object Text {
     val stopList =
       langMarkers.flatMap(_._2).distinct.sorted.map(w => s"'$w'").mkString(", ")
     s"""SELECT $idCol,
-         round(least(word_count / 100.0, 1.0) * 0.5
+         ${halfUpSql(
+           """least(word_count / 100.0, 1.0) * 0.5
                + (1.0 - punct_count / cast(n_chars as double)) * 0.25
-               + (stop_count / cast(word_count as double)) * 0.25, $digits)
+               + (stop_count / cast(word_count as double)) * 0.25""", digits)}
            AS quality_score
        FROM (
          SELECT $idCol,
