@@ -43,6 +43,38 @@ object SparkEntry {
     ColumnSpec("c_acctbal", "FLOAT"),
     ColumnSpec("c_mktsegment", "VARCHAR(16)"))
 
+  // Trained-IVFPQ gate plumbing: the emb_recall_ivfpq_trained query
+  // trains the quantizers on the SF it runs at, persists + reloads them
+  // (the production train-once/load-per-job loop), and stashes the
+  // trained-literal oracle SQL here. Verify dumps `oracleSql` AFTER all
+  // queries run, so the literals are always the ones THIS run trained —
+  // the same driver-literal contract as the LSH plane matrix, except the
+  // literals are data-derived (deterministically: bounded lowest-id
+  // sample, sequential driver Lloyd). A tmp side file covers split local
+  // runs (SPARK_GRAFT_ONLY iteration where the oracle dump happens in a
+  // later JVM than the query).
+  private val trainedOracleFile = java.nio.file.Paths.get(
+    sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+    "graft_trained_ivfpq_oracle.sql")
+  @volatile private var trainedOracle: Option[String] = None
+  private def stashTrainedOracle(sql: String): Unit = {
+    trainedOracle = Some(sql)
+    try { java.nio.file.Files.writeString(trainedOracleFile, sql); () }
+    catch { case _: java.io.IOException => () } // side file is best-effort
+  }
+  private def trainedOracleSql: String =
+    trainedOracle.orElse {
+      try
+        if (java.nio.file.Files.exists(trainedOracleFile))
+          Some(java.nio.file.Files.readString(trainedOracleFile))
+        else None
+      catch { case _: java.io.IOException => None }
+    }.getOrElse(
+      // loud-fail sentinel: an oracle dump without the query having run
+      // (this JVM or a prior local one) must FAIL the compare, not
+      // silently pass or emit a stale contract
+      "SELECT 'emb_recall_ivfpq_trained: query has not run' AS error")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- A. ETL core ----
     "etl_load_select" -> ((s, dir) =>
@@ -709,6 +741,38 @@ object SparkEntry {
       val e = Tables(s, dir, "embeddings")
       Similarity.recallIvfPq(e.filter(col("vec_id") % 50 === 0),
         e.filter(col("vec_id") % 50 =!= 0), topK = 5)
+    }),
+    // recall of the TRAINED-AND-TUNED production index — the gated
+    // counterpart of emb_recall_ivfpq's untrained 0.18@5, closing the
+    // train-your-index loop the two recall gates motivate. Quantizers
+    // trained with the bounded-sample driver Lloyd (deterministic
+    // lowest-id sample, sequential loop → identical doubles every run),
+    // persisted and RELOADED through the save/load loop (what a
+    // deployment does — parquet doubles are exact), then replayed by the
+    // oracle as cast('<Double.toString>' as double) literals, the same
+    // string→double parse the Spark-side centroid literals use. Dials
+    // (m=16, nprobe=8) are what the recall sweep recommends at this
+    // corpus: training is what makes them WORK — untrained at the same
+    // dials is 0.20 (extra nprobe on a garbage coarse quantizer even
+    // HURTS: untrained m=8/nprobe=8 = 0.14), trained is 0.42 at sf0.01
+    "emb_recall_ivfpq_trained" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val probes = e.filter(col("vec_id") % 50 === 0)
+      val corpus = e.filter(col("vec_id") % 50 =!= 0)
+      val trained = java.nio.file.Files
+        .createTempDirectory("graft_trained_ivfpq").toString
+      Similarity.saveCentroids(s,
+        Similarity.ivfCentroids(corpus, k = 16, iters = 5), s"$trained/ivf")
+      Similarity.savePqCodebooks(s,
+        Similarity.pqCodebooks(corpus, m = 16, k = 16, iters = 5),
+        s"$trained/pq")
+      val cents = Similarity.loadCentroids(s, s"$trained/ivf")
+      val cbs = Similarity.loadPqCodebooks(s, s"$trained/pq")
+      stashTrainedOracle(Similarity.recallIvfPqTrainedDuckdbSql(
+        probeWhere = "vec_id % 50 = 0", corpusWhere = "vec_id % 50 <> 0",
+        topK = 5, cents, cbs, nprobe = 8))
+      Similarity.recallIvfPq(probes, corpus, topK = 5, nprobe = 8, m = 16,
+        centroids = Some(cents), codebooks = Some(cbs))
     }),
     // PQ encode with the seeded codebook contract (same cross-engine
     // discipline as sim_ann_ivf_seeded; trained codebooks are driver
@@ -1922,6 +1986,9 @@ object SparkEntry {
     "emb_recall_ivfpq" -> Similarity.recallIvfPqDuckdbSql(
       probeWhere = "vec_id % 50 = 0", corpusWhere = "vec_id % 50 <> 0",
       topK = 5),
+    // trained-literal oracle, stashed by the query run (Verify dumps
+    // oracles after all queries — see trainedOracleSql)
+    "emb_recall_ivfpq_trained" -> trainedOracleSql,
     "emb_pq_encode" -> Similarity.pqEncodeSeededDuckdbSql(),
     "emb_pq_distortion" -> Similarity.pqDistortionSeededDuckdbSql(),
     "sim_ann_pq" -> Similarity.pqSearchSeededDuckdbSql(

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.similarity.Similarity
+
+/** Scratch measurement: recall@5 of the IVFPQ index across quantizer
+  * training and dial settings — the tuning sweep the recall gates exist
+  * to motivate. Not part of the library surface.
+  */
+object TrainedRecallProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .withExtensions(graft.functions.GraftFunctions.register)
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val e = Tables(spark, dir, "embeddings")
+    val probes = e.filter(col("vec_id") % 50 === 0)
+    val corpus = e.filter(col("vec_id") % 50 =!= 0)
+    for {
+      iters <- Seq(0, 5, 15)
+      m <- Seq(8, 16)
+      nprobe <- Seq(4, 8)
+    } {
+      val cents = Similarity.ivfCentroids(corpus, k = 16, iters = iters)
+      val cbs = Similarity.pqCodebooks(corpus, m = m, k = 16, iters = iters)
+      val r = Similarity.recallIvfPq(probes, corpus, topK = 5,
+          nprobe = nprobe, m = m,
+          centroids = Some(cents), codebooks = Some(cbs))
+        .agg(avg(col("recall"))).collect()(0).getDouble(0)
+      println(f"PROBE iters=$iters%2d m=$m%2d nprobe=$nprobe%2d recall@5=$r%.3f")
+    }
+    spark.stop()
+  }
+}

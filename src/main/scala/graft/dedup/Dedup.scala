@@ -432,9 +432,21 @@ object Dedup {
     require(batches.nonEmpty, "incrementalLoop needs at least one batch")
     def cut(i: DedupIndex) =
       DedupIndex(i.hashes.localCheckpoint(), i.bands.localCheckpoint())
+    // Drop a localCheckpointed frame's resident blocks: the checkpoint
+    // RDD sits behind a LogicalRDD leaf in the returned frame's plan.
+    // Without this, a long-running loop (many batches) accumulates every
+    // superseded index version's blocks in executor storage for the
+    // whole query — the harness only clears them after the query ends.
+    def dropCut(dfs: DataFrame*): Unit = dfs.foreach { d =>
+      d.queryExecution.analyzed.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+    }
     var corp = corpus.select(col(idCol), col(textCol))
     var idx = cut(buildIndex(corp, idCol, textCol))
-    batches.map { case (tag, batch) =>
+    val out = batches.map { case (tag, batch) =>
       val bands = MinHashSpec.bandedSignatures(batch, idCol, textCol)
         .localCheckpoint()
       val flags = incrementalFromIndex(corp, idx, batch, idCol, textCol,
@@ -442,12 +454,21 @@ object Dedup {
       val keptIds = flags.filter(col("kept") === 1).select(col(idCol))
       val kept = batch.select(col(idCol), col(textCol))
         .join(keptIds, Seq(idCol), "left_semi")
-      idx = cut(mergeIndex(idx, kept, idCol, textCol,
+      val prev = idx
+      idx = cut(mergeIndex(prev, kept, idCol, textCol,
         keptBands = Some(bands.join(keptIds.select(col(idCol).as("id")),
           Seq("id"), "left_semi"))))
+      // the merged successor is materialized (cut is eager), so the
+      // superseded index version's and this batch's band blocks are dead
+      // — every consumer (this screen's flags, the merge) already ran
+      dropCut(prev.hashes, prev.bands, bands)
       corp = corp.union(kept)
       flags.withColumn("batch", lit(tag))
     }.reduce(_.union(_))
+    // the loop returns per-batch flags (all cut) — the final index
+    // version feeds nothing downstream
+    dropCut(idx.hashes, idx.bands)
+    out
   }
 
   /** Shingle-containment pairs — the ASYMMETRIC near-dup detector:

@@ -744,7 +744,11 @@ object Qa {
       .filter(col("n_win") === window)
       .select(col(groupCol), col("day").cast("string").as("day"), col("n"),
         col("s1").as("window_sum"),
-        round(col("s1").cast("double") / lit(window.toDouble), 4)
+        // halfUp, not round(): S1/w lands on exact decimal midpoints for
+        // power-of-2 windows (e.g. w=32: 0.03125), where Spark HALF_UP
+        // and DuckDB half-even diverge — the quality_score rule
+        graft.text.Text.halfUp(
+          col("s1").cast("double") / lit(window.toDouble), 4)
           .as("window_mean"),
         when((dec(lit(window)) * dec(col("n")) - dec(col("s1"))) *
              (dec(lit(window)) * dec(col("n")) - dec(col("s1"))) >
@@ -772,7 +776,8 @@ object Qa {
                       ROWS BETWEEN $window PRECEDING AND 1 PRECEDING))
      SELECT $groupCol, cast(day as varchar) AS day, n,
             cast(s1 as bigint) AS window_sum,
-            round(cast(s1 as double) / $window, 4) AS window_mean,
+            ${graft.text.Text.halfUpSql(s"cast(s1 as double) / $window", 4)}
+              AS window_mean,
             CASE WHEN ($window * cast(n as hugeint) - s1)
                       * ($window * cast(n as hugeint) - s1)
                     > $z2 * ($window * s2 - cast(s1 as hugeint) * cast(s1 as hugeint))

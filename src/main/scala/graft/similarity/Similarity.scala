@@ -286,7 +286,11 @@ object Similarity {
       .join(hits, Seq("probe_id"), "left")
       .select(col("probe_id"),
         coalesce(col("n_hits"), lit(0)).as("n_hits"),
-        round(coalesce(col("n_hits"), lit(0)) / lit(k.toDouble), digits)
+        // halfUp, not round(): n/k lands on exact decimal midpoints for
+        // power-of-2 k ≥ 32 (1/32 = 0.03125), where the engines' round()
+        // diverges — the quality_score rule applied to recall
+        graft.text.Text.halfUp(
+          coalesce(col("n_hits"), lit(0)) / lit(k.toDouble), digits)
           .as("recall"))
   }
 
@@ -301,9 +305,13 @@ object Similarity {
   def recallIvfPq(probes: DataFrame, corpus: DataFrame, topK: Int,
                   kc: Int = 16, nprobe: Int = 4, m: Int = 8, k: Int = 16,
                   dim: Int = 64, idCol: String = "vec_id",
-                  vecCol: String = "embedding", digits: Int = 4): DataFrame =
+                  vecCol: String = "embedding", digits: Int = 4,
+                  centroids: Option[Array[Array[Double]]] = None,
+                  codebooks: Option[Array[Array[Array[Double]]]] = None)
+      : DataFrame =
     recallOf(
-      ivfPqSearch(probes, corpus, topK, kc, nprobe, m, k, dim, idCol, vecCol),
+      ivfPqSearch(probes, corpus, topK, kc, nprobe, m, k, dim, idCol, vecCol,
+        centroids, codebooks),
       bruteL2TopK(probes, corpus, topK, idCol, vecCol),
       probes, topK, idCol, digits)
 
@@ -356,7 +364,9 @@ object Similarity {
          GROUP BY 1)
      SELECT p.$idCol AS probe_id,
             coalesce(h.n_hits, 0) AS n_hits,
-            round(coalesce(h.n_hits, 0) / cast($k as double), $digits) AS recall
+            ${graft.text.Text.halfUpSql(
+              s"coalesce(h.n_hits, 0) / cast($k as double)", digits)}
+              AS recall
      FROM p LEFT JOIN hits h ON p.$idCol = h.probe_id"""
 
   /** DuckDB oracle for [[recallIvfPq]]: the seeded IVFPQ oracle as the
@@ -368,7 +378,41 @@ object Similarity {
                            m: Int = 8, k: Int = 16, dim: Int = 64,
                            table: String = "embeddings",
                            idCol: String = "vec_id",
-                           vecCol: String = "embedding"): String = {
+                           vecCol: String = "embedding"): String =
+    recallIvfPqWrapSql(
+      ivfPqSeededDuckdbSql(probeWhere, corpusWhere, topK, kc, nprobe, m, k,
+        dim, table, idCol, vecCol),
+      probeWhere, corpusWhere, topK, dim, table, idCol, vecCol)
+
+  /** DuckDB oracle for [[recallIvfPq]] with TRAINED quantizers: the
+    * driver-trained centroid/codebook matrices replayed as SQL literals
+    * (the [[ivfPqTrainedDuckdbSql]] approx branch) against the identical
+    * exact-L2 ground truth. The literals round-trip through
+    * `cast('<Double.toString>' as double)` — the same correctly-rounded
+    * string→double parse [[centroidDistsCol]] uses on the Spark side —
+    * so both engines score with bit-identical quantizers.
+    */
+  def recallIvfPqTrainedDuckdbSql(probeWhere: String, corpusWhere: String,
+                                  topK: Int,
+                                  cents: Array[Array[Double]],
+                                  cbs: Array[Array[Array[Double]]],
+                                  nprobe: Int = 4, dim: Int = 64,
+                                  table: String = "embeddings",
+                                  idCol: String = "vec_id",
+                                  vecCol: String = "embedding"): String =
+    recallIvfPqWrapSql(
+      ivfPqTrainedDuckdbSql(probeWhere, corpusWhere, topK, cents, cbs,
+        nprobe, dim, table, idCol, vecCol),
+      probeWhere, corpusWhere, topK, dim, table, idCol, vecCol)
+
+  /** Shared recall wrapper: any IVFPQ approx-branch SQL intersected with
+    * the exact-L2 brute ranking (the identical prepend-0.0 index-order
+    * fold as [[bruteL2TopK]]), one dense (n_hits, recall) row per probe.
+    */
+  private def recallIvfPqWrapSql(approxSql: String, probeWhere: String,
+                                 corpusWhere: String, topK: Int, dim: Int,
+                                 table: String, idCol: String,
+                                 vecCol: String): String = {
     val l2 =
       s"""list_reduce(list_prepend(cast(0.0 as double),
          list_transform(range(1, ${dim + 1}),
@@ -377,8 +421,7 @@ object Similarity {
          (acc, v) -> acc + v)"""
     s"""WITH approx AS (
          SELECT probe_id, cand_id
-         FROM (${ivfPqSeededDuckdbSql(probeWhere, corpusWhere, topK, kc,
-               nprobe, m, k, dim, table, idCol, vecCol)})),
+         FROM ($approxSql)),
        p2 AS (SELECT $idCol, $vecCol FROM $table WHERE $probeWhere),
        c2 AS (SELECT $idCol, $vecCol FROM $table WHERE $corpusWhere),
        bt AS (
@@ -394,7 +437,9 @@ object Similarity {
          GROUP BY 1)
      SELECT p2.$idCol AS probe_id,
             coalesce(h.n_hits, 0) AS n_hits,
-            round(coalesce(h.n_hits, 0) / cast($topK as double), 4) AS recall
+            ${graft.text.Text.halfUpSql(
+              s"coalesce(h.n_hits, 0) / cast($topK as double)", 4)}
+              AS recall
      FROM p2 LEFT JOIN hits h ON p2.$idCol = h.probe_id"""
   }
 
@@ -721,6 +766,34 @@ object Similarity {
       .orderBy(col("cluster"))
       .collect()
       .map(_.getSeq[Double](1).toArray)
+
+  /** Persist trained PQ codebooks ([[pqCodebooks]]): one row per
+    * (subspace, code) with its sub-dim codeword — the same
+    * train-once/load-per-job loop as the IVF quantizer. Parquet doubles
+    * are exact, so a loaded codebook is bit-identical to the trained one.
+    */
+  def savePqCodebooks(spark: SparkSession, cbs: Array[Array[Array[Double]]],
+                      path: String): Unit = {
+    import spark.implicits._
+    (for {
+      s <- cbs.indices
+      j <- cbs(s).indices
+    } yield (s, j, cbs(s)(j).toSeq)).toDF("subspace", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Read back codebooks written by [[savePqCodebooks]] as [m][k][sub]
+    * (subspace/code ids are array positions — the [[pqEncode]] layout
+    * contract).
+    */
+  def loadPqCodebooks(spark: SparkSession, path: String)
+      : Array[Array[Array[Double]]] =
+    spark.read.parquet(path)
+      .orderBy(col("subspace"), col("code"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](2).toArray))
+      .groupBy(_._1).toArray.sortBy(_._1)
+      .map(_._2.map(_._2))
 
   /** ANN via IVF: vectors assigned to their nearest centroid's list;
     * probes search only the `nprobe` nearest lists. Candidate cost is
@@ -1201,8 +1274,65 @@ object Similarity {
                            m: Int = 8, k: Int = 16, dim: Int = 64,
                            table: String = "embeddings",
                            idCol: String = "vec_id",
-                           vecCol: String = "embedding"): String = {
-    val sub = dim / m
+                           vecCol: String = "embedding"): String =
+    ivfPqDuckdbCore(probeWhere, corpusWhere, topK, nprobe, m, dim / m, dim,
+      table, idCol, vecCol,
+      centSql = s"""SELECT row_number() OVER (ORDER BY $idCol) - 1 AS cluster,
+                       $vecCol AS cv
+                FROM (SELECT * FROM c ORDER BY $idCol LIMIT $kc)""",
+      cbSql = s"""SELECT row_number() OVER (ORDER BY $idCol) - 1 AS code,
+                     $vecCol AS cv
+              FROM (SELECT * FROM c ORDER BY $idCol LIMIT $k)""")
+
+  /** DuckDB replay of [[ivfPqSearch]] with TRAINED (driver-literal)
+    * quantizers: the centroid matrix and the per-subspace codebooks are
+    * embedded as literal VALUES tables — codeword j's per-subspace
+    * vectors concatenate to one full-dim row (`cv[subspace*sub+d]`
+    * addresses exactly codebook[subspace][j][d], the same layout the
+    * seeded contract reads off the first-k corpus rows). Every element
+    * is `cast('<Double.toString>' as double)` — the identical
+    * string→double parse as the Spark side's literal centroids, so both
+    * engines hold bit-identical matrices.
+    */
+  def ivfPqTrainedDuckdbSql(probeWhere: String, corpusWhere: String,
+                            topK: Int,
+                            cents: Array[Array[Double]],
+                            cbs: Array[Array[Array[Double]]],
+                            nprobe: Int = 4, dim: Int = 64,
+                            table: String = "embeddings",
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): String = {
+    val m = cbs.length
+    val sub = cbs(0)(0).length
+    val k = cbs(0).length
+    require(m * sub == dim,
+      s"ivfPqTrainedDuckdbSql: m=$m × sub=$sub must equal dim=$dim")
+    require(cents.forall(_.length == dim),
+      s"ivfPqTrainedDuckdbSql: centroids must be dim=$dim")
+    def vec(xs: Array[Double]): String =
+      xs.map(x => s"cast('$x' as double)").mkString("[", ",", "]")
+    val centVals = cents.zipWithIndex
+      .map { case (cv, i) => s"($i, ${vec(cv)})" }.mkString(",\n    ")
+    // codeword j across subspaces, concatenated to one full-dim row
+    val cbVals = (0 until k)
+      .map(j => s"($j, ${vec(cbs.flatMap(_(j)))})")
+      .mkString(",\n    ")
+    ivfPqDuckdbCore(probeWhere, corpusWhere, topK, nprobe, m, sub, dim,
+      table, idCol, vecCol,
+      centSql = s"SELECT * FROM (VALUES\n    $centVals) t(cluster, cv)",
+      cbSql = s"SELECT * FROM (VALUES\n    $cbVals) t(code, cv)")
+  }
+
+  /** The IVFPQ oracle pipeline around any centroid/codebook source:
+    * coarse assignment, nprobe probe lists, per-subspace codes, ADC
+    * tables, cluster-equi-join candidates, identical subspace-order
+    * fold — shared by the seeded and trained contracts.
+    */
+  private def ivfPqDuckdbCore(probeWhere: String, corpusWhere: String,
+                              topK: Int, nprobe: Int, m: Int, sub: Int,
+                              dim: Int, table: String, idCol: String,
+                              vecCol: String, centSql: String,
+                              cbSql: String): String = {
     def fullL2(side: String) =
       s"""list_sum(list_transform(range(1, ${dim + 1}),
          d -> (cast($side.$vecCol[d] as double) - cast(ct.cv[d] as double))
@@ -1215,12 +1345,8 @@ object Similarity {
                - cast(cb.cv[subspace * $sub + d] as double))))"""
     s"""WITH p AS (SELECT $idCol, $vecCol FROM $table WHERE $probeWhere),
        c AS (SELECT $idCol, $vecCol FROM $table WHERE $corpusWhere),
-       cent AS (SELECT row_number() OVER (ORDER BY $idCol) - 1 AS cluster,
-                       $vecCol AS cv
-                FROM (SELECT * FROM c ORDER BY $idCol LIMIT $kc)),
-       cb AS (SELECT row_number() OVER (ORDER BY $idCol) - 1 AS code,
-                     $vecCol AS cv
-              FROM (SELECT * FROM c ORDER BY $idCol LIMIT $k)),
+       cent AS ($centSql),
+       cb AS ($cbSql),
        subs AS (SELECT unnest(range(0, $m)) AS subspace),
        ccd AS (
          SELECT c.$idCol AS cand_id, ct.cluster, ${fullL2("c")} AS l2

@@ -604,8 +604,15 @@ object Streams {
       .agg(sort_array(collect_set(col("gram_fp"))).as("__bench"))
     val withFps = docs
       .withColumn("__toks", Text.tokens(col(textCol)))
+      // null text → null tokens → null fps: coalesce to empty HERE so a
+      // null-text doc flows through the Bloom filter, the ==0
+      // short-circuit and the intersect as "no grams" (= 0 contaminated,
+      // the batch oracle's coalesce semantics) instead of poisoning the
+      // count with size(null) = -1 / NULL downstream
       .withColumn("__fps",
-        expr(s"transform(${Text.shingleExpr("__toks", n)}, g -> $fp)"))
+        coalesce(
+          expr(s"transform(${Text.shingleExpr("__toks", n)}, g -> $fp)"),
+          expr("cast(array() as array<bigint>)")))
     val screened = benchBloom(fpsRows) match {
       case Some(bytes) => withFps.withColumn("__maybes",
         filter(col("__fps"),

@@ -266,6 +266,42 @@ class SimilaritySpec extends SparkSpec {
     assert(fresh == reused)
   }
 
+  test("pq codebooks round-trip through parquet bit-exact, [m][k][sub] shape") {
+    val trained = Similarity.pqCodebooks(emb, m = 16, k = 16, iters = 5)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    Similarity.savePqCodebooks(spark, trained, s"$dir/cb")
+    val loaded = Similarity.loadPqCodebooks(spark, s"$dir/cb")
+    assert(loaded.length == 16 && loaded.forall(_.length == 16)
+      && loaded.forall(_.forall(_.length == 4)))
+    assert(loaded.zip(trained).forall { case (ls, ts) =>
+      ls.zip(ts).forall { case (l, t) => l.sameElements(t) } })
+  }
+
+  test("trained IVFPQ recall: training + tuned dials beat the untrained index decisively") {
+    // The train-your-index loop the two recall gates motivate, spec-bound:
+    // the untrained (seeded) quantizers cap recall regardless of dials,
+    // while TRAINED quantizers at the recall-sweep dials (m=16, nprobe=8)
+    // clear them by a wide margin. All inputs deterministic (hash carve,
+    // lowest-id bounded sample, sequential driver Lloyd) — the means are
+    // exact round over round.
+    val probes = emb.filter(col("vec_id") % 50 === 0)
+    val corpus = emb.filter(col("vec_id") % 50 =!= 0)
+    def meanRecall(df: org.apache.spark.sql.DataFrame): Double =
+      df.agg(avg(col("recall"))).collect()(0).getDouble(0)
+    val untrained = meanRecall(
+      Similarity.recallIvfPq(probes, corpus, topK = 5))
+    val cents = Similarity.ivfCentroids(corpus, k = 16, iters = 5)
+    val cbs = Similarity.pqCodebooks(corpus, m = 16, k = 16, iters = 5)
+    val trained = meanRecall(
+      Similarity.recallIvfPq(probes, corpus, topK = 5, nprobe = 8, m = 16,
+        centroids = Some(cents), codebooks = Some(cbs)))
+    info(f"recall@5 untrained=$untrained%.2f trained=$trained%.2f")
+    // sf0.001: untrained 0.20, trained 0.32 (sf0.01: 0.18 → 0.42)
+    assert(trained >= untrained + 0.1,
+      f"trained $trained%.2f vs untrained $untrained%.2f")
+    assert(trained >= 0.3, f"trained recall $trained%.2f below bound")
+  }
+
   test("groupCentroids: elementwise means per group, long format") {
     import spark.implicits._
     val df = Seq(
