@@ -632,7 +632,11 @@ object SparkEntry {
           when(col("doc_id") % 2 === 0, col("text"))
             .otherwise(concat(col("text"), lit(" resubmission salt")))
             .as("text"))
-      Dedup.exactScreenBloom(Dedup.corpusHashes(docs), incoming)
+      // nShards=4 drives the past-the-cap SHARDED screen end to end
+      // against the plain-membership oracle (production sizes shards as
+      // ⌈n/5e7⌉; the gate forces >1 so the per-row shard probe, not just
+      // the single-filter path, is what the oracle proves exact)
+      Dedup.exactScreenBloom(Dedup.corpusHashes(docs), incoming, nShards = 4)
     }),
     // the index-MAINTENANCE loop: batch 1 screened against the corpus
     // index, kept docs merged in, batch 2 screened against the merged

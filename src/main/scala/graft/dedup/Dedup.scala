@@ -319,11 +319,50 @@ object Dedup {
     * the bytes next to the index; the in-query build prices that first
     * construction. `numBits` caps at 64 Mbit (Spark's runtime-filter
     * default ceiling, 8 MB serialized — ~50 M docs at 1% fpp); beyond
-    * that, shard the filter by hash prefix and probe the matching shard.
+    * that, [[buildBloomSharded]] shards the filter by hash prefix and
+    * probes the matching shard.
     */
   def buildBloom(hashes: DataFrame, fpp: Double = 0.01,
                  numBits: Option[Long] = None): Option[Array[Byte]] =
     buildBloomOver(hashes, xxhash64(col("content_hash")), fpp, numBits)
+
+  /** Sharded Bloom build — the past-the-cap path: the hash set is
+    * partitioned by hash prefix (pmod(xxhash64(h), nShards)) and each
+    * shard gets its OWN filter, so total capacity scales linearly with
+    * nShards while every single kernel invocation stays inside Spark's
+    * 64 Mbit runtime-filter ceiling (the single filter saturates past
+    * ~50 M docs at 1% fpp — production picks nShards = ⌈n / 5e7⌉).
+    * Filters are sized uniformly for the LARGEST shard's count (xxhash64
+    * spreads evenly, and an oversized filter only lowers fpp), one
+    * bounded counts pass + ONE groupBy(bloom_build) pass builds all
+    * shards — the probe side then reads exactly one shard per row
+    * ([[exactScreenBloom]] with nShards > 1). Returns the shard-indexed
+    * filter array (null = empty shard, i.e. definite-new); None in an
+    * extension-free session.
+    */
+  def buildBloomSharded(hashes: DataFrame, nShards: Int, fpp: Double = 0.01,
+                        numBits: Option[Long] = None)
+      : Option[Array[Array[Byte]]] = {
+    val spark = hashes.sparkSession
+    if (!spark.catalog.functionExists("bloom_build") || nShards < 1) None
+    else {
+      val v = xxhash64(col("content_hash"))
+      val withShard = hashes
+        .withColumn("__shard", pmod(v, lit(nShards.toLong)).cast("int"))
+      val counts = withShard.groupBy(col("__shard")).count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val maxN = math.max(1L, counts.values.foldLeft(0L)(math.max))
+      val bits = numBits.getOrElse {
+        val optimal = math.ceil(
+          -maxN * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+        math.min(67108864L, math.max(64L, optimal))
+      }
+      val built = withShard.groupBy(col("__shard"))
+        .agg(call_function("bloom_build", v, lit(maxN), lit(bits)).as("bf"))
+        .collect().map(r => r.getInt(0) -> r.getAs[Array[Byte]]("bf")).toMap
+      Some(Array.tabulate(nShards)(s => built.getOrElse(s, null)))
+    }
+  }
 
   /** Core Bloom build over an arbitrary LONG value column — one sizing
     * rule (optimal bits at `fpp`, 64 Mbit cap, 64-bit floor) for every
@@ -355,24 +394,51 @@ object Dedup {
     * invisible in the result BY CONSTRUCTION — the oracle is the plain
     * membership semantics, and the gate proves the fp-verify restores
     * exactness. `numBits` is a test hook (a saturated tiny filter forces
-    * false positives); production uses the fpp-derived size.
+    * false positives); production uses the fpp-derived size. `nShards`
+    * > 1 takes the [[buildBloomSharded]] past-the-cap path: each row
+    * probes ONLY its own hash-prefix shard's filter (one element_at on
+    * the broadcast shard array + one bloom_contains — still map-side,
+    * still O(1) per row), with an empty shard meaning definite-new.
     */
   def exactScreenBloom(hashesIn: DataFrame, incoming: DataFrame,
                        idCol: String = "doc_id", textCol: String = "text",
                        fpp: Double = 0.01,
-                       numBits: Option[Long] = None): DataFrame = {
+                       numBits: Option[Long] = None,
+                       nShards: Int = 1): DataFrame = {
     // materialize the hash set once: the un-cut frame would re-derive
     // the corpus distinct THREE times (count job, bloom-agg job, verify
     // join) — in production this frame is the loaded index table and the
     // cut is free
     val hashes = hashesIn.localCheckpoint()
     val hashed = incoming.select(col(idCol), md5(col(textCol)).as("content_hash"))
-    val maybes = buildBloom(hashes, fpp, numBits) match {
-      case Some(bytes) => hashed.filter(
-        call_function("bloom_contains", lit(bytes),
-          xxhash64(col("content_hash"))))
-      case None => hashed
-    }
+    val probeVal = xxhash64(col("content_hash"))
+    val screened: Option[DataFrame] =
+      if (nShards > 1)
+        buildBloomSharded(hashes, nShards, fpp, numBits).map { filters =>
+          // BloomFilterMightContain requires a CONSTANT filter argument
+          // (no per-row element_at into the shard array), so the shard
+          // dispatch is a when-chain over the nShards constant filters:
+          // per row, a walk of integer compares to its shard + exactly
+          // ONE Bloom probe — still map-side, still O(1). An empty
+          // (null-filter) shard means definite-new.
+          val shard = pmod(probeVal, lit(nShards.toLong)).cast("int")
+          val populated = filters.zipWithIndex.filter(_._1 != null)
+          val dispatch =
+            if (populated.isEmpty) lit(false)
+            else populated.tail.foldLeft(
+              when(shard === populated.head._2,
+                call_function("bloom_contains", lit(populated.head._1),
+                  probeVal))) {
+              case (acc, (bytes, s)) => acc.when(shard === s,
+                call_function("bloom_contains", lit(bytes), probeVal))
+            }.otherwise(lit(false))
+          hashed.filter(dispatch)
+        }
+      else
+        buildBloom(hashes, fpp, numBits).map { bytes =>
+          hashed.filter(call_function("bloom_contains", lit(bytes), probeVal))
+        }
+    val maybes = screened.getOrElse(hashed)
     val confirmed = maybes.join(hashes, Seq("content_hash"), "left_semi")
       .select(col(idCol)).withColumn("is_dup_exact", lit(1))
     incoming.select(col(idCol))

@@ -591,6 +591,42 @@ class TextDedupSpec extends SparkSpec {
     assert(sized == expect)
   }
 
+  test("sharded Bloom screen: >1 real shards, exactness preserved incl. under saturation") {
+    val corpus = (1 to 60).map(i => (i.toLong, s"corpus document number $i body"))
+      .toDF("doc_id", "text")
+    val incoming = (
+      Seq((100L, "corpus document number 7 body"),   // true exact dup
+          (101L, "corpus document number 42 body"))  // true exact dup
+      ++ (102 to 140).map(i => (i.toLong, s"fresh incoming doc $i"))
+    ).toDF("doc_id", "text")
+    val hashes = Dedup.corpusHashes(corpus)
+    // the sharded build really partitions: multiple populated shards,
+    // each its own filter (this is the past-the-64-Mbit-cap contract —
+    // per-kernel capacity bounded, total capacity = Σ shards)
+    val filters = Dedup.buildBloomSharded(hashes, nShards = 4).get
+    assert(filters.length == 4)
+    val populated = filters.filter(_ != null)
+    assert(populated.length > 1, "xxhash64 should populate >1 of 4 shards")
+    assert(populated.map(_.toSeq).distinct.length == populated.length,
+      "per-shard filters must differ (each holds its own shard's hashes)")
+    val expect = ((100 to 101).map(_.toLong -> 1)
+      ++ (102 to 140).map(_.toLong -> 0)).toMap
+    // right-sized shards: flags are exactly the membership truth
+    val sharded = Dedup.exactScreenBloom(hashes, incoming, nShards = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(sharded == expect)
+    // saturated 64-bit shards force false positives through the
+    // pre-filter, and the verify still restores exactness
+    val tiny = Dedup.exactScreenBloom(hashes, incoming,
+      numBits = Some(64L), nShards = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(tiny == expect)
+    // and the sharded path agrees with the single-filter path
+    val single = Dedup.exactScreenBloom(hashes, incoming)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(sharded == single)
+  }
+
   test("incrementalLoop: kept docs join the index, rejected docs never do") {
     val a = "alpha beta gamma delta epsilon zeta eta theta"
     val b = "one two three four five six seven eight nine"
