@@ -27,8 +27,12 @@ object PlanProbe {
       val plan = full.split("== Initial Plan ==")(0)
       println(s"[probe] $n finalPlan=${!full.contains("isFinalPlan=false")}" +
         s" reusedExchange=${plan.contains("ReusedExchange")}" +
-        s" scans=${"Scan parquet".r.findAllIn(plan).length}")
+        s" scans=${"Scan parquet".r.findAllIn(plan).length}" +
+        s" exchanges=${"Exchange".r.findAllIn(plan).length -
+          "ReusedExchange".r.findAllIn(plan).length}")
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
     }
     spark.stop()
   }

@@ -532,14 +532,21 @@ object Qa {
     }
     val periods = bounded.select(col(timeVar)).distinct()
     val vals = bounded.select(col("varname"), col("value")).distinct()
-    val grid = periods.crossJoin(vals).alias("g")
+    // EXPLICIT broadcasts on both grid joins: every side is a bounded
+    // monitoring aggregate (|periods| × |monitored values| — small by
+    // construction at any corpus scale), so broadcasting is always
+    // right — and pinning it removes AQE's runtime size-estimate choice
+    // between broadcast and shuffle, which flapped the audited exchange
+    // count 6/7 with accumulated-memory state (the one non-deterministic
+    // plan in the suite)
+    val grid = periods.crossJoin(broadcast(vals)).alias("g")
     // prune to the consumer's columns BEFORE the join: a checkpointed
     // LogicalRDD leaf is not column-pruned by Catalyst, and the wider
     // row estimate can push the join off the broadcast path
     val keep = Seq(timeVar, "varname", "value", "n") ++
       (if (withProportion) Seq("proportion") else Nil)
     val c = bounded.select(keep.map(col): _*).alias("c")
-    val joined = grid.join(c,
+    val joined = grid.join(broadcast(c),
         col(s"g.$timeVar") === col(s"c.$timeVar") &&
           col("g.varname") === col("c.varname") &&
           (col("g.value") <=> col("c.value")), "left")
