@@ -194,7 +194,8 @@ object ScaleCheckDocs {
       "sim_knn_join", "sim_knn_graph", "sample_mix_upsample",
       "emb_pq_encode", "sim_ann_pq", "text_chunk", "dedup_keep_best",
       "emb_pq_distortion", "corpus_shuffle", "text_bigram_logprob", "sim_ann_ivfpq",
-      "corpus_curate", "sim_range_search", "emb_recall_eval", "emb_recall_ivfpq")
+      "corpus_curate", "sim_range_search", "emb_recall_eval", "emb_recall_ivfpq",
+      "emb_recall_ivfpq_trained", "sim_ann_ivf")
     val unknown = only.toSet -- allNames.toSet
     require(unknown.isEmpty,
       s"unknown query names (would be silently skipped): ${unknown.mkString(", ")}")

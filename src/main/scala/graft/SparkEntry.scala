@@ -43,37 +43,39 @@ object SparkEntry {
     ColumnSpec("c_acctbal", "FLOAT"),
     ColumnSpec("c_mktsegment", "VARCHAR(16)"))
 
-  // Trained-IVFPQ gate plumbing: the emb_recall_ivfpq_trained query
-  // trains the quantizers on the SF it runs at, persists + reloads them
-  // (the production train-once/load-per-job loop), and stashes the
-  // trained-literal oracle SQL here. Verify dumps `oracleSql` AFTER all
-  // queries run, so the literals are always the ones THIS run trained —
-  // the same driver-literal contract as the LSH plane matrix, except the
+  // Trained-quantizer gate plumbing (emb_recall_ivfpq_trained,
+  // sim_ann_ivf): these queries train their quantizers on the SF they
+  // run at, persist + reload them (the production train-once/
+  // load-per-job loop), and stash the trained-literal oracle SQL here
+  // under the query key. Verify dumps `oracleSql` AFTER all queries
+  // run, so the literals are always the ones THIS run trained — the
+  // same driver-literal contract as the LSH plane matrix, except the
   // literals are data-derived (deterministically: bounded lowest-id
-  // sample, sequential driver Lloyd). A tmp side file covers split local
-  // runs (SPARK_GRAFT_ONLY iteration where the oracle dump happens in a
-  // later JVM than the query).
-  private val trainedOracleFile = java.nio.file.Paths.get(
+  // sample, sequential driver Lloyd). A tmp side file per key covers
+  // split local runs (SPARK_GRAFT_ONLY iteration where the oracle dump
+  // happens in a later JVM than the query).
+  private def trainedOracleFile(key: String) = java.nio.file.Paths.get(
     sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-    "graft_trained_ivfpq_oracle.sql")
-  @volatile private var trainedOracle: Option[String] = None
-  private def stashTrainedOracle(sql: String): Unit = {
-    trainedOracle = Some(sql)
-    try { java.nio.file.Files.writeString(trainedOracleFile, sql); () }
+    s"graft_trained_oracle_$key.sql")
+  private val trainedOracles =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stashTrainedOracle(key: String, sql: String): Unit = {
+    trainedOracles.put(key, sql)
+    try { java.nio.file.Files.writeString(trainedOracleFile(key), sql); () }
     catch { case _: java.io.IOException => () } // side file is best-effort
   }
-  private def trainedOracleSql: String =
-    trainedOracle.orElse {
+  private def trainedOracleSql(key: String): String =
+    Option(trainedOracles.get(key)).orElse {
       try
-        if (java.nio.file.Files.exists(trainedOracleFile))
-          Some(java.nio.file.Files.readString(trainedOracleFile))
+        if (java.nio.file.Files.exists(trainedOracleFile(key)))
+          Some(java.nio.file.Files.readString(trainedOracleFile(key)))
         else None
       catch { case _: java.io.IOException => None }
     }.getOrElse(
       // loud-fail sentinel: an oracle dump without the query having run
       // (this JVM or a prior local one) must FAIL the compare, not
       // silently pass or emit a stale contract
-      "SELECT 'emb_recall_ivfpq_trained: query has not run' AS error")
+      s"SELECT '$key: query has not run' AS error")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- A. ETL core ----
@@ -700,8 +702,24 @@ object SparkEntry {
       Similarity.cosineTopK(Tables(s, dir, "embeddings"), (0L until 10L), 5)),
     "sim_ann_lsh" -> ((s, dir) =>
       Similarity.annTopK(Tables(s, dir, "embeddings"), (0L until 10L), 5)),
-    "sim_ann_ivf" -> ((s, dir) =>
-      Similarity.ivfTopK(Tables(s, dir, "embeddings"), (0L until 10L), 5)),
+    // the TRAINED IVF search path, oracle-gated (upgraded r8 from
+    // rows-only): the quantizer is trained with the bounded-sample
+    // driver Lloyd (deterministic), persisted + RELOADED through the
+    // save/load loop, and replayed by the oracle as
+    // cast('<Double.toString>' as double) literals — training is driver
+    // state, but its OUTPUT is a k×dim literal both engines replay
+    // bit-identically (the emb_recall_ivfpq_trained contract)
+    "sim_ann_ivf" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val trained = java.nio.file.Files
+        .createTempDirectory("graft_trained_ivf").toString
+      Similarity.saveCentroids(s,
+        Similarity.ivfCentroids(e, k = 16, iters = 5), trained)
+      val cents = Similarity.loadCentroids(s, trained)
+      stashTrainedOracle("sim_ann_ivf",
+        Similarity.ivfTrainedDuckdbSql((0L until 10L), 5, cents))
+      Similarity.ivfTopK(e, (0L until 10L), 5, centroids = Some(cents))
+    }),
     "sim_ann_ivf_seeded" -> ((s, dir) =>
       Similarity.ivfTopK(Tables(s, dir, "embeddings"), (0L until 10L), 5,
         iters = 0)),
@@ -772,7 +790,8 @@ object SparkEntry {
         s"$trained/pq")
       val cents = Similarity.loadCentroids(s, s"$trained/ivf")
       val cbs = Similarity.loadPqCodebooks(s, s"$trained/pq")
-      stashTrainedOracle(Similarity.recallIvfPqTrainedDuckdbSql(
+      stashTrainedOracle("emb_recall_ivfpq_trained",
+        Similarity.recallIvfPqTrainedDuckdbSql(
         probeWhere = "vec_id % 50 = 0", corpusWhere = "vec_id % 50 <> 0",
         topK = 5, cents, cbs, nprobe = 8))
       Similarity.recallIvfPq(probes, corpus, topK = 5, nprobe = 8, m = 16,
@@ -1992,7 +2011,9 @@ object SparkEntry {
       topK = 5),
     // trained-literal oracle, stashed by the query run (Verify dumps
     // oracles after all queries — see trainedOracleSql)
-    "emb_recall_ivfpq_trained" -> trainedOracleSql,
+    "emb_recall_ivfpq_trained" ->
+      trainedOracleSql("emb_recall_ivfpq_trained"),
+    "sim_ann_ivf" -> trainedOracleSql("sim_ann_ivf"),
     "emb_pq_encode" -> Similarity.pqEncodeSeededDuckdbSql(),
     "emb_pq_distortion" -> Similarity.pqDistortionSeededDuckdbSql(),
     "sim_ann_pq" -> Similarity.pqSearchSeededDuckdbSql(

@@ -22,6 +22,30 @@ object TrainedRecallProbe {
     val e = Tables(spark, dir, "embeddings")
     val probes = e.filter(col("vec_id") % 50 === 0)
     val corpus = e.filter(col("vec_id") % 50 =!= 0)
+    if (args.contains("--kc")) {
+      // the "scale kc with n" dial, measured: absolute recall at FIXED
+      // kc drops as the corpus grows (each coarse cell holds more
+      // vectors, so nprobe cells cover a shrinking corpus fraction);
+      // growing kc ∝ n at a fixed nprobe/kc ratio holds the covered
+      // fraction constant. PQ dials pinned at the gate's m=16/k=16.
+      val cbs = Similarity.pqCodebooks(corpus, m = 16, k = 16, iters = 5)
+      for (kc <- Seq(16, 32, 64, 128)) {
+        val cents = Similarity.ivfCentroids(corpus, k = kc, iters = 5)
+        // nprobe=8 fixed: candidate fraction SHRINKS 8/kc as kc grows —
+        // the production shape (cost per probe bounded). nprobe=kc/2:
+        // the gate's 50% coverage ratio held constant for comparison.
+        for (nprobe <- Seq(8, kc / 2).distinct) {
+          val r = Similarity.recallIvfPq(probes, corpus, topK = 5,
+              nprobe = nprobe, m = 16,
+              centroids = Some(cents), codebooks = Some(cbs))
+            .agg(avg(col("recall"))).collect()(0).getDouble(0)
+          println(f"PROBE kc=$kc%3d nprobe=$nprobe%3d " +
+            f"candFrac=${nprobe.toDouble / kc}%.3f recall@5=$r%.3f")
+        }
+      }
+      spark.stop()
+      return
+    }
     for {
       iters <- Seq(0, 5, 15)
       m <- Seq(8, 16)

@@ -622,26 +622,60 @@ object Similarity {
     * (`ivfTopK(iters = 0)`): centroids are the first k vectors by id —
     * expressible in SQL — so assignment, nprobe probe-list selection,
     * bucketed candidate generation and ranking are all cross-engine
-    * verified. (The trained quantizer stays rows-only + recall-spec:
-    * its centroids are data-dependent driver state.) Distances use the
-    * same (x−c)·(x−c) index-order double accumulation as the Spark
-    * side; ties broken by (distance, cluster index) in both engines.
+    * verified. Distances use the same (x−c)·(x−c) index-order double
+    * accumulation as the Spark side; ties broken by (distance, cluster
+    * index) in both engines.
     */
   def ivfSeededDuckdbSql(probeIds: Seq[Long], topK: Int, k: Int = 16,
                          nprobe: Int = 4, dim: Int = 64,
                          table: String = "embeddings",
                          idCol: String = "vec_id",
-                         vecCol: String = "embedding"): String = {
+                         vecCol: String = "embedding"): String =
+    ivfDuckdbCore(probeIds, topK, nprobe, dim, table, idCol, vecCol,
+      centSql = s"""SELECT row_number() OVER (ORDER BY $idCol) - 1 AS cluster,
+                $vecCol AS cv
+         FROM (SELECT * FROM e ORDER BY $idCol LIMIT $k)""")
+
+  /** DuckDB replay of [[ivfTopK]] with a TRAINED (driver-literal)
+    * quantizer: the centroid matrix is embedded as a literal VALUES
+    * table, every element `cast('<Double.toString>' as double)` — the
+    * identical string→double parse as the Spark side's
+    * [[centroidDistsCol]] literals, so both engines hold bit-identical
+    * matrices. This is what upgrades `sim_ann_ivf` from rows-only to
+    * oracle-gated: the TRAINING is driver state, but its OUTPUT is a
+    * k×dim literal both engines can replay exactly (the same contract
+    * the trained-IVFPQ recall gate uses).
+    */
+  def ivfTrainedDuckdbSql(probeIds: Seq[Long], topK: Int,
+                          cents: Array[Array[Double]], nprobe: Int = 4,
+                          dim: Int = 64, table: String = "embeddings",
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): String = {
+    require(cents.forall(_.length == dim),
+      s"ivfTrainedDuckdbSql: centroids must be dim=$dim")
+    val centVals = cents.zipWithIndex.map { case (cv, i) =>
+      val v = cv.map(x => s"cast('$x' as double)").mkString("[", ",", "]")
+      s"($i, $v)"
+    }.mkString(",\n    ")
+    ivfDuckdbCore(probeIds, topK, nprobe, dim, table, idCol, vecCol,
+      centSql = s"SELECT * FROM (VALUES\n    $centVals) t(cluster, cv)")
+  }
+
+  /** The IVF oracle pipeline around any centroid source (seeded carve
+    * or trained literals): full-L2 assignment, nprobe probe lists,
+    * cluster-equi-join candidates, rounded-cosine ranking — shared by
+    * the seeded and trained contracts.
+    */
+  private def ivfDuckdbCore(probeIds: Seq[Long], topK: Int, nprobe: Int,
+                            dim: Int, table: String, idCol: String,
+                            vecCol: String, centSql: String): String = {
     val probes = probeIds.mkString(", ")
     val l2 =
       s"""list_sum(list_transform(range(1, ${dim + 1}),
          d -> (cast(e.$vecCol[d] as double) - cast(c.cv[d] as double))
             * (cast(e.$vecCol[d] as double) - cast(c.cv[d] as double))))"""
     s"""WITH e AS (SELECT $idCol, $vecCol FROM $table),
-       cent AS (
-         SELECT row_number() OVER (ORDER BY $idCol) - 1 AS cluster,
-                $vecCol AS cv
-         FROM (SELECT * FROM e ORDER BY $idCol LIMIT $k)),
+       cent AS ($centSql),
        dists AS (
          SELECT e.$idCol, e.$vecCol, c.cluster, $l2 AS l2
          FROM e CROSS JOIN cent c),
