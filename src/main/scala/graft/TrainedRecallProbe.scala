@@ -43,6 +43,18 @@ object TrainedRecallProbe {
             f"candFrac=${nprobe.toDouble / kc}%.3f recall@5=$r%.3f")
         }
       }
+      // the m dial at the cost-bounded coarse setting (kc=64, nprobe=8):
+      // if recall is PQ-bound, finer codes — not more coarse probing —
+      // are what buy it back (m=32 → 2-dim subspaces, 32 B/vector)
+      val cents64 = Similarity.ivfCentroids(corpus, k = 64, iters = 5)
+      for (m <- Seq(8, 16, 32)) {
+        val cbsM = Similarity.pqCodebooks(corpus, m = m, k = 16, iters = 5)
+        val r = Similarity.recallIvfPq(probes, corpus, topK = 5,
+            nprobe = 8, m = m,
+            centroids = Some(cents64), codebooks = Some(cbsM))
+          .agg(avg(col("recall"))).collect()(0).getDouble(0)
+        println(f"PROBE kc= 64 nprobe=  8 m=$m%2d recall@5=$r%.3f")
+      }
       spark.stop()
       return
     }

@@ -157,6 +157,40 @@ object GraftFunctions {
       new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
         exprs(0), exprs(1), exprs(2)))
 
+  // shared by the two PQ descriptors: fold the literal [m][k][sub]
+  // codebook argument once at resolution time (the centroid_dists
+  // discipline) — it never reaches the physical plan
+  private def foldCodebooks(e: Expression): Array[Array[Array[Double]]] = {
+    val a = e.eval().asInstanceOf[ArrayData]
+    Array.tabulate(a.numElements()) { s =>
+      val sa = a.getArray(s)
+      Array.tabulate(sa.numElements()) { j =>
+        val ja = sa.getArray(j)
+        Array.tabulate(ja.numElements())(t => ja.getDouble(t))
+      }
+    }
+  }
+
+  val pqCodesDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("pq_codes"),
+    new ExpressionInfo(classOf[PqCodes].getName, "pq_codes"),
+    (exprs: Seq[Expression]) => PqCodes(exprs.head, foldCodebooks(exprs(1))))
+
+  val pqDtDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("pq_dt"),
+    new ExpressionInfo(classOf[PqDistTable].getName, "pq_dt"),
+    (exprs: Seq[Expression]) => PqDistTable(exprs.head, foldCodebooks(exprs(1))))
+
+  val l2SqDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("l2_sq"),
+    new ExpressionInfo(classOf[L2SqDistance].getName, "l2_sq"),
+    (exprs: Seq[Expression]) => L2SqDistance(exprs.head, exprs(1)))
+
+  val adcDistDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("adc_dist"),
+    new ExpressionInfo(classOf[AdcDist].getName, "adc_dist"),
+    (exprs: Seq[Expression]) => AdcDist(exprs.head, exprs(1)))
+
   val bloomContainsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("bloom_contains"),
     new ExpressionInfo(
@@ -177,6 +211,10 @@ object GraftFunctions {
     ext.injectFunction(misraGriesDescriptor)
     ext.injectFunction(bloomBuildDescriptor)
     ext.injectFunction(bloomContainsDescriptor)
+    ext.injectFunction(l2SqDescriptor)
+    ext.injectFunction(adcDistDescriptor)
+    ext.injectFunction(pqCodesDescriptor)
+    ext.injectFunction(pqDtDescriptor)
     // tier (c) of the custom-operator ladder: the fused as-of join's
     // planner strategy (graft.plans.AsofJoinNode -> AsofJoinExec)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)

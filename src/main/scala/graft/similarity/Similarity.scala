@@ -315,6 +315,39 @@ object Similarity {
       bruteL2TopK(probes, corpus, topK, idCol, vecCol),
       probes, topK, idCol, digits)
 
+  /** Pairwise squared-L2 between two `array<float>` columns: the fused
+    * native `l2_sq` when registered (one codegen'd loop per pair, zero
+    * allocation — on a |probes|×|corpus| cross join the interpreted
+    * lambda cost IS the query), else the builtin zip_with/aggregate
+    * fold. Same values bit-for-bit: both accumulate (x−y)² in index
+    * order from 0.0 in doubles (spec-asserted).
+    */
+  private def pairL2Col(spark: SparkSession, a: String, b: String): Column =
+    if (spark.catalog.functionExists("l2_sq")) expr(s"l2_sq($a, $b)")
+    else expr(
+      s"""aggregate(
+         zip_with($a, $b,
+           (x, y) -> (cast(x as double) - cast(y as double))
+                   * (cast(x as double) - cast(y as double))),
+         cast(0.0 as double), (acc, v) -> acc + v)""")
+
+  /** ADC lookup-sum Σ_s dt[s][code_s] over a probe's per-subspace
+    * distance-table column and a candidate's codes column: the fused
+    * native `adc_dist` when registered, else the builtin
+    * zip_with/element_at/aggregate fold — identical left fold from 0.0
+    * in subspace order (spec-asserted), the scan-side inner loop of the
+    * PQ/IVFPQ candidate scans.
+    */
+  private def adcDistCol(spark: SparkSession, dtCol: String,
+                         codesCol: String): Column =
+    if (spark.catalog.functionExists("adc_dist"))
+      expr(s"adc_dist($dtCol, $codesCol)")
+    else
+      aggregate(
+        zip_with(col(dtCol), col(codesCol),
+          (t, c) => element_at(t, (c + 1).cast("int"))),
+        lit(0.0), (acc, v) => acc + v)
+
   /** Exact squared-L2 top-k by brute force — the ground truth of the
     * distance-based ANN family. Strict left fold in index order; probe
     * side broadcasts (it is a sample by construction).
@@ -325,12 +358,8 @@ object Similarity {
     val pv = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
     val cv = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"))
     val scored = cv.crossJoin(broadcast(pv))
-      .withColumn("adist", expr(
-        """aggregate(
-           zip_with(probe_vec, cand_vec,
-             (x, y) -> (cast(x as double) - cast(y as double))
-                     * (cast(x as double) - cast(y as double))),
-           cast(0.0 as double), (acc, v) -> acc + v)"""))
+      .withColumn("adist", pairL2Col(probes.sparkSession,
+        "probe_vec", "cand_vec"))
       .select(col("probe_id"), col("cand_id"), col("adist"))
     rankMinDist(scored, k)
   }
@@ -1008,11 +1037,46 @@ object Similarity {
   private def pqCodesCol(df: DataFrame, vecCol: String,
                          cbs: Array[Array[Array[Double]]],
                          sub: Int): Column =
-    array(cbs.indices.map { s =>
+    if (df.sparkSession.catalog.functionExists("pq_codes"))
+      // ONE fused node for all m subspaces: the composed form below
+      // builds m copies of slice→centroid_dists→min/position (the dists
+      // subtree duplicated inside array_position), and at m=16 the
+      // generated processNext crosses the JVM's huge-method JIT
+      // threshold — the scan silently runs interpreted, measured 30×
+      // slower than the identical m=8 query. Values are bit-equal
+      // (spec-asserted): same slices, same index-order folds, same
+      // first-minimum tie rule.
+      expr(s"pq_codes($vecCol, ${codebooksLit(cbs)})")
+    else array(cbs.indices.map { s =>
       val dists = centroidDistsCol(df,
         s"slice($vecCol, ${s * sub + 1}, $sub)", cbs(s))
       (array_position(dists, array_min(dists)) - 1).cast("int")
     }: _*)
+
+  /** Per-probe ADC distance table (m arrays of k exact subspace L2s):
+    * the fused native `pq_dt` when registered (one node at any m —
+    * same JIT-cliff rationale as [[pqCodesCol]]), else m composed
+    * [[centroidDistsCol]] slices.
+    */
+  private def pqDtCol(df: DataFrame, vecCol: String,
+                      cbs: Array[Array[Array[Double]]],
+                      sub: Int): Column =
+    if (df.sparkSession.catalog.functionExists("pq_dt"))
+      expr(s"pq_dt($vecCol, ${codebooksLit(cbs)})")
+    else array(cbs.indices.map { s =>
+      centroidDistsCol(df, s"slice($vecCol, ${s * sub + 1}, $sub)", cbs(s))
+    }: _*)
+
+  /** [m][k][sub] codebooks as a foldable SQL literal — Double.toString
+    * round-trips exactly through cast(varchar as double), and the
+    * literal is folded to a reference object at resolution time (never
+    * reaches the physical plan).
+    */
+  private def codebooksLit(cbs: Array[Array[Array[Double]]]): String =
+    cbs.map(_.map(_.map(x => s"cast('$x' as double)")
+        .mkString("array(", ",", ")"))
+      .mkString("array(", ",", ")"))
+      .mkString("array(", ",", ")")
 
   /** DuckDB oracle for [[pqEncode]] with SEEDED codebooks: codebook j of
     * subspace s is the subvector of the j-th lowest-id vector — in SQL,
@@ -1069,10 +1133,19 @@ object Similarity {
       pqCodebooks(embeddings, m, k, iters = 0, dim, idCol, vecCol))
     require(cbs.length == m && cbs.forall(_.forall(_.length == sub)),
       "pqDistortion: codebook shape must be [m][k][dim/m]")
-    val dist = (0 until m).map { s =>
-      array_min(centroidDistsCol(embeddings,
-        s"slice($vecCol, ${s * sub + 1}, $sub)", cbs(s)))
-    }.foldLeft(lit(0.0))(_ + _)
+    // same left fold from 0.0 in subspace order either way; the fused
+    // pq_dt keeps the expression ONE node at any m (the pqCodesCol
+    // JIT-cliff rationale — the composed form is m duplicated subtrees)
+    val dist =
+      if (embeddings.sparkSession.catalog.functionExists("pq_dt"))
+        aggregate(
+          transform(pqDtCol(embeddings, vecCol, cbs, sub),
+            r => array_min(r)),
+          lit(0.0), (acc, v) => acc + v)
+      else (0 until m).map { s =>
+        array_min(centroidDistsCol(embeddings,
+          s"slice($vecCol, ${s * sub + 1}, $sub)", cbs(s)))
+      }.foldLeft(lit(0.0))(_ + _)
     embeddings.select(col(idCol), dist.as("distortion"))
   }
 
@@ -1149,17 +1222,11 @@ object Similarity {
     val codes = corpus.select(col(idCol).as("cand_id"),
       pqCodesCol(corpus, vecCol, cbs, sub).as("__codes"))
     // per-probe ADC distance tables: m arrays of k exact subspace L2s
-    val dt = array((0 until m).map { s =>
-      centroidDistsCol(probes, s"slice($vecCol, ${s * sub + 1}, $sub)",
-        cbs(s))
-    }: _*)
+    val dt = pqDtCol(probes, vecCol, cbs, sub)
     val pdt = probes.select(col(idCol).as("probe_id"), dt.as("__dt"))
     val scored = codes.crossJoin(broadcast(pdt))
       .withColumn("adist",
-        aggregate(
-          zip_with(col("__dt"), col("__codes"),
-            (t, c) => element_at(t, (c + 1).cast("int"))),
-          lit(0.0), (acc, v) => acc + v))
+        adcDistCol(probes.sparkSession, "__dt", "__codes"))
       .select(col("probe_id"), col("cand_id"), col("adist"))
     rankMinDist(scored, topK)
   }
@@ -1278,10 +1345,7 @@ object Similarity {
       """transform(
          array_sort(transform(__cd, (d, i) -> struct(d as d, i as i))),
          s -> s.i)""")
-    val dt = array((0 until m).map { s =>
-      centroidDistsCol(probes, s"slice($vecCol, ${s * sub + 1}, $sub)",
-        cbs(s))
-    }: _*)
+    val dt = pqDtCol(probes, vecCol, cbs, sub)
     val pdt = probes
       .withColumn("__cd", centroidDistsCol(probes, vecCol, cents))
       .withColumn("__dt", dt)
@@ -1289,10 +1353,7 @@ object Similarity {
         explode(slice(probeClusters, 1, nprobe)).as("cluster"))
     val scored = codes.join(broadcast(pdt), Seq("cluster"))
       .withColumn("adist",
-        aggregate(
-          zip_with(col("__dt"), col("__codes"),
-            (t, c) => element_at(t, (c + 1).cast("int"))),
-          lit(0.0), (acc, v) => acc + v))
+        adcDistCol(probes.sparkSession, "__dt", "__codes"))
       .select(col("probe_id"), col("cand_id"), col("adist"))
     rankMinDist(scored, topK)
   }

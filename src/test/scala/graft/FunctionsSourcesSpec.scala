@@ -67,6 +67,83 @@ class FunctionsSourcesSpec extends SparkSpec {
     assert(out.head.getSeq[Double](0).head == 14.0)
   }
 
+  test("native l2_sq equals the zip_with fold bitwise on real vectors") {
+    val emb = Tables(spark, sfDir, "embeddings").limit(20).cache()
+    val pairs = emb.select(col("vec_id").as("ia"), col("embedding").as("va"))
+      .crossJoin(emb.select(col("vec_id").as("ib"), col("embedding").as("vb")))
+      .filter(col("ia") < col("ib"))
+    val diff = pairs.select(
+      (expr("l2_sq(va, vb)") -
+        expr("""aggregate(
+             zip_with(va, vb,
+               (x, y) -> (cast(x as double) - cast(y as double))
+                       * (cast(x as double) - cast(y as double))),
+             cast(0.0 as double), (acc, v) -> acc + v)""")).as("d"))
+    assert(diff.agg(max(abs(col("d")))).collect().head.getDouble(0) == 0.0)
+    // hand value: |(1,2) - (0,0)|^2 = 5; and null-intolerance
+    val small = Seq((Array(1.0f, 2.0f), Array(0.0f, 0.0f))).toDF("a", "b")
+    assert(small.select(expr("l2_sq(a, b)")).collect().head.getDouble(0) == 5.0)
+    val nul = Seq((Some(Array(1.0f)), Option.empty[Array[Float]])).toDF("a", "b")
+    assert(nul.select(expr("l2_sq(a, b)")).collect().head.isNullAt(0))
+  }
+
+  test("native adc_dist equals the element_at fold; OOB code is null") {
+    // dt: 2 subspaces x 3 codes; codes pick dt[0][1]=0.5 and dt[1][2]=8.0
+    val df = Seq((
+      Array(Array(0.25, 0.5, 1.0), Array(2.0, 4.0, 8.0)),
+      Array(1, 2))).toDF("dt", "codes")
+    val out = df.select(
+      expr("adc_dist(dt, codes)").as("native"),
+      expr("""aggregate(
+           zip_with(dt, codes, (t, c) -> element_at(t, cast(c + 1 as int))),
+           cast(0.0 as double), (acc, v) -> acc + v)""").as("composed"))
+      .collect().head
+    assert(out.getDouble(0) == 8.5)
+    assert(out.getDouble(0) == out.getDouble(1))
+    val oob = Seq((Array(Array(0.25, 0.5)), Array(7))).toDF("dt", "codes")
+    assert(oob.select(expr("adc_dist(dt, codes)")).collect().head.isNullAt(0))
+  }
+
+  test("fused pq_codes/pq_dt equal the composed slice chain bitwise") {
+    // m=4 subspaces x k=3 codewords x sub=2 dims over 8-dim vectors;
+    // codeword values chosen so ties exercise the first-minimum rule
+    // (codes 0 and 1 of subspace 2 are identical)
+    val cbs = Array(
+      Array(Array(0.0, 0.0), Array(1.0, 1.0), Array(-2.0, 0.5)),
+      Array(Array(0.25, -0.25), Array(0.0, 0.0), Array(3.0, 3.0)),
+      Array(Array(0.5, 0.5), Array(0.5, 0.5), Array(0.0, 1.0)),
+      Array(Array(-1.0, 2.0), Array(0.125, 0.0), Array(2.0, -2.0)))
+    val lit3d = cbs.map(_.map(_.map(x => s"cast('$x' as double)")
+        .mkString("array(", ",", ")")).mkString("array(", ",", ")"))
+      .mkString("array(", ",", ")")
+    val df = Seq(
+      Array(1.0f, 2.0f, 0.1f, -0.1f, 0.5f, 0.5f, 0.0f, 0.0f),
+      Array(-2.0f, 0.5f, 3.0f, 3.0f, 0.0f, 1.0f, 0.125f, 0.0f))
+      .toDF("v")
+    def composed(s: Int) = {
+      val cw = cbs(s).map(_.map(x => s"cast('$x' as double)")
+        .mkString("array(", ",", ")")).mkString("array(", ",", ")")
+      s"centroid_dists(slice(v, ${s * 2 + 1}, 2), $cw)"
+    }
+    val codesComposed = (0 until 4)
+      .map(s => s"cast(array_position(${composed(s)}, array_min(${composed(s)})) - 1 as int)")
+      .mkString("array(", ",", ")")
+    val dtComposed = (0 until 4).map(composed).mkString("array(", ",", ")")
+    val out = df.select(
+      expr(s"pq_codes(v, $lit3d)").as("nc"),
+      expr(codesComposed).as("cc"),
+      expr(s"pq_dt(v, $lit3d)").as("nd"),
+      expr(dtComposed).as("cd")).collect()
+    out.foreach { r =>
+      assert(r.getSeq[Int](0) == r.getSeq[Int](1))
+      assert(r.getSeq[Seq[Double]](2) == r.getSeq[Seq[Double]](3))
+    }
+    // tie lands on the FIRST of the identical codewords
+    assert(out.head.getSeq[Int](0)(2) == 0)
+    // second vector matches each subspace's planted codeword exactly
+    assert(out(1).getSeq[Int](0).toList == List(2, 2, 2, 1))
+  }
+
   test("native md5 hashes equal the string-composition fallbacks") {
     val df = Seq("abc", "", "the fast key", "x,y z").toDF("w")
     val p = graft.dedup.MinHashSpec.P
