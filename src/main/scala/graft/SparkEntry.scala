@@ -57,25 +57,53 @@ object SparkEntry {
   private def trainedOracleFile(key: String) = java.nio.file.Paths.get(
     sys.props.getOrElse("java.io.tmpdir", "/tmp"),
     s"graft_trained_oracle_$key.sql")
+  // (dir, sql) — the stash is bound to the sfDir the quantizers were
+  // trained on, so a dump for a DIFFERENT dir (split local runs after a
+  // ScaleCheckDocs pass over the staged 10× corpus; concurrent runs at
+  // two SFs) yields the loud-fail sentinel, never a stale contract
   private val trainedOracles =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def stashTrainedOracle(key: String, sql: String): Unit = {
-    trainedOracles.put(key, sql)
-    try { java.nio.file.Files.writeString(trainedOracleFile(key), sql); () }
-    catch { case _: java.io.IOException => () } // side file is best-effort
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  @volatile private var oracleRunDir: Option[String] = None
+  /** Verify calls this with its sfDir before dumping `oracleSql`, making
+    * the trained-oracle stash reject entries trained on any other dir.
+    */
+  def noteRunDir(dir: String): Unit = oracleRunDir = Some(dir)
+  private def stashTrainedOracle(key: String, dir: String,
+                                 sql: String): Unit = {
+    trainedOracles.put(key, (dir, sql))
+    try {
+      java.nio.file.Files.writeString(trainedOracleFile(key),
+        s"-- sfdir:$dir\n$sql"); ()
+    } catch { case _: java.io.IOException => () } // side file is best-effort
   }
+  private def dirMatches(dir: String): Boolean =
+    oracleRunDir.forall(_ == dir)
   private def trainedOracleSql(key: String): String =
-    Option(trainedOracles.get(key)).orElse {
+    Option(trainedOracles.get(key)).collect {
+      case (dir, sql) if dirMatches(dir) => sql
+    }.orElse {
       try
-        if (java.nio.file.Files.exists(trainedOracleFile(key)))
-          Some(java.nio.file.Files.readString(trainedOracleFile(key)))
-        else None
+        if (java.nio.file.Files.exists(trainedOracleFile(key))) {
+          val txt = java.nio.file.Files.readString(trainedOracleFile(key))
+          val (header, sql) = txt.span(_ != '\n')
+          Some((header.stripPrefix("-- sfdir:"), sql.drop(1)))
+            .collect { case (dir, s) if dirMatches(dir) => s }
+        } else None
       catch { case _: java.io.IOException => None }
     }.getOrElse(
       // loud-fail sentinel: an oracle dump without the query having run
-      // (this JVM or a prior local one) must FAIL the compare, not
-      // silently pass or emit a stale contract
-      s"SELECT '$key: query has not run' AS error")
+      // against THIS run's dir (this JVM or a prior local one) must
+      // FAIL the compare, not silently pass or emit a stale contract
+      s"SELECT '$key: query has not run for this sf dir' AS error")
+
+  // the trained-quantizer gates persist + reload through a temp dir to
+  // prove the production save/load loop; the artifacts are per-run
+  // scratch — delete after the load-back so bench/verify loops don't
+  // accumulate tmp litter
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete(): Unit
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- A. ETL core ----
@@ -716,7 +744,8 @@ object SparkEntry {
       Similarity.saveCentroids(s,
         Similarity.ivfCentroids(e, k = 16, iters = 5), trained)
       val cents = Similarity.loadCentroids(s, trained)
-      stashTrainedOracle("sim_ann_ivf",
+      deleteRecursively(new java.io.File(trained))
+      stashTrainedOracle("sim_ann_ivf", dir,
         Similarity.ivfTrainedDuckdbSql((0L until 10L), 5, cents))
       Similarity.ivfTopK(e, (0L until 10L), 5, centroids = Some(cents))
     }),
@@ -790,7 +819,8 @@ object SparkEntry {
         s"$trained/pq")
       val cents = Similarity.loadCentroids(s, s"$trained/ivf")
       val cbs = Similarity.loadPqCodebooks(s, s"$trained/pq")
-      stashTrainedOracle("emb_recall_ivfpq_trained",
+      deleteRecursively(new java.io.File(trained))
+      stashTrainedOracle("emb_recall_ivfpq_trained", dir,
         Similarity.recallIvfPqTrainedDuckdbSql(
         probeWhere = "vec_id % 50 = 0", corpusWhere = "vec_id % 50 <> 0",
         topK = 5, cents, cbs, nprobe = 8))

@@ -10,7 +10,8 @@ import graft.similarity.Similarity
   */
 object TrainedRecallProbe {
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val dir = args.filterNot(_.startsWith("--")).headOption
+      .getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder()
       .withExtensions(graft.functions.GraftFunctions.register)
       .master("local[8]")

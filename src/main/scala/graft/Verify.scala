@@ -6,6 +6,10 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // bind the trained-oracle stash to this run's dir: a side file left
+    // by a run against another corpus must yield the fail sentinel,
+    // not a stale contract
+    SparkEntry.noteRunDir(sfDir)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .withExtensions(graft.functions.GraftFunctions.register)

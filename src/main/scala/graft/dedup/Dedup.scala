@@ -347,7 +347,12 @@ object Dedup {
     if (!spark.catalog.functionExists("bloom_build") || nShards < 1) None
     else {
       val v = xxhash64(col("content_hash"))
-      val withShard = hashes
+      // a null content_hash (null-text doc) can never match the verify
+      // semi-join, and bloom_build itself ignores nulls — but a null
+      // SHARD key would surface here as a null groupBy row that NPEs
+      // the collect; drop it up front (the single-filter path's
+      // behavior, kept identical)
+      val withShard = hashes.filter(col("content_hash").isNotNull)
         .withColumn("__shard", pmod(v, lit(nShards.toLong)).cast("int"))
       val counts = withShard.groupBy(col("__shard")).count()
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap

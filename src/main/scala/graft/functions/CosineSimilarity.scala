@@ -161,7 +161,18 @@ object GraftFunctions {
   // codebook argument once at resolution time (the centroid_dists
   // discipline) — it never reaches the physical plan
   private def foldCodebooks(e: Expression): Array[Array[Array[Double]]] = {
-    val a = e.eval().asInstanceOf[ArrayData]
+    // guard before eval(): a non-foldable or null codebooks argument
+    // from user SQL must fail analysis with a message, not a raw
+    // ClassCastException/NPE out of the resolver
+    require(e.foldable,
+      "pq_codes/pq_dt: the codebooks argument must be a foldable " +
+        "array<array<array<double>>> literal")
+    val a = e.eval() match {
+      case ad: ArrayData => ad
+      case other => throw new IllegalArgumentException(
+        "pq_codes/pq_dt: the codebooks argument must be a non-null " +
+          s"array<array<array<double>>> literal, got $other")
+    }
     Array.tabulate(a.numElements()) { s =>
       val sa = a.getArray(s)
       Array.tabulate(sa.numElements()) { j =>

@@ -37,15 +37,21 @@ case class L2SqDistance(left: Expression, right: Expression)
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "l2_sq"
 
+  // a null ELEMENT poisons the whole sum to null in the composed
+  // zip_with/aggregate fallback — match it (library hot paths carry
+  // containsNull=false arrays, so the bit-check branch never fires
+  // there)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     val n = math.min(a.numElements(), b.numElements())
     var s = 0.0; var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
       s += d * d
       i += 1
@@ -61,6 +67,7 @@ case class L2SqDistance(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
          |  $s += $d * $d;
          |}
@@ -105,12 +112,16 @@ case class AdcDist(left: Expression, right: Expression)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "adc_dist"
 
+  // null codes elements and out-of-bounds codes both yield null, the
+  // composed element_at fold's behavior (library encode output is
+  // containsNull=false and in-range — these branches never fire there)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val dt = l.asInstanceOf[ArrayData]
     val codes = r.asInstanceOf[ArrayData]
     val n = math.min(dt.numElements(), codes.numElements())
     var s = 0.0; var i = 0
     while (i < n) {
+      if (dt.isNullAt(i) || codes.isNullAt(i)) return null
       val row = dt.getArray(i)
       val c = codes.getInt(i)
       if (c < 0 || c >= row.numElements()) return null
@@ -129,6 +140,7 @@ case class AdcDist(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($dt.numElements(), $codes.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($dt.isNullAt($i) || $codes.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  org.apache.spark.sql.catalyst.util.ArrayData $row = $dt.getArray($i);
          |  int $c = $codes.getInt($i);
          |  if ($c < 0 || $c >= $row.numElements()) { ${ev.isNull} = true; break; }

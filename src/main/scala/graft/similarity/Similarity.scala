@@ -13,6 +13,22 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** THE double-literal spelling of every trained/seeded-literal
+    * contract in this file: `cast('<Double.toString>' as double)` is the
+    * one rendering both Spark and DuckDB parse back to the bit-identical
+    * double (correctly-rounded string→double on both engines). All
+    * centroid/codebook literal builders MUST go through this — a second
+    * spelling (e.g. raw digits, or special-casing NaN/Infinity) would
+    * silently desynchronize the engines' quantizers.
+    */
+  private def dLit(x: Double): String = s"cast('$x' as double)"
+  /** DuckDB list literal of doubles through [[dLit]]. */
+  private def duckVecLit(xs: Array[Double]): String =
+    xs.map(dLit).mkString("[", ",", "]")
+  /** Spark `array(...)` literal of doubles through [[dLit]]. */
+  private def sparkVecLit(xs: Array[Double]): String =
+    xs.map(dLit).mkString("array(", ",", ")")
+
   /** Cosine similarity between two array<float> columns, computed in
     * double precision in index order (matches DuckDB's list_dot_product
     * accumulation to the ulp for 64-dim vectors). Uses the native fused
@@ -683,8 +699,7 @@ object Similarity {
     require(cents.forall(_.length == dim),
       s"ivfTrainedDuckdbSql: centroids must be dim=$dim")
     val centVals = cents.zipWithIndex.map { case (cv, i) =>
-      val v = cv.map(x => s"cast('$x' as double)").mkString("[", ",", "]")
-      s"($i, $v)"
+      s"($i, ${duckVecLit(cv)})"
     }.mkString(",\n    ")
     ivfDuckdbCore(probeIds, topK, nprobe, dim, table, idCol, vecCol,
       centSql = s"SELECT * FROM (VALUES\n    $centVals) t(cluster, cv)")
@@ -751,9 +766,7 @@ object Similarity {
                                cents: Array[Array[Double]]): Column =
     if (df.sparkSession.catalog.functionExists("centroid_dists")) {
       // Double.toString round-trips exactly through cast(varchar as double)
-      val lit2d = cents
-        .map(_.map(x => s"cast('$x' as double)").mkString("array(", ",", ")"))
-        .mkString("array(", ",", ")")
+      val lit2d = cents.map(sparkVecLit).mkString("array(", ",", ")")
       expr(s"centroid_dists($vecCol, $lit2d)")
     } else array(cents.toIndexedSeq.map(c => l2Sq(vecCol, c)): _*)
 
@@ -1073,9 +1086,7 @@ object Similarity {
     * reaches the physical plan).
     */
   private def codebooksLit(cbs: Array[Array[Array[Double]]]): String =
-    cbs.map(_.map(_.map(x => s"cast('$x' as double)")
-        .mkString("array(", ",", ")"))
-      .mkString("array(", ",", ")"))
+    cbs.map(_.map(sparkVecLit).mkString("array(", ",", ")"))
       .mkString("array(", ",", ")")
 
   /** DuckDB oracle for [[pqEncode]] with SEEDED codebooks: codebook j of
@@ -1335,6 +1346,13 @@ object Similarity {
       ivfCentroids(corpus, kc, iters = 0, dim, idCol, vecCol))
     val cbs = codebooks.getOrElse(
       pqCodebooks(corpus, m, k, iters = 0, dim, idCol, vecCol))
+    // same fail-fast contract as pqSearch: a codebook trained at a
+    // different m would silently read wrong vector ranges (and the
+    // fused/composed paths would disagree on HOW wrongly)
+    require(cbs.length == m && cbs.forall(_.forall(_.length == sub)),
+      s"ivfPqSearch: codebook shape must be [m=$m][k][dim/m=$sub]")
+    require(cents.forall(_.length == dim),
+      s"ivfPqSearch: centroids must be dim=$dim")
     val codes = corpus
       .withColumn("__cd", centroidDistsCol(corpus, vecCol, cents))
       .select(col(idCol).as("cand_id"),
@@ -1404,8 +1422,7 @@ object Similarity {
       s"ivfPqTrainedDuckdbSql: m=$m × sub=$sub must equal dim=$dim")
     require(cents.forall(_.length == dim),
       s"ivfPqTrainedDuckdbSql: centroids must be dim=$dim")
-    def vec(xs: Array[Double]): String =
-      xs.map(x => s"cast('$x' as double)").mkString("[", ",", "]")
+    def vec(xs: Array[Double]): String = duckVecLit(xs)
     val centVals = cents.zipWithIndex
       .map { case (cv, i) => s"($i, ${vec(cv)})" }.mkString(",\n    ")
     // codeword j across subspaces, concatenated to one full-dim row

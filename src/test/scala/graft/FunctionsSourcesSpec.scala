@@ -104,6 +104,30 @@ class FunctionsSourcesSpec extends SparkSpec {
     assert(oob.select(expr("adc_dist(dt, codes)")).collect().head.isNullAt(0))
   }
 
+  test("l2_sq and adc_dist null ELEMENTS poison to null like the composed folds") {
+    // composed zip_with/aggregate: any null element → null total
+    val nf = Seq((Array[java.lang.Float](1.0f, null), Array[java.lang.Float](0.0f, 2.0f)))
+      .toDF("a", "b")
+    val l2 = nf.select(
+      expr("l2_sq(a, b)").as("native"),
+      expr("""aggregate(
+           zip_with(a, b,
+             (x, y) -> (cast(x as double) - cast(y as double))
+                     * (cast(x as double) - cast(y as double))),
+           cast(0.0 as double), (acc, v) -> acc + v)""").as("composed"))
+      .collect().head
+    assert(l2.isNullAt(0) && l2.isNullAt(1))
+    val nc = Seq((Array(Array(0.25, 0.5), Array(2.0, 4.0)),
+      Array[Integer](1, null))).toDF("dt", "codes")
+    val ad = nc.select(
+      expr("adc_dist(dt, codes)").as("native"),
+      expr("""aggregate(
+           zip_with(dt, codes, (t, c) -> element_at(t, cast(c + 1 as int))),
+           cast(0.0 as double), (acc, v) -> acc + v)""").as("composed"))
+      .collect().head
+    assert(ad.isNullAt(0) && ad.isNullAt(1))
+  }
+
   test("fused pq_codes/pq_dt equal the composed slice chain bitwise") {
     // m=4 subspaces x k=3 codewords x sub=2 dims over 8-dim vectors;
     // codeword values chosen so ties exercise the first-minimum rule

@@ -627,6 +627,23 @@ class TextDedupSpec extends SparkSpec {
     assert(sharded == single)
   }
 
+  test("sharded Bloom screen survives a null-text corpus doc (matches single path)") {
+    // md5(null) = null content_hash → null shard key; the sharded build
+    // must drop it (bloom_build itself ignores nulls) instead of NPEing
+    // on the null groupBy row, and flags must equal the single path's
+    val corpus = ((1 to 20).map(i => (i.toLong, s"corpus doc $i"))
+      :+ (99L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val incoming = Seq((100L, "corpus doc 7"), (101L, "brand new"),
+      (102L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val hashes = Dedup.corpusHashes(corpus)
+    val sharded = Dedup.exactScreenBloom(hashes, incoming, nShards = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val single = Dedup.exactScreenBloom(hashes, incoming)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(sharded == Map(100L -> 1, 101L -> 0, 102L -> 0))
+    assert(sharded == single)
+  }
+
   test("incrementalLoop: kept docs join the index, rejected docs never do") {
     val a = "alpha beta gamma delta epsilon zeta eta theta"
     val b = "one two three four five six seven eight nine"
