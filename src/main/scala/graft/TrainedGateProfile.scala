@@ -39,6 +39,9 @@ object TrainedGateProfile {
     runSearch("trained m=16 nprobe=4", 4, 16, Some(cents), Some(cbs16))
     runSearch("trained m=8  nprobe=8", 8, 8, Some(cents), Some(cbs8))
     runSearch("trained m=16 nprobe=8", 8, 16, Some(cents), Some(cbs16))
+    val cbs32 = timed("pqCodebooks m=32") {
+      Similarity.pqCodebooks(corpus, m = 32, k = 16, iters = 5) }
+    runSearch("trained m=32 nprobe=8", 8, 32, Some(cents), Some(cbs32))
     spark.stop()
   }
 }

@@ -366,6 +366,50 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("fused pq_codes/pq_dt equal the composed chain on random vectors and codebooks") {
+    // random (m, k, sub) shapes + random vectors INCLUDING ragged ones
+    // (shorter than m·sub — the slice clamp) — fused and composed must
+    // agree bitwise everywhere, codes and distance tables both
+    val cfgGen = for {
+      m <- Gen.oneOf(1, 2, 4, 8)
+      k <- Gen.oneOf(2, 3, 5)
+      sub <- Gen.oneOf(1, 2, 3)
+      cb <- Gen.listOfN(m * k * sub, Gen.chooseNum(-4.0, 4.0))
+      nVec <- Gen.chooseNum(1, 6)
+      vecLens <- Gen.listOfN(nVec, Gen.chooseNum(0, m * sub + 2))
+      vals <- Gen.listOfN(vecLens.sum max 1, Gen.chooseNum(-8.0, 8.0))
+    } yield (m, k, sub, cb, vecLens, vals)
+    forAll(cfgGen, n = 8) { case (m, k, sub, cbFlat, vecLens, vals) =>
+      val cbs = Array.tabulate(m, k, sub)((s, j, t) =>
+        cbFlat(s * k * sub + j * sub + t))
+      val lit3d = cbs.map(_.map(_.map(x => s"cast('$x' as double)")
+          .mkString("array(", ",", ")")).mkString("array(", ",", ")"))
+        .mkString("array(", ",", ")")
+      var off = 0
+      val vecs = vecLens.map { len =>
+        val v = vals.slice(off, off + len).map(_.toFloat).toArray
+        off += len; v
+      }
+      val df = vecs.toDF("v")
+      def composed(s: Int) = {
+        val cw = cbs(s).map(_.map(x => s"cast('$x' as double)")
+          .mkString("array(", ",", ")")).mkString("array(", ",", ")")
+        s"centroid_dists(slice(v, ${s * sub + 1}, $sub), $cw)"
+      }
+      val codesComposed = (0 until m)
+        .map(s => s"cast(array_position(${composed(s)}, array_min(${composed(s)})) - 1 as int)")
+        .mkString("array(", ",", ")")
+      val dtComposed = (0 until m).map(composed).mkString("array(", ",", ")")
+      df.select(
+          expr(s"pq_codes(v, $lit3d)").as("nc"), expr(codesComposed).as("cc"),
+          expr(s"pq_dt(v, $lit3d)").as("nd"), expr(dtComposed).as("cd"))
+        .collect().foreach { r =>
+          assert(r.getSeq[Int](0) == r.getSeq[Int](1))
+          assert(r.getSeq[Seq[Double]](2) == r.getSeq[Seq[Double]](3))
+        }
+    }
+  }
+
   test("jaccard output is bounded, ordered, and self-consistent") {
     forAll(textGen) { docs =>
       whenever(docs.size > 1) {
