@@ -101,7 +101,10 @@ object SparkEntry {
   // scratch — delete after the load-back so bench/verify loops don't
   // accumulate tmp litter
   private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    // listFiles() returns null (not empty) on an I/O or permission
+    // failure — best-effort scratch cleanup must not NPE the query run
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
     f.delete(): Unit
   }
 

@@ -25,7 +25,9 @@ object Verify {
     // that fails this run must not leave a stale parquet dir behind for
     // the driver to compare as if it were fresh.
     def deleteRecursively(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+      // null (not empty) on I/O/permission failure — don't NPE the run
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
       f.delete(): Unit
     }
     // Optional comma-separated filter for iterating on single gates

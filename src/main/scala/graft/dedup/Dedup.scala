@@ -369,6 +369,48 @@ object Dedup {
     }
   }
 
+  /** Per-row probe of a sharded filter set: the native
+    * `bloom_contains_sharded` when registered — ONE expression node
+    * holding the whole shard array as a reference object
+    * (functions/BloomSharded.scala; the PqCodes discipline), O(1)
+    * dispatch per row and O(1) PLAN size in nShards (the bytes ride the
+    * task binary once, never as per-shard literals) — else the composed
+    * when-chain fallback. Flag-equal under a filter (spec-asserted
+    * bitwise on non-null probes; a null probe is null vs false — both
+    * drop in the filter).
+    */
+  def shardedBloomProbe(spark: org.apache.spark.sql.SparkSession,
+                        filters: Array[Array[Byte]],
+                        probeVal: Column): Column =
+    if (spark.catalog.functionExists("bloom_contains_sharded"))
+      call_function("bloom_contains_sharded",
+        typedlit(filters.toSeq), probeVal)
+    else shardedBloomProbeWhenChain(filters, probeVal)
+
+  /** The composed fallback (the form the r8 gate ran): Spark's
+    * `BloomFilterMightContain` requires a CONSTANT filter argument, so
+    * without the native the dispatch is a when-chain over the nShards
+    * constant filters — per row a walk of integer compares + exactly
+    * one Bloom probe (still map-side), but the plan carries every
+    * shard's ≤8 MB bytes as a separate literal and the walk is
+    * O(nShards): fine at tens of shards, not at the production
+    * ⌈n/5e7⌉ hundreds. Kept for extension-free sessions and as the
+    * native's spec equality baseline. An empty (null-filter) shard
+    * means definite-new.
+    */
+  def shardedBloomProbeWhenChain(filters: Array[Array[Byte]],
+                                 probeVal: Column): Column = {
+    val shard = pmod(probeVal, lit(filters.length.toLong)).cast("int")
+    val populated = filters.zipWithIndex.filter(_._1 != null)
+    if (populated.isEmpty) lit(false)
+    else populated.tail.foldLeft(
+      when(shard === populated.head._2,
+        call_function("bloom_contains", lit(populated.head._1), probeVal))) {
+      case (acc, (bytes, s)) => acc.when(shard === s,
+        call_function("bloom_contains", lit(bytes), probeVal))
+    }.otherwise(lit(false))
+  }
+
   /** Core Bloom build over an arbitrary LONG value column — one sizing
     * rule (optimal bits at `fpp`, 64 Mbit cap, 64-bit floor) for every
     * Bloom user (the content-hash screen above, the streaming
@@ -401,9 +443,11 @@ object Dedup {
     * exactness. `numBits` is a test hook (a saturated tiny filter forces
     * false positives); production uses the fpp-derived size. `nShards`
     * > 1 takes the [[buildBloomSharded]] past-the-cap path: each row
-    * probes ONLY its own hash-prefix shard's filter (one element_at on
-    * the broadcast shard array + one bloom_contains — still map-side,
-    * still O(1) per row), with an empty shard meaning definite-new.
+    * probes ONLY its own hash-prefix shard's filter via
+    * [[shardedBloomProbe]] (native `bloom_contains_sharded`: one
+    * reference-object node, O(1) dispatch and O(1) plan size in
+    * nShards — still map-side), with an empty shard meaning
+    * definite-new.
     */
   def exactScreenBloom(hashesIn: DataFrame, incoming: DataFrame,
                        idCol: String = "doc_id", textCol: String = "text",
@@ -420,24 +464,8 @@ object Dedup {
     val screened: Option[DataFrame] =
       if (nShards > 1)
         buildBloomSharded(hashes, nShards, fpp, numBits).map { filters =>
-          // BloomFilterMightContain requires a CONSTANT filter argument
-          // (no per-row element_at into the shard array), so the shard
-          // dispatch is a when-chain over the nShards constant filters:
-          // per row, a walk of integer compares to its shard + exactly
-          // ONE Bloom probe — still map-side, still O(1). An empty
-          // (null-filter) shard means definite-new.
-          val shard = pmod(probeVal, lit(nShards.toLong)).cast("int")
-          val populated = filters.zipWithIndex.filter(_._1 != null)
-          val dispatch =
-            if (populated.isEmpty) lit(false)
-            else populated.tail.foldLeft(
-              when(shard === populated.head._2,
-                call_function("bloom_contains", lit(populated.head._1),
-                  probeVal))) {
-              case (acc, (bytes, s)) => acc.when(shard === s,
-                call_function("bloom_contains", lit(bytes), probeVal))
-            }.otherwise(lit(false))
-          hashed.filter(dispatch)
+          hashed.filter(
+            shardedBloomProbe(hashesIn.sparkSession, filters, probeVal))
         }
       else
         buildBloom(hashes, fpp, numBits).map { bytes =>

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, FloatType}
 // (ArrayData is also used by the centroid_dists descriptor below)
 
 /** Native cosine similarity over two `array<float>` columns.
@@ -161,25 +161,48 @@ object GraftFunctions {
   // codebook argument once at resolution time (the centroid_dists
   // discipline) — it never reaches the physical plan
   private def foldCodebooks(e: Expression): Array[Array[Array[Double]]] = {
-    // guard before eval(): a non-foldable or null codebooks argument
-    // from user SQL must fail analysis with a message, not a raw
-    // ClassCastException/NPE out of the resolver
+    // guard before eval(): a non-foldable, null, or wrongly-typed
+    // codebooks argument from user SQL must fail analysis with a
+    // message, not a raw ClassCastException/NPE out of the resolver —
+    // the element-type check matters because a foldable array of the
+    // wrong leaf type (array(array(array(1)))) would otherwise pass the
+    // foldability gate and CCE inside getDouble below
     require(e.foldable,
       "pq_codes/pq_dt: the codebooks argument must be a foldable " +
         "array<array<array<double>>> literal")
+    e.dataType match {
+      case ArrayType(ArrayType(ArrayType(DoubleType, _), _), _) => ()
+      case other => throw new IllegalArgumentException(
+        "pq_codes/pq_dt: the codebooks argument must be an " +
+          s"array<array<array<double>>> literal, got ${other.simpleString}")
+    }
     val a = e.eval() match {
       case ad: ArrayData => ad
       case other => throw new IllegalArgumentException(
         "pq_codes/pq_dt: the codebooks argument must be a non-null " +
           s"array<array<array<double>>> literal, got $other")
     }
-    Array.tabulate(a.numElements()) { s =>
+    val cbs = Array.tabulate(a.numElements()) { s =>
       val sa = a.getArray(s)
       Array.tabulate(sa.numElements()) { j =>
         val ja = sa.getArray(j)
         Array.tabulate(ja.numElements())(t => ja.getDouble(t))
       }
     }
+    // shape guard: eval/codegen index cb(s)(0).length unconditionally
+    // and read codeword t up to that length — an empty subspace or
+    // ragged codeword lengths WITHIN a subspace would throw a raw
+    // ArrayIndexOutOfBoundsException mid-scan; fail at resolution with
+    // the contract spelled out instead
+    cbs.zipWithIndex.foreach { case (cb, s) =>
+      require(cb.nonEmpty,
+        s"pq_codes/pq_dt: codebook subspace $s has no codewords")
+      require(cb.forall(_.length == cb(0).length),
+        s"pq_codes/pq_dt: codebook subspace $s has ragged codeword " +
+          s"lengths (${cb.map(_.length).distinct.sorted.mkString(",")}) — " +
+          "every codeword in a subspace must share one sub-dimension")
+    }
+    cbs
   }
 
   val pqCodesDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
@@ -202,6 +225,37 @@ object GraftFunctions {
     new ExpressionInfo(classOf[AdcDist].getName, "adc_dist"),
     (exprs: Seq[Expression]) => AdcDist(exprs.head, exprs(1)))
 
+  // the sharded screen's descriptor folds its foldable array<binary>
+  // filters argument into ONE reference object at resolution time (the
+  // foldCodebooks discipline) — the filter bytes never appear in the
+  // physical plan as literals, and the probe is O(1) in nShards
+  private def foldShardFilters(e: Expression): ShardedBloomFilters = {
+    require(e.foldable,
+      "bloom_contains_sharded: the filters argument must be a foldable " +
+        "array<binary> literal")
+    e.dataType match {
+      case ArrayType(BinaryType, _) => ()
+      case other => throw new IllegalArgumentException(
+        "bloom_contains_sharded: the filters argument must be an " +
+          s"array<binary> literal, got ${other.simpleString}")
+    }
+    val a = e.eval() match {
+      case ad: ArrayData => ad
+      case other => throw new IllegalArgumentException(
+        "bloom_contains_sharded: the filters argument must be a " +
+          s"non-null array<binary> literal, got $other")
+    }
+    new ShardedBloomFilters(Array.tabulate(a.numElements())(i =>
+      if (a.isNullAt(i)) null else a.getBinary(i))).validated()
+  }
+
+  val bloomContainsShardedDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bloom_contains_sharded"),
+    new ExpressionInfo(classOf[BloomContainsSharded].getName,
+      "bloom_contains_sharded"),
+    (exprs: Seq[Expression]) =>
+      BloomContainsSharded(exprs(1), foldShardFilters(exprs(0))))
+
   val bloomContainsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("bloom_contains"),
     new ExpressionInfo(
@@ -222,6 +276,7 @@ object GraftFunctions {
     ext.injectFunction(misraGriesDescriptor)
     ext.injectFunction(bloomBuildDescriptor)
     ext.injectFunction(bloomContainsDescriptor)
+    ext.injectFunction(bloomContainsShardedDescriptor)
     ext.injectFunction(l2SqDescriptor)
     ext.injectFunction(adcDistDescriptor)
     ext.injectFunction(pqCodesDescriptor)

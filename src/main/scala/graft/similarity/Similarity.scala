@@ -335,8 +335,12 @@ object Similarity {
     * native `l2_sq` when registered (one codegen'd loop per pair, zero
     * allocation — on a |probes|×|corpus| cross join the interpreted
     * lambda cost IS the query), else the builtin zip_with/aggregate
-    * fold. Same values bit-for-bit: both accumulate (x−y)² in index
-    * order from 0.0 in doubles (spec-asserted).
+    * fold. Same values bit-for-bit UNDER THE EQUAL-LENGTH CONTRACT
+    * every caller here satisfies (both accumulate (x−y)² in index order
+    * from 0.0 in doubles, spec-asserted); on unequal lengths the forms
+    * deliberately diverge — zip_with null-pads (total = NULL) while the
+    * native sums to the shorter length (PairDistances.scala documents
+    * the scoping).
     */
   private def pairL2Col(spark: SparkSession, a: String, b: String): Column =
     if (spark.catalog.functionExists("l2_sq")) expr(s"l2_sq($a, $b)")
@@ -351,8 +355,12 @@ object Similarity {
     * distance-table column and a candidate's codes column: the fused
     * native `adc_dist` when registered, else the builtin
     * zip_with/element_at/aggregate fold — identical left fold from 0.0
-    * in subspace order (spec-asserted), the scan-side inner loop of the
-    * PQ/IVFPQ candidate scans.
+    * in subspace order (spec-asserted) for the in-contract inputs the
+    * PQ encoders produce (equal lengths, codes in [0, k)); out of
+    * contract the forms diverge (negative code: element_at(t, 0) errors
+    * where the native yields null; length mismatch: null-pad vs
+    * shorter-length sum) — see PairDistances.scala for the scoping.
+    * The scan-side inner loop of the PQ/IVFPQ candidate scans.
     */
   private def adcDistCol(spark: SparkSession, dtCol: String,
                          codesCol: String): Column =

@@ -644,6 +644,94 @@ class TextDedupSpec extends SparkSpec {
     assert(sharded == single)
   }
 
+  test("bloom_contains_sharded native == when-chain bitwise at nShards=16, one plan node, zero filter literals") {
+    val corpus = (1 to 200).map(i => (i.toLong, s"sharded native corpus doc $i"))
+      .toDF("doc_id", "text")
+    val filters = Dedup.buildBloomSharded(Dedup.corpusHashes(corpus),
+      nShards = 16).get
+    assert(filters.length == 16)
+    // probe domain: all members + fresh values — both flag classes
+    val probes = ((1 to 200).map(i => s"sharded native corpus doc $i")
+      ++ (1 to 300).map(i => s"fresh probe text $i"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val pv = xxhash64(md5(col("text")))
+    val native = Dedup.shardedBloomProbe(spark, filters, pv)
+    val chain = Dedup.shardedBloomProbeWhenChain(filters, pv)
+    assert(spark.catalog.functionExists("bloom_contains_sharded"),
+      "spec session must exercise the NATIVE path")
+    val rows = probes.select(col("doc_id"), native.as("n"), chain.as("c"))
+      .collect()
+    assert(rows.forall(r => r.getBoolean(1) == r.getBoolean(2)),
+      "native and when-chain flags must be bitwise equal per row")
+    val hits = rows.count(_.getBoolean(1))
+    assert(hits >= 200, s"all 200 members must flag (got $hits)")
+    assert(hits < rows.length, "fresh probes must include definite-new rows")
+
+    // plan shape: ONE reference-object node, no CASE WHEN dispatch, no
+    // per-shard binary literals — the O(1)-plan-size contract. Probe
+    // over range() (a LocalRelation would be folded away by
+    // ConvertToLocalRelation, erasing the Filter).
+    import org.apache.spark.sql.catalyst.expressions.{CaseWhen, Literal}
+    import org.apache.spark.sql.types.BinaryType
+    val rangeVal = xxhash64(col("id"))
+    val nativePlan = spark.range(1000)
+      .filter(Dedup.shardedBloomProbe(spark, filters, rangeVal))
+      .queryExecution.optimizedPlan
+    val nativeNodes = nativePlan.flatMap(_.expressions).flatMap(_.collect {
+      case b: graft.functions.BloomContainsSharded => b })
+    assert(nativeNodes.size == 1, s"expected 1 native node, got $nativeNodes")
+    assert(nativePlan.flatMap(_.expressions).flatMap(_.collect {
+      case c: CaseWhen => c }).isEmpty, "native dispatch must not be a when-chain")
+    assert(nativePlan.flatMap(_.expressions).flatMap(_.collect {
+      case l @ Literal(v, BinaryType) if v != null => l }).isEmpty,
+      "no shard filter bytes may appear as plan literals")
+    // ...while the when-chain form carries one binary literal PER
+    // populated shard (the plan-size growth the native removes)
+    val chainPlan = spark.range(1000)
+      .filter(Dedup.shardedBloomProbeWhenChain(filters, rangeVal))
+      .queryExecution.optimizedPlan
+    val chainLits = chainPlan.flatMap(_.expressions).flatMap(_.collect {
+      case l @ Literal(v, BinaryType) if v != null => l })
+    assert(chainLits.size == filters.count(_ != null))
+  }
+
+  test("bloom_contains_sharded: empty shards are definite-new; null probe matches bloom_contains' null") {
+    // 6 docs over 64 shards: most shards EMPTY — values routing there
+    // must come back false without probing anything
+    val corpus = (1 to 6).map(i => (i.toLong, s"tiny corpus member $i"))
+      .toDF("doc_id", "text")
+    val filters = Dedup.buildBloomSharded(Dedup.corpusHashes(corpus),
+      nShards = 64).get
+    assert(filters.count(_ == null) > 40, "most of 64 shards must be empty")
+    val probes = ((1 to 6).map(i => s"tiny corpus member $i")
+      ++ (1 to 500).map(i => s"empty shard probe $i"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val pv = xxhash64(md5(col("text")))
+    val rows = probes.select(
+      Dedup.shardedBloomProbe(spark, filters, pv).as("n"),
+      Dedup.shardedBloomProbeWhenChain(filters, pv).as("c"),
+      pmod(pv, lit(64L)).cast("int").as("s")).collect()
+    assert(rows.forall(r => r.getBoolean(0) == r.getBoolean(1)))
+    val emptyShards = filters.zipWithIndex.collect {
+      case (null, i) => i }.toSet
+    val routedEmpty = rows.filter(r => emptyShards.contains(r.getInt(2)))
+    assert(routedEmpty.nonEmpty, "some probes must route to empty shards")
+    assert(routedEmpty.forall(!_.getBoolean(0)),
+      "an empty shard is definite-new (false), never a probe hit")
+
+    // null probe value: the native follows bloom_contains (null → null);
+    // the legacy chain yields false via its otherwise — identical under
+    // a filter (both drop), spec'd here so the divergence is deliberate
+    val nulls = Seq(Tuple1(Option.empty[Long])).toDF("v")
+    val nr = nulls.select(
+      call_function("bloom_contains_sharded",
+        typedlit(filters.toSeq), col("v")).as("n"),
+      Dedup.shardedBloomProbeWhenChain(filters, col("v")).as("c"))
+      .collect().head
+    assert(nr.isNullAt(0), "native: null probe → null (bloom_contains semantics)")
+    assert(!nr.getBoolean(1), "when-chain: null probe → false (otherwise)")
+  }
+
   test("incrementalLoop: kept docs join the index, rejected docs never do") {
     val a = "alpha beta gamma delta epsilon zeta eta theta"
     val b = "one two three four five six seven eight nine"
