@@ -362,15 +362,17 @@ object SparkEntry {
         "period")
     },
 
-    // the workbook SHEET view: the long report pivoted wide (one column
-    // per stat) — the presentation layer of the reference's xlsx
-    // workbook as a real gated operator
+    // the workbook SHEET view: one column per stat — built directly
+    // from the pipeline's family frames (workbookSheets; the r9
+    // collapse of the long→wide explode+pivot round trip, value-equal
+    // to workbookPivot(report(...)) by spec) — the presentation layer
+    // of the reference's xlsx workbook as a real gated operator
     "qa_workbook_pivot" -> { (s, dir) =>
       val e = Tables(s, dir, "events")
         .withColumn("period", date_trunc("day", col("ts")).cast("date").cast("string"))
-      Qa.workbookPivot(
-        Qa.report(Qa.runPipeline(e, "period", Seq("event_type", "value", "props")),
-          "period"))
+      Qa.workbookSheets(
+        Qa.runPipeline(e, "period", Seq("event_type", "value", "props")),
+        "period")
     },
 
     // per-source freshness/latency SLA: last event vs a pinned as-of

@@ -389,6 +389,35 @@ object Qa {
       .pivot("stat", workbookStats)
       .agg(max(col("val_num")))
 
+  /** The workbook sheet view built DIRECTLY from the pipeline's family
+    * frames — value-identical to `workbookPivot(report(pipeline))`
+    * (spec-asserted) with the long→wide round trip collapsed: the long
+    * report EXPLODES each family frame into (stat, val) rows only for
+    * the pivot to groupBy them straight back, and since every family
+    * frame already holds exactly one row per (family, period, varname,
+    * value) key with its stats as columns, the sheet is just each frame
+    * projected onto the full stat vocabulary (null where a stat isn't
+    * the family's) and unioned — no explode, no pivot exchange, no
+    * conditional-max pass. This is the gate's form; [[workbookPivot]]
+    * stays for pivoting an arbitrary already-long report.
+    */
+  def workbookSheets(pipeline: Map[String, DataFrame],
+                     timeVar: String): DataFrame = {
+    val frames = reportStats.flatMap { case (family, numStats, _, hasValue) =>
+      pipeline.get(family).map { df =>
+        df.select(Seq(lit(family).as("family"),
+          col(timeVar).cast("string").as("period"),
+          col("varname"),
+          (if (hasValue) col("value") else lit(null).cast("string"))
+            .as("value")) ++
+          workbookStats.map(st =>
+            (if (numStats.contains(st)) col(st).cast("double")
+             else lit(null).cast("double")).as(st)): _*)
+      }
+    }
+    frames.reduce(_.unionByName(_))
+  }
+
   /** DuckDB oracle for [[workbookPivot]] over a long-report subquery:
     * the same reshape as ANSI conditional aggregation.
     */

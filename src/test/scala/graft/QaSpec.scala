@@ -327,4 +327,22 @@ class QaSpec extends SparkSpec {
     val cat = out.filter(col("family") === "vals_categorical").collect().head
     assert(cat.getAs[String]("value") == "x" && cat.getAs[Double]("n") == 7.0)
   }
+
+  test("workbookSheets == workbookPivot(report(...)) on the gate's pipeline (collapse is value-exact)") {
+    // the r9 collapse: the direct wide union must reproduce the
+    // explode-then-pivot result row for row on real data covering every
+    // family (categorical + numeric + missing + changes)
+    val e = Tables(spark, sfDir, "events")
+      .withColumn("period",
+        date_trunc("day", col("ts")).cast("date").cast("string"))
+    val pipeline = Qa.runPipeline(e, "period",
+      Seq("event_type", "value", "props"))
+    val direct = Qa.workbookSheets(pipeline, "period")
+    val pivoted = Qa.workbookPivot(Qa.report(pipeline, "period"))
+    assert(direct.columns.toSeq == pivoted.columns.toSeq)
+    assert(direct.count() == pivoted.count())
+    assert(direct.exceptAll(pivoted).isEmpty &&
+      pivoted.exceptAll(direct).isEmpty,
+      "direct sheets and pivoted report must be multiset-identical")
+  }
 }
