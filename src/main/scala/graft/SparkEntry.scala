@@ -108,6 +108,35 @@ object SparkEntry {
     f.delete(): Unit
   }
 
+  // The trained-IVFPQ recall gate body, shared by the m=16 and m=32
+  // entries: train on the corpus carve (deterministic bounded-sample
+  // driver Lloyd), persist + RELOAD through the save/load loop (the
+  // production train-once/load-per-job shape; parquet doubles are
+  // exact), stash THIS run's trained-literal oracle under the gate's
+  // key, score with the reloaded quantizers.
+  private def trainedRecallGate(s: SparkSession, dir: String,
+                                key: String, m: Int): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val probes = e.filter(col("vec_id") % 50 === 0)
+    val corpus = e.filter(col("vec_id") % 50 =!= 0)
+    val trained = java.nio.file.Files
+      .createTempDirectory(s"graft_$key").toString
+    Similarity.saveCentroids(s,
+      Similarity.ivfCentroids(corpus, k = 16, iters = 5), s"$trained/ivf")
+    Similarity.savePqCodebooks(s,
+      Similarity.pqCodebooks(corpus, m = m, k = 16, iters = 5),
+      s"$trained/pq")
+    val cents = Similarity.loadCentroids(s, s"$trained/ivf")
+    val cbs = Similarity.loadPqCodebooks(s, s"$trained/pq")
+    deleteRecursively(new java.io.File(trained))
+    stashTrainedOracle(key, dir,
+      Similarity.recallIvfPqTrainedDuckdbSql(
+        probeWhere = "vec_id % 50 = 0", corpusWhere = "vec_id % 50 <> 0",
+        topK = 5, cents, cbs, nprobe = 8))
+    Similarity.recallIvfPq(probes, corpus, topK = 5, nprobe = 8, m = m,
+      centroids = Some(cents), codebooks = Some(cbs))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- A. ETL core ----
     "etl_load_select" -> ((s, dir) =>
@@ -811,27 +840,16 @@ object SparkEntry {
     // corpus: training is what makes them WORK — untrained at the same
     // dials is 0.20 (extra nprobe on a garbage coarse quantizer even
     // HURTS: untrained m=8/nprobe=8 = 0.14), trained is 0.42 at sf0.01
-    "emb_recall_ivfpq_trained" -> ((s, dir) => {
-      val e = Tables(s, dir, "embeddings")
-      val probes = e.filter(col("vec_id") % 50 === 0)
-      val corpus = e.filter(col("vec_id") % 50 =!= 0)
-      val trained = java.nio.file.Files
-        .createTempDirectory("graft_trained_ivfpq").toString
-      Similarity.saveCentroids(s,
-        Similarity.ivfCentroids(corpus, k = 16, iters = 5), s"$trained/ivf")
-      Similarity.savePqCodebooks(s,
-        Similarity.pqCodebooks(corpus, m = 16, k = 16, iters = 5),
-        s"$trained/pq")
-      val cents = Similarity.loadCentroids(s, s"$trained/ivf")
-      val cbs = Similarity.loadPqCodebooks(s, s"$trained/pq")
-      deleteRecursively(new java.io.File(trained))
-      stashTrainedOracle("emb_recall_ivfpq_trained", dir,
-        Similarity.recallIvfPqTrainedDuckdbSql(
-        probeWhere = "vec_id % 50 = 0", corpusWhere = "vec_id % 50 <> 0",
-        topK = 5, cents, cbs, nprobe = 8))
-      Similarity.recallIvfPq(probes, corpus, topK = 5, nprobe = 8, m = 16,
-        centroids = Some(cents), codebooks = Some(cbs))
-    }),
+    "emb_recall_ivfpq_trained" -> ((s, dir) =>
+      trainedRecallGate(s, dir, "emb_recall_ivfpq_trained", m = 16)),
+    // the SAME trained loop at m=32 (2-dim subspaces, 32 B/vector) —
+    // the dial the recall sweep says a deployment actually ships with:
+    // +0.15-0.24 recall@5 over m=16 at identical (kc=16, nprobe=8) at
+    // every SF (0.56 vs 0.32 sf0.001, 0.60 vs 0.42 sf0.01, 0.45 vs
+    // 0.295 sf0.1) — affordable as a gate only because the fused
+    // pq_codes/pq_dt natives made m cost-flat (the r8 JIT-cliff fix)
+    "emb_recall_ivfpq_trained_m32" -> ((s, dir) =>
+      trainedRecallGate(s, dir, "emb_recall_ivfpq_trained_m32", m = 32)),
     // PQ encode with the seeded codebook contract (same cross-engine
     // discipline as sim_ann_ivf_seeded; trained codebooks are driver
     // state behind the same save/load loop)
@@ -2048,6 +2066,8 @@ object SparkEntry {
     // oracles after all queries — see trainedOracleSql)
     "emb_recall_ivfpq_trained" ->
       trainedOracleSql("emb_recall_ivfpq_trained"),
+    "emb_recall_ivfpq_trained_m32" ->
+      trainedOracleSql("emb_recall_ivfpq_trained_m32"),
     "sim_ann_ivf" -> trainedOracleSql("sim_ann_ivf"),
     "emb_pq_encode" -> Similarity.pqEncodeSeededDuckdbSql(),
     "emb_pq_distortion" -> Similarity.pqDistortionSeededDuckdbSql(),

@@ -23,6 +23,21 @@ object TrainedRecallProbe {
     val e = Tables(spark, dir, "embeddings")
     val probes = e.filter(col("vec_id") % 50 === 0)
     val corpus = e.filter(col("vec_id") % 50 =!= 0)
+    if (args.contains("--m32")) {
+      // the m dial at the GATE's coarse dials (kc=16, nprobe=8): the
+      // numbers the m=32 trained gate binds its spec to
+      val cents = Similarity.ivfCentroids(corpus, k = 16, iters = 5)
+      for (m <- Seq(16, 32)) {
+        val cbs = Similarity.pqCodebooks(corpus, m = m, k = 16, iters = 5)
+        val r = Similarity.recallIvfPq(probes, corpus, topK = 5,
+            nprobe = 8, m = m,
+            centroids = Some(cents), codebooks = Some(cbs))
+          .agg(avg(col("recall"))).collect()(0).getDouble(0)
+        println(f"PROBE gate-dials kc=16 nprobe=8 m=$m%2d recall@5=$r%.3f")
+      }
+      spark.stop()
+      return
+    }
     if (args.contains("--kc")) {
       // the "scale kc with n" dial, measured: absolute recall at FIXED
       // kc drops as the corpus grows (each coarse cell holds more

@@ -300,6 +300,18 @@ class SimilaritySpec extends SparkSpec {
     assert(trained >= untrained + 0.1,
       f"trained $trained%.2f vs untrained $untrained%.2f")
     assert(trained >= 0.3, f"trained recall $trained%.2f below bound")
+    // the m dial at the SAME (kc=16, nprobe=8): m=32 (2-dim subspaces)
+    // must clear m=16 decisively — the shipping dial the
+    // emb_recall_ivfpq_trained_m32 gate surfaces (measured 0.56 vs
+    // 0.32 sf0.001, 0.60 vs 0.42 sf0.01, 0.45 vs 0.295 sf0.1)
+    val cbs32 = Similarity.pqCodebooks(corpus, m = 32, k = 16, iters = 5)
+    val trained32 = meanRecall(
+      Similarity.recallIvfPq(probes, corpus, topK = 5, nprobe = 8, m = 32,
+        centroids = Some(cents), codebooks = Some(cbs32)))
+    info(f"recall@5 trained m=16 $trained%.2f m=32 $trained32%.2f")
+    assert(trained32 >= trained + 0.1,
+      f"m=32 $trained32%.2f must beat m=16 $trained%.2f by >= 0.1")
+    assert(trained32 >= 0.5, f"m=32 recall $trained32%.2f below bound")
   }
 
   test("groupCentroids: elementwise means per group, long format") {
