@@ -1,6 +1,30 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Fixed machine-state calibration: a data-independent, CPU-bound
+    * aggregation (xxhash64 over range) with no IO, no shuffle beyond
+    * the final 1-row agg, and no dependence on the SF under test. Its
+    * wall time moves with BOX HEALTH (CPU contention, thermal/clock
+    * state, JVM churn), not with library code — so a BENCH artifact
+    * whose suite numbers are inflated while calib sits at its clean
+    * value indicts the code, and one whose calib is inflated too
+    * indicts the machine (the r8 artifact's 2× batch inflation needed
+    * a judge re-run to attribute; this field carries that evidence in
+    * the artifact itself). Clean-box value on the 32-thread reference
+    * setup: ~0.22 s (min of 3, measured mid-suite pre and post).
+    */
+  def calibrate(spark: SparkSession, reps: Int = 3): Double = {
+    import org.apache.spark.sql.functions._
+    (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0, 1500000000L, 1, 32)
+        .select(max(xxhash64(col("id")))) // max, not sum: a 1.5e9-row
+        // long sum overflows under ANSI; max still forces every row
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -54,7 +78,10 @@ object Bench {
     // min discards one-off scheduler/GC hiccups (r2's driver run recorded
     // a single 6.6 s outlier for a query that measures 2.1-2.6 s cold).
     val reps = 2
-    val results = ordered.map { case (name, fn) =>
+    // machine-state sentinel BEFORE the suite (see [[calibrate]]): the
+    // artifact carries its own box-health evidence
+    val calibPre = calibrate(spark)
+    val allTimes = ordered.map { case (name, fn) =>
       System.gc()
       val times = (1 to reps).map { _ =>
         // each rep starts with an empty cache: timings measure the query,
@@ -69,9 +96,19 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      name -> times
     }
+    // ...and AFTER: churn that develops mid-suite (GC pressure, a
+    // co-tenant process) shows as calib_post >> calib_pre
+    val calibPost = calibrate(spark)
+    val results = allTimes.map { case (name, ts) => name -> ts.min }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // every rep per query, not just the min: round-over-round readers
+    // can see whether an inflated min came with an inflated spread
+    // (machine state) or a tight-but-slow pair (code)
+    val repsJson = allTimes.map { case (k, ts) =>
+      s"\"" + k + "\":" + ts.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // split the total so the artifact itself distinguishes batch query
@@ -79,7 +116,7 @@ object Bench {
     // per-micro-batch state commits, O(1) in data)
     val streaming = results.collect {
       case (k, v) if k.startsWith("stream_") => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"agg":"min","batch_sec":${total - streaming},"streaming_sec":$streaming}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"agg":"min","batch_sec":${total - streaming},"streaming_sec":$streaming,"calib_pre_sec":$calibPre,"calib_post_sec":$calibPost,"calib_clean_sec":0.22,"reps_sec":$repsJson}""")
     spark.stop()
   }
 }

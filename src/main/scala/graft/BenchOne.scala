@@ -22,6 +22,9 @@ object BenchOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the same machine-state sentinel as Bench: a BenchOne attribution
+    // is only as good as the box it ran on (clean ~0.22 s at 32 threads)
+    println(f"[benchone] calib                    ${Bench.calibrate(spark)}%.2f")
     // same JIT/codegen warmup as Bench
     names.foreach { n =>
       try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").write
