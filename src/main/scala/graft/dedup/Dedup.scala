@@ -528,6 +528,26 @@ object Dedup {
                       idCol: String = "doc_id", textCol: String = "text",
                       k: Int = 3, threshold: Double = 0.5,
                       digits: Int = 4): DataFrame = {
+    val corp = corpus.select(col(idCol), col(textCol))
+    val built = buildIndex(corp, idCol, textCol)
+    incrementalLoopFrom(corp,
+      DedupIndex(built.hashes.localCheckpoint(),
+        built.bands.localCheckpoint()),
+      batches, idCol, textCol, k, threshold, digits)
+  }
+
+  /** [[incrementalLoop]] starting from an ALREADY-BUILT (and
+    * materialized) index over `corpus` — the production shape, where
+    * the index is loaded from its store rather than rebuilt in-query.
+    * The initial index's resident blocks are released once its merged
+    * successor materializes (same discipline as every loop-internal
+    * version), so pass per-call checkpoints, not a shared cache.
+    */
+  def incrementalLoopFrom(corpus: DataFrame, index: DedupIndex,
+                          batches: Seq[(String, DataFrame)],
+                          idCol: String = "doc_id", textCol: String = "text",
+                          k: Int = 3, threshold: Double = 0.5,
+                          digits: Int = 4): DataFrame = {
     require(batches.nonEmpty, "incrementalLoop needs at least one batch")
     def cut(i: DedupIndex) =
       DedupIndex(i.hashes.localCheckpoint(), i.bands.localCheckpoint())
@@ -544,7 +564,7 @@ object Dedup {
       }
     }
     var corp = corpus.select(col(idCol), col(textCol))
-    var idx = cut(buildIndex(corp, idCol, textCol))
+    var idx = index
     val out = batches.map { case (tag, batch) =>
       val bands = MinHashSpec.bandedSignatures(batch, idCol, textCol)
         .localCheckpoint()

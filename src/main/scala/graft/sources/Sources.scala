@@ -191,4 +191,47 @@ object Sources {
     }
     fs.delete(old, true): Unit
   }
+
+  /** Compressed-corpus ingest: JSON-lines shards with an EXPLICIT
+    * schema — the interchange format crawl corpora actually arrive in
+    * (`*.jsonl`, `*.jsonl.gz`, `*.jsonl.zst`; one document object per
+    * line). Registers [[ZstdCodec]] so `.zst` decodes by extension
+    * exactly like the built-in `.gz`.
+    *
+    * Scale contract: the schema is REQUIRED — schema inference is a
+    * full extra pass over the corpus, unaffordable at ingest scale and
+    * nondeterministic across shards; PERMISSIVE mode + an explicit
+    * `_corrupt_record` column quarantines malformed lines instead of
+    * failing the load (the loadDelimited discipline). Neither gz nor
+    * zst is splittable, so parallelism = shard count: corpora must
+    * arrive as many bounded files (the standard crawl-dump layout),
+    * never one giant archive.
+    */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType,
+                quarantine: Boolean = false): DataFrame = {
+    ZstdCodec.register(spark.sparkContext.hadoopConfiguration)
+    val full =
+      if (quarantine)
+        schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
+      else schema
+    val r = spark.read.schema(full).option("mode", "PERMISSIVE")
+    val df = (if (quarantine)
+      r.option("columnNameOfCorruptRecord", "_corrupt_record") else r)
+      .json(path)
+    // same materialization rule as loadDelimited: queries touching only
+    // the internal corrupt-record column are illegal on a raw scan
+    if (quarantine) df.localCheckpoint() else df
+  }
+
+  /** The write side: one zstd-compressed JSON-lines shard per partition
+    * — `repartition(n)` upstream controls the shard count (and thus the
+    * read-side parallelism the non-splittable format allows).
+    */
+  def writeJsonlZst(df: DataFrame, path: String,
+                    mode: String = "overwrite"): Unit = {
+    ZstdCodec.register(df.sparkSession.sparkContext.hadoopConfiguration)
+    df.write.mode(mode)
+      .option("compression", classOf[ZstdCodec].getName)
+      .json(path)
+  }
 }

@@ -449,4 +449,59 @@ class FunctionsSourcesSpec extends SparkSpec {
     assert(out == expected)
     assert(out.nonEmpty && !out.contains("rare_1"))
   }
+
+  test("jsonl.zst roundtrip: write shards, read by extension, schema applied") {
+    import graft.sources.Sources
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zst").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val docs = Seq(
+      (1L, "plain ascii line"),
+      (2L, "unicode ü中文 and a\ttab"),
+      (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    Sources.writeJsonlZst(docs.repartition(2), s"$dir/corpus")
+    val shards = new java.io.File(s"$dir/corpus").listFiles()
+      .filter(_.getName.endsWith(".zst"))
+    assert(shards.length == 2, "one .zst shard per partition")
+    // each shard really is zstd (magic 0xFD2FB528, little-endian)
+    val magic = java.nio.file.Files.readAllBytes(shards.head.toPath).take(4)
+    assert(magic.sameElements(Array(0x28, 0xB5, 0x2F, 0xFD).map(_.toByte)))
+    val back = Sources.readJsonl(spark, s"$dir/corpus", schema)
+    assert(back.schema == schema)
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      docs.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+  }
+
+  test("readJsonl: externally-produced zst + gz shards; quarantine catches malformed lines") {
+    import graft.sources.Sources
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zst_ext").toString
+    val lines = Seq(
+      """{"doc_id": 1, "text": "good row one"}""",
+      """this is not json at all""",
+      """{"doc_id": 2, "text": "good row two"}""")
+    // a shard produced by an external tool (raw zstd-jni stream, no
+    // Spark involvement) — the crawl-ingest case
+    val zout = new com.github.luben.zstd.ZstdOutputStream(
+      new java.io.FileOutputStream(s"$dir/part-ext.jsonl.zst"))
+    zout.write(lines.mkString("", "\n", "\n").getBytes("UTF-8")); zout.close()
+    // and a gz sibling: the built-in extension path must keep working
+    // after ZstdCodec.register restates the codec list
+    val gout = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(s"$dir/part-ext2.jsonl.gz"))
+    gout.write("""{"doc_id": 3, "text": "gz row"}""".getBytes("UTF-8"))
+    gout.close()
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val back = Sources.readJsonl(spark, dir, schema, quarantine = true)
+    val good = back.filter(col("_corrupt_record").isNull)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(good == Set((1L, "good row one"), (2L, "good row two"),
+      (3L, "gz row")))
+    val bad = back.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record")).collect().map(_.getString(0))
+    assert(bad.toSeq == Seq("this is not json at all"))
+  }
 }
