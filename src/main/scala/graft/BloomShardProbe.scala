@@ -7,7 +7,11 @@ import org.apache.spark.sql.functions._
   * — the native `bloom_contains_sharded` (reference-object dispatch,
   * O(1) per row / O(1) plan) vs the legacy when-chain (O(nShards)
   * compare walk, one binary plan literal per populated shard). Usage:
-  *   runMain graft.BloomShardProbe [nCorpus] [nProbes] [reps]
+  *   runMain graft.BloomShardProbe [nCorpus] [nProbes] [reps] [shardList] [nativeOnly]
+  * `shardList` is a comma list of shard counts (default 1,4,16,64);
+  * append `nativeOnly` to skip the when-chain arm (at hundreds of
+  * shards the chain takes minutes by construction — its cliff is
+  * already demonstrated at 64).
   * Prints one line per (form, nShards): min seconds, ns/row, and the
   * count of binary literals in the optimized plan. The 100 TB claim
   * under test: native per-row cost is FLAT in nShards, plan literal
@@ -40,16 +44,20 @@ object BloomShardProbe {
 
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types.BinaryType
-    for (nShards <- Seq(1, 4, 16, 64)) {
+    val shardCounts = args.lift(3).map(_.split(",").toSeq.map(_.trim.toInt))
+      .getOrElse(Seq(1, 4, 16, 64))
+    val nativeOnly = args.contains("nativeOnly")
+    for (nShards <- shardCounts) {
       val filters =
         if (nShards == 1)
           Array(graft.dedup.Dedup.buildBloom(hashes).get)
         else graft.dedup.Dedup.buildBloomSharded(hashes, nShards).get
-      for ((form, colOf) <- Seq(
+      val forms = Seq(
         "native" -> ((f: Array[Array[Byte]]) =>
           graft.dedup.Dedup.shardedBloomProbe(spark, f, pv)),
         "chain " -> ((f: Array[Array[Byte]]) =>
-          graft.dedup.Dedup.shardedBloomProbeWhenChain(f, pv)))) {
+          graft.dedup.Dedup.shardedBloomProbeWhenChain(f, pv)))
+      for ((form, colOf) <- (if (nativeOnly) forms.take(1) else forms)) {
         val q = probes.filter(colOf(filters))
         val lits = q.queryExecution.optimizedPlan
           .flatMap(_.expressions).flatMap(_.collect {

@@ -79,9 +79,10 @@ class ZstdCodec extends CompressionCodec {
 
 object ZstdCodec {
   /** Register the codec for a session: `io.compression.codecs` REPLACES
-    * Hadoop's default discovery list when set, so the default codecs are
-    * restated alongside ours (gzip/bzip2/deflate/lz4/snappy stay
-    * readable). Idempotent.
+    * Hadoop's default discovery list when set, so when the key is unset
+    * the defaults are restated alongside ours (gzip/bzip2/deflate/lz4/
+    * snappy stay readable); when a deployment has already customized the
+    * list, ours is APPENDED, never clobbering their entries. Idempotent.
     */
   def register(conf: Configuration): Unit = {
     val defaults = Seq(
@@ -91,7 +92,11 @@ object ZstdCodec {
       "org.apache.hadoop.io.compress.DeflateCodec",
       "org.apache.hadoop.io.compress.Lz4Codec",
       "org.apache.hadoop.io.compress.SnappyCodec")
-    conf.set("io.compression.codecs",
-      (defaults :+ classOf[ZstdCodec].getName).mkString(","))
+    val current = Option(conf.get("io.compression.codecs"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(defaults)
+    if (!current.contains(classOf[ZstdCodec].getName))
+      conf.set("io.compression.codecs",
+        (current :+ classOf[ZstdCodec].getName).mkString(","))
   }
 }

@@ -331,12 +331,14 @@ class QaSpec extends SparkSpec {
   test("workbookSheets == workbookPivot(report(...)) on the gate's pipeline (collapse is value-exact)") {
     // the r9 collapse: the direct wide union must reproduce the
     // explode-then-pivot result row for row on real data covering every
-    // family (categorical + numeric + missing + changes)
+    // family — including vals_date (its str stats produce long rows the
+    // pivot groups away; `ts` exercises that merge), beyond the gate's
+    // cols
     val e = Tables(spark, sfDir, "events")
       .withColumn("period",
         date_trunc("day", col("ts")).cast("date").cast("string"))
     val pipeline = Qa.runPipeline(e, "period",
-      Seq("event_type", "value", "props"))
+      Seq("event_type", "value", "props", "ts"))
     val direct = Qa.workbookSheets(pipeline, "period")
     val pivoted = Qa.workbookPivot(Qa.report(pipeline, "period"))
     assert(direct.columns.toSeq == pivoted.columns.toSeq)
