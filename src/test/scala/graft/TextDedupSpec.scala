@@ -760,5 +760,18 @@ class TextDedupSpec extends SparkSpec {
     assert(out(21L) == ((0, 1, 0, "b2"))) // near via doc 1, exact correctly 0
     assert(out(22L) == ((1, 1, 0, "b2")))
     assert(out(23L) == ((0, 0, 1, "b2")))
+    // the pre-staged-index entry point (incrementalLoopFrom — the
+    // production loaded-index shape the variance probe times) is
+    // flag-identical to the in-query-build gate form
+    val corp = corpus.select(col("doc_id"), col("text"))
+    val built = Dedup.buildIndex(corp)
+    val staged = graft.dedup.DedupIndex(
+      built.hashes.localCheckpoint(), built.bands.localCheckpoint())
+    val from = Dedup.incrementalLoopFrom(corp, staged,
+      Seq("b1" -> b1, "b2" -> b2)).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))))
+      .toMap
+    assert(from == out)
   }
 }
