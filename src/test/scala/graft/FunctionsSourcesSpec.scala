@@ -504,4 +504,27 @@ class FunctionsSourcesSpec extends SparkSpec {
       .select(col("_corrupt_record")).collect().map(_.getString(0))
     assert(bad.toSeq == Seq("this is not json at all"))
   }
+
+  test("readJsonl: multi-frame zst shard (pzstd-style concatenation) reads every frame") {
+    // parallel zstd tools emit one file = MANY concatenated frames; the
+    // codec's input stream must keep reading past each frame boundary
+    import graft.sources.Sources
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zst_mf").toString
+    val f = new java.io.FileOutputStream(s"$dir/multi.jsonl.zst")
+    for (frame <- Seq(
+      """{"doc_id": 1, "text": "frame one"}""" + "\n",
+      """{"doc_id": 2, "text": "frame two"}""" + "\n")) {
+      val z = new com.github.luben.zstd.ZstdOutputStream(f)
+      z.write(frame.getBytes("UTF-8"))
+      z.flush()
+      z.closeFrame() // end this frame, keep the file stream open
+    }
+    f.close()
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val back = Sources.readJsonl(spark, dir, schema)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(back == Set((1L, "frame one"), (2L, "frame two")))
+  }
 }
