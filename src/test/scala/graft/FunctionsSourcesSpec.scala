@@ -515,10 +515,9 @@ class FunctionsSourcesSpec extends SparkSpec {
     for (frame <- Seq(
       """{"doc_id": 1, "text": "frame one"}""" + "\n",
       """{"doc_id": 2, "text": "frame two"}""" + "\n")) {
-      val z = new com.github.luben.zstd.ZstdOutputStream(f)
-      z.write(frame.getBytes("UTF-8"))
-      z.flush()
-      z.closeFrame() // end this frame, keep the file stream open
+      // one complete frame per compress() call, appended to the same file —
+      // exactly the byte layout pzstd produces (concatenated frames)
+      f.write(com.github.luben.zstd.Zstd.compress(frame.getBytes("UTF-8")))
     }
     f.close()
     val schema = StructType(Seq(
