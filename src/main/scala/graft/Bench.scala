@@ -116,7 +116,27 @@ object Bench {
     // per-micro-batch state commits, O(1) in data)
     val streaming = results.collect {
       case (k, v) if k.startsWith("stream_") => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"agg":"min","batch_sec":${total - streaming},"streaming_sec":$streaming,"calib_pre_sec":$calibPre,"calib_post_sec":$calibPost,"calib_clean_sec":0.22,"reps_sec":$repsJson}""")
+    // calib_clean_sec is a measured constant of the 32-thread reference
+    // box ONLY (min-of-3 on a quiet JVM); on any other thread count the
+    // sentinel's clean value differs, so the field is omitted rather
+    // than mis-anchoring attribution. calib_threads always rides along
+    // so readers know which regime the pre/post numbers were taken in.
+    val calibClean =
+      if (cpus == "32") s""","calib_clean_sec":0.22""" else ""
+    // Key order is tail-safety: the driver's capture of this line is
+    // tail-truncated under length pressure (BENCH_r09 lost every summary
+    // field because they were printed BEFORE the ~137-entry reps map).
+    // The big maps go FIRST and the scalar summary fields LAST, so a
+    // truncated head costs per-query detail, never the totals.
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","reps":$reps,"agg":"min","queries":$qs,"reps_sec":$repsJson,"calib_pre_sec":$calibPre,"calib_post_sec":$calibPost,"calib_threads":$cpus$calibClean,"batch_sec":${total - streaming},"streaming_sec":$streaming,"value":$total}"""
+    // ...and the complete artifact also lands on disk, immune to any
+    // stdout capture policy
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_out.json"),
+      line.getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}") }
+    println(line)
     spark.stop()
   }
 }

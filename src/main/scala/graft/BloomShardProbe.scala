@@ -19,9 +19,12 @@ import org.apache.spark.sql.functions._
   */
 object BloomShardProbe {
   def main(args: Array[String]): Unit = {
-    val nCorpus = args.headOption.map(_.toLong).getOrElse(2000000L)
-    val nProbes = args.lift(1).map(_.toLong).getOrElse(4000000L)
-    val reps = args.lift(2).map(_.toInt).getOrElse(3)
+    // the flag is position-independent — drop it from the positional
+    // list so `... 3 nativeOnly` doesn't parse the literal as shardList
+    val pos = args.filterNot(_ == "nativeOnly")
+    val nCorpus = pos.headOption.map(_.toLong).getOrElse(2000000L)
+    val nProbes = pos.lift(1).map(_.toLong).getOrElse(4000000L)
+    val reps = pos.lift(2).map(_.toInt).getOrElse(3)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .withExtensions(graft.functions.GraftFunctions.register)
@@ -44,7 +47,7 @@ object BloomShardProbe {
 
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types.BinaryType
-    val shardCounts = args.lift(3).map(_.split(",").toSeq.map(_.trim.toInt))
+    val shardCounts = pos.lift(3).map(_.split(",").toSeq.map(_.trim.toInt))
       .getOrElse(Seq(1, 4, 16, 64))
     val nativeOnly = args.contains("nativeOnly")
     for (nShards <- shardCounts) {

@@ -108,21 +108,65 @@ object SparkEntry {
     f.delete(): Unit
   }
 
-  // The trained-IVFPQ recall gate body, shared by the m=16 and m=32
-  // entries: train on the corpus carve (deterministic bounded-sample
-  // driver Lloyd), persist + RELOAD through the save/load loop (the
-  // production train-once/load-per-job shape; parquet doubles are
-  // exact), stash THIS run's trained-literal oracle under the gate's
-  // key, score with the reloaded quantizers.
+  // Per-JVM staged artifacts keyed by sfDir, for the gates that model
+  // "built OUT-OF-BAND, loaded in-query" production state (the zst
+  // crawl-dump shards, the persisted dedup index). Within one JVM the
+  // testdata dir is immutable so staging runs once; a fresh JVM
+  // restages (no cross-run staleness). In a bench run the first timed
+  // rep pays the staging and min-of-2 reports the loaded path — the
+  // shape being measured.
+  private val stagedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedOnce(kind: String, dir: String)
+                        (build: String => Unit): String =
+    stagedDirs.computeIfAbsent(s"$kind|$dir", _ => {
+      val out = java.nio.file.Files
+        .createTempDirectory(s"graft_$kind").toString
+      build(out)
+      out
+    })
+
+  // The sf documents as .jsonl.zst shards — the non-splittable ingest
+  // layout (parallelism = shard count, so >1 shard keeps the read
+  // distributed).
+  private def zstDocsDir(s: SparkSession, dir: String): String =
+    stagedOnce("zst_docs", dir) { out =>
+      graft.sources.Sources.writeJsonlZst(
+        Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+          .repartition(8), out)
+    }
+
+  // The corpus carve's dedup index persisted to parquet — what the
+  // incremental loop LOADS in production instead of rebuilding.
+  private def prestagedLoopIndexDir(s: SparkSession, dir: String): String =
+    stagedOnce("loop_idx", dir) { out =>
+      val corpus = graft.etl.Sampling
+        .hashSplit(Tables(s, dir, "documents"), "doc_id",
+          incrementalLoopSplit)
+        .filter(col("split") === "corpus")
+        .select(col("doc_id"), col("text"))
+      val built = Dedup.buildIndex(corpus)
+      built.hashes.write.mode("overwrite").parquet(s"$out/hashes")
+      built.bands.write.mode("overwrite").parquet(s"$out/bands")
+    }
+
+  // The trained-IVFPQ recall gate body, shared by the m=16 / m=32 /
+  // kc=64 entries (the helper takes the dials): train on the corpus
+  // carve (deterministic bounded-sample driver Lloyd), persist +
+  // RELOAD through the save/load loop (the production
+  // train-once/load-per-job shape; parquet doubles are exact), stash
+  // THIS run's trained-literal oracle under the gate's key, score with
+  // the reloaded quantizers.
   private def trainedRecallGate(s: SparkSession, dir: String,
-                                key: String, m: Int): DataFrame = {
+                                key: String, m: Int,
+                                kc: Int = 16, nprobe: Int = 8): DataFrame = {
     val e = Tables(s, dir, "embeddings")
     val probes = e.filter(col("vec_id") % 50 === 0)
     val corpus = e.filter(col("vec_id") % 50 =!= 0)
     val trained = java.nio.file.Files
       .createTempDirectory(s"graft_$key").toString
     Similarity.saveCentroids(s,
-      Similarity.ivfCentroids(corpus, k = 16, iters = 5), s"$trained/ivf")
+      Similarity.ivfCentroids(corpus, k = kc, iters = 5), s"$trained/ivf")
     Similarity.savePqCodebooks(s,
       Similarity.pqCodebooks(corpus, m = m, k = 16, iters = 5),
       s"$trained/pq")
@@ -132,8 +176,8 @@ object SparkEntry {
     stashTrainedOracle(key, dir,
       Similarity.recallIvfPqTrainedDuckdbSql(
         probeWhere = "vec_id % 50 = 0", corpusWhere = "vec_id % 50 <> 0",
-        topK = 5, cents, cbs, nprobe = 8))
-    Similarity.recallIvfPq(probes, corpus, topK = 5, nprobe = 8, m = m,
+        topK = 5, cents, cbs, nprobe = nprobe))
+    Similarity.recallIvfPq(probes, corpus, topK = 5, nprobe = nprobe, m = m,
       centroids = Some(cents), codebooks = Some(cbs))
   }
 
@@ -564,6 +608,17 @@ object SparkEntry {
 
     // ---- D. LLM-data-pipeline ----
     "dedup_exact_docs" -> ((s, dir) => Dedup.exact(Tables(s, dir, "documents"))),
+    // F14 oracle-visible end to end: the sf documents staged once per
+    // JVM as .jsonl.zst shards (the crawl-dump ingest layout), read
+    // back through readJsonl + graft's ZstdCodec, exact dedup over the
+    // zst-read frame vs the UNCHANGED parquet oracle — equality proves
+    // the compressed ingest path is content-lossless
+    "dedup_exact_zst" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      Dedup.exact(graft.sources.Sources.readJsonl(s, zstDocsDir(s, dir),
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("text", StringType)))))
+    }),
     // cluster-size histogram: the distribution that prices every
     // pair-emitting dedup stage (pair space is sigma cluster^2)
     "dedup_cluster_stats" -> ((s, dir) =>
@@ -713,6 +768,23 @@ object SparkEntry {
       Dedup.incrementalLoop(part("corpus"),
         Seq("b1" -> part("b1"), "b2" -> part("b2")))
     }),
+    // the SAME loop via the production LOADED-index path: the corpus
+    // index is persisted to parquet out-of-band (once per JVM) and
+    // incrementalLoopFrom starts from the read-back frames — gated
+    // against the identical rebuild-from-scratch oracle, so a green
+    // row proves the loaded index, not just the in-query build, is
+    // oracle-exact (merge == rebuild through a parquet round-trip)
+    "dedup_incremental_prestaged" -> ((s, dir) => {
+      val split = graft.etl.Sampling.hashSplit(Tables(s, dir, "documents"),
+        "doc_id", incrementalLoopSplit)
+      def part(p: String) = split.filter(col("split") === p).drop("split")
+      val idxDir = prestagedLoopIndexDir(s, dir)
+      Dedup.incrementalLoopFrom(part("corpus"),
+        graft.dedup.DedupIndex(
+          s.read.parquet(s"$idxDir/hashes"),
+          s.read.parquet(s"$idxDir/bands")),
+        Seq("b1" -> part("b1"), "b2" -> part("b2")))
+    }),
     // streaming MinHash-LSH candidate generation driven end-to-end over
     // a synthesized-arrival-order documents replay, gated against the
     // batch candidate pairs
@@ -850,6 +922,16 @@ object SparkEntry {
     // pq_codes/pq_dt natives made m cost-flat (the r8 JIT-cliff fix)
     "emb_recall_ivfpq_trained_m32" -> ((s, dir) =>
       trainedRecallGate(s, dir, "emb_recall_ivfpq_trained_m32", m = 32)),
+    // the kc ∝ n point: trained kc=64/m=32/nprobe=8 — the sf0.1
+    // shipping COARSE dial (candidate fraction nprobe/kc falls 4× vs
+    // kc=16, bounding per-probe cost; the r8 dial study measured this
+    // structure untrained only). Gated so the tuning table's last cell
+    // is oracle-exact: recall vs kc=16/m=32 is the measurement's value
+    // either way (pruning 4× harder may cost recall; spec documents
+    // the bound)
+    "emb_recall_ivfpq_trained_kc64" -> ((s, dir) =>
+      trainedRecallGate(s, dir, "emb_recall_ivfpq_trained_kc64",
+        m = 32, kc = 64)),
     // PQ encode with the seeded codebook contract (same cross-engine
     // discipline as sim_ann_ivf_seeded; trained codebooks are driver
     // state behind the same save/load loop)
@@ -1767,6 +1849,17 @@ object SparkEntry {
                 cast(doc_id <> keep_id as int) AS is_duplicate
          FROM h JOIN c USING (text_hash)""",
 
+    // the zst-ingest gate's oracle IS dedup_exact's, over the parquet
+    // table — the query's input went parquet → jsonl.zst → read-back,
+    // so hash equality certifies the compressed round trip
+    "dedup_exact_zst" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS text_hash FROM documents),
+            c AS (SELECT text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+                  FROM h GROUP BY text_hash)
+         SELECT doc_id, h.text_hash, keep_id, n_copies,
+                cast(doc_id <> keep_id as int) AS is_duplicate
+         FROM h JOIN c USING (text_hash)""",
+
     "dedup_ngram_jaccard" ->
       s"""WITH words AS (
            SELECT doc_id AS id, lang AS blk,
@@ -2068,6 +2161,8 @@ object SparkEntry {
       trainedOracleSql("emb_recall_ivfpq_trained"),
     "emb_recall_ivfpq_trained_m32" ->
       trainedOracleSql("emb_recall_ivfpq_trained_m32"),
+    "emb_recall_ivfpq_trained_kc64" ->
+      trainedOracleSql("emb_recall_ivfpq_trained_kc64"),
     "sim_ann_ivf" -> trainedOracleSql("sim_ann_ivf"),
     "emb_pq_encode" -> Similarity.pqEncodeSeededDuckdbSql(),
     "emb_pq_distortion" -> Similarity.pqDistortionSeededDuckdbSql(),
@@ -2081,6 +2176,11 @@ object SparkEntry {
     "dedup_incremental" -> MinHashSpec.duckdbIncrementalSql(
       splitCaseSql = graft.etl.Sampling.hashSplitSql("doc_id", incrementalSplit)),
     "dedup_incremental_loop" -> MinHashSpec.duckdbIncrementalLoopSql(
+      splitCaseSql = graft.etl.Sampling.hashSplitSql("doc_id", incrementalLoopSplit)),
+    // identical oracle: the prestaged gate differs ONLY in where the
+    // initial index comes from (parquet load vs in-query build), and
+    // the oracle rebuilds from scratch either way
+    "dedup_incremental_prestaged" -> MinHashSpec.duckdbIncrementalLoopSql(
       splitCaseSql = graft.etl.Sampling.hashSplitSql("doc_id", incrementalLoopSplit)),
     "dedup_bloom_screen" -> Dedup.bloomScreenSql(
       splitCaseSql = graft.etl.Sampling.hashSplitSql("doc_id", incrementalSplit)),

@@ -448,12 +448,25 @@ object Dedup {
     * reference-object node, O(1) dispatch and O(1) plan size in
     * nShards — still map-side), with an empty shard meaning
     * definite-new.
+    *
+    * Crossover rule, EXECUTABLE (was an operating-rule comment through
+    * r9): any broadcast membership screen ships the WHOLE filter set to
+    * every executor — at production sizing (⌈n/5e7⌉ shards × ≤8 MB)
+    * that is ~1.6 GB of task-binary bytes by ~200 shards / ~1e10 docs,
+    * past which the pre-filter costs more than it saves and the right
+    * screen is the exact bucketed semi-join the verify step already is.
+    * `maxBloomShards` (default 200, the ⌈1e10/5e7⌉ point) encodes it:
+    * past the threshold NO filter is built or broadcast and the
+    * semi-join alone screens — same output by construction (the
+    * pre-filter is result-invisible), selection spec-pinned at both
+    * regimes.
     */
   def exactScreenBloom(hashesIn: DataFrame, incoming: DataFrame,
                        idCol: String = "doc_id", textCol: String = "text",
                        fpp: Double = 0.01,
                        numBits: Option[Long] = None,
-                       nShards: Int = 1): DataFrame = {
+                       nShards: Int = 1,
+                       maxBloomShards: Int = 200): DataFrame = {
     // materialize the hash set once: the un-cut frame would re-derive
     // the corpus distinct THREE times (count job, bloom-agg job, verify
     // join) — in production this frame is the loaded index table and the
@@ -462,7 +475,10 @@ object Dedup {
     val hashed = incoming.select(col(idCol), md5(col(textCol)).as("content_hash"))
     val probeVal = xxhash64(col("content_hash"))
     val screened: Option[DataFrame] =
-      if (nShards > 1)
+      if (nShards > maxBloomShards) None // past the broadcast ceiling:
+        // build nothing, ship nothing — the exact bucketed semi-join
+        // below IS the screen (the documented ≳1e10-doc crossover)
+      else if (nShards > 1)
         buildBloomSharded(hashes, nShards, fpp, numBits).map { filters =>
           hashed.filter(
             shardedBloomProbe(hashesIn.sparkSession, filters, probeVal))
@@ -528,6 +544,9 @@ object Dedup {
                       idCol: String = "doc_id", textCol: String = "text",
                       k: Int = 3, threshold: Double = 0.5,
                       digits: Int = 4): DataFrame = {
+    // fail the misuse BEFORE paying the (potentially large) index
+    // build below — incrementalLoopFrom re-checks for its own callers
+    require(batches.nonEmpty, "incrementalLoop needs at least one batch")
     val corp = corpus.select(col(idCol), col(textCol))
     val built = buildIndex(corp, idCol, textCol)
     incrementalLoopFrom(corp,

@@ -78,11 +78,20 @@ class ZstdCodec extends CompressionCodec {
 }
 
 object ZstdCodec {
-  /** Register the codec for a session: `io.compression.codecs` REPLACES
-    * Hadoop's default discovery list when set, so when the key is unset
-    * the defaults are restated alongside ours (gzip/bzip2/deflate/lz4/
-    * snappy stay readable); when a deployment has already customized the
-    * list, ours is APPENDED, never clobbering their entries. Idempotent.
+  /** Register the codec for a session. Hadoop 3.x's
+    * `CompressionCodecFactory.getCodecClasses` always PREPENDS the
+    * ServiceLoader-discovered codecs (including Hadoop's own
+    * native-lib-requiring `ZStandardCodec`) and APPENDS the
+    * `io.compression.codecs` conf list — setting the key never removes
+    * the discovered ones. The extension map is built in that order, so
+    * conf-listed codecs are inserted LAST and therefore WIN the `.zst`
+    * extension: after register(), `.zst` resolves to THIS codec, not
+    * the native-lib one. That ordering is the load-bearing contract and
+    * is spec-asserted (FunctionsSourcesSpec: factory resolves `.zst` to
+    * graft's ZstdCodec). When the key is unset the defaults are
+    * restated alongside ours (gzip/bzip2/deflate/lz4/snappy stay
+    * readable); when a deployment has already customized the list, ours
+    * is APPENDED, never clobbering their entries. Idempotent.
     */
   def register(conf: Configuration): Unit = {
     val defaults = Seq(

@@ -505,6 +505,23 @@ class FunctionsSourcesSpec extends SparkSpec {
     assert(bad.toSeq == Seq("this is not json at all"))
   }
 
+  test("ZstdCodec.register: the factory resolves .zst to graft's codec (conf-appended wins the extension map)") {
+    // Hadoop 3.x prepends ServiceLoader-discovered codecs (including
+    // Hadoop's own native-lib-requiring ZStandardCodec) and APPENDS the
+    // conf list; the extension map is built in that order so the
+    // appended entry wins .zst. That ordering is the load-bearing
+    // assumption behind register() — pinned here.
+    val conf = new org.apache.hadoop.conf.Configuration()
+    graft.sources.ZstdCodec.register(conf)
+    val factory =
+      new org.apache.hadoop.io.compress.CompressionCodecFactory(conf)
+    val codec = factory.getCodec(
+      new org.apache.hadoop.fs.Path("/data/shard.jsonl.zst"))
+    assert(codec != null, ".zst must resolve to a codec after register()")
+    assert(codec.getClass == classOf[graft.sources.ZstdCodec],
+      s".zst resolved to ${codec.getClass.getName}, not graft's ZstdCodec")
+  }
+
   test("readJsonl: multi-frame zst shard (pzstd-style concatenation) reads every frame") {
     // parallel zstd tools emit one file = MANY concatenated frames; the
     // codec's input stream must keep reading past each frame boundary

@@ -312,6 +312,23 @@ class SimilaritySpec extends SparkSpec {
     assert(trained32 >= trained + 0.1,
       f"m=32 $trained32%.2f must beat m=16 $trained%.2f by >= 0.1")
     assert(trained32 >= 0.5, f"m=32 recall $trained32%.2f below bound")
+    // the kc ∝ n COARSE dial at the same m=32/nprobe=8: kc=64 prunes
+    // 4× harder (candidate fraction nprobe/kc falls 8/16 → 8/64),
+    // which COSTS recall at fixed nprobe — the measurement the
+    // emb_recall_ivfpq_trained_kc64 gate surfaces (0.40 vs 0.56 at
+    // sf0.001). Bounded either way: the drop is pruning cost, not
+    // index collapse, so it stays within 0.3 of kc=16 and above the
+    // 0.3 floor; it must not BEAT kc=16 by more than noise (that would
+    // mean the coarse quantizer, not PQ resolution, was the ceiling)
+    val cents64 = Similarity.ivfCentroids(corpus, k = 64, iters = 5)
+    val trainedKc64 = meanRecall(
+      Similarity.recallIvfPq(probes, corpus, topK = 5, nprobe = 8, m = 32,
+        centroids = Some(cents64), codebooks = Some(cbs32)))
+    info(f"recall@5 trained m=32: kc=16 $trained32%.2f kc=64 $trainedKc64%.2f")
+    assert(trainedKc64 >= 0.3,
+      f"kc=64 recall $trainedKc64%.2f below the 0.3 floor")
+    assert(trainedKc64 >= trained32 - 0.3 && trainedKc64 <= trained32 + 0.1,
+      f"kc=64 $trainedKc64%.2f outside the documented band around kc=16 $trained32%.2f")
   }
 
   test("groupCentroids: elementwise means per group, long format") {

@@ -627,6 +627,45 @@ class TextDedupSpec extends SparkSpec {
     assert(sharded == single)
   }
 
+  test("Bloom→semi-join crossover: past maxBloomShards no filter is built or probed, flags unchanged") {
+    // the operating rule made executable: any broadcast membership
+    // screen ships the whole filter set to every executor, so past the
+    // production crossover (~200 shards ≈ 1.6 GB ≈ 1e10 docs) the
+    // right screen is the exact bucketed semi-join the verify step
+    // already is — exactScreenBloom now SELECTS it instead of the
+    // comment recommending it
+    val corpus = (1 to 60).map(i => (i.toLong, s"crossover corpus doc $i"))
+      .toDF("doc_id", "text")
+    val incoming = (
+      Seq((100L, "crossover corpus doc 7"), (101L, "crossover corpus doc 42"))
+      ++ (102 to 140).map(i => (i.toLong, s"crossover fresh doc $i"))
+    ).toDF("doc_id", "text")
+    val hashes = Dedup.corpusHashes(corpus)
+    val expect = ((100 to 101).map(_.toLong -> 1)
+      ++ (102 to 140).map(_.toLong -> 0)).toMap
+    // below the threshold: the Bloom pre-filter is in the plan
+    val bloomed = Dedup.exactScreenBloom(hashes, incoming, nShards = 4,
+      maxBloomShards = 4)
+    // analyzed plan, not optimized: over a LocalRelation fixture
+    // Catalyst constant-folds the whole probe filter away — the
+    // SELECTION is what's under test, and it is visible pre-fold
+    assert(bloomed.queryExecution.analyzed.toString
+      .contains("bloom_contains"),
+      "at nShards <= maxBloomShards the plan must carry the Bloom probe")
+    // past it: NO bloom anywhere in the plan — the semi-join alone
+    // screens, and nothing was built or broadcast
+    val crossed = Dedup.exactScreenBloom(hashes, incoming, nShards = 8,
+      maxBloomShards = 4)
+    assert(!crossed.queryExecution.analyzed.toString
+      .contains("bloom_contains"),
+      "past maxBloomShards the plan must not contain a Bloom probe")
+    // same answer on both sides of the crossover (the pre-filter is
+    // result-invisible by construction)
+    val a = bloomed.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b = crossed.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a == expect && b == expect)
+  }
+
   test("sharded Bloom screen survives a null-text corpus doc (matches single path)") {
     // md5(null) = null content_hash → null shard key; the sharded build
     // must drop it (bloom_build itself ignores nulls) instead of NPEing
