@@ -117,6 +117,14 @@ object SparkEntry {
   // shape being measured.
   private val stagedDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // staged dirs are per-JVM scratch — delete on JVM exit so repeated
+  // local runs don't accumulate /tmp litter (the r8 tmp-litter rule;
+  // the trained gates delete eagerly, these can't: bench reps re-read)
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      stagedDirs.values().forEach(d =>
+        deleteRecursively(new java.io.File(d)))))
+  }
   private def stagedOnce(kind: String, dir: String)
                         (build: String => Unit): String =
     stagedDirs.computeIfAbsent(s"$kind|$dir", _ => {
@@ -779,10 +787,22 @@ object SparkEntry {
         "doc_id", incrementalLoopSplit)
       def part(p: String) = split.filter(col("split") === p).drop("split")
       val idxDir = prestagedLoopIndexDir(s, dir)
+      // load ONCE into resident blocks before looping — the
+      // incrementalLoopFrom contract ("pass per-call checkpoints"):
+      // raw parquet frames would sit as scan leaves in every index
+      // reference inside the loop, re-read and re-planned per use.
+      // At THIS sf the gate times ≈ the in-query-build gate (the sf0.1
+      // corpus's signature build is ~0.5 s — smaller than the gate's
+      // shared corpus-derivation + loop floor; BenchOne 3-rep minima
+      // 5.8 vs 5.2 within box noise): what the gate proves is the
+      // loaded path's EXACTNESS. The speed case is scale: build cost
+      // grows with corpus size, load cost with index size (~1/40th),
+      // and the pure-loop floor with everything resident is the
+      // LoopVarianceProbe prestage arm (3.9-4.0 s ±2%).
       Dedup.incrementalLoopFrom(part("corpus"),
         graft.dedup.DedupIndex(
-          s.read.parquet(s"$idxDir/hashes"),
-          s.read.parquet(s"$idxDir/bands")),
+          s.read.parquet(s"$idxDir/hashes").localCheckpoint(),
+          s.read.parquet(s"$idxDir/bands").localCheckpoint()),
         Seq("b1" -> part("b1"), "b2" -> part("b2")))
     }),
     // streaming MinHash-LSH candidate generation driven end-to-end over
