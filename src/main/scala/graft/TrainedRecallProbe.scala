@@ -74,6 +74,25 @@ object TrainedRecallProbe {
       spark.stop()
       return
     }
+    if (args.contains("--nprobe")) {
+      // the FINE-TUNE dial at the shipping structure (trained kc=64,
+      // m=32): the D64b gate fixes nprobe=8 (candidate fraction 0.125)
+      // and measures the recall cost of 4× harder pruning vs kc=16;
+      // this arm answers "how much nprobe buys it back, and at what
+      // fraction" — the claim in §2 D64b made a measurement
+      val cents64 = Similarity.ivfCentroids(corpus, k = 64, iters = 5)
+      val cbs32 = Similarity.pqCodebooks(corpus, m = 32, k = 16, iters = 5)
+      for (nprobe <- Seq(8, 16, 24, 32)) {
+        val r = Similarity.recallIvfPq(probes, corpus, topK = 5,
+            nprobe = nprobe, m = 32,
+            centroids = Some(cents64), codebooks = Some(cbs32))
+          .agg(avg(col("recall"))).collect()(0).getDouble(0)
+        println(f"PROBE trained kc=64 m=32 nprobe=$nprobe%3d " +
+          f"candFrac=${nprobe / 64.0}%.3f recall@5=$r%.3f")
+      }
+      spark.stop()
+      return
+    }
     for {
       iters <- Seq(0, 5, 15)
       m <- Seq(8, 16)
