@@ -34,6 +34,8 @@ object BloomShardProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    if (args.contains("--screen")) { screenArm(spark, nCorpus, nProbes, reps); spark.stop(); return }
+
     // corpus hash set: synthetic but the library's exact shape
     // (content_hash md5 strings); probes = 50% members, 50% fresh
     val hashes = spark.range(nCorpus)
@@ -79,5 +81,62 @@ object BloomShardProbe {
       }
     }
     spark.stop()
+  }
+
+  /** `--screen`: what the Bloom pre-filter actually BUYS at scale — the
+    * shuffle it removes. The semi-join verify must shuffle every
+    * incoming row's (id, 32-char md5) to the join; the broadcast Bloom
+    * drops definite-new rows map-side BEFORE the exchange, so with a
+    * mostly-fresh batch (the continuous-crawl steady state, ~1% dups
+    * here) the verify shuffle carries ~fpp+dup_rate of the batch
+    * instead of all of it. Reports wall time AND total shuffle-write
+    * bytes (SparkListener task metrics) for the screen with the filter
+    * vs crossed over to semi-join-only (maxBloomShards=0) — the two
+    * regimes `exactScreenBloom` selects between.
+    */
+  private def screenArm(spark: SparkSession, nCorpus: Long, nProbes: Long,
+                        reps: Int): Unit = {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+        shuffleBytes.addAndGet(
+          s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten): Unit
+    })
+    val corpus = spark.range(nCorpus)
+      .select(col("id").as("doc_id"),
+        concat(lit("screen corpus doc "), col("id")).as("text"))
+      .localCheckpoint()
+    // ~1% of the incoming batch duplicates corpus docs; the rest is new
+    val incoming = spark.range(nProbes)
+      .select((col("id") + nCorpus).as("doc_id"),
+        when(col("id") % 100 === 0,
+            concat(lit("screen corpus doc "), col("id") % nCorpus))
+          .otherwise(concat(lit("fresh incoming doc "), col("id")))
+          .as("text"))
+      .localCheckpoint()
+    val hashes = graft.dedup.Dedup.corpusHashes(corpus).localCheckpoint()
+    for ((label, maxShards) <- Seq("bloom   " -> 200, "semijoin" -> 0)) {
+      val q = graft.dedup.Dedup.exactScreenBloom(hashes, incoming,
+        nShards = 4, maxBloomShards = maxShards)
+      q.write.format("noop").mode("overwrite").save() // warmup
+      val runs = (1 to reps).map { _ =>
+        // the listener bus is async (and private) — a short settle
+        // window before reset/read is enough for a diagnostic
+        Thread.sleep(500)
+        shuffleBytes.set(0)
+        val t0 = System.nanoTime()
+        graft.dedup.Dedup.exactScreenBloom(hashes, incoming,
+            nShards = 4, maxBloomShards = maxShards)
+          .write.format("noop").mode("overwrite").save()
+        val t = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(500)
+        (t, shuffleBytes.get())
+      }
+      val best = runs.minBy(_._1)
+      println(f"[bloomscreen] $label min=${best._1}%6.2fs " +
+        f"shuffleMB=${best._2 / 1e6}%8.1f " +
+        runs.map(r => f"${r._1}%.2f/${r._2 / 1e6}%.0fMB").mkString("reps=[", " ", "]"))
+    }
   }
 }
