@@ -369,6 +369,17 @@ object Dedup {
     }
   }
 
+  /** Production shard sizing for the Bloom screen, as code rather than
+    * the recurring ⌈n/5e7⌉ comment: one shard per ~50 M corpus docs
+    * keeps every filter inside Spark's 64 Mbit runtime-filter ceiling
+    * at 1% fpp. Crosses `exactScreenBloom`'s default `maxBloomShards`
+    * (200) exactly at 1e10 docs — the point where the broadcast filter
+    * set (~1.6 GB) stops paying for itself and the screen selects the
+    * exact bucketed semi-join instead.
+    */
+  def autoShards(nDocs: Long): Int =
+    math.max(1L, (nDocs + 49999999L) / 50000000L).toInt
+
   /** Per-row probe of a sharded filter set: the native
     * `bloom_contains_sharded` when registered — ONE expression node
     * holding the whole shard array as a reference object

@@ -627,6 +627,18 @@ class TextDedupSpec extends SparkSpec {
     assert(sharded == single)
   }
 
+  test("autoShards: one shard per 50M docs, crossing maxBloomShards' default exactly at 1e10") {
+    assert(Dedup.autoShards(1L) == 1)
+    assert(Dedup.autoShards(50000000L) == 1)
+    assert(Dedup.autoShards(50000001L) == 2)
+    assert(Dedup.autoShards(200000000L) == 4)
+    // the handoff point: autoShards(1e10) == 200 == the default
+    // maxBloomShards, so at >1e10 docs the screen selects the
+    // semi-join, by construction not by coincidence
+    assert(Dedup.autoShards(10000000000L) == 200)
+    assert(Dedup.autoShards(10000000001L) == 201)
+  }
+
   test("Bloom→semi-join crossover: past maxBloomShards no filter is built or probed, flags unchanged") {
     // the operating rule made executable: any broadcast membership
     // screen ships the whole filter set to every executor, so past the
