@@ -522,6 +522,52 @@ class FunctionsSourcesSpec extends SparkSpec {
       s".zst resolved to ${codec.getClass.getName}, not graft's ZstdCodec")
   }
 
+  test("readJsonl: a zero-byte .zst shard reads as empty, not an error") {
+    // crawl dumps contain empty shards (a fetch bucket with no pages);
+    // an ingest that dies on one is not production-usable
+    import graft.sources.Sources
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zst_empty").toString
+    new java.io.FileOutputStream(s"$dir/empty.jsonl.zst").close()
+    val f = new java.io.FileOutputStream(s"$dir/ok.jsonl.zst")
+    f.write(com.github.luben.zstd.Zstd.compress(
+      ("""{"doc_id": 1, "text": "beside the empty shard"}""" + "\n")
+        .getBytes("UTF-8")))
+    f.close()
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val back = Sources.readJsonl(spark, dir, schema)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(back.toSeq == Seq((1L, "beside the empty shard")))
+  }
+
+  test("readJsonl: a truncated zst shard fails LOUDLY, never silently drops data") {
+    // the other corrupt-shard contract: a mid-frame cut (interrupted
+    // upload) must surface as a task error a pipeline can alert on —
+    // silent partial reads would be data loss disguised as success
+    import graft.sources.Sources
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zst_trunc").toString
+    val full = com.github.luben.zstd.Zstd.compress(
+      (1 to 50).map(i => s"""{"doc_id": $i, "text": "row number $i"}""")
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+    val f = new java.io.FileOutputStream(s"$dir/cut.jsonl.zst")
+    f.write(full, 0, full.length / 2) // mid-frame truncation
+    f.close()
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val e = intercept[org.apache.spark.SparkException] {
+      Sources.readJsonl(spark, dir, schema).count(): Unit
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(c => Option(c.getMessage).exists(m =>
+        m.toLowerCase.contains("zstd") || m.toLowerCase.contains("truncated")
+          || m.toLowerCase.contains("premature") || m.toLowerCase.contains("corrupt"))),
+      s"expected a zstd/truncation error in the cause chain, got: " +
+        chain(e).map(_.getMessage).mkString(" | "))
+  }
+
   test("readJsonl: multi-frame zst shard (pzstd-style concatenation) reads every frame") {
     // parallel zstd tools emit one file = MANY concatenated frames; the
     // codec's input stream must keep reading past each frame boundary
