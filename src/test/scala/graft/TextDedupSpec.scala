@@ -825,4 +825,33 @@ class TextDedupSpec extends SparkSpec {
       .toMap
     assert(from == out)
   }
+
+  test("incrementalLoop cold start: an EMPTY initial corpus bootstraps the index from batch 1") {
+    // the first-crawl-ever shape: no corpus, no index — batch 1 is all
+    // fresh (batch-internal near-dups deliberately unflagged, both
+    // kept), batch 2 screens against what batch 1 merged in
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val b1 = Seq(
+      (10L, a),                          // fresh → kept
+      (11L, a.replace("zeta", "ZETA"))   // near-dup WITHIN the batch:
+                                         // unflagged (neither is in the
+                                         // corpus yet), also kept
+    ).toDF("doc_id", "text")
+    val b2 = Seq(
+      (20L, a),                                   // exact copy of kept 10
+      (21L, a.replace("theta", "THETA")),         // near-dup of kept 10
+      (22L, "entirely different content here now") // fresh
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalLoop(corpus, Seq("b1" -> b1, "b2" -> b2))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))))
+      .toMap
+    assert(out(10L) == ((0, 0, 1, "b1")))
+    assert(out(11L) == ((0, 0, 1, "b1")))
+    assert(out(20L) == ((1, 1, 0, "b2"))) // caught by the bootstrapped index
+    assert(out(21L) == ((0, 1, 0, "b2")))
+    assert(out(22L) == ((0, 0, 1, "b2")))
+  }
 }
