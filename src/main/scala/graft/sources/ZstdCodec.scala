@@ -27,9 +27,12 @@ import org.apache.hadoop.io.compress.{CompressionCodec, CompressionInputStream, 
   */
 class ZstdCodec extends CompressionCodec {
 
-  override def createOutputStream(out: OutputStream): CompressionOutputStream =
-    new CompressionOutputStream(out) {
-      private val z = new ZstdOutputStream(out)
+  override def createOutputStream(sink: OutputStream): CompressionOutputStream =
+    new CompressionOutputStream(sink) {
+      // named `sink`, not `out`: the anonymous class inherits a field
+      // `out` from CompressionOutputStream that would shadow the
+      // parameter ambiguously (scala 2.13 legacy-binding warning)
+      private val z = new ZstdOutputStream(sink)
       z.setCloseFrameOnFlush(true)
       private var finished = false
       private var closed = false
@@ -53,9 +56,9 @@ class ZstdCodec extends CompressionCodec {
                                   c: Compressor): CompressionOutputStream =
     createOutputStream(out)
 
-  override def createInputStream(in: InputStream): CompressionInputStream =
-    new CompressionInputStream(in) {
-      private val z = new ZstdInputStream(in)
+  override def createInputStream(source: InputStream): CompressionInputStream =
+    new CompressionInputStream(source) {
+      private val z = new ZstdInputStream(source)
       private var closed = false
       override def read(): Int = z.read()
       override def read(b: Array[Byte], off: Int, len: Int): Int =
