@@ -131,7 +131,8 @@ case class AsofJoinExec(
 
     left.execute().zipPartitions(right.execute()) { (pIter, bIter) =>
       new AsofMergeIterator(pIter, bIter, pKeyIdx, pTsIdx, bKeyIdx, bTsIdx,
-        keyDts, tsDt, bArity, UnsafeProjection.create(projExprs.toArray))
+        keyDts, tsDt, bArity, UnsafeProjection.create(
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(projExprs.toArray)))
     }
   }
 }
