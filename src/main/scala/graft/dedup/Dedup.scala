@@ -478,16 +478,19 @@ object Dedup {
                        numBits: Option[Long] = None,
                        nShards: Int = 1,
                        maxBloomShards: Int = 200): DataFrame = {
-    // materialize the hash set once: the un-cut frame would re-derive
-    // the corpus distinct THREE times (count job, bloom-agg job, verify
-    // join) — in production this frame is the loaded index table and the
-    // cut is free
-    val hashes = hashesIn.localCheckpoint()
+    // materialize the hash set once WHEN THE BLOOM PATH CONSUMES IT
+    // THREE TIMES (count job, bloom-agg job, verify join) — in
+    // production this frame is the loaded index table and the cut is
+    // free. Past the crossover the semi-join reads it exactly ONCE, so
+    // cutting would be a full extra materialization of the index
+    // (~500 GB at 1e10 docs) for nothing — skip it there.
+    val useBloom = nShards <= maxBloomShards
+    val hashes = if (useBloom) hashesIn.localCheckpoint() else hashesIn
     val hashed = incoming.select(col(idCol), md5(col(textCol)).as("content_hash"))
     val probeVal = xxhash64(col("content_hash"))
     val screened: Option[DataFrame] =
-      if (nShards > maxBloomShards) None // past the broadcast ceiling:
-        // build nothing, ship nothing — the exact bucketed semi-join
+      if (!useBloom) None // past the broadcast ceiling: build nothing,
+        // ship nothing, cut nothing — the exact bucketed semi-join
         // below IS the screen (the documented ≳1e10-doc crossover)
       else if (nShards > 1)
         buildBloomSharded(hashes, nShards, fpp, numBits).map { filters =>

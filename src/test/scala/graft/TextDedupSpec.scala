@@ -665,9 +665,14 @@ class TextDedupSpec extends SparkSpec {
       .contains("bloom_contains"),
       "at nShards <= maxBloomShards the plan must carry the Bloom probe")
     // past it: NO bloom anywhere in the plan — the semi-join alone
-    // screens, and nothing was built or broadcast
+    // screens, and nothing was built, broadcast, or even materialized
+    // (the bloom path cuts the hash set for its 3 consumers; the
+    // semi-join regime reads it once and must not pay a cut)
+    val rddsBefore = spark.sparkContext.getPersistentRDDs.size
     val crossed = Dedup.exactScreenBloom(hashes, incoming, nShards = 8,
       maxBloomShards = 4)
+    assert(spark.sparkContext.getPersistentRDDs.size == rddsBefore,
+      "the crossed-over screen must not localCheckpoint anything")
     assert(!crossed.queryExecution.analyzed.toString
       .contains("bloom_contains"),
       "past maxBloomShards the plan must not contain a Bloom probe")
