@@ -945,7 +945,8 @@ object SparkEntry {
     // the kc ∝ n point: trained kc=64/m=32/nprobe=8 — the sf0.1
     // shipping COARSE dial (candidate fraction nprobe/kc falls 4× vs
     // kc=16, bounding per-probe cost; the r8 dial study measured this
-    // structure untrained only). Gated so the tuning table's last cell
+    // structure probe-only — the gate reproduces its 0.340 at sf0.1
+    // oracle-backed). Gated so the tuning table's last cell
     // is oracle-exact: recall vs kc=16/m=32 is the measurement's value
     // either way (pruning 4× harder may cost recall; spec documents
     // the bound)
