@@ -135,7 +135,7 @@ class EtlSpec extends SparkSpec {
         .collect().map(_.getLong(1).toDouble)
       spans.sum / spans.length / 1024.0
     }
-    val tmp = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val tmp = tempDir("graft_zorder")
     // linear clustering on (a, b): 16 range partitions keyed by a
     df.repartitionByRange(16, col("a"), col("b"))
       .sortWithinPartitions("a", "b").write.parquet(s"$tmp/linear")
@@ -299,7 +299,7 @@ class EtlSpec extends SparkSpec {
   }
 
   test("csv round-trip: custom delimiter + header skip with explicit schema") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val dir = tempDir("graft_csv")
     val src = Tables(spark, sfDir, "lineitem")
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
       .limit(500)
@@ -341,7 +341,7 @@ class EtlSpec extends SparkSpec {
   }
 
   test("config-driven pipeline: load → conform → dedup → qa → write") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_pipe").toString
+    val dir = tempDir("graft_pipe")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$dir/in.csv"),
       "id,period,v\n1,p1,10\n1,p1,20\n2,p2,30\n")
@@ -362,7 +362,7 @@ class EtlSpec extends SparkSpec {
   }
 
   test("pipeline optional stages: validation audit + quarantine + freshness SLA") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_pipe3").toString
+    val dir = tempDir("graft_pipe3")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$dir/in.csv"),
       // ids 2 and 3 violate v_positive (-5, 0); id=1 is a dup whose
@@ -407,7 +407,7 @@ class EtlSpec extends SparkSpec {
   }
 
   test("pipeline clusterLater: bulk-write unclustered, then rebuild layout") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_pipe2").toString
+    val dir = tempDir("graft_pipe2")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$dir/in.csv"),
       "id,v\n3,30\n1,10\n2,20\n")
@@ -511,7 +511,7 @@ class EtlSpec extends SparkSpec {
   }
 
   test("jsonExtract: malformed and key-missing props become NULLs, counted apart") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_json").toString
+    val dir = tempDir("graft_json")
     Seq(
       (1L, """{"k": 5}"""), (2L, """{"k": 7}"""),
       (3L, """{"x": 1}"""),   // key missing
@@ -530,7 +530,7 @@ class EtlSpec extends SparkSpec {
   }
 
   test("histogram: exact bin edges, clamp at hi, empty bins zero-filled") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_hist").toString
+    val dir = tempDir("graft_hist")
     // values 0..10: lo=0, hi=10, width=0.5 over 20 bins; v=10 clamps to 19
     (0 to 10).map(i => (i.toLong, i.toDouble)).toDF("event_id", "value")
       .withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
@@ -576,7 +576,7 @@ class EtlSpec extends SparkSpec {
   test("rollingActiveUsers: trailing-window distinct, not a sum of DAUs") {
     // user 1 active on days 1 AND 2 — a naive DAU sum over the window
     // would double-count them; the distinct-over-window must not
-    val dir = java.nio.file.Files.createTempDirectory("graft_rau").toString
+    val dir = tempDir("graft_rau")
     Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L),
       (2L, java.sql.Timestamp.valueOf("2024-01-02 10:00:00"), 1L),
@@ -642,7 +642,7 @@ class EtlSpec extends SparkSpec {
 
   test("funnel: out-of-order stages don't convert; strictly-after rule enforced") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_funnel").toString
+    val dir = tempDir("graft_funnel")
     def ts(min: Int) = new java.sql.Timestamp(60000L * min)
     // u1 completes in order; u2 clicks BEFORE viewing (no stage-2);
     // u3 purchases BEFORE clicking (stage 2 yes, stage 3 no);
@@ -665,7 +665,7 @@ class EtlSpec extends SparkSpec {
 
   test("retentionCohorts: hand-built two-cohort triangle, shares of cohort size") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_ret").toString
+    val dir = tempDir("graft_ret")
     def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:00:00")
     // week1 = 2024-01-01 (Mon): users 1,2 start; week2 = 2024-01-08:
     // user 3 starts, user 1 returns; week3: user 2 returns

@@ -212,7 +212,7 @@ class FunctionsSourcesSpec extends SparkSpec {
   }
 
   test("copyInto reads lake csv per config, auto-creates missing columns, stamps audit") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_ci").toString
+    val dir = tempDir("graft_ci")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/lake.csv"),
       "id|name\n1|a\n2|b\n")
     val cfg = TableConfig.fromYaml(
@@ -236,7 +236,7 @@ class FunctionsSourcesSpec extends SparkSpec {
   }
 
   test("writeTable honors format + compression options") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_wt").toString
+    val dir = tempDir("graft_wt")
     val df = Seq((1, "a"), (2, "b")).toDF("k", "v")
     Sources.writeTable(df, s"$dir/t", compression = Some("gzip"))
     val files = new java.io.File(s"$dir/t").listFiles().map(_.getName)
@@ -245,7 +245,7 @@ class FunctionsSourcesSpec extends SparkSpec {
   }
 
   test("reclusterTable rewrites an unclustered table with clustered layout in place") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_rc").toString
+    val dir = tempDir("graft_rc")
     val df = Seq((3, "c"), (1, "a"), (2, "b")).toDF("k", "v")
     Sources.writeTable(df, s"$dir/t") // unclustered bulk load
     Sources.reclusterTable(spark, s"$dir/t", clusterKeys = Seq("k"))
@@ -256,7 +256,7 @@ class FunctionsSourcesSpec extends SparkSpec {
   }
 
   test("quarantined delimited load captures malformed lines, not silent NULLs") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_q").toString
+    val dir = tempDir("graft_q")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/in.csv"),
       "id,v\n1,10\nnot_a_number,20\n3,30\n")
     val cfg = TableConfig(
@@ -282,7 +282,7 @@ class FunctionsSourcesSpec extends SparkSpec {
   }
 
   test("delimited load honors field terminator, header skip, and schema") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_src").toString
+    val dir = tempDir("graft_src")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$dir/data.csv"),
       "id|name|amt\n1|alpha|1.5\n2|beta|2.5\n")
@@ -300,7 +300,7 @@ class FunctionsSourcesSpec extends SparkSpec {
   }
 
   test("year-partitioned load pads year-specific columns and unions") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_years").toString
+    val dir = tempDir("graft_years")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$dir/y2014.csv"), "id,flag\n1,9\n")
     java.nio.file.Files.writeString(
@@ -319,7 +319,7 @@ class FunctionsSourcesSpec extends SparkSpec {
   }
 
   test("json source applies explicit schema without an inference scan") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_json").toString
+    val dir = tempDir("graft_json")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$dir/d.json"),
       """{"id": 1, "name": "x", "amt": 1.5}
@@ -345,7 +345,7 @@ class FunctionsSourcesSpec extends SparkSpec {
   }
 
   test("writeTable lays out clustered, partitioned parquet") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_write").toString + "/t"
+    val dir = tempDir("graft_write") + "/t"
     val df = Tables(spark, sfDir, "orders")
       .withColumn("yr", year(col("o_orderdate")))
     Sources.writeTable(df, dir, partitionCols = Seq("yr"),
@@ -364,7 +364,7 @@ class FunctionsSourcesSpec extends SparkSpec {
     // both sides bucketed+sorted on the join key → SortMergeJoin reads
     // the buckets directly, and the same partitioning satisfies the
     // downstream groupBy — no Exchange anywhere in the executed plan.
-    val wh = java.nio.file.Files.createTempDirectory("graft_bucket")
+    val wh = tempDir("graft_bucket")
     val o = Tables(spark, sfDir, "orders").select("o_orderkey", "o_totalprice")
     val l = Tables(spark, sfDir, "lineitem").select("l_orderkey", "l_quantity")
     o.write.mode("overwrite").option("path", s"$wh/o")
@@ -453,7 +453,7 @@ class FunctionsSourcesSpec extends SparkSpec {
   test("jsonl.zst roundtrip: write shards, read by extension, schema applied") {
     import graft.sources.Sources
     import org.apache.spark.sql.types._
-    val dir = java.nio.file.Files.createTempDirectory("graft_zst").toString
+    val dir = tempDir("graft_zst")
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
     val docs = Seq(
@@ -477,7 +477,7 @@ class FunctionsSourcesSpec extends SparkSpec {
   test("readJsonl: externally-produced zst + gz shards; quarantine catches malformed lines") {
     import graft.sources.Sources
     import org.apache.spark.sql.types._
-    val dir = java.nio.file.Files.createTempDirectory("graft_zst_ext").toString
+    val dir = tempDir("graft_zst_ext")
     val lines = Seq(
       """{"doc_id": 1, "text": "good row one"}""",
       """this is not json at all""",
@@ -527,7 +527,7 @@ class FunctionsSourcesSpec extends SparkSpec {
     // an ingest that dies on one is not production-usable
     import graft.sources.Sources
     import org.apache.spark.sql.types._
-    val dir = java.nio.file.Files.createTempDirectory("graft_zst_empty").toString
+    val dir = tempDir("graft_zst_empty")
     new java.io.FileOutputStream(s"$dir/empty.jsonl.zst").close()
     val f = new java.io.FileOutputStream(s"$dir/ok.jsonl.zst")
     f.write(com.github.luben.zstd.Zstd.compress(
@@ -547,7 +547,7 @@ class FunctionsSourcesSpec extends SparkSpec {
     // silent partial reads would be data loss disguised as success
     import graft.sources.Sources
     import org.apache.spark.sql.types._
-    val dir = java.nio.file.Files.createTempDirectory("graft_zst_trunc").toString
+    val dir = tempDir("graft_zst_trunc")
     val full = com.github.luben.zstd.Zstd.compress(
       (1 to 50).map(i => s"""{"doc_id": $i, "text": "row number $i"}""")
         .mkString("", "\n", "\n").getBytes("UTF-8"))
@@ -573,7 +573,7 @@ class FunctionsSourcesSpec extends SparkSpec {
     // codec's input stream must keep reading past each frame boundary
     import graft.sources.Sources
     import org.apache.spark.sql.types._
-    val dir = java.nio.file.Files.createTempDirectory("graft_zst_mf").toString
+    val dir = tempDir("graft_zst_mf")
     val f = new java.io.FileOutputStream(s"$dir/multi.jsonl.zst")
     for (frame <- Seq(
       """{"doc_id": 1, "text": "frame one"}""" + "\n",

@@ -60,7 +60,7 @@ class QaSpec extends SparkSpec {
       ("p1", 1.0, "a", java.sql.Timestamp.valueOf("2020-01-01 00:00:00")),
       ("p2", 2.0, "b", java.sql.Timestamp.valueOf("2020-02-01 00:00:00")))
       .toDF("period", "num", "cat", "when")
-    val dir = java.nio.file.Files.createTempDirectory("graft_qa").toString
+    val dir = tempDir("graft_qa")
     val out = Qa.runPipeline(df, "period", Seq("num", "cat", "when"),
       outDir = Some(dir))
     assert(out.keySet == Set("missing_data", "vals_continuous", "vals_date",

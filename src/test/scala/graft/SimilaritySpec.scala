@@ -246,7 +246,7 @@ class SimilaritySpec extends SparkSpec {
 
   test("ivf centroids round-trip through parquet: persisted quantizer reproduces query-time training") {
     val trained = Similarity.ivfCentroids(emb, k = 8, iters = 3)
-    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val dir = tempDir("graft-ivf")
     val path = s"$dir/centroids"
     Similarity.saveCentroids(spark, trained, path)
     val loaded = Similarity.loadCentroids(spark, path)
@@ -268,7 +268,7 @@ class SimilaritySpec extends SparkSpec {
 
   test("pq codebooks round-trip through parquet bit-exact, [m][k][sub] shape") {
     val trained = Similarity.pqCodebooks(emb, m = 16, k = 16, iters = 5)
-    val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    val dir = tempDir("graft-pq")
     Similarity.savePqCodebooks(spark, trained, s"$dir/cb")
     val loaded = Similarity.loadPqCodebooks(spark, s"$dir/cb")
     assert(loaded.length == 16 && loaded.forall(_.length == 16)

@@ -229,7 +229,7 @@ class StreamingSpec extends SparkSpec {
 
   test("idempotent batch writer: replaying a batch leaves no duplicates") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString + "/out"
+    val dir = tempDir("graft_sink") + "/out"
     val writer = Streams.idempotentBatchWriter(dir)
     writer(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), 0L)
     writer(Seq((3L, "c")).toDF("id", "v"), 1L)
@@ -294,7 +294,7 @@ class StreamingSpec extends SparkSpec {
     // reads via nanosAsLong; normalize through Tables for batch, and
     // compare a one-batch streaming pass over a rewritten (µs) copy.
     val batch = graft.analytics.Queries.eventsWindow(spark, sfDir)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val tmp = tempDir("graft_stream")
     Tables(spark, sfDir, "events").write.mode("overwrite").parquet(tmp)
     val stream = Streams.readEvents(spark, tmp)
     val q = Streams.hourlyRollup(stream)
