@@ -144,6 +144,19 @@ object SparkEntry {
           .repartition(8), out)
     }
 
+  // Lineitem staged as tab-separated CSV with header — the reference's
+  // OWN ingest format (BCP-style delimited load), staged once per JVM
+  // so the A10 loader is oracle-visible end to end.
+  private def csvLineitemDir(s: SparkSession, dir: String): String =
+    stagedOnce("csv_lineitem", dir) { out =>
+      Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag"), col("l_shipdate").cast("date").as("l_shipdate"))
+        .repartition(4)
+        .write.option("sep", "\t").option("header", "true")
+        .mode("overwrite").csv(out)
+    }
+
   // The corpus carve's dedup index persisted to parquet — what the
   // incremental loop LOADS in production instead of rebuilding.
   private def prestagedLoopIndexDir(s: SparkSession, dir: String): String =
@@ -194,6 +207,30 @@ object SparkEntry {
     "etl_load_select" -> ((s, dir) =>
       Etl.conform(Tables(s, dir, "lineitem"), lineitemVars)
         .withColumn("l_shipdate", col("l_shipdate").cast("string"))),
+
+    // A10 oracle-visible end to end (was spec-only through r9): the
+    // lineitem table staged once per JVM as tab-separated CSV with a
+    // header row (the reference's BCP-style delimited ingest), loaded
+    // back through loadDelimited's config contract (vars schema,
+    // field_term, first_row=2), and hash-compared per row against the
+    // UNCHANGED parquet oracle — the delimited loader is value-lossless
+    // across the text round-trip (integral-double quantities, ISO
+    // dates, exact shortest-repr doubles)
+    "etl_load_csv_roundtrip" -> ((s, dir) => {
+      val cfg = graft.config.TableConfig(
+        toTable = "lineitem_csv",
+        vars = Seq(
+          ColumnSpec("l_orderkey", "BIGINT"),
+          ColumnSpec("l_linenumber", "INTEGER"),
+          ColumnSpec("l_quantity", "FLOAT"),
+          ColumnSpec("l_returnflag", "VARCHAR(1)"),
+          ColumnSpec("l_shipdate", "DATE")),
+        filePath = Map("overall" -> csvLineitemDir(s, dir)),
+        fieldTerm = Map("overall" -> "\t"),
+        firstRow = 2)
+      graft.sources.Sources.loadDelimited(s, cfg)
+        .withColumn("l_shipdate", col("l_shipdate").cast("string"))
+    }),
 
     "etl_combine_years" -> { (s, dir) =>
       val l = Tables(s, dir, "lineitem")
@@ -1423,6 +1460,17 @@ object SparkEntry {
            cast(l_returnflag as varchar) AS l_returnflag,
            cast(cast(l_shipdate as date) as varchar) AS l_shipdate,
            cast(NULL as varchar) AS load_note
+         FROM lineitem""",
+
+    // identical semantics to etl_load_select minus the absent-column
+    // pad: the query's input went parquet → tab-CSV → loadDelimited,
+    // so hash equality certifies the delimited round trip
+    "etl_load_csv_roundtrip" ->
+      """SELECT cast(l_orderkey as bigint) AS l_orderkey,
+           cast(l_linenumber as int) AS l_linenumber,
+           cast(l_quantity as double) AS l_quantity,
+           cast(l_returnflag as varchar) AS l_returnflag,
+           cast(cast(l_shipdate as date) as varchar) AS l_shipdate
          FROM lineitem""",
 
     "etl_combine_years" ->
