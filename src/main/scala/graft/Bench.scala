@@ -137,6 +137,12 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}") }
     println(line)
+    // ...and a COMPACT summary as the very last stdout line: a capture
+    // that keeps only the tail (or parses only the final line) gets a
+    // complete, valid JSON object with every scalar field — the r9
+    // artifact lost all totals because they lived at the head of the
+    // one big line
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","reps":$reps,"agg":"min","n_queries":${results.size},"calib_pre_sec":$calibPre,"calib_post_sec":$calibPost,"calib_threads":$cpus$calibClean,"batch_sec":${total - streaming},"streaming_sec":$streaming,"full":"bench_out.json","value":$total}""")
     spark.stop()
   }
 }
