@@ -410,6 +410,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("ShuffleAudit listener: groupBy shuffles bytes, filter-only scan none") {
+    val l = new ShuffleAudit.MetricsListener
+    spark.sparkContext.addSparkListener(l)
+    try {
+      ShuffleAudit.settle(l)
+      val b0 = l.snapshot
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .filter(col("l_quantity") > 10).select("l_orderkey")
+        .write.format("noop").mode("overwrite").save()
+      ShuffleAudit.settle(l)
+      val b1 = l.snapshot
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy("l_returnflag").agg(sum("l_quantity"))
+        .write.format("noop").mode("overwrite").save()
+      ShuffleAudit.settle(l)
+      val b2 = l.snapshot
+      // scan-filter-project has no exchange: zero shuffle bytes delta
+      assert(b1(0) - b0(0) === 0L)
+      // the aggregate's partial→final exchange writes real bytes
+      assert(b2(0) - b1(0) > 0L)
+      // and the scans' input bytes were observed at all
+      assert(b1(2) - b0(2) > 0L)
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("jaccard output is bounded, ordered, and self-consistent") {
     forAll(textGen) { docs =>
       whenever(docs.size > 1) {
