@@ -1901,33 +1901,43 @@ object SparkEntry {
     // the batch answer
     "stream_sessionize" -> sessionizeOracle,
 
+    // NULL-text contract (all exact-family oracles): each null-text doc
+    // is a singleton class via the 'N'||id surrogate — mirrors
+    // Dedup.exact exactly; 'N' cannot collide with 32-hex md5 output
     "dedup_cluster_stats" ->
       """WITH c AS (
-           SELECT md5(text) AS text_hash, cast(count(*) as bigint)
-                    AS cluster_size
+           SELECT md5(text) AS text_hash, cast(count(*) as bigint) AS cnt
            FROM documents GROUP BY text_hash)
-         SELECT cluster_size, cast(count(*) as bigint) AS n_clusters,
-                cast(count(*) * cluster_size as bigint) AS n_docs
-         FROM c GROUP BY cluster_size""",
+         SELECT cluster_size, cast(sum(w) as bigint) AS n_clusters,
+                cast(sum(w) * cluster_size as bigint) AS n_docs
+         FROM (SELECT CASE WHEN text_hash IS NULL THEN 1 ELSE cnt END
+                        AS cluster_size,
+                      CASE WHEN text_hash IS NULL THEN cnt ELSE 1 END AS w
+               FROM c)
+         GROUP BY cluster_size""",
 
     "dedup_exact_docs" ->
-      """WITH h AS (SELECT doc_id, md5(text) AS text_hash FROM documents),
-            c AS (SELECT text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
-                  FROM h GROUP BY text_hash)
+      """WITH h AS (SELECT doc_id, md5(text) AS text_hash,
+                           coalesce(md5(text), 'N' || doc_id) AS k
+                    FROM documents),
+            c AS (SELECT k, min(doc_id) AS keep_id, count(*) AS n_copies
+                  FROM h GROUP BY k)
          SELECT doc_id, h.text_hash, keep_id, n_copies,
                 cast(doc_id <> keep_id as int) AS is_duplicate
-         FROM h JOIN c USING (text_hash)""",
+         FROM h JOIN c USING (k)""",
 
     // the zst-ingest gate's oracle IS dedup_exact's, over the parquet
     // table — the query's input went parquet → jsonl.zst → read-back,
     // so hash equality certifies the compressed round trip
     "dedup_exact_zst" ->
-      """WITH h AS (SELECT doc_id, md5(text) AS text_hash FROM documents),
-            c AS (SELECT text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
-                  FROM h GROUP BY text_hash)
+      """WITH h AS (SELECT doc_id, md5(text) AS text_hash,
+                           coalesce(md5(text), 'N' || doc_id) AS k
+                    FROM documents),
+            c AS (SELECT k, min(doc_id) AS keep_id, count(*) AS n_copies
+                  FROM h GROUP BY k)
          SELECT doc_id, h.text_hash, keep_id, n_copies,
                 cast(doc_id <> keep_id as int) AS is_duplicate
-         FROM h JOIN c USING (text_hash)""",
+         FROM h JOIN c USING (k)""",
 
     "dedup_ngram_jaccard" ->
       s"""WITH words AS (
@@ -1948,13 +1958,15 @@ object SparkEntry {
          WHERE round(n_common / cast(sa.n_words + sb.n_words - n_common as double), 4) >= 0.5""",
 
     "dedup_exact_normalized" ->
-      s"""WITH h AS (SELECT doc_id, md5(${Text.normalizeSql("text")}) AS text_hash
+      s"""WITH h AS (SELECT doc_id, md5(${Text.normalizeSql("text")}) AS text_hash,
+                           coalesce(md5(${Text.normalizeSql("text")}),
+                                    'N' || doc_id) AS k
                     FROM documents),
-            c AS (SELECT text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
-                  FROM h GROUP BY text_hash)
+            c AS (SELECT k, min(doc_id) AS keep_id, count(*) AS n_copies
+                  FROM h GROUP BY k)
          SELECT doc_id, h.text_hash, keep_id, n_copies,
                 cast(doc_id <> keep_id as int) AS is_duplicate
-         FROM h JOIN c USING (text_hash)""",
+         FROM h JOIN c USING (k)""",
 
     "text_pii_scrub" -> Text.piiScrubSql(),
 

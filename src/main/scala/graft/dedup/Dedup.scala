@@ -28,14 +28,31 @@ object Dedup {
     * Output: every row tagged with its content hash, the canonical
     * (minimum) doc id of its duplicate class, and whether it would be
     * dropped by `keep-first` policy.
+    *
+    * NULL-text contract: a missing payload is not CONTENT — it is never
+    * a duplicate of another missing payload, so every null-text doc is
+    * its own singleton class (keeps itself, `is_duplicate` 0,
+    * `text_hash` NULL in the output). Mechanically this needs a per-doc
+    * surrogate class key: null never equi-joins, so keying classes on
+    * the raw hash would silently DROP every null-text row at the class
+    * join — the failure mode this contract exists to close. The 'N'
+    * prefix cannot collide with a real key (md5 emits 32 hex chars).
     */
   def exact(df: DataFrame, idCol: String = "doc_id",
             textCol: String = "text"): DataFrame = {
-    val hashed = df.select(col(idCol), md5(col(textCol)).as("text_hash"))
-    val classes = hashed.groupBy(col("text_hash"))
+    // only __k is shuffled; text_hash is re-derived after the join ('N'
+    // is not a hex char, so surrogates are recognizable), keeping the
+    // shuffled row exactly as wide as before the null contract
+    val hashed = df.select(col(idCol),
+      coalesce(md5(col(textCol)),
+        concat(lit("N"), col(idCol).cast("string"))).as("__k"))
+    val classes = hashed.groupBy(col("__k"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
-    hashed.join(classes, "text_hash")
-      .select(col(idCol), col("text_hash"), col("keep_id"), col("n_copies"),
+    hashed.join(classes, "__k")
+      .select(col(idCol),
+        when(col("__k").startsWith("N"), lit(null).cast("string"))
+          .otherwise(col("__k")).as("text_hash"),
+        col("keep_id"), col("n_copies"),
         (col(idCol) =!= col("keep_id")).cast("int").as("is_duplicate"))
   }
 
@@ -47,12 +64,26 @@ object Dedup {
     * this distribution). Two bounded aggregations after the one content
     * shuffle; output is at most |distinct cluster sizes| rows.
     */
-  def clusterSizeStats(df: DataFrame, textCol: String = "text"): DataFrame =
+  def clusterSizeStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    // [[exact]]'s NULL-text contract, histogram form: each null-text row
+    // is its own singleton cluster — emitted as a size-1 row per null
+    // doc rather than one spurious mega-cluster of all nulls (which is
+    // exactly the skew signature this diagnostic exists to flag).
+    // One scan, two exchanges, unchanged: groupBy collects all nulls
+    // into one group whose COUNT is the number of null docs, and that
+    // group re-enters the histogram as `count` clusters of size 1 (a
+    // weighted row) instead of one cluster of size `count`.
     df.select(md5(col(textCol)).as("text_hash"))
-      .groupBy(col("text_hash")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("text_hash")).agg(count(lit(1)).as("cnt"))
+      .select(
+        when(col("text_hash").isNull, lit(1L)).otherwise(col("cnt"))
+          .as("cluster_size"),
+        when(col("text_hash").isNull, col("cnt")).otherwise(lit(1L))
+          .as("__w"))
       .groupBy(col("cluster_size"))
-      .agg(count(lit(1)).as("n_clusters"),
-        (count(lit(1)) * col("cluster_size")).as("n_docs"))
+      .agg(sum(col("__w")).as("n_clusters"),
+        (sum(col("__w")) * col("cluster_size")).as("n_docs"))
+  }
 
   /** Fuzzy-exact dedup: [[exact]] over [[Text.normalize]]d text, so
     * case / punctuation / whitespace variants fall into one duplicate

@@ -245,6 +245,28 @@ class TextDedupSpec extends SparkSpec {
     assert(out(10L) == ((10L, 0)) && out(20L) == ((10L, 1)) && out(30L) == ((30L, 0)))
   }
 
+  test("exact-family NULL-text contract: null docs are singletons, never lost") {
+    val df = Seq((1L, Some("same")), (2L, Some("same")),
+      (3L, None), (4L, None)).toDF("doc_id", "text")
+    // exact: all 4 docs present; the two null-text docs keep themselves
+    val out = Dedup.exact(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("keep_id"), r.getAs[Int]("is_duplicate"),
+          r.getAs[String]("text_hash")))).toMap
+    assert(out.size == 4)
+    assert(out(2L)._1 == 1L && out(2L)._2 == 1)
+    assert(out(3L) == ((3L, 0, null)) && out(4L) == ((4L, 0, null)))
+    // exactNormalized inherits the contract through its delegation
+    val norm = Dedup.exactNormalized(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("is_duplicate")).toMap
+    assert(norm.size == 4 && norm(3L) == 0 && norm(4L) == 0)
+    // histogram form: 2 null singletons + 1 pair, never one null mega-cluster
+    val hist = Dedup.clusterSizeStats(df).collect()
+      .map(r => r.getAs[Long]("cluster_size") ->
+        ((r.getAs[Long]("n_clusters"), r.getAs[Long]("n_docs")))).toMap
+    assert(hist == Map(1L -> ((2L, 2L)), 2L -> ((1L, 2L))))
+  }
+
   test("ngramJaccard finds the planted near-dup pairs on real data") {
     val pairs = Dedup.ngramJaccard(Tables(spark, sfDir, "documents"),
       threshold = 0.5).collect()
