@@ -1205,7 +1205,8 @@ object SparkEntry {
          lt AS (
            SELECT doc_id, lang,
                   string_split_regex(trim(lower(text)), '${Text.wsRe}') AS __toks,
-                  cast(len(string_split_regex(trim(lower(text)), '${Text.wsRe}')) as int) AS word_count
+                  coalesce(cast(len(string_split_regex(trim(lower(text)),
+                    '${Text.wsRe}')) as int), 0) AS word_count
            FROM documents),
          lh AS (
            SELECT doc_id, lang, word_count,
@@ -1220,8 +1221,8 @@ object SparkEntry {
                   pii.n_emails + pii.n_phones AS pii_n,
                   rep.dup_token_frac, rep.top_token_frac
            FROM lid
-           JOIN pii ON lid.doc_id = pii.doc_id
-           JOIN rep ON lid.doc_id = rep.doc_id)
+           LEFT JOIN pii ON lid.doc_id = pii.doc_id
+           LEFT JOIN rep ON lid.doc_id = rep.doc_id)
          SELECT doc_id,
                 CASE WHEN word_count < 20 THEN 'too_short'
                      WHEN dup_token_frac > 0.6 THEN 'repetitive'

@@ -913,7 +913,12 @@ object Dedup {
   private def spanSegments(df: DataFrame, idCol: String, textCol: String,
                            window: Int): DataFrame = {
     val w = window
-    df.withColumn("__toks", split(col(textCol), " "))
+    // NULL text coalesces to '' (one partial span, kept by
+    // construction): split(NULL) explodes to ZERO span rows, which
+    // would silently drop the doc from the reassembled corpus — the
+    // same row-loss class [[exact]]'s null contract closes. A null doc
+    // thus behaves exactly like an empty one: n_spans=1, clean_text ''.
+    df.withColumn("__toks", split(coalesce(col(textCol), lit("")), " "))
       .select(col(idCol), posexplode(expr(
         s"""transform(sequence(0, (size(__toks) - 1) div $w),
               i -> struct(array_join(slice(__toks, i * $w + 1, $w), ' ')
@@ -1004,7 +1009,8 @@ object Dedup {
       SELECT $idCol, u.i AS seg,
              array_to_string(ts[u.i * $w + 1 : u.i * $w + $w], ' ') AS seg_text,
              len(ts[u.i * $w + 1 : u.i * $w + $w]) AS seg_len
-      FROM (SELECT $idCol, string_split($textCol, ' ') AS ts FROM $table),
+      FROM (SELECT $idCol, string_split(coalesce($textCol, ''), ' ') AS ts
+            FROM $table),
            LATERAL (SELECT unnest(generate_series(0, (len(ts) - 1) // $w)) AS i) u
     )"""
 

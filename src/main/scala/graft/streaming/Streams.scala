@@ -554,11 +554,19 @@ object Streams {
     * watermark window (an unbounded-corpus stream can't keep every hash
     * forever; at 100 TB/day the horizon IS the contract). Input needs an
     * event-time column `ts` and a `text` column.
+    *
+    * NULL-text contract matches `Dedup.exact`: a missing payload is
+    * never a duplicate, so null-text docs are keyed by an 'N'||id
+    * surrogate (dropDuplicates would otherwise treat all null hashes as
+    * ONE class and keep only the first null doc per horizon).
     */
   def dedupDocsNormalized(docs: DataFrame,
-                          watermark: String = "1 hour"): DataFrame =
+                          watermark: String = "1 hour",
+                          idCol: String = "doc_id"): DataFrame =
     docs
-      .withColumn("__text_hash", md5(graft.text.Text.normalize(col("text"))))
+      .withColumn("__text_hash",
+        coalesce(md5(graft.text.Text.normalize(col("text"))),
+          concat(lit("N"), col(idCol).cast("string"))))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("__text_hash")
       .drop("__text_hash")

@@ -1048,8 +1048,13 @@ object Text {
                    maxTopTokenFrac: Double = 0.12,
                    langCol: String = "lang",
                    digits: Int = 4): DataFrame = {
+    // coalesce: tokens(NULL) is NULL and size(NULL) is NULL — a
+    // null-text doc must read word_count 0 so the too_short rule flags
+    // it instead of every rule SKIPPING (null predicates fall through
+    // a when-chain)
     val metrics = langId(df)
-      .withColumn("word_count", size(tokens(col("text"))))
+      .withColumn("word_count",
+        coalesce(size(tokens(col("text"))), lit(0)))
       .withColumn("has_pii",
         col("text").rlike(emailRe) || col("text").rlike(phoneRe))
     val rep = df
@@ -1063,7 +1068,12 @@ object Text {
         round((col("n_tokens") - col("n_types")) / col("n_tokens"), digits)
           .as("dup_token_frac"),
         round(col("top_cnt") / col("n_tokens"), digits).as("top_token_frac"))
-    metrics.join(rep, Seq("doc_id"))
+    // LEFT join: a token-less doc (null/empty text) explodes to zero
+    // rows in `rep`, and an inner join would silently DROP it from the
+    // screen — a quality filter must emit a verdict for EVERY doc. Its
+    // null fracs are never consulted: word_count 0 fires too_short
+    // first.
+    metrics.join(rep, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("word_count") < minWords, "too_short")
           .when(col("dup_token_frac") > maxDupTokenFrac, "repetitive")

@@ -152,13 +152,18 @@ class StreamingSpec extends SparkSpec {
     input.addData(
       (1L, t, "The quick brown Fox!"),
       (2L, t, "the  quick brown fox"), // fuzzy dup in-batch
-      (3L, t, "something else"))
+      (3L, t, "something else"),
+      (5L, t, null.asInstanceOf[String])) // missing payload
     q.processAllAvailable()
-    input.addData((4L, t, "THE QUICK BROWN FOX")) // fuzzy dup across batches
+    input.addData(
+      (4L, t, "THE QUICK BROWN FOX"), // fuzzy dup across batches
+      (6L, t, null.asInstanceOf[String])) // second null: NOT a dup of 5
     q.processAllAvailable()
     val got = spark.table("docdedup_test").collect()
     q.stop()
-    assert(got.map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    // Dedup.exact's NULL-text contract holds on the stream: both
+    // null-text docs survive as singletons
+    assert(got.map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L, 5L, 6L))
     // helper column does not leak into the output
     assert(!spark.table("docdedup_test").columns.contains("__text_hash"))
   }

@@ -267,6 +267,18 @@ class TextDedupSpec extends SparkSpec {
     assert(hist == Map(1L -> ((2L, 2L)), 2L -> ((1L, 2L))))
   }
 
+  test("spanDedup/boilerplate NULL-text convention: doc survives as empty") {
+    val docs = Seq((1L, "a b c d e f g h i j a b c d e f g h i j"),
+      (2L, null.asInstanceOf[String]), (3L, "")).toDF("doc_id", "text")
+    for (out <- Seq(Dedup.spanDedup(docs), Dedup.boilerplateDedup(docs))) {
+      val byId = out.collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_spans"), r.getAs[String]("clean_text")))).toMap
+      assert(byId.keySet == Set(1L, 2L, 3L)) // nobody silently dropped
+      // null behaves exactly like empty: one partial span, kept
+      assert(byId(2L) == ((1L, "")) && byId(3L) == ((1L, "")))
+    }
+  }
+
   test("ngramJaccard finds the planted near-dup pairs on real data") {
     val pairs = Dedup.ngramJaccard(Tables(spark, sfDir, "documents"),
       threshold = 0.5).collect()
@@ -439,6 +451,20 @@ class TextDedupSpec extends SparkSpec {
     val hits = out.map(r =>
       r.getAs[Long]("doc_id") -> r.getAs[Int]("n_terms_hit")).toMap
     assert(hits(1L) == 2 && hits(2L) == 1 && hits(3L) == 1)
+  }
+
+  test("corpusFilter verdicts every doc: null/empty text is too_short, not dropped") {
+    val df = Seq(
+      (1L, null.asInstanceOf[String], "en"),
+      (2L, "", "en"),
+      (3L, "the a and is of to " * 5 + (1 to 18).map(i => s"x$i").mkString(" "), "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = Text.corpusFilter(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("reason"), r.getAs[Int]("keep")))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L)) // the screen drops nobody
+    assert(out(1L) == (("too_short", 0)) && out(2L) == (("too_short", 0)))
+    assert(out(3L)._2 == 1)
   }
 
   test("corpusFilter records the first failing rule and keeps clean docs") {
