@@ -40,7 +40,15 @@ object Multimodal {
     */
   def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
-    media.select(col("doc_id"), col("payload"), col("mime"), col("payload_len"))
+    // A missing payload decodes like an EMPTY one (the corpus-wide
+    // null-payload convention): coalesce before the typed boundary,
+    // because MediaRow's primitive payload_len would otherwise throw a
+    // NOT_NULL_ASSERT_VIOLATION — one null media row killing the whole
+    // extract job.
+    media.select(col("doc_id"),
+        coalesce(col("payload"), lit(Array.empty[Byte])).as("payload"),
+        col("mime"),
+        coalesce(col("payload_len"), lit(0)).as("payload_len"))
       .as[MediaRow]
       .mapPartitions { rows =>
         // >>> per-partition init would happen here (codec context) <<<
@@ -71,7 +79,12 @@ object Multimodal {
   def sampleFrames(spark: SparkSession, media: DataFrame,
                    stride: Int = 64): Dataset[Frame] = {
     import spark.implicits._
-    media.select(col("doc_id"), col("payload"), col("mime"), col("payload_len"))
+    // Same null-payload coalesce as [[decodeFeatures]]: null media ≡
+    // empty media (one zero-length frame), never a job-killing NPE.
+    media.select(col("doc_id"),
+        coalesce(col("payload"), lit(Array.empty[Byte])).as("payload"),
+        col("mime"),
+        coalesce(col("payload_len"), lit(0)).as("payload_len"))
       .as[MediaRow]
       .mapPartitions { rows =>
         rows.flatMap { r =>

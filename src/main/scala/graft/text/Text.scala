@@ -80,17 +80,26 @@ object Text {
       // sf0.1: quality_score 0.44+0.25+0.03125 = 0.72125 → 0.7213 vs
       // 0.7212; stop ratios like 9/160 = 0.05625 are the same class).
       // The floor spelling is one deterministic function of the double.
+      // nullif on every denominator: empty text (0 chars) and
+      // whitespace-only text (0 words) are legal corpus rows, and under
+      // ANSI mode a bare /0 would kill the whole job for one such row.
+      // DuckDB's division already yields NULL at 0, so null ratios (and
+      // a null composite) are the cross-engine contract for these docs.
       .withColumn("punct_ratio",
-        halfUp(col("punct_count") / col("n_chars_calc"), digits))
+        halfUp(col("punct_count") / nullif(col("n_chars_calc"), lit(0)),
+          digits))
       .withColumn("stop_ratio",
-        halfUp(col("stop_count") / col("word_count"), digits))
+        halfUp(col("stop_count") / nullif(col("word_count"), lit(0)),
+          digits))
       // Composite uses the RAW ratios (not the display-rounded columns):
       // rounding pre-rounded values lands exactly on .00005 decimal
       // boundaries where engines' double-rounding can disagree by 1 ulp.
       .withColumn("quality_score", halfUp(
         least(col("word_count") / lit(100.0), lit(1.0)) * 0.5
-          + (lit(1.0) - col("punct_count") / col("n_chars_calc")) * 0.25
-          + (col("stop_count") / col("word_count")) * 0.25, digits))
+          + (lit(1.0) - col("punct_count") / nullif(col("n_chars_calc"),
+            lit(0))) * 0.25
+          + (col("stop_count") / nullif(col("word_count"), lit(0))) * 0.25,
+        digits))
       .drop("__toks")
   }
 

@@ -559,21 +559,32 @@ class SimilaritySpec extends SparkSpec {
     assert(trainedTotal <= out.values.sum)
   }
 
-  test("normFilter flags zero, ragged, and runaway vectors; passes healthy ones") {
+  test("normFilter flags zero, ragged, runaway, null, and NaN vectors; passes healthy ones") {
     import spark.implicits._
     val rows = Seq(
       (1L, Array.fill(64)(0.125f)),            // healthy: norm_sq = 1.0
       (2L, Array.fill(64)(0.0f)),              // dead: zero norm
       (3L, Array.fill(32)(0.2f)),              // ragged: 32 dims
-      (4L, Array.fill(64)(10.0f)))             // runaway norm
+      (4L, Array.fill(64)(10.0f)),             // runaway norm
+      (5L, null.asInstanceOf[Array[Float]]),   // missing vector
+      (6L, Array.fill(64)(Float.NaN)))         // corrupt encoder output
       .toDF("vec_id", "embedding")
     val out = graft.similarity.Similarity.normFilter(rows)
       .collect().map(r => r.getLong(0) ->
-        ((r.getInt(1), r.getDouble(2), r.getInt(3), r.getInt(4)))).toMap
-    assert(out(1L) == ((64, 1.0, 1, 1)))
-    assert(out(2L) == ((64, 0.0, 1, 0)))
-    assert(out(3L)._1 == 32 && out(3L)._3 == 0)
+        ((r.isNullAt(1), if (r.isNullAt(2)) Double.NaN else r.getDouble(2),
+          r.getInt(3), r.getInt(4)))).toMap
+    assert(out(1L) == ((false, 1.0, 1, 1)))
+    assert(out(2L) == ((false, 0.0, 1, 0)))
+    assert(out(3L)._3 == 0)
     assert(out(4L)._3 == 1 && out(4L)._4 == 0)
+    // null vector: both metrics null, both flags 0 — the audit VERDICTS
+    // a missing embedding (null predicates fall to otherwise(0)); it
+    // never silently drops or passes one
+    assert(out(5L)._1 && out(5L)._3 == 0 && out(5L)._4 == 0)
+    // NaN norm: Spark orders NaN above every value, so the <= hi² bound
+    // fails and the flag lands 0 — the screen catches corrupt floats
+    // without an explicit isnan branch
+    assert(out(6L)._2.isNaN && out(6L)._3 == 1 && out(6L)._4 == 0)
   }
 
   test("project: matches a driver-side replay of the same signs, linear in the input") {
@@ -606,3 +617,4 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 }
+
