@@ -687,7 +687,7 @@ object Similarity {
     ivfDuckdbCore(probeIds, topK, nprobe, dim, table, idCol, vecCol,
       centSql = s"""SELECT row_number() OVER (ORDER BY $idCol) - 1 AS cluster,
                 $vecCol AS cv
-         FROM (SELECT * FROM e ORDER BY $idCol LIMIT $k)""")
+         FROM (SELECT * FROM e WHERE $vecCol IS NOT NULL ORDER BY $idCol LIMIT $k)""")
 
   /** DuckDB replay of [[ivfTopK]] with a TRAINED (driver-literal)
     * quantizer: the centroid matrix is embedded as a literal VALUES
@@ -799,7 +799,11 @@ object Similarity {
     // loops below never index past a short vector — matching the scoring
     // paths' min(|vec|, dim) tolerance
     val sample: Array[Array[Double]] = embeddings
-      .select(col(idCol), col(vecCol)).orderBy(col(idCol))
+      .select(col(idCol), col(vecCol))
+      // null vectors carry no training signal and would NPE the
+      // driver-side Lloyd loops; the seeded contract is therefore the
+      // first k NON-NULL vectors by id (oracle carves filter identically)
+      .where(col(vecCol).isNotNull).orderBy(col(idCol))
       .limit(maxTrainSamples)
       .select(col(vecCol)).collect()
       .map(r => java.util.Arrays.copyOf(
@@ -984,7 +988,11 @@ object Similarity {
     require(dim % m == 0, s"pqCodebooks: m=$m must divide dim=$dim")
     val sub = dim / m
     val sample: Array[Array[Double]] = embeddings
-      .select(col(idCol), col(vecCol)).orderBy(col(idCol))
+      .select(col(idCol), col(vecCol))
+      // null vectors carry no training signal and would NPE the
+      // driver-side Lloyd loops; the seeded contract is therefore the
+      // first k NON-NULL vectors by id (oracle carves filter identically)
+      .where(col(vecCol).isNotNull).orderBy(col(idCol))
       .limit(maxTrainSamples)
       .select(col(vecCol)).collect()
       .map(r => java.util.Arrays.copyOf(
@@ -1112,7 +1120,7 @@ object Similarity {
     s"""WITH e AS (SELECT $idCol, $vecCol FROM $table),
        cb AS (SELECT row_number() OVER (ORDER BY $idCol) - 1 AS code,
                      $vecCol AS cv
-              FROM (SELECT * FROM e ORDER BY $idCol LIMIT $k)),
+              FROM (SELECT * FROM e WHERE $vecCol IS NOT NULL ORDER BY $idCol LIMIT $k)),
        subs AS (SELECT unnest(range(0, $m)) AS subspace),
        dists AS (
          SELECT e.$idCol, subs.subspace, cb.code,
@@ -1181,7 +1189,7 @@ object Similarity {
     s"""WITH e AS (SELECT $idCol, $vecCol FROM $table),
        cb AS (SELECT row_number() OVER (ORDER BY $idCol) - 1 AS code,
                      $vecCol AS cv
-              FROM (SELECT * FROM e ORDER BY $idCol LIMIT $k)),
+              FROM (SELECT * FROM e WHERE $vecCol IS NOT NULL ORDER BY $idCol LIMIT $k)),
        subs AS (SELECT unnest(range(0, $m)) AS subspace),
        cd AS (
          SELECT e.$idCol, subs.subspace,
@@ -1292,7 +1300,7 @@ object Similarity {
        c AS (SELECT $idCol, $vecCol FROM $table WHERE $corpusWhere),
        cb AS (SELECT row_number() OVER (ORDER BY $idCol) - 1 AS code,
                      $vecCol AS cv
-              FROM (SELECT * FROM c ORDER BY $idCol LIMIT $k)),
+              FROM (SELECT * FROM c WHERE $vecCol IS NOT NULL ORDER BY $idCol LIMIT $k)),
        subs AS (SELECT unnest(range(0, $m)) AS subspace),
        cd AS (
          SELECT c.$idCol AS cand_id, subs.subspace, cb.code,
@@ -1400,10 +1408,10 @@ object Similarity {
       table, idCol, vecCol,
       centSql = s"""SELECT row_number() OVER (ORDER BY $idCol) - 1 AS cluster,
                        $vecCol AS cv
-                FROM (SELECT * FROM c ORDER BY $idCol LIMIT $kc)""",
+                FROM (SELECT * FROM c WHERE $vecCol IS NOT NULL ORDER BY $idCol LIMIT $kc)""",
       cbSql = s"""SELECT row_number() OVER (ORDER BY $idCol) - 1 AS code,
                      $vecCol AS cv
-              FROM (SELECT * FROM c ORDER BY $idCol LIMIT $k)""")
+              FROM (SELECT * FROM c WHERE $vecCol IS NOT NULL ORDER BY $idCol LIMIT $k)""")
 
   /** DuckDB replay of [[ivfPqSearch]] with TRAINED (driver-literal)
     * quantizers: the centroid matrix and the per-subspace codebooks are
@@ -1722,7 +1730,7 @@ object Similarity {
        cent AS (
          SELECT row_number() OVER (ORDER BY $idCol) - 1 AS cluster,
                 $vecCol AS cv
-         FROM (SELECT * FROM e ORDER BY $idCol LIMIT $k)),
+         FROM (SELECT * FROM e WHERE $vecCol IS NOT NULL ORDER BY $idCol LIMIT $k)),
        dists AS (
          SELECT e.$idCol, e.$vecCol, c.cluster, $l2 AS l2
          FROM e CROSS JOIN cent c),

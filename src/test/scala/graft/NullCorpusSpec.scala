@@ -4,70 +4,70 @@ import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
 
-/** Null-corpus robustness sweep: a production crawl WILL deliver docs
-  * with missing, empty, or whitespace-only text, and at 100 TB a single
-  * unguarded NPE (or a codegen null-deref in a native expression) kills
-  * an hours-long job. The targeted NULL-text-contract specs (TextDedup/
-  * Streaming) pin the row-accounting semantics for the ops where null
-  * handling is part of the CONTRACT; this suite pins the weaker but
-  * universal property for the whole corpus surface: every batch query
-  * that reads the documents table must EXECUTE — no exception, no
-  * codegen crash — when the corpus contains hostile text rows.
+/** Hostile-corpus robustness sweeps: a production pipeline WILL ingest
+  * rows with missing, empty, ragged, or NaN payloads, and at 100 TB a
+  * single unguarded NPE (or a codegen null-deref in a native
+  * expression) kills an hours-long job. The targeted NULL-contract
+  * specs (TextDedup/Streaming/Similarity) pin the row-accounting
+  * semantics for ops where hostile handling is part of the CONTRACT;
+  * this suite pins the weaker but universal property for the whole
+  * surface: every batch query that reads a dirty table must EXECUTE —
+  * no exception, no codegen crash — when that table carries hostile
+  * rows.
   *
-  * The sweep discovers the surface from the plans themselves (any
-  * query whose analyzed plan scans the staged documents.parquet, plus
-  * the zst-ingest gates whose builders stage FROM it), so a new
-  * documents operator is swept automatically.
+  * Coverage discovers itself from the plans (any query whose analyzed
+  * plan scans the staged table's parquet is executed), so new
+  * operators join the sweep automatically. The three dirty tables a
+  * real deployment distrusts are swept: documents (crawl text),
+  * embeddings (encoder output), events (client telemetry). The TPC-H
+  * relational tables are NOT-NULL by schema contract and stay clean.
   */
 class NullCorpusSpec extends SparkSpec {
 
-  /** sf0.001 with three hostile rows appended to documents: null text,
-    * empty text, whitespace-only text. All other tables symlink to the
-    * real sf dir.
+  /** Stage a copy of sf0.001 where `table`.parquet is the real table
+    * plus `hostile(realDf)` rows appended; every other table symlinks
+    * to the real dir.
     */
-  private lazy val staged: String = {
-    val dir = tempDir("graft_nullcorpus_")
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val maxId = docs.agg(org.apache.spark.sql.functions.max("doc_id"))
-      .head().getLong(0)
-    val hostile = spark.createDataFrame(
-      java.util.Arrays.asList(
-        Row(maxId + 1, null, "en", "hostile", 0L),
-        Row(maxId + 2, "", "en", "hostile", 0L),
-        Row(maxId + 3, "   ", "en", "hostile", 3L)),
-      docs.schema)
-    docs.unionByName(hostile).coalesce(1)
-      .write.parquet(s"$dir/documents.parquet")
+  private def stageHostile(table: String)
+                          (hostile: DataFrame => DataFrame): String = {
+    val dir = tempDir("graft_hostile_")
+    val real = spark.read.parquet(s"$sfDir/$table.parquet")
+    real.unionByName(hostile(real)).coalesce(1)
+      .write.parquet(s"$dir/$table.parquet")
     Files.list(Paths.get(sfDir)).forEach { p =>
       val name = p.getFileName.toString
-      if (name != "documents.parquet")
+      if (name != s"$table.parquet")
         Files.createSymbolicLink(Paths.get(dir, name), p): Unit
     }
     dir
   }
 
-  private def readsStagedDocuments(df: DataFrame): Boolean =
+  private def readsStaged(df: DataFrame, dir: String,
+                          table: String): Boolean =
     df.queryExecution.analyzed.collect {
       case r: LogicalRelation => r.relation match {
         case h: HadoopFsRelation => h.location.rootPaths
-          .exists(_.toString.contains(s"$staged/documents.parquet"))
+          .exists(_.toString.contains(s"$dir/$table.parquet"))
         case _ => false
       }
     }.exists(identity)
 
-  test("every documents-reading batch query executes on a corpus with " +
-    "null/empty/whitespace text") {
+  /** Execute every batch query that reads `table` from the staged dir
+    * (plus any whose name `alwaysRun` forces); return (swept, failures).
+    */
+  private def sweep(dir: String, table: String,
+                    alwaysRun: String => Boolean = _ => false)
+      : (Int, Seq[String]) = {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(_.startsWith("stream_"))
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     var swept = 0
     for (name <- names) {
       try {
-        val df = SparkEntry.queries(name)(spark, staged)
-        // zst gates read staged shards, not documents.parquet, but their
-        // builders stage FROM the hostile corpus — always execute them.
-        if (readsStagedDocuments(df) || name.contains("zst")) {
+        val df = SparkEntry.queries(name)(spark, dir)
+        if (readsStaged(df, dir, table) || alwaysRun(name)) {
           swept += 1
           df.queryExecution.toRdd.count(): Unit
         }
@@ -78,6 +78,23 @@ class NullCorpusSpec extends SparkSpec {
               .mkString}"
       }
     }
+    (swept, failures.toSeq)
+  }
+
+  test("every documents-reading batch query executes on a corpus with " +
+    "null/empty/whitespace text") {
+    val dir = stageHostile("documents") { docs =>
+      val maxId = docs.agg(max("doc_id")).head().getLong(0)
+      spark.createDataFrame(
+        java.util.Arrays.asList(
+          Row(maxId + 1, null, "en", "hostile", 0L),
+          Row(maxId + 2, "", "en", "hostile", 0L),
+          Row(maxId + 3, "   ", "en", "hostile", 3L)),
+        docs.schema)
+    }
+    // zst gates read staged shards, not documents.parquet, but their
+    // builders stage FROM the hostile corpus — always execute them.
+    val (swept, failures) = sweep(dir, "documents", _.contains("zst"))
     // the documents surface is ~half the suite; a sweep that silently
     // matched nothing would be a green lie
     assert(swept >= 40, s"sweep matched only $swept queries — " +
@@ -86,6 +103,53 @@ class NullCorpusSpec extends SparkSpec {
       s"null-hostile corpus crashed ${failures.size} queries:\n" +
         failures.mkString("\n"))
   }
+
+  test("every embeddings-reading batch query executes with null/empty/" +
+    "ragged/NaN vectors present") {
+    val dir = stageHostile("embeddings") { emb =>
+      val maxId = emb.agg(max("vec_id")).head().getLong(0)
+      val base = emb.orderBy("vec_id").limit(1)
+      base.select(lit(maxId + 1).as("vec_id"),
+          expr("cast(null as array<float>)").as("embedding"), col("label"))
+        .unionByName(base.select(lit(maxId + 2).as("vec_id"),
+          expr("slice(embedding, 1, 0)").as("embedding"), col("label")))
+        .unionByName(base.select(lit(maxId + 3).as("vec_id"),
+          expr("slice(embedding, 1, 32)").as("embedding"), col("label")))
+        .unionByName(base.select(lit(maxId + 4).as("vec_id"),
+          expr("transform(embedding, x -> cast('NaN' as float))")
+            .as("embedding"), col("label")))
+    }
+    val (swept, failures) = sweep(dir, "embeddings")
+    assert(swept >= 15, s"sweep matched only $swept queries — " +
+      "discovery broke, not the operators")
+    assert(failures.isEmpty,
+      s"hostile embeddings crashed ${failures.size} queries:\n" +
+        failures.mkString("\n"))
+  }
+
+  test("every events-reading batch query executes with null ts/user/" +
+    "type/props rows present") {
+    val dir = stageHostile("events") { ev =>
+      val maxId = ev.agg(max("event_id")).head().getLong(0)
+      val base = ev.orderBy("event_id").limit(1)
+      def rowWith(id: Long, nullCol: String): DataFrame =
+        base.select(ev.columns.map {
+          case "event_id" => lit(id).as("event_id")
+          case c if c == nullCol =>
+            lit(null).cast(ev.schema(c).dataType).as(c)
+          case c => col(c)
+        }.toSeq: _*)
+      rowWith(maxId + 1, "ts")
+        .unionByName(rowWith(maxId + 2, "user_id"))
+        .unionByName(rowWith(maxId + 3, "event_type"))
+        .unionByName(rowWith(maxId + 4, "props"))
+        .unionByName(rowWith(maxId + 5, "value"))
+    }
+    val (swept, failures) = sweep(dir, "events")
+    assert(swept >= 8, s"sweep matched only $swept queries — " +
+      "discovery broke, not the operators")
+    assert(failures.isEmpty,
+      s"hostile events crashed ${failures.size} queries:\n" +
+        failures.mkString("\n"))
+  }
 }
-
-
