@@ -501,6 +501,12 @@ object Streams {
     * columns — the streaming twin of `Qa.missingness`, for catching a
     * upstream schema/quality regression while the load is running rather
     * than after. One watermarked window agg; all columns in one pass.
+    *
+    * BLIND SPOT (spec-pinned): a null `ts` row never reaches this
+    * aggregate — Spark drops null event-time at watermark assignment —
+    * so missing EVENT TIME, the one field this monitor most needs to
+    * see, is structurally invisible to it. Audit that class via
+    * [[splitNullEventTime]]'s quarantine stream instead.
     */
   def qaMissingnessStream(events: DataFrame, cols: Seq[String],
                           window_ : String = "1 hour"): DataFrame = {
@@ -546,6 +552,29 @@ object Streams {
   def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** NULL-EVENT-TIME contract and its quarantine split.
+    *
+    * A row with a null event-time is INVISIBLE to every event-time
+    * windowed operator: Spark's watermark assignment silently drops it
+    * before the aggregation, so neither [[hourlyRollup]] nor — more
+    * dangerously — [[qaMissingnessStream]] (the monitor that is supposed
+    * to COUNT missing fields) will ever reflect it. Key-based
+    * [[dedupEvents]] does still pass such rows through. Patching the
+    * window key (sentinel epoch, or arrival-time coalesce) is wrong at
+    * scale: a sentinel is permanently late once the watermark advances, and
+    * `current_timestamp()` poisons the watermark during a catch-up
+    * replay (one null row fast-forwards it past every pending
+    * event-time row).
+    *
+    * The production pattern is therefore split-at-ingest: route null-ts
+    * rows to a stateless quarantine stream (append-safe without
+    * watermark — no aggregation) whose sink is the audit, and run the
+    * event-time pipeline on the clean side. Returns (clean, quarantine).
+    */
+  def splitNullEventTime(events: DataFrame, tsCol: String = "ts")
+      : (DataFrame, DataFrame) =
+    (events.filter(col(tsCol).isNotNull), events.filter(col(tsCol).isNull))
 
   /** Streaming fuzzy-exact document dedup — the streaming twin of
     * `Dedup.exactNormalized`: normalize the text, keep the first document

@@ -120,6 +120,56 @@ class StreamingSpec extends SparkSpec {
     assert(r.getAs[Long]("n_rows") == 3L)
   }
 
+  test("null-event-time contract: windowed aggs drop, key dedup keeps, " +
+    "splitNullEventTime quarantines") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val t = Timestamp.valueOf("2024-01-01 10:05:00")
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val events = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val (clean, quarantine) = Streams.splitNullEventTime(events)
+    val rollup = Streams.hourlyRollup(events)
+      .writeStream.format("memory").queryName("nullts_rollup")
+      .outputMode("complete").start()
+    val dedup = Streams.dedupEvents(events)
+      .writeStream.format("memory").queryName("nullts_dedup")
+      .outputMode("append").start()
+    val qq = quarantine
+      .writeStream.format("memory").queryName("nullts_quarantine")
+      .outputMode("append").start()
+    val cq = Streams.hourlyRollup(clean)
+      .writeStream.format("memory").queryName("nullts_clean_rollup")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        (1L, t, 1L, "click", 1.0, ""),
+        (2L, null.asInstanceOf[Timestamp], 2L, "click", 2.0, ""),
+        (3L, t, 3L, null.asInstanceOf[String], 5.0,
+          null.asInstanceOf[String]))
+      Seq(rollup, dedup, qq, cq).foreach(_.processAllAvailable())
+      // the null-ts click is INVISIBLE to the windowed agg (Spark drops
+      // null event time at watermark assignment): click count is 1, and
+      // no null-window row appears
+      val counts = spark.table("nullts_rollup")
+        .collect().map(r => Option(r.getString(1)) -> r.getLong(2)).toMap
+      assert(counts == Map(Some("click") -> 1L, None -> 1L))
+      // the split's clean side computes the identical aggregate — nothing
+      // but the invisible row differs
+      assert(spark.table("nullts_clean_rollup").collect().map(_.toSeq).toSet
+        == spark.table("nullts_rollup").collect().map(_.toSeq).toSet)
+      // key-based dedup passes the null-ts row through
+      assert(spark.table("nullts_dedup").select("event_id").collect()
+        .map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+      // the quarantine stream carries exactly the invisible row — the
+      // audit surface the windowed monitor structurally cannot provide
+      assert(spark.table("nullts_quarantine").select("event_id").collect()
+        .map(_.getLong(0)).toSeq == Seq(2L))
+      // and it holds NO state (stateless filter — append-safe forever)
+      assert(qq.lastProgress.stateOperators.isEmpty)
+    } finally Seq(rollup, dedup, qq, cq).foreach(_.stop())
+  }
+
   test("streaming dedup drops repeated event_ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
