@@ -448,4 +448,34 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("native scalar expressions null-propagate: null input yields null, never a crash") {
+    // Every graft Catalyst expression is built on nullSafeEval /
+    // nullSafeCodeGen, so a null input row produces a null output row —
+    // the Spark built-in convention, and at 100 TB the difference
+    // between one null cell and a dead job. This pin stops a future
+    // expression from shipping without the convention. (Runtime nulls
+    // through the codegen path are exercised by the hostile-corpus
+    // sweeps; the constant-folded path here pins eval().)
+    val nullVecF = "cast(null as array<float>)"
+    val vecF = "cast(array(1.0, 2.0) as array<float>)"
+    val cb = "array(array(array(0.0d, 0.0d)))" // m=1, k=1, sub=2
+    val cases = Seq(
+      s"cosine_sim($nullVecF, $vecF)",
+      s"cosine_sim($vecF, $nullVecF)",
+      s"l2_sq($nullVecF, $vecF)",
+      s"l2_sq($vecF, $nullVecF)",
+      "md5_mod_p(cast(null as string))",
+      "md5_h32(cast(null as string))",
+      "md5_fp62(cast(null as string))",
+      s"lsh_buckets($nullVecF, 2, 1, 2)",
+      s"centroid_dists($nullVecF, array(array(0.0d, 0.0d)))",
+      s"pq_codes($nullVecF, $cb)",
+      s"pq_dt($nullVecF, $cb)",
+      "adc_dist(cast(null as array<array<double>>), array(1))",
+      "adc_dist(array(array(0.0d)), cast(null as array<int>))")
+    for (c <- cases)
+      assert(spark.sql(s"SELECT $c AS v").head().isNullAt(0),
+        s"$c should evaluate to NULL")
+  }
 }

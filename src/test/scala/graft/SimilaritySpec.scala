@@ -569,6 +569,12 @@ class SimilaritySpec extends SparkSpec {
       (5L, null.asInstanceOf[Array[Float]]),   // missing vector
       (6L, Array.fill(64)(Float.NaN)))         // corrupt encoder output
       .toDF("vec_id", "embedding")
+      // interior-null element (a parquet float list CAN carry one):
+      // aggregate's fold hits acc + null → null norm_sq → norm_ok 0 on
+      // BOTH engines, so the validator catches element nulls too
+      .unionByName(Seq(7L).toDF("vec_id").selectExpr("vec_id",
+        "transform(sequence(1, 64), i -> if(i = 3, " +
+          "cast(null as float), cast(0.125 as float))) as embedding"))
     val out = graft.similarity.Similarity.normFilter(rows)
       .collect().map(r => r.getLong(0) ->
         ((r.isNullAt(1), if (r.isNullAt(2)) Double.NaN else r.getDouble(2),
@@ -585,6 +591,8 @@ class SimilaritySpec extends SparkSpec {
     // fails and the flag lands 0 — the screen catches corrupt floats
     // without an explicit isnan branch
     assert(out(6L)._2.isNaN && out(6L)._3 == 1 && out(6L)._4 == 0)
+    // interior null: dims full-length but norm_sq null → norm_ok 0
+    assert(out(7L)._2.isNaN && out(7L)._3 == 1 && out(7L)._4 == 0)
   }
 
   test("project: matches a driver-side replay of the same signs, linear in the input") {
