@@ -1242,17 +1242,20 @@ object SparkEntry {
     * `dedup_corpus_clean` and `corpus_curate`.
     */
   private lazy val corpusCleanOracle: String =
-    s"""SELECT doc_id, lang FROM documents
-         WHERE doc_id NOT IN (
+    s"""WITH ex AS (
            SELECT doc_id FROM (
              WITH h AS (SELECT doc_id, md5(${Text.normalizeSql("text")}) AS text_hash
                         FROM documents),
                   c AS (SELECT text_hash, min(doc_id) AS keep_id
                         FROM h GROUP BY 1)
              SELECT doc_id FROM h JOIN c USING (text_hash)
-             WHERE doc_id <> keep_id)
-           UNION
-           SELECT doc_b FROM (${MinHashSpec.duckdbJaccardSql()}))"""
+             WHERE doc_id <> keep_id)),
+         surv AS (SELECT * FROM documents
+                  WHERE doc_id NOT IN (SELECT doc_id FROM ex)),
+         near AS (${MinHashSpec.duckdbJaccardSql(table = "surv")})
+       SELECT doc_id, lang FROM documents
+       WHERE doc_id NOT IN (SELECT doc_id FROM ex)
+         AND doc_id NOT IN (SELECT doc_b FROM near)"""
 
   // ---- reusable DuckDB oracle fragments (shared by the per-family QA
   // gates and the qa_report composition — ONE source of truth per family)

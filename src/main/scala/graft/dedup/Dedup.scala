@@ -111,10 +111,22 @@ object Dedup {
     */
   def cleanCorpus(df: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text", k: Int = 3,
-                  threshold: Double = 0.5): DataFrame = {
+                  threshold: Double = 0.5,
+                  maxBucket: Int = Int.MaxValue): DataFrame = {
     val exactDrops = exactNormalized(df, idCol, textCol)
       .filter(col("is_duplicate") === 1).select(col(idCol))
-    val nearDrops = jaccardOnCandidates(df, idCol, textCol, k, threshold)
+      .localCheckpoint()
+    // Propose/verify on the EXACT SURVIVORS only — the canonical crawl
+    // cascade (exact first, fuzzy on what remains). This is not just a
+    // cost win (fewer docs shingled and banded): a mega-duplicate
+    // cluster (one boilerplate page crawled m times) collapses to one
+    // representative BEFORE banding, so the LSH self-join never sees
+    // the C(m,2) bucket. `maxBucket` then guards the residual case the
+    // exact stage can't collapse (mega NEAR-dup clusters — same page,
+    // differing timestamp line).
+    val survivors = df.join(exactDrops, Seq(idCol), "left_anti")
+    val nearDrops = jaccardOnCandidates(survivors, idCol, textCol, k,
+        threshold, maxBucket = maxBucket)
       .select(col("doc_b").as(idCol))
     val drops = exactDrops.unionByName(nearDrops).distinct()
     df.join(drops, Seq(idCol), "left_anti")
@@ -174,11 +186,13 @@ object Dedup {
     */
   def jaccardOnCandidates(df: DataFrame, idCol: String = "doc_id",
                           textCol: String = "text", k: Int = 3,
-                          threshold: Double = 0.5, digits: Int = 4): DataFrame = {
+                          threshold: Double = 0.5, digits: Int = 4,
+                          maxBucket: Int = Int.MaxValue): DataFrame = {
     // localCheckpoint (not cache): materializes the LSH propose pipeline
     // once for the three consumers below, truncates its lineage, and
     // leaves no CacheManager entry behind (see ngramJaccard note).
-    val cand = MinHashSpec.candidatePairs(df, idCol, textCol)
+    val cand = MinHashSpec.candidatePairs(df, idCol, textCol,
+        maxBucket = maxBucket)
       .select(col("doc_a"), col("doc_b")).localCheckpoint()
     // Verify pass touches ONLY documents that appear in a candidate pair:
     // the semi-join prunes the corpus before the shingle explode, so
@@ -1141,10 +1155,30 @@ object MinHashSpec {
     * distinct. The full K-value signature (~128 B) rides through the band
     * explode so the estimate is computed directly on the joined pair —
     * no joins back to the signature table. No cross product anywhere.
+    *
+    * `maxBucket` is the MEGA-CLUSTER guard: a crawl corpus carries the
+    * same boilerplate page m times, every copy lands in the same band
+    * buckets, and the self-join emits C(m,2) pairs per band — at
+    * m = 10⁶ that is 5×10¹¹ rows from ONE page, the classic LSH scale
+    * bomb. Buckets larger than `maxBucket` are dropped from candidate
+    * generation (their members are near-identical en masse — exactly
+    * the population exact/normalized dedup already collapses, which is
+    * why [[Dedup.cleanCorpus]] runs the exact stage FIRST and proposes
+    * on its survivors). Default keeps every bucket — plan and oracle
+    * identical to the uncapped form; the cap adds one window count
+    * keyed like the join, no extra scan of the corpus.
     */
   def candidatePairs(df: DataFrame, idCol: String = "doc_id",
-                     textCol: String = "text", digits: Int = 4): DataFrame = {
-    val bands = bandedSignatures(df, idCol, textCol)
+                     textCol: String = "text", digits: Int = 4,
+                     maxBucket: Int = Int.MaxValue): DataFrame = {
+    val banded = bandedSignatures(df, idCol, textCol)
+    val bands =
+      if (maxBucket == Int.MaxValue) banded
+      else banded
+        .withColumn("__bn", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("band"), col("bsig"))))
+        .filter(col("__bn") <= maxBucket).drop("__bn")
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
           col("x.id") < col("y.id"))

@@ -279,6 +279,38 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("LSH mega-cluster guard: maxBucket caps the quadratic bucket; " +
+    "cleanCorpus collapses it before banding") {
+    // the crawl reality: one boilerplate page lands m times; every copy
+    // shares every band bucket, so the uncapped self-join pays C(m,2)
+    val boiler = (0L until 60L).map(i =>
+      (i, "the same boilerplate page body repeated verbatim across the crawl"))
+    val pairDup = Seq(
+      (102L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (103L, "alpha beta gamma delta epsilon zeta eta theta"))
+    val rest = (200L until 205L).map(i =>
+      (i, s"unique document number $i with its own content w$i x$i y$i z$i"))
+    val docs = (boiler ++ pairDup ++ rest).toDF("doc_id", "text")
+    // uncapped: the cluster alone contributes C(60,2) = 1770 pairs
+    val uncapped = MinHashSpec.candidatePairs(docs).count()
+    assert(uncapped >= 1770L)
+    // capped: the mega bucket is dropped entirely; the size-2 bucket
+    // (the honest duplicate pair) still proposes
+    val capped = MinHashSpec.candidatePairs(docs, maxBucket = 10)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(!capped.exists(p => p._1 < 60L && p._2 < 60L))
+    assert(capped.contains((102L, 103L)))
+    // the cascade means cleanCorpus never NEEDS the cap for identical
+    // docs: the exact stage collapses the cluster to doc 0 before the
+    // propose stage bands anything
+    val out = Dedup.cleanCorpus(docs).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(out.intersect((0L until 60L).toSet) == Set(0L))
+    assert(out.contains(102L) && !out.contains(103L))
+    assert((200L until 205L).forall(out.contains))
+  }
+
   test("ngramJaccard finds the planted near-dup pairs on real data") {
     val pairs = Dedup.ngramJaccard(Tables(spark, sfDir, "documents"),
       threshold = 0.5).collect()
