@@ -139,11 +139,23 @@ class NullCorpusSpec extends SparkSpec {
             lit(null).cast(ev.schema(c).dataType).as(c)
           case c => col(c)
         }.toSeq: _*)
+      // extreme-but-valid event times (clock skew / epoch bugs in
+      // producers): must flow through truncation, windows, and lag
+      // arithmetic without ANSI overflow
+      def tsWith(id: Long, tsLit: String): DataFrame =
+        base.select(ev.columns.map {
+          case "event_id" => lit(id).as("event_id")
+          case "ts" => expr(s"timestamp'$tsLit'")
+            .cast(ev.schema("ts").dataType).as("ts")
+          case c => col(c)
+        }.toSeq: _*)
       rowWith(maxId + 1, "ts")
         .unionByName(rowWith(maxId + 2, "user_id"))
         .unionByName(rowWith(maxId + 3, "event_type"))
         .unionByName(rowWith(maxId + 4, "props"))
         .unionByName(rowWith(maxId + 5, "value"))
+        .unionByName(tsWith(maxId + 6, "1900-01-01 00:00:00"))
+        .unionByName(tsWith(maxId + 7, "9999-12-31 23:59:59"))
     }
     val (swept, failures) = sweep(dir, "events")
     assert(swept >= 8, s"sweep matched only $swept queries — " +
