@@ -243,9 +243,11 @@ object Dedup {
   def incremental(corpus: DataFrame, incoming: DataFrame,
                   idCol: String = "doc_id", textCol: String = "text",
                   k: Int = 3, threshold: Double = 0.5,
-                  digits: Int = 4): DataFrame =
+                  digits: Int = 4,
+                  maxBucket: Int = Int.MaxValue): DataFrame =
     incrementalFromIndex(corpus, buildIndex(corpus, idCol, textCol),
-      incoming, idCol, textCol, k, threshold, digits)
+      incoming, idCol, textCol, k, threshold, digits,
+      maxBucket = maxBucket)
 
   /** The persisted screening index behind [[incremental]]: the corpus
     * content-hash set (exact screen) and its banded MinHash signatures
@@ -304,18 +306,33 @@ object Dedup {
                            idCol: String = "doc_id", textCol: String = "text",
                            k: Int = 3, threshold: Double = 0.5,
                            digits: Int = 4,
-                           incomingBands: Option[DataFrame] = None)
+                           incomingBands: Option[DataFrame] = None,
+                           maxBucket: Int = Int.MaxValue)
       : DataFrame = {
     val exactDup = incoming
       .select(col(idCol), md5(col(textCol)).as("content_hash"))
       .join(index.hashes, Seq("content_hash"), "left_semi")
       .select(col(idCol)).withColumn("is_dup_exact", lit(1))
+    // maxBucket mirrors [[MinHashSpec.candidatePairs]]'s mega-cluster
+    // guard on the INDEX side: a bucket of m near-identical corpus docs
+    // costs every matching incoming doc m candidate pairs (and m shingle
+    // verifies). The loop's own index never holds exact-identical
+    // clusters (mergeIndex collapses them), but an index built over a
+    // raw corpus — or a legitimate sub-threshold template cluster — can.
+    // Exact detection is never affected: that's the hash screen above.
+    val indexBands =
+      if (maxBucket == Int.MaxValue) index.bands
+      else index.bands
+        .withColumn("__bn", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("band"), col("bsig"))))
+        .filter(col("__bn") <= maxBucket).drop("__bn")
     // incomingBands: a caller that also MAINTAINS the index (the loop)
     // derives the batch's signatures once and shares them between the
     // screen and the merge
     val cand = incomingBands
       .getOrElse(MinHashSpec.bandedSignatures(incoming, idCol, textCol)).as("x")
-      .join(index.bands.as("y"),
+      .join(indexBands.as("y"),
         col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig"))
       .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
       .distinct().localCheckpoint()

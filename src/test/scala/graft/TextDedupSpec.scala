@@ -640,6 +640,36 @@ class TextDedupSpec extends SparkSpec {
     assert(out(14L) == ((0, 0, 1)))
   }
 
+  test("incremental maxBucket: caps the index-side mega bucket; exact " +
+    "detection is untouched") {
+    // a RAW (un-deduped) corpus with a 40-copy boilerplate cluster —
+    // the misuse path buildIndex cannot collapse
+    val boiler = "the same boilerplate page body repeated verbatim across"
+    val corpus = (0L until 40L).map(i => (i, boiler))
+      .toDF("doc_id", "text")
+      .unionByName(Seq((50L, "a perfectly ordinary corpus document here"))
+        .toDF("doc_id", "text"))
+    val incoming = Seq(
+      (100L, boiler),                                   // hits the mega bucket
+      (101L, "a perfectly ordinary corpus document here"), // size-1 bucket dup
+      (102L, "fresh text with nothing in common at all")
+    ).toDF("doc_id", "text")
+    def run(cap: Int) = Dedup.incremental(corpus, incoming, maxBucket = cap)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3))))
+      .toMap
+    val uncapped = run(Int.MaxValue)
+    val capped = run(10)
+    // exact detection rides the HASH screen, not the banded join: the
+    // boilerplate copy stays exact-flagged under the cap
+    assert(uncapped(100L)._1 == 1 && capped(100L)._1 == 1)
+    // near flag via the mega bucket disappears under the cap (the
+    // documented tradeoff); the small-bucket near dup is unaffected
+    assert(uncapped(100L)._2 == 1 && capped(100L)._2 == 0)
+    assert(uncapped(101L) == ((1, 1, 0)) && capped(101L) == ((1, 1, 0)))
+    assert(capped(102L) == ((0, 0, 1)))
+  }
+
   test("exactScreenBloom: saturated filter forces false positives, flags stay exact") {
     import org.apache.spark.sql.functions.{call_function, col, lit, md5, xxhash64}
     // 60 distinct corpus docs into a 64-bit filter: guaranteed saturation
