@@ -619,7 +619,8 @@ object Dedup {
   def incrementalLoop(corpus: DataFrame, batches: Seq[(String, DataFrame)],
                       idCol: String = "doc_id", textCol: String = "text",
                       k: Int = 3, threshold: Double = 0.5,
-                      digits: Int = 4): DataFrame = {
+                      digits: Int = 4,
+                      maxBucket: Int = Int.MaxValue): DataFrame = {
     // fail the misuse BEFORE paying the (potentially large) index
     // build below — incrementalLoopFrom re-checks for its own callers
     require(batches.nonEmpty, "incrementalLoop needs at least one batch")
@@ -628,7 +629,7 @@ object Dedup {
     incrementalLoopFrom(corp,
       DedupIndex(built.hashes.localCheckpoint(),
         built.bands.localCheckpoint()),
-      batches, idCol, textCol, k, threshold, digits)
+      batches, idCol, textCol, k, threshold, digits, maxBucket)
   }
 
   /** [[incrementalLoop]] starting from an ALREADY-BUILT (and
@@ -642,7 +643,8 @@ object Dedup {
                           batches: Seq[(String, DataFrame)],
                           idCol: String = "doc_id", textCol: String = "text",
                           k: Int = 3, threshold: Double = 0.5,
-                          digits: Int = 4): DataFrame = {
+                          digits: Int = 4,
+                          maxBucket: Int = Int.MaxValue): DataFrame = {
     require(batches.nonEmpty, "incrementalLoop needs at least one batch")
     def cut(i: DedupIndex) =
       DedupIndex(i.hashes.localCheckpoint(), i.bands.localCheckpoint())
@@ -664,7 +666,8 @@ object Dedup {
       val bands = MinHashSpec.bandedSignatures(batch, idCol, textCol)
         .localCheckpoint()
       val flags = incrementalFromIndex(corp, idx, batch, idCol, textCol,
-        k, threshold, digits, incomingBands = Some(bands)).localCheckpoint()
+        k, threshold, digits, incomingBands = Some(bands),
+        maxBucket = maxBucket).localCheckpoint()
       val keptIds = flags.filter(col("kept") === 1).select(col(idCol))
       val kept = batch.select(col(idCol), col(textCol))
         .join(keptIds, Seq(idCol), "left_semi")

@@ -752,6 +752,15 @@ object Streams {
       .withColumn("__hashes",
         expr(s"transform(__shingles, w -> ${MinHashSpec.hpExpr(spark, "w")})"))
       .select(col("doc_id") +: col("ts") +: mh: _*)
+      // A doc with NO shingles (null/empty/shorter-than-k text) has
+      // null minhashes — and concat_ws would collapse the all-null
+      // signature to "", putting EVERY such doc in one shared bucket:
+      // a false near-dup class of missing payloads that is also a
+      // quadratic state bomb (C(m,2) pairs of nulls per horizon). The
+      // batch twin never sees these docs at all (its shingle explode
+      // emits zero rows), so dropping them here is the equality
+      // contract, not a new rule.
+      .filter(col("mh_0").isNotNull)
     val bandSigs = (0 until MinHashSpec.BANDS).map { j =>
       val cs = (j * MinHashSpec.ROWS until (j + 1) * MinHashSpec.ROWS)
         .map(i => col(s"mh_$i"))

@@ -33,16 +33,26 @@ object Text {
     * so shingle-keyed joins stay sparse even when the vocabulary is tiny.
     */
   def shingleExpr(toksCol: String, k: Int): String =
-    s"""array_distinct(transform(
+    // the trailing filter is the NULL/empty-text contract at the
+    // shingle layer: a doc with zero real tokens tokenizes to [""]
+    // (trim+split of null/empty/whitespace), and the greatest(...,1)
+    // partial-shingle rule would hand every such doc the SAME
+    // one-element shingle set {""} — jaccard 1.0 between any two
+    // degenerate docs, so the whole near-dup stack (LSH buckets,
+    // verify, contamination grams) would merge missing payloads as
+    // "duplicates". No real tokens → NO shingles: degenerate docs are
+    // invisible to every shingle-based operator on both engines. Docs
+    // with ≥1 real token are untouched (their slices are never empty).
+    s"""filter(array_distinct(transform(
        sequence(1, greatest(size($toksCol) - ${k - 1}, 1)),
-       i -> concat_ws(' ', slice($toksCol, i, $k))))"""
+       i -> concat_ws(' ', slice($toksCol, i, $k)))), s -> s != '')"""
 
   /** DuckDB twin of [[shingleExpr]] over a text expression. */
   def shingleSql(textExpr: String, k: Int): String = {
     val toks = s"string_split_regex(trim(lower($textExpr)), '$wsRe')"
-    s"""list_distinct(list_transform(
+    s"""list_filter(list_distinct(list_transform(
        range(1, greatest(len($toks) - ${k - 1}, 1) + 1),
-       i -> array_to_string(($toks)[i:i+${k - 1}], ' ')))"""
+       i -> array_to_string(($toks)[i:i+${k - 1}], ' '))), s -> s <> '')"""
   }
 
   /** Per-language marker-word lists for the language-ID heuristic.

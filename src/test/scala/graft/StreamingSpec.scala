@@ -334,14 +334,26 @@ class StreamingSpec extends SparkSpec {
       .outputMode("append").start()
     val t = Timestamp.valueOf("2024-01-01 10:00:00")
     val (first, second) = docs.splitAt(docs.length / 2)
-    input.addData(first.map { case (id, tx) => (id, t, tx) }.toSeq)
+    // shingle-less hostiles in BOTH batches: null text, empty text, and
+    // sub-shingle-width text. The batch side never sees them (zero
+    // shingle rows); the stream must not pair them either — before the
+    // mh_0 guard they ALL shared the concat_ws("") bucket and paired
+    // with each other across the horizon.
+    val hostiles1 = Seq((9001L, t, null.asInstanceOf[String]),
+      (9002L, t, ""))
+    val hostiles2 = Seq((9003L, t, "two words"),
+      (9004L, t, null.asInstanceOf[String]))
+    input.addData(first.map { case (id, tx) => (id, t, tx) }.toSeq
+      ++ hostiles1)
     q.processAllAvailable()
-    input.addData(second.map { case (id, tx) => (id, t, tx) }.toSeq)
+    input.addData(second.map { case (id, tx) => (id, t, tx) }.toSeq
+      ++ hostiles2)
     q.processAllAvailable()
     val streamed = spark.table("lsh_cand_test").collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
     q.stop()
     assert(streamed == batchPairs)
+    assert(!streamed.exists(p => p._1 >= 9000L || p._2 >= 9000L))
   }
 
   test("file-source stream over the events table produces the batch answer") {

@@ -267,6 +267,33 @@ class TextDedupSpec extends SparkSpec {
     assert(hist == Map(1L -> ((2L, 2L)), 2L -> ((1L, 2L))))
   }
 
+  test("NULL-text contract at the shingle layer: degenerate docs have no " +
+    "shingles, so the near-dup stack never merges them") {
+    // null / empty / whitespace docs all tokenize to [""]; without the
+    // shingle filter they'd share the {""} shingle set (jaccard 1.0
+    // with each other) and the near stack would "deduplicate" missing
+    // payloads. Contract: no real tokens → no shingles → invisible to
+    // propose AND verify; cleanCorpus keeps every degenerate doc.
+    val docs = Seq(
+      (1L, null.asInstanceOf[String]), (2L, ""), (3L, "   "),
+      (4L, "alpha beta gamma delta epsilon zeta"),
+      (5L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val cand = MinHashSpec.candidatePairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(cand.toSeq == Seq((4L, 5L)))
+    val jac = Dedup.ngramJaccard(docs, threshold = 0.0).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(jac.toSeq == Seq((4L, 5L)))
+    val kept = Dedup.cleanCorpus(docs).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    // 5 drops (exact dup of 4). 3 drops too: "" and "   " both NORMALIZE
+    // to the empty string, and empty is CONTENT (two known-empty docs are
+    // identical), unlike null (missing payload, never a duplicate) — the
+    // null/empty boundary of the contract, exercised in one corpus.
+    assert(kept == Set(1L, 2L, 4L))
+  }
+
   test("spanDedup/boilerplate NULL-text convention: doc survives as empty") {
     val docs = Seq((1L, "a b c d e f g h i j a b c d e f g h i j"),
       (2L, null.asInstanceOf[String]), (3L, "")).toDF("doc_id", "text")
