@@ -1503,7 +1503,8 @@ object SparkEntry {
       s"""SELECT p_partkey, p_name, p_retailprice,
                 'batch_0001' AS etl_batch_id,
                 ${graft.dedup.MinHashSpec.duckFingerprint62Sql(
-        "concat_ws('|', cast(p_partkey as varchar), cast(p_name as varchar))")}
+        "concat_ws('|', coalesce(cast(p_partkey as varchar), chr(1)), " +
+          "coalesce(cast(p_name as varchar), chr(1)))")}
                   AS etl_load_row
          FROM part""",
 

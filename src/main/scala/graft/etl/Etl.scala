@@ -98,8 +98,14 @@ object Etl {
   def copyInto(source: DataFrame, batchId: String,
                idCols: Seq[String] = Nil): DataFrame = {
     val cols = if (idCols.nonEmpty) idCols else source.columns.toSeq
+    // coalesce each column to a chr(1) sentinel BEFORE the join:
+    // concat_ws SKIPS nulls, so (a, null, b) and (a, b, null) would
+    // otherwise render to the same 'a|b' — an audit fingerprint that
+    // cannot see a null-shift is not an audit. chr(1) spells and hashes
+    // identically in Spark and DuckDB and cannot occur in real text.
     val rendered = "concat_ws('|', " +
-      cols.map(c => s"cast(`$c` as string)").mkString(", ") + ")"
+      cols.map(c => s"coalesce(cast(`$c` as string), chr(1))")
+        .mkString(", ") + ")"
     source
       .withColumn("etl_batch_id", lit(batchId))
       .withColumn("etl_load_row",
@@ -172,7 +178,8 @@ object Etl {
     // count (a raw bigint sum would wrap past ~2^33 rows, diverging from
     // the DuckDB twin's HUGEINT sum).
     df.select(expr(graft.dedup.MinHashSpec.hpExpr(df.sparkSession,
-        "concat_ws('|', " + cols.map(c => s"cast($c as string)").mkString(", ") + ")"))
+        "concat_ws('|', " + cols.map(c =>
+          s"coalesce(cast($c as string), chr(1))").mkString(", ") + ")"))
         .as("__h"))
       .agg(
         (sum(col("__h").cast("decimal(38,0)")) % graft.dedup.MinHashSpec.P)
@@ -183,7 +190,8 @@ object Etl {
   /** DuckDB twin of [[rowChecksum]] (HUGEINT sum, same final mod P). */
   def rowChecksumSql(table: String, cols: Seq[String]): String = {
     val rendered = "concat_ws('|', " +
-      cols.map(c => s"cast($c as varchar)").mkString(", ") + ")"
+      cols.map(c => s"coalesce(cast($c as varchar), chr(1))")
+        .mkString(", ") + ")"
     s"""SELECT cast(sum(cast(md5_number_lower($rendered) % ${graft.dedup.MinHashSpec.P} as bigint)) % ${graft.dedup.MinHashSpec.P} as bigint) AS checksum,
               count(*) AS row_cnt
        FROM $table"""

@@ -753,6 +753,28 @@ class EtlSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("rowChecksum/copyInto fingerprints see null-shifts: (a,null,b) != (a,b,null)") {
+    // concat_ws SKIPS nulls, so without the chr(1) sentinel both rows
+    // below rendered to the same 'a|b' — an audit fingerprint blind to
+    // exactly the drift (a value sliding into the wrong column) it
+    // exists to catch. Null must also differ from empty string.
+    val schema = StructType(Seq(StructField("x", StringType),
+      StructField("y", StringType), StructField("z", StringType)))
+    def sum1(rows: Row*) = Etl.rowChecksum(
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema),
+      Seq("x", "y", "z")).head().getLong(0)
+    val shiftA = sum1(Row("a", null, "b"))
+    val shiftB = sum1(Row("a", "b", null))
+    val empty = sum1(Row("a", "", "b"))
+    assert(shiftA != shiftB && shiftA != empty && shiftB != empty)
+    // per-row form: same property on copyInto's etl_load_row
+    val fp = Etl.copyInto(
+      spark.createDataFrame(java.util.Arrays.asList(
+        Row("a", null, "b"), Row("a", "b", null)), schema), "b1")
+      .select("etl_load_row").collect().map(_.getLong(0))
+    assert(fp(0) != fp(1))
+  }
+
   test("sourceStats: exact counts and integer-ppm shares on planted mix") {
     val docs = Seq(("A", "a b"), ("A", "c"), ("B", "d e f"))
       .toDF("source", "text")
