@@ -265,8 +265,14 @@ object GraftFunctions {
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         exprs(0), exprs(1)))
 
+  val minhashBandSigsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("minhash_bandsigs"),
+    new ExpressionInfo(classOf[MinhashBandSigs].getName, "minhash_bandsigs"),
+    (exprs: Seq[Expression]) => MinhashBandSigs(exprs.head))
+
   def register(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(cosineSimDescriptor)
+    ext.injectFunction(minhashBandSigsDescriptor)
     ext.injectFunction(md5ModPDescriptor)
     ext.injectFunction(md5H32Descriptor)
     ext.injectFunction(md5Fp62Descriptor)

@@ -1,0 +1,133 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+
+import graft.dedup.MinHashSpec
+
+/** `minhash_bandsigs(tokens)` — the full MinHash-LSH signature kernel
+  * fused into ONE compiled pass over a document's token array:
+  * shingle (width [[MinHashSpec.SHINGLE_K]], partial-shingle rule, empty
+  * shingles dropped) → md5-lower-64 mod P per shingle → K affine-
+  * permutation minima → BANDS band-signature strings
+  * (`concat_ws("_", mh_j·ROWS .. mh_j·ROWS+ROWS-1)`).
+  *
+  * Value-identical to the composed column spelling
+  * `transform(Text.shingleExpr(toks), w -> md5_mod_p(w))` + K
+  * `array_min(transform(__hashes, h -> (h*a_i+b_i) % P))` + band
+  * `concat_ws` (spec-pinned in FunctionsSourcesSpec), with two
+  * structural differences that matter on the hot path:
+  *
+  *  - The composed spelling is a chain of interpreted higher-order
+  *    functions; after optimizer alias substitution (projection
+  *    collapse, predicate pushdown through the signature projection)
+  *    the tokenize→shingle→md5 chain can be re-evaluated per minhash
+  *    column or per pushed filter — the r10 `stream_lsh_candidates`
+  *    1.8× regression was exactly this class (VERDICT r10 item 1).
+  *    Here the whole kernel is one expression node: however the
+  *    optimizer moves it, it evaluates once per row.
+  *  - A document with NO shingles (null/empty/whitespace-only text —
+  *    the NULL-text contract, Text.shingleExpr) returns an EMPTY array
+  *    instead of null minhashes, so a downstream `posexplode` drops
+  *    degenerate docs with no extra filter — removing the
+  *    `mh_0 IS NOT NULL` predicate whose pushdown duplicated the chain.
+  *
+  * Shingling never materializes the distinct-shingle set: duplicate
+  * shingles cannot change a min, so `array_distinct` is skipped
+  * (value-neutral for signatures; the set-semantics paths that DO need
+  * distinctness — n-gram Jaccard verify — keep Text.shingleExpr).
+  *
+  * Reference semantics: MinHash over 3-token shingles per SURVEY §2 D3;
+  * hash/permutation constants are [[MinHashSpec]]'s (cross-engine
+  * md5-derived, mirrored in the DuckDB oracles).
+  */
+case class MinhashBandSigs(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def prettyName: String = "minhash_bandsigs"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects array<string> tokens, got ${other.simpleString}")
+    }
+
+  private val K = MinHashSpec.K
+  private val P = MinHashSpec.P
+  private val ROWS = MinHashSpec.ROWS
+  private val BANDS = MinHashSpec.BANDS
+  private val as: Array[Long] = MinHashSpec.a.toArray
+  private val bs: Array[Long] = MinHashSpec.b.toArray
+  private val SEP = UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val k = MinHashSpec.SHINGLE_K
+    val mins = Array.fill(K)(Long.MaxValue)
+    var any = false
+    val md = java.security.MessageDigest.getInstance("MD5")
+    // the partial-shingle rule: a doc with < k tokens gets its single
+    // (shorter) slice — `sequence(1, greatest(n - k + 1, 1))`
+    val nShingles = math.max(n - k + 1, 1)
+    var i = 0
+    while (i < nShingles) {
+      val m = math.min(k, n - i)
+      // concat_ws semantics: null elements skipped (unreachable from
+      // the tokenizer, honored for spelling equality)
+      val parts = new Array[UTF8String](math.max(m, 0))
+      var j = 0
+      while (j < m) {
+        parts(j) = toks.getUTF8String(i + j)
+        j += 1
+      }
+      val shingle = UTF8String.concatWs(SEP, parts: _*)
+      // `filter(s -> s != '')`: a zero-real-token doc shingles to [""]
+      // and must contribute nothing (the NULL-text contract)
+      if (shingle.numBytes() > 0) {
+        any = true
+        md.reset()
+        val d = md.digest(shingle.getBytes)
+        var u = 0L
+        var bi = 15
+        while (bi >= 8) { u = (u << 8) | (d(bi) & 0xffL); bi -= 1 }
+        val h = java.lang.Long.remainderUnsigned(u, P)
+        var p = 0
+        while (p < K) {
+          val v = (h * as(p) + bs(p)) % P
+          if (v < mins(p)) mins(p) = v
+          p += 1
+        }
+      }
+      i += 1
+    }
+    if (!any) new GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[Any](BANDS)
+      var j = 0
+      while (j < BANDS) {
+        val sb = new java.lang.StringBuilder(ROWS * 11)
+        var r = 0
+        while (r < ROWS) {
+          if (r > 0) sb.append('_')
+          sb.append(mins(j * ROWS + r))
+          r += 1
+        }
+        out(j) = UTF8String.fromString(sb.toString)
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

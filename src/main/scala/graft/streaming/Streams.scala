@@ -716,9 +716,11 @@ object Streams {
 
   /** Streaming MinHash-LSH candidate generation — the streaming twin of
     * `MinHashSpec.candidatePairs`. Signatures use the exact batch
-    * constants and hashes, computed as a PER-ROW expression (array_min
-    * over the shingle transform) instead of the batch explode+groupBy —
-    * same values, no stateful aggregation before the stateful operator.
+    * constants and hashes, computed as ONE fused per-row expression
+    * (`minhash_bandsigs`, graft.functions.MinhashBandSigs) instead of
+    * the batch explode+groupBy — same values, no stateful aggregation
+    * before the stateful operator, and no interpreted-HOF chain for the
+    * optimizer to duplicate.
     * Each (band, band-signature) bucket keeps the doc ids seen within the
     * `horizonMinutes` event-time window; every arriving doc emits a
     * candidate pair against each doc retained in its bucket, so a
@@ -731,44 +733,32 @@ object Streams {
     */
   def lshCandidatesStream(docs: DataFrame,
                           horizonMinutes: Int = 60): Dataset[CandPair] = {
-    import graft.dedup.MinHashSpec
     import graft.text.Text
     val spark = docs.sparkSession
     import spark.implicits._
     val horizonMs = horizonMinutes * 60L * 1000L
-    // Hash every shingle ONCE into __hashes, then run the K affine
-    // permutations over the hashes: K separate `transform`s over the
-    // raw shingles would each re-evaluate the md5 (lambda scopes defeat
-    // subexpression elimination) — a 16× md5 cost on the hot path.
-    val mh = (0 until MinHashSpec.K).map { i =>
-      expr(s"""array_min(transform(__hashes,
-           h -> (h * ${MinHashSpec.a(i)}L
-                 + ${MinHashSpec.b(i)}L) % ${MinHashSpec.P}))""").as(s"mh_$i")
-    }
-    val sig = docs
+    // The signature kernel (tokens → shingles → md5 mod P → K affine
+    // minima → band sigs) is the fused native `minhash_bandsigs` — ONE
+    // expression node, so the optimizer cannot re-evaluate the chain
+    // per minhash column or per pushed predicate. The r10 composed
+    // spelling (a __toks/__shingles/__hashes withColumn chain + 16
+    // interpreted `array_min(transform(...))` projections + an
+    // `mh_0 IS NOT NULL` guard) regressed 1.8×: predicate pushdown
+    // alias-substituted the full interpreted-HOF chain into the pushed
+    // filter, doubling the per-row md5 work (VERDICT r10 item 1).
+    //
+    // Degenerate docs (null/empty/whitespace-only text — no shingles
+    // under the NULL-text contract) get an EMPTY band-sig array, so
+    // posexplode emits no rows for them: the batch twin never sees
+    // these docs (its shingle explode emits zero rows), and a shared
+    // "" bucket would be both a false near-dup class of missing
+    // payloads and a quadratic C(m,2) state bomb. No filter needed —
+    // the equality contract is in the generator itself.
+    val banded = docs
       .withColumn("__toks", Text.tokens(col("text")))
-      .withColumn("__shingles",
-        expr(Text.shingleExpr("__toks", MinHashSpec.SHINGLE_K)))
-      .withColumn("__hashes",
-        expr(s"transform(__shingles, w -> ${MinHashSpec.hpExpr(spark, "w")})"))
-      .select(col("doc_id") +: col("ts") +: mh: _*)
-      // A doc with NO shingles (null/empty/shorter-than-k text) has
-      // null minhashes — and concat_ws would collapse the all-null
-      // signature to "", putting EVERY such doc in one shared bucket:
-      // a false near-dup class of missing payloads that is also a
-      // quadratic state bomb (C(m,2) pairs of nulls per horizon). The
-      // batch twin never sees these docs at all (its shingle explode
-      // emits zero rows), so dropping them here is the equality
-      // contract, not a new rule.
-      .filter(col("mh_0").isNotNull)
-    val bandSigs = (0 until MinHashSpec.BANDS).map { j =>
-      val cs = (j * MinHashSpec.ROWS until (j + 1) * MinHashSpec.ROWS)
-        .map(i => col(s"mh_$i"))
-      concat_ws("_", cs: _*)
-    }
-    sig
       .select(col("doc_id"), col("ts"),
-        posexplode(array(bandSigs: _*)).as(Seq("band", "bsig")))
+        posexplode(expr("minhash_bandsigs(__toks)")).as(Seq("band", "bsig")))
+    banded
       .withWatermark("ts", s"$horizonMinutes minutes")
       .as[BandedDoc]
       .groupByKey(b => (b.band, b.bsig))

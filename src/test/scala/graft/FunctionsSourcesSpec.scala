@@ -211,6 +211,80 @@ class FunctionsSourcesSpec extends SparkSpec {
       .exists(_.getLong(0) == want))
   }
 
+  test("minhash_bandsigs equals the composed shingle/minhash/band spelling") {
+    import graft.dedup.MinHashSpec
+    import graft.text.Text
+    // real docs + the hostile-row sweep: null, empty, whitespace-only,
+    // fewer-than-k tokens (partial shingle), duplicate shingles, mixed
+    // case/whitespace normalization
+    val hostile = Seq[(Long, String)](
+      (9001L, null), (9002L, ""), (9003L, "   "), (9004L, "one"),
+      (9005L, "two tokens"), (9006L, "a b a b a b a b"),
+      (9007L, "The  QUICK\tbrown fox\njumps over the lazy dog"),
+      // tab/newline-only text: trim() is SPACE-only in BOTH engines, so
+      // this tokenizes to ["",""] whose single shingle is " " (survives
+      // the != '' filter) — such docs DO get a (shared) signature, in
+      // the batch path too. Pinned here as fused==composed; the
+      // degenerate-doc "no shingles" contract covers space-only text.
+      (9008L, " \t\n "))
+      .toDF("doc_id", "text")
+    val df = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(200)
+      .unionByName(hostile)
+      .withColumn("__toks", Text.tokens(col("text")))
+      .withColumn("__shingles",
+        expr(Text.shingleExpr("__toks", MinHashSpec.SHINGLE_K)))
+      .withColumn("__hashes",
+        expr(s"transform(__shingles, w -> ${MinHashSpec.hpExpr(spark, "w")})"))
+    val mh = (0 until MinHashSpec.K).map { i =>
+      expr(s"""array_min(transform(__hashes,
+           h -> (h * ${MinHashSpec.a(i)}L
+                 + ${MinHashSpec.b(i)}L) % ${MinHashSpec.P}))""").as(s"mh_$i")
+    }
+    val composedBands = (0 until MinHashSpec.BANDS).map { j =>
+      val cs = (j * MinHashSpec.ROWS until (j + 1) * MinHashSpec.ROWS)
+        .map(i => col(s"mh_$i"))
+      concat_ws("_", cs: _*)
+    }
+    val out = df
+      .select(col("doc_id") +: expr("minhash_bandsigs(__toks)").as("fused") +:
+        col("__toks").isNull.as("toks_null") +: mh: _*)
+      .withColumn("composed",
+        // null TEXT tokenizes to a null array (split null-propagates),
+        // and the null-intolerant fused expr mirrors that as null;
+        // zero-shingle docs (empty/ws-only text) mirror as EMPTY.
+        // posexplode drops BOTH — null vs empty is invisible downstream.
+        when(col("toks_null"), lit(null).cast("array<string>"))
+          .when(col("mh_0").isNotNull, array(composedBands: _*))
+          .otherwise(array().cast("array<string>")))
+      .select("doc_id", "fused", "composed")
+      .collect()
+    assert(out.length > 200)
+    out.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"doc ${r.getLong(0)}: fused=${r.getSeq[String](1)} composed=${r.getSeq[String](2)}")
+    }
+    // null text → null (posexplode drops); empty/space-only → EMPTY
+    // array (posexplode drops): degenerate docs need no filter
+    assert(out.find(_.getLong(0) == 9001L).get.isNullAt(1))
+    Seq(9002L, 9003L).foreach { id =>
+      val row = out.find(_.getLong(0) == id).get
+      assert(row.getSeq[String](1).isEmpty, s"doc $id should have no band sigs")
+    }
+    // tab-only doc: signature EXISTS (shared " " shingle — see the
+    // hostile-rows comment above); equality with composed already pinned
+    assert(out.find(_.getLong(0) == 9008L).get.getSeq[String](1).nonEmpty)
+    // a real doc gets exactly BANDS sigs
+    assert(out.find(_.getLong(0) == 9007L).get.getSeq[String](1).length
+      == MinHashSpec.BANDS)
+    // null tokens array (null text) → null in, but through tokens()
+    // null text tokenizes to [""] per trim/split, which shingles to
+    // nothing; ALSO pin the raw-null-child contract
+    val rawNull = spark.sql("SELECT minhash_bandsigs(cast(null as array<string>)) AS s")
+      .collect()
+    assert(rawNull.head.isNullAt(0))
+  }
+
   test("copyInto reads lake csv per config, auto-creates missing columns, stamps audit") {
     val dir = tempDir("graft_ci")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/lake.csv"),
