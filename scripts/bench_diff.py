@@ -41,7 +41,12 @@ def load(path):
     out = {}
     for name in set(reps) | set(qs):
         r = reps.get(name)
-        out[name] = min(r) if r else qs[name]
+        # a tail-salvaged reps entry can be EMPTY with no queries twin —
+        # skip names with neither a non-empty reps list nor a value
+        if r:
+            out[name] = min(r)
+        elif name in qs:
+            out[name] = qs[name]
     return d, out
 
 
