@@ -19,9 +19,10 @@ import org.apache.spark.sql.functions._
   */
 object BloomShardProbe {
   def main(args: Array[String]): Unit = {
-    // the flag is position-independent — drop it from the positional
-    // list so `... 3 nativeOnly` doesn't parse the literal as shardList
-    val pos = args.filterNot(_ == "nativeOnly")
+    // flags are position-independent — drop them all from the
+    // positional list so `--screen`/`nativeOnly` with no explicit sizes
+    // never parse as numbers (the ZstShardProbe discipline)
+    val pos = args.filterNot(a => a.startsWith("--") || a == "nativeOnly")
     val nCorpus = pos.headOption.map(_.toLong).getOrElse(2000000L)
     val nProbes = pos.lift(1).map(_.toLong).getOrElse(4000000L)
     val reps = pos.lift(2).map(_.toInt).getOrElse(3)

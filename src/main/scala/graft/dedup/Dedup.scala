@@ -37,15 +37,34 @@ object Dedup {
     * the raw hash would silently DROP every null-text row at the class
     * join — the failure mode this contract exists to close. The 'N'
     * prefix cannot collide with a real key (md5 emits 32 hex chars).
+    *
+    * A row with a null id AND a null text has NO identity — the
+    * surrogate itself null-propagates and the row would fall through
+    * the same silent-drop hole one level down. No deterministic key can
+    * both preserve and distinguish such rows, so the contract is
+    * explicit: ids must be non-null wherever text is null, enforced by
+    * a lazily-evaluated raise_error arm (zero cost unless hit; enforce
+    * upstream with `Etl.validateRules`/`pkCheck` on real pipelines).
     */
+  /** The NULL-text surrogate class key shared by batch and streaming
+    * dedup: the content hash when text is present, 'N'||id for null
+    * text, and a LOUD contract error (lazily evaluated — free on the
+    * happy path) when both are null and the row has no identity.
+    */
+  def surrogateKey(contentHash: Column, id: Column, site: String): Column =
+    coalesce(contentHash,
+      concat(lit("N"), id.cast("string")),
+      raise_error(lit(s"$site: row with null id AND null text has no " +
+        "identity — enforce non-null ids upstream " +
+        "(Etl.validateRules/pkCheck)")))
+
   def exact(df: DataFrame, idCol: String = "doc_id",
             textCol: String = "text"): DataFrame = {
     // only __k is shuffled; text_hash is re-derived after the join ('N'
     // is not a hex char, so surrogates are recognizable), keeping the
     // shuffled row exactly as wide as before the null contract
     val hashed = df.select(col(idCol),
-      coalesce(md5(col(textCol)),
-        concat(lit("N"), col(idCol).cast("string"))).as("__k"))
+      surrogateKey(md5(col(textCol)), col(idCol), "dedup.exact").as("__k"))
     val classes = hashed.groupBy(col("__k"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
     hashed.join(classes, "__k")

@@ -587,15 +587,20 @@ object Streams {
     * NULL-text contract matches `Dedup.exact`: a missing payload is
     * never a duplicate, so null-text docs are keyed by an 'N'||id
     * surrogate (dropDuplicates would otherwise treat all null hashes as
-    * ONE class and keep only the first null doc per horizon).
+    * ONE class and keep only the first null doc per horizon). As in
+    * `Dedup.exact`, a null-id+null-text row has no identity (the
+    * surrogate null-propagates and all such rows would collapse into
+    * one dedup class) — the explicit raise_error arm makes that a loud
+    * contract violation instead of silent row collapse.
     */
   def dedupDocsNormalized(docs: DataFrame,
                           watermark: String = "1 hour",
                           idCol: String = "doc_id"): DataFrame =
     docs
       .withColumn("__text_hash",
-        coalesce(md5(graft.text.Text.normalize(col("text"))),
-          concat(lit("N"), col(idCol).cast("string"))))
+        graft.dedup.Dedup.surrogateKey(
+          md5(graft.text.Text.normalize(col("text"))),
+          col(idCol), "dedupDocsNormalized"))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("__text_hash")
       .drop("__text_hash")

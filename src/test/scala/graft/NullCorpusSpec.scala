@@ -104,6 +104,34 @@ class NullCorpusSpec extends SparkSpec {
         failures.mkString("\n"))
   }
 
+  test("null-id+null-text rows raise the identity contract instead of " +
+    "silently dropping or collapsing") {
+    import spark.implicits._
+    // null id with REAL text: hashes fine, row survives the class join
+    val okRows = Seq((Option(1L), Option("alpha beta")),
+      (Option.empty[Long], Option("alpha beta")),
+      (Option(3L), Option.empty[String]))
+      .toDF("doc_id", "text")
+    assert(graft.dedup.Dedup.exact(okRows).count() == 3)
+    // null id AND null text: no identity — loud error, not silent loss
+    val bad = Seq((Option.empty[Long], Option.empty[String]))
+      .toDF("doc_id", "text")
+    val eBatch = intercept[Exception] {
+      graft.dedup.Dedup.exact(bad).collect()
+    }
+    assert(eBatch.getMessage.contains("no identity")
+      || Option(eBatch.getCause).exists(_.getMessage.contains("no identity")))
+    // streaming twin: dedupDocsNormalized keys through the SAME shared
+    // surrogateKey helper — exercise it batch-side with its arguments
+    val keyed = bad.withColumn("__text_hash",
+      graft.dedup.Dedup.surrogateKey(
+        md5(graft.text.Text.normalize(col("text"))),
+        col("doc_id"), "dedupDocsNormalized"))
+    val eStream = intercept[Exception] { keyed.collect() }
+    assert(eStream.getMessage.contains("no identity")
+      || Option(eStream.getCause).exists(_.getMessage.contains("no identity")))
+  }
+
   test("every embeddings-reading batch query executes with null/empty/" +
     "ragged/NaN vectors present") {
     val dir = stageHostile("embeddings") { emb =>
