@@ -688,7 +688,8 @@ object SparkEntry {
       // times), and without the cut the clean stage's propose-verify
       // dedup lineage re-runs per consumer (measured: 7 scans / 37
       // exchanges / 5.2 s → the checkpointed shape below). A deployment
-      // writes each stage's survivor table; the cut is that table.
+      // writes each stage's survivor table; the cut is that table
+      // (§5 cluster-loss contract: staged parquet — class (c) — there).
       val cleaned = Dedup.cleanCorpus(docs).localCheckpoint()
       val decontam = cleaned.join(
         Text.contamination(cleaned, bench)
@@ -837,6 +838,8 @@ object SparkEntry {
       // corpus prestaged too is the LoopVarianceProbe prestage arm
       // (3.9-4.0 s ±2%).
       Dedup.incrementalLoopFrom(part("corpus"),
+        // §5 cluster-loss contract: the index lives in parquet (class
+        // (c)); the cut only pins the loaded snapshot for this run
         graft.dedup.DedupIndex(
           s.read.parquet(s"$idxDir/hashes").localCheckpoint(),
           s.read.parquet(s"$idxDir/bands").localCheckpoint()),
@@ -2001,6 +2004,38 @@ object SparkEntry {
                 'application/x-fake-' || source AS mime,
                 cast(octet_length(encode(text)) as int) AS payload_len
          FROM documents""",
+
+    // The decode STUB's features are deterministic byte arithmetic over
+    // the UTF-8 payload — expressible in DuckDB because the corpus is
+    // pure ASCII (asserted by the octet_length guard in the first CTE:
+    // a future non-ASCII doc makes ascii()≠byte and this oracle must
+    // fail loudly via the 1/0 division, not drift silently).
+    // list_sum may return NULL for empty lists, hence the coalesce.
+    "mm_binary_meta" ->
+      s"""WITH guard AS (
+           SELECT CASE WHEN count(*) = 0 THEN 1 ELSE 1/0 END AS ok
+           FROM documents
+           WHERE text IS NOT NULL AND octet_length(encode(text)) <> length(text)
+         )
+         SELECT doc_id,
+                'application/x-fake-' || source AS mime,
+                cast(coalesce(octet_length(encode(text)), 0) as int)
+                  AS payload_len,
+                cast(greatest(1, coalesce(octet_length(encode(text)), 0) // 64)
+                  as int) AS frame_count,
+                CASE WHEN text IS NULL OR length(text) = 0 THEN 0.0
+                     ELSE ${Text.halfUpSql(
+        """cast(coalesce(list_sum(list_transform(range(1, length(text) + 1),
+               i -> ascii(substring(text, i, 1)))), 0) as double)
+           / length(text)""", 4)}
+                END AS mean_byte,
+                cast(CASE WHEN text IS NULL OR length(text) = 0 THEN 0
+                          ELSE ascii(substring(text, 1, 1)) END as int)
+                  AS first_byte,
+                cast(CASE WHEN text IS NULL OR length(text) = 0 THEN 0
+                          ELSE ascii(substring(text, length(text), 1)) END
+                  as int) AS last_byte
+         FROM documents, guard""",
 
     "sample_stratified" ->
       s"""SELECT doc_id, lang FROM documents

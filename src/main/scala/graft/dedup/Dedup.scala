@@ -12,6 +12,11 @@ import graft.text.Text
   * near-dup operator first buckets (length/lang block, LSH band, SimHash
   * band) and only joins within buckets. The bucket join shuffles on the
   * bucket key; bucket sizes are bounded by construction.
+  *
+  * The `localCheckpoint()` cuts in this file follow the SURVEY §5
+  * cluster-loss contract: executor-local, non-recoverable on executor
+  * loss — swap per the §5 size-class table on preemptible clusters
+  * (the staged-parquet path for the incremental index already exists).
   */
 /** Persisted screening index for [[Dedup.incrementalFromIndex]]:
   * `hashes` is the corpus content-hash set (`content_hash`), `bands`

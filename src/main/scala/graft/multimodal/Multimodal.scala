@@ -101,13 +101,20 @@ object Multimodal {
       }
   }
 
-  /** End-to-end: documents → media payloads → decoded feature frame. */
+  /** End-to-end: documents → media payloads → decoded feature frame.
+    * mean_byte uses the corpus-wide halfUp discipline (not `round`):
+    * byte-sum/length ratios genuinely land on exact .00005 midpoints
+    * (e.g. n=64, sum≡2 mod 4), where Spark's HALF_UP and DuckDB's
+    * half-even `round` disagree — halfUp is identical in both engines,
+    * which is what lets this stub pipeline be oracle-gated at all.
+    */
   def pipeline(spark: SparkSession, documents: DataFrame): DataFrame = {
     val feats = decodeFeatures(spark, asMedia(documents))
     feats.toDF()
       .select(col("doc_id"), col("mime"), col("payload_len"),
         col("frame_count"),
-        round(element_at(col("features"), 1), 4).as("mean_byte"),
+        graft.text.Text.halfUp(element_at(col("features"), 1), 4)
+          .as("mean_byte"),
         element_at(col("features"), 3).cast("int").as("first_byte"),
         element_at(col("features"), 4).cast("int").as("last_byte"))
   }

@@ -1699,6 +1699,8 @@ object Similarity {
         col(vecCol),
         (array_position(col("__dists"), array_min(col("__dists")))
           .cast("int") - 1).as("cluster"))
+      // §5 cluster-loss contract (executor-local cut; reliable
+      // checkpoint() — class (b) — on preemptible clusters)
       .localCheckpoint()
     val a = assigned.select(col("cluster"), col(idCol).as("id_a"),
       col(vecCol).as("vec_a"))

@@ -641,6 +641,8 @@ object Streams {
     import graft.text.Text
     val spark = docs.sparkSession
     val fp = graft.dedup.MinHashSpec.fingerprint62Expr(spark, "g")
+    // §5 cluster-loss contract (executor-local cut; a 1-row aggregate —
+    // broadcast-class (a) on preemptible clusters)
     val fpsRows = benchFps.localCheckpoint()
     val benchRow = fpsRows
       .agg(sort_array(collect_set(col("gram_fp"))).as("__bench"))

@@ -7,6 +7,11 @@ import org.apache.spark.sql.functions._
   * scoring, token counting, language ID, fingerprinting. All are pure
   * column expressions (whole-stage-codegen'd, no UDFs) so they fuse into
   * the scan — at 100 TB these run at parquet read speed.
+  *
+  * The `localCheckpoint()` cuts in this file (postings, LM count and
+  * n-gram frames) follow the SURVEY §5 cluster-loss contract:
+  * executor-local, non-recoverable on executor loss — swap per the §5
+  * size-class table on preemptible clusters.
   */
 object Text {
 
