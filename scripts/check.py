@@ -1,13 +1,19 @@
 #!/usr/bin/env python3
 """Local driver-mimic: compare Verify output parquet against DuckDB oracles.
 
-Usage: python3 scripts/check.py <sf_dir> <verify_out_dir>
+Usage: python3 scripts/check.py <sf_dir> <verify_out_dir> [name_regex]
+
+The optional regex restricts which query dirs are compared (e.g.
+'^(etl|qa|q_|q1)' for the relational/ETL/QA families at a staged SF
+where the quadratic D-family oracles would take DuckDB hours) —
+unfiltered runs remain the default and what the driver does.
 """
-import json, sys, glob, os
+import json, sys, glob, os, re
 import duckdb
 import pandas as pd
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
+name_re = re.compile(sys.argv[3]) if len(sys.argv) > 3 else None
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
@@ -34,6 +40,8 @@ def canon(df):
 for name in sorted(os.listdir(out_dir)):
     path = os.path.join(out_dir, name)
     if not os.path.isdir(path):
+        continue
+    if name_re is not None and not name_re.search(name):
         continue
     files = glob.glob(f"{path}/*.parquet")
     if not files:

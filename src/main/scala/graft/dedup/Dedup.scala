@@ -1179,18 +1179,39 @@ object MinHashSpec {
   /** Shingle width fed to the signatures (see [[Text.shingleExpr]]). */
   val SHINGLE_K: Int = 3
 
-  /** Per-document K-column minhash signature over distinct 3-token
-    * shingles. One explode + one groupBy.
+  /** Per-document K-column minhash signature over 3-token shingles.
+    *
+    * Fused-kernel form (when the session registered GraftFunctions,
+    * which every entry point does): one scan-local `minhash_sig`
+    * generator per row — NO shingle explode, NO groupBy shuffle. The
+    * composed spelling this replaced (explode shingles → md5-mod-P →
+    * K min aggregates) shuffled the exploded shingle frame, ~k× the
+    * corpus text volume — the single largest shuffle of every near-dup
+    * operator at 100 TB. `explode` of the 0-or-1-row signature array
+    * drops degenerate docs (null/empty/whitespace-only text) exactly
+    * like the empty shingle explode did, with no filter predicate for
+    * pushdown to duplicate the interpreted chain into (the §8d/r10
+    * stream_lsh lesson). Value equality with the composed spelling is
+    * spec-pinned (FunctionsSourcesSpec); the composed form remains the
+    * fallback for sessions without the extension, same contract.
     */
   def signatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val words = df
-      .withColumn("__toks", Text.tokens(col(textCol)))
-      .select(col(idCol),
-        explode(expr(Text.shingleExpr("__toks", SHINGLE_K))).as("w"))
-      .withColumn("__hp", expr(hpExpr(df.sparkSession, "w")))
-    val aggs = (0 until K).map(i =>
-      min(expr(s"(__hp * ${a(i)}L + ${b(i)}L) % $P")).as(s"mh_$i"))
-    words.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    if (df.sparkSession.catalog.functionExists("minhash_sig")) {
+      val one = df
+        .select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
+        .select(col(idCol), explode(expr("minhash_sig(__toks)")).as("__sigv"))
+      one.select(col(idCol) +: (0 until K).map(i =>
+        element_at(col("__sigv"), i + 1).as(s"mh_$i")): _*)
+    } else {
+      val words = df
+        .withColumn("__toks", Text.tokens(col(textCol)))
+        .select(col(idCol),
+          explode(expr(Text.shingleExpr("__toks", SHINGLE_K))).as("w"))
+        .withColumn("__hp", expr(hpExpr(df.sparkSession, "w")))
+      val aggs = (0 until K).map(i =>
+        min(expr(s"(__hp * ${a(i)}L + ${b(i)}L) % $P")).as(s"mh_$i"))
+      words.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    }
   }
 
   /** Candidate near-dup pairs via banded LSH + estimated Jaccard

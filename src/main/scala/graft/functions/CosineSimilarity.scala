@@ -270,9 +270,15 @@ object GraftFunctions {
     new ExpressionInfo(classOf[MinhashBandSigs].getName, "minhash_bandsigs"),
     (exprs: Seq[Expression]) => MinhashBandSigs(exprs.head))
 
+  val minhashSigDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("minhash_sig"),
+    new ExpressionInfo(classOf[MinhashSigRows].getName, "minhash_sig"),
+    (exprs: Seq[Expression]) => MinhashSigRows(exprs.head))
+
   def register(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(cosineSimDescriptor)
     ext.injectFunction(minhashBandSigsDescriptor)
+    ext.injectFunction(minhashSigDescriptor)
     ext.injectFunction(md5ModPDescriptor)
     ext.injectFunction(md5H32Descriptor)
     ext.injectFunction(md5Fp62Descriptor)

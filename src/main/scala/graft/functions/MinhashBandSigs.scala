@@ -52,24 +52,99 @@ case class MinhashBandSigs(child: Expression)
   override def nullIntolerant: Boolean = true
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    child.dataType match {
-      case ArrayType(StringType, _) =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case other =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"$prettyName expects array<string> tokens, got ${other.simpleString}")
-    }
+    MinhashKernel.checkTokens(prettyName, child.dataType)
 
   private val K = MinHashSpec.K
-  private val P = MinHashSpec.P
   private val ROWS = MinHashSpec.ROWS
   private val BANDS = MinHashSpec.BANDS
+
+  override def nullSafeEval(input: Any): Any = {
+    val mins = MinhashKernel.minima(input.asInstanceOf[ArrayData])
+    if (mins == null) new GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[Any](BANDS)
+      var j = 0
+      while (j < BANDS) {
+        val sb = new java.lang.StringBuilder(ROWS * 11)
+        var r = 0
+        while (r < ROWS) {
+          if (r > 0) sb.append('_')
+          sb.append(mins(j * ROWS + r))
+          r += 1
+        }
+        out(j) = UTF8String.fromString(sb.toString)
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** `minhash_sig(tokens)` — the same fused kernel surfacing the RAW
+  * K-value signature instead of band strings, shaped for the batch
+  * LSH pipeline ([[MinHashSpec.signatures]]): returns
+  * `array<array<bigint>>` with ONE element (the K minima) for a doc
+  * with at least one non-empty shingle and ZERO elements otherwise, so
+  * `explode(minhash_sig(toks))` yields exactly the rows the composed
+  * explode→groupBy spelling produced — degenerate docs drop out of the
+  * generator with no filter (no predicate for pushdown to duplicate the
+  * chain into) and WITHOUT the per-shingle explode + groupBy SHUFFLE:
+  * the signature stage becomes a scan-local map, which at 100 TB
+  * removes the largest shuffle of every near-dup operator (the shingle
+  * explosion is ~k× the corpus text volume; the fused form never
+  * materializes it).
+  *
+  * Value-identical to [[MinHashSpec.signatures]]'s composed spelling
+  * (spec-pinned in FunctionsSourcesSpec over real + hostile rows).
+  */
+case class MinhashSigRows(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def prettyName: String = "minhash_sig"
+  override def dataType: DataType =
+    ArrayType(ArrayType(org.apache.spark.sql.types.LongType,
+      containsNull = false), containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    MinhashKernel.checkTokens(prettyName, child.dataType)
+
+  override def nullSafeEval(input: Any): Any = {
+    val mins = MinhashKernel.minima(input.asInstanceOf[ArrayData])
+    if (mins == null) new GenericArrayData(Array.empty[Any])
+    else new GenericArrayData(
+      Array[Any](new GenericArrayData(mins.map(v => v: Any))))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Shared interpreted kernel behind [[MinhashBandSigs]] and
+  * [[MinhashSigRows]]: tokens → shingles (partial-shingle rule, empty
+  * shingles dropped per the NULL-text contract) → md5-lower-64 mod P →
+  * K affine minima. Returns null when the doc has no non-empty shingle.
+  */
+private[functions] object MinhashKernel {
+  private val K = MinHashSpec.K
+  private val P = MinHashSpec.P
   private val as: Array[Long] = MinHashSpec.a.toArray
   private val bs: Array[Long] = MinHashSpec.b.toArray
   private val SEP = UTF8String.fromString(" ")
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[ArrayData]
+  def checkTokens(name: String, dt: DataType): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    dt match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$name expects array<string> tokens, got ${other.simpleString}")
+    }
+
+  def minima(toks: ArrayData): Array[Long] = {
     val n = toks.numElements()
     val k = MinHashSpec.SHINGLE_K
     val mins = Array.fill(K)(Long.MaxValue)
@@ -109,25 +184,6 @@ case class MinhashBandSigs(child: Expression)
       }
       i += 1
     }
-    if (!any) new GenericArrayData(Array.empty[Any])
-    else {
-      val out = new Array[Any](BANDS)
-      var j = 0
-      while (j < BANDS) {
-        val sb = new java.lang.StringBuilder(ROWS * 11)
-        var r = 0
-        while (r < ROWS) {
-          if (r > 0) sb.append('_')
-          sb.append(mins(j * ROWS + r))
-          r += 1
-        }
-        out(j) = UTF8String.fromString(sb.toString)
-        j += 1
-      }
-      new GenericArrayData(out)
-    }
+    if (!any) null else mins
   }
-
-  override protected def withNewChildInternal(c: Expression): Expression =
-    copy(child = c)
 }

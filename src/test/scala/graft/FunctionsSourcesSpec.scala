@@ -285,6 +285,51 @@ class FunctionsSourcesSpec extends SparkSpec {
     assert(rawNull.head.isNullAt(0))
   }
 
+  test("fused minhash_sig signatures equal the composed explode/groupBy spelling") {
+    import graft.dedup.MinHashSpec
+    import graft.text.Text
+    // same hostile sweep as the band-sig parity test: the fused batch
+    // path must DROP exactly the docs the composed explode dropped
+    // (null/empty/space-only text) and keep tab-only text (" " shingle)
+    val hostile = Seq[(Long, String)](
+      (9001L, null), (9002L, ""), (9003L, "   "), (9004L, "one"),
+      (9005L, "two tokens"), (9006L, "a b a b a b a b"),
+      (9007L, "The  QUICK\tbrown fox\njumps over the lazy dog"),
+      (9008L, " \t\n "))
+      .toDF("doc_id", "text")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(200)
+      .unionByName(hostile)
+    // fused (the registered-session path signatures() now takes)
+    assert(spark.catalog.functionExists("minhash_sig"))
+    val fused = MinHashSpec.signatures(docs, "doc_id", "text")
+    // composed spelling, inline (the fallback path)
+    val words = docs
+      .withColumn("__toks", Text.tokens(col("text")))
+      .select(col("doc_id"),
+        explode(expr(Text.shingleExpr("__toks", MinHashSpec.SHINGLE_K))).as("w"))
+      .withColumn("__hp", expr(MinHashSpec.hpExpr(spark, "w")))
+    val aggs = (0 until MinHashSpec.K).map(i =>
+      min(expr(s"(__hp * ${MinHashSpec.a(i)}L + ${MinHashSpec.b(i)}L) % ${MinHashSpec.P}"))
+        .as(s"mh_$i"))
+    val composed = words.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val f = fused.orderBy("doc_id").collect()
+    val c = composed.orderBy("doc_id").collect()
+    assert(f.length == c.length && f.length > 190)
+    f.zip(c).foreach { case (a, b) => assert(a == b, s"fused $a vs composed $b") }
+    // row-set contract: degenerate docs absent, tab-only present
+    val ids = f.map(_.getLong(0)).toSet
+    assert(!ids.contains(9001L) && !ids.contains(9002L) && !ids.contains(9003L))
+    assert(ids.contains(9008L) && ids.contains(9004L))
+    // and the signature stage is shuffle-free: no Exchange in the plan
+    // (checked over the raw scan — the test frame's limit()/local-union
+    // adds its own SinglePartition exchange unrelated to signatures)
+    val plan = MinHashSpec.signatures(
+        spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"fused signatures should not shuffle:\n$plan")
+  }
+
   test("copyInto reads lake csv per config, auto-creates missing columns, stamps audit") {
     val dir = tempDir("graft_ci")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/lake.csv"),
