@@ -31,20 +31,34 @@ object BenchOne {
         .format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
+    // per-rep state snapshot: persistent-RDD count and block-manager
+    // storage in use AFTER the unpersist sweep — if either grows across
+    // reps, invocations leak driver state (the long-running-driver
+    // concern at scale); if both sit at 0/0 while rep TIMES grow, the
+    // growth is heap/GC churn of the run itself, not accumulation.
+    def stateSnapshot(): String = {
+      val nRdd = spark.sparkContext.getPersistentRDDs.size
+      val usedMb = spark.sparkContext.getExecutorMemoryStatus.values
+        .map { case (max, free) => (max - free) / 1e6 }.sum
+      f"rdds=$nRdd%d storeMB=$usedMb%.0f"
+    }
     names.foreach { name =>
       System.gc()
+      val snaps = new scala.collection.mutable.ArrayBuffer[String]
       val times = (1 to reps).map { _ =>
         // same hygiene as Bench: localCheckpoint blocks are persistent
         // RDDs that clearCache() alone does not remove
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = true))
+        snaps += stateSnapshot()
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, sfDir).write
           .format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
       println(f"[benchone] $name%-24s ${times.map(t => f"$t%.2f").mkString(" ")}")
+      println(f"[benchone]   state-pre-rep: ${snaps.mkString("  ")}")
     }
     spark.stop()
   }
