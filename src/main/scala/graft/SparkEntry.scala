@@ -180,7 +180,8 @@ object SparkEntry {
   // the reloaded quantizers.
   private def trainedRecallGate(s: SparkSession, dir: String,
                                 key: String, m: Int,
-                                kc: Int = 16, nprobe: Int = 8): DataFrame = {
+                                kc: Int = 16, nprobe: Int = 8,
+                                refine: Int = 0): DataFrame = {
     val e = Tables(s, dir, "embeddings")
     val probes = e.filter(col("vec_id") % 50 === 0)
     val corpus = e.filter(col("vec_id") % 50 =!= 0)
@@ -194,12 +195,22 @@ object SparkEntry {
     val cents = Similarity.loadCentroids(s, s"$trained/ivf")
     val cbs = Similarity.loadPqCodebooks(s, s"$trained/pq")
     deleteRecursively(new java.io.File(trained))
-    stashTrainedOracle(key, dir,
-      Similarity.recallIvfPqTrainedDuckdbSql(
-        probeWhere = "vec_id % 50 = 0", corpusWhere = "vec_id % 50 <> 0",
-        topK = 5, cents, cbs, nprobe = nprobe))
-    Similarity.recallIvfPq(probes, corpus, topK = 5, nprobe = nprobe, m = m,
-      centroids = Some(cents), codebooks = Some(cbs))
+    if (refine > 0) {
+      stashTrainedOracle(key, dir,
+        Similarity.recallIvfPqRefinedTrainedDuckdbSql(
+          probeWhere = "vec_id % 50 = 0", corpusWhere = "vec_id % 50 <> 0",
+          topK = 5, refine, cents, cbs, nprobe = nprobe))
+      Similarity.recallIvfPqRefined(probes, corpus, topK = 5, refine,
+        nprobe = nprobe, m = m,
+        centroids = Some(cents), codebooks = Some(cbs))
+    } else {
+      stashTrainedOracle(key, dir,
+        Similarity.recallIvfPqTrainedDuckdbSql(
+          probeWhere = "vec_id % 50 = 0", corpusWhere = "vec_id % 50 <> 0",
+          topK = 5, cents, cbs, nprobe = nprobe))
+      Similarity.recallIvfPq(probes, corpus, topK = 5, nprobe = nprobe, m = m,
+        centroids = Some(cents), codebooks = Some(cbs))
+    }
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -993,6 +1004,18 @@ object SparkEntry {
     "emb_recall_ivfpq_trained_kc64" -> ((s, dir) =>
       trainedRecallGate(s, dir, "emb_recall_ivfpq_trained_kc64",
         m = 32, kc = 64)),
+    // the REFINE dial (exact-L2 rerank of the ADC top-4k shortlist,
+    // ivfPqSearchRefined): same trained m=16 index as
+    // emb_recall_ivfpq_trained, so the recall delta between the two
+    // gates IS the refine step's value. The sf1 measurement that
+    // motivates it: PQ cannot rank inside vector families tighter than
+    // its distortion (near-duplicate embeddings), so trained-m=16
+    // recall@5 collapses 0.295 → 0.049 at the staged 10× corpus while
+    // the exact-rerank LSH path holds 0.34 — refine restores the PQ
+    // path at |probes| × 4k exact distances (§8g table)
+    "emb_recall_ivfpq_refined" -> ((s, dir) =>
+      trainedRecallGate(s, dir, "emb_recall_ivfpq_refined",
+        m = 16, refine = 4)),
     // PQ encode with the seeded codebook contract (same cross-engine
     // discipline as sim_ann_ivf_seeded; trained codebooks are driver
     // state behind the same save/load loop)
@@ -2284,6 +2307,8 @@ object SparkEntry {
       trainedOracleSql("emb_recall_ivfpq_trained_m32"),
     "emb_recall_ivfpq_trained_kc64" ->
       trainedOracleSql("emb_recall_ivfpq_trained_kc64"),
+    "emb_recall_ivfpq_refined" ->
+      trainedOracleSql("emb_recall_ivfpq_refined"),
     "sim_ann_ivf" -> trainedOracleSql("sim_ann_ivf"),
     "emb_pq_encode" -> Similarity.pqEncodeSeededDuckdbSql(),
     "emb_pq_distortion" -> Similarity.pqDistortionSeededDuckdbSql(),

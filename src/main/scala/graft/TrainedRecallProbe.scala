@@ -74,6 +74,34 @@ object TrainedRecallProbe {
       spark.stop()
       return
     }
+    if (args.contains("--refine")) {
+      // the REFINE dial at the gate's trained dials (m=16, kc=16,
+      // nprobe=8): recall@5 and wall secs per refine factor. What it
+      // answers: when the corpus holds families tighter than PQ
+      // distortion (the staged sf1 replicas; re-embedded docs in a
+      // production crawl), how much shortlist does the exact rerank
+      // need? refine=1 is "rerank the topK" (candidate set unchanged);
+      // the r∞ limit is the probed-lists exact scan.
+      val cents = Similarity.ivfCentroids(corpus, k = 16, iters = 5)
+      val cbs = Similarity.pqCodebooks(corpus, m = 16, k = 16, iters = 5)
+      val base = Similarity.recallIvfPq(probes, corpus, topK = 5,
+          nprobe = 8, m = 16,
+          centroids = Some(cents), codebooks = Some(cbs))
+        .agg(avg(col("recall"))).collect()(0).getDouble(0)
+      println(f"PROBE trained m=16 nprobe=8 refine= 0 recall@5=$base%.3f (ADC only)")
+      for (refine <- Seq(1, 2, 4, 8, 16)) {
+        val t0 = System.nanoTime()
+        val r = Similarity.recallIvfPqRefined(probes, corpus, topK = 5,
+            refine = refine, nprobe = 8, m = 16,
+            centroids = Some(cents), codebooks = Some(cbs))
+          .agg(avg(col("recall"))).collect()(0).getDouble(0)
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"PROBE trained m=16 nprobe=8 refine=$refine%2d " +
+          f"recall@5=$r%.3f ($secs%.1f s)")
+      }
+      spark.stop()
+      return
+    }
     if (args.contains("--nprobe")) {
       // the FINE-TUNE dial at the shipping structure (trained kc=64,
       // m=32): the D64b gate fixes nprobe=8 (candidate fraction 0.125)

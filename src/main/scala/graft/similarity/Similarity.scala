@@ -331,6 +331,24 @@ object Similarity {
       bruteL2TopK(probes, corpus, topK, idCol, vecCol),
       probes, topK, idCol, digits)
 
+  /** Recall@k of the REFINED index ([[ivfPqSearchRefined]]) against the
+    * same exact-L2 ground truth — the number that shows what the refine
+    * step buys back when the corpus outgrows PQ resolution.
+    */
+  def recallIvfPqRefined(probes: DataFrame, corpus: DataFrame, topK: Int,
+                         refine: Int = 4, kc: Int = 16, nprobe: Int = 4,
+                         m: Int = 8, k: Int = 16, dim: Int = 64,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding", digits: Int = 4,
+                         centroids: Option[Array[Array[Double]]] = None,
+                         codebooks: Option[Array[Array[Array[Double]]]] = None)
+      : DataFrame =
+    recallOf(
+      ivfPqSearchRefined(probes, corpus, topK, refine, kc, nprobe, m, k,
+        dim, idCol, vecCol, centroids, codebooks),
+      bruteL2TopK(probes, corpus, topK, idCol, vecCol),
+      probes, topK, idCol, digits)
+
   /** Pairwise squared-L2 between two `array<float>` columns: the fused
     * native `l2_sq` when registered (one codegen'd loop per pair, zero
     * allocation — on a |probes|×|corpus| cross join the interpreted
@@ -462,16 +480,68 @@ object Similarity {
     * the exact-L2 brute ranking (the identical prepend-0.0 index-order
     * fold as [[bruteL2TopK]]), one dense (n_hits, recall) row per probe.
     */
+  /** The exact-squared-L2 fold between aliases `pe` and `ce`, replaying
+    * [[bruteL2TopK]]'s prepend-0.0 index-order accumulation — shared by
+    * the recall wrap's ground-truth branch and the refine rerank.
+    */
+  private def exactL2FoldSql(dim: Int, vecCol: String): String =
+    s"""list_reduce(list_prepend(cast(0.0 as double),
+       list_transform(range(1, ${dim + 1}),
+         d -> (cast(pe.$vecCol[d] as double) - cast(ce.$vecCol[d] as double))
+            * (cast(pe.$vecCol[d] as double) - cast(ce.$vecCol[d] as double)))),
+       (acc, v) -> acc + v)"""
+
+  /** The refine step in DuckDB: any IVFPQ approx-branch SQL as the
+    * shortlist, exact-L2 rerank of its (probe, cand) pairs from the raw
+    * vectors, cut at topK — the oracle twin of [[ivfPqSearchRefined]]'s
+    * rerank, same fold, same (adist, cand_id) tie order.
+    */
+  private def refinedApproxSql(shortlistSql: String, probeWhere: String,
+                               corpusWhere: String, topK: Int, dim: Int,
+                               table: String, idCol: String,
+                               vecCol: String): String =
+    s"""WITH sl AS (
+         SELECT probe_id, cand_id FROM ($shortlistSql)),
+       rp AS (SELECT $idCol, $vecCol FROM $table WHERE $probeWhere),
+       rc AS (SELECT $idCol, $vecCol FROM $table WHERE $corpusWhere),
+       ex AS (
+         SELECT sl.probe_id, sl.cand_id,
+                ${exactL2FoldSql(dim, vecCol)} AS adist
+         FROM sl
+         JOIN rp pe ON pe.$idCol = sl.probe_id
+         JOIN rc ce ON ce.$idCol = sl.cand_id)
+       SELECT probe_id, cand_id FROM (
+         SELECT probe_id, cand_id,
+                row_number() OVER (PARTITION BY probe_id
+                  ORDER BY adist, cand_id) AS rnk
+         FROM ex) WHERE rnk <= $topK"""
+
+  /** DuckDB oracle for [[recallIvfPqRefined]] with TRAINED quantizers:
+    * the trained shortlist at topK × refine, refined, then the shared
+    * recall wrap.
+    */
+  def recallIvfPqRefinedTrainedDuckdbSql(probeWhere: String,
+                                         corpusWhere: String, topK: Int,
+                                         refine: Int,
+                                         cents: Array[Array[Double]],
+                                         cbs: Array[Array[Array[Double]]],
+                                         nprobe: Int = 4, dim: Int = 64,
+                                         table: String = "embeddings",
+                                         idCol: String = "vec_id",
+                                         vecCol: String = "embedding")
+      : String =
+    recallIvfPqWrapSql(
+      refinedApproxSql(
+        ivfPqTrainedDuckdbSql(probeWhere, corpusWhere, topK * refine,
+          cents, cbs, nprobe, dim, table, idCol, vecCol),
+        probeWhere, corpusWhere, topK, dim, table, idCol, vecCol),
+      probeWhere, corpusWhere, topK, dim, table, idCol, vecCol)
+
   private def recallIvfPqWrapSql(approxSql: String, probeWhere: String,
                                  corpusWhere: String, topK: Int, dim: Int,
                                  table: String, idCol: String,
                                  vecCol: String): String = {
-    val l2 =
-      s"""list_reduce(list_prepend(cast(0.0 as double),
-         list_transform(range(1, ${dim + 1}),
-           d -> (cast(pe.$vecCol[d] as double) - cast(ce.$vecCol[d] as double))
-              * (cast(pe.$vecCol[d] as double) - cast(ce.$vecCol[d] as double)))),
-         (acc, v) -> acc + v)"""
+    val l2 = exactL2FoldSql(dim, vecCol)
     s"""WITH approx AS (
          SELECT probe_id, cand_id
          FROM ($approxSql)),
@@ -1390,6 +1460,52 @@ object Similarity {
         adcDistCol(probes.sparkSession, "__dt", "__codes"))
       .select(col("probe_id"), col("cand_id"), col("adist"))
     rankMinDist(scored, topK)
+  }
+
+  /** [[ivfPqSearch]] plus the standard refine step (the public
+    * shortlist-rerank design, e.g. FAISS IndexRefineFlat): keep the ADC
+    * ranking's top `topK × refine` shortlist per probe, recompute EXACT
+    * squared L2 on those pairs from the raw vectors, re-rank, cut at
+    * topK. This closes the resolution gap PQ structurally cannot: when
+    * the corpus contains vector families tighter than the quantizer's
+    * distortion (near-duplicate embeddings — re-encoded documents,
+    * crawl boilerplate), ADC ranks WITHIN a family at random and
+    * recall@k collapses even though the family is in the probed lists
+    * (measured on the staged sf1 corpus of 10-member ±6e-3 families:
+    * trained m=16 recall@5 falls 0.295 → 0.049 going sf0.1 → sf1; the
+    * refine step buys it back at |probes| × refine·topK exact
+    * distances — see SURVEY §8g).
+    *
+    * Scale shape: the shortlist (|probes| × refine·topK (probe, cand)
+    * pairs — a probe SAMPLE by this family's contract, so bounded)
+    * broadcasts against one extra corpus scan that fetches candidate
+    * vectors; at deployment scale a vector-store point-lookup replaces
+    * that scan. No corpus-sized shuffle is introduced; the exact
+    * distance is the same fused `l2_sq` / index-order fold contract as
+    * [[bruteL2TopK]], so the refined ranking is engine-exact.
+    */
+  def ivfPqSearchRefined(probes: DataFrame, corpus: DataFrame, topK: Int,
+                         refine: Int = 4, kc: Int = 16, nprobe: Int = 4,
+                         m: Int = 8, k: Int = 16, dim: Int = 64,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding",
+                         centroids: Option[Array[Array[Double]]] = None,
+                         codebooks: Option[Array[Array[Array[Double]]]] = None)
+      : DataFrame = {
+    require(refine >= 1, s"ivfPqSearchRefined: refine=$refine must be >= 1")
+    val shortlist = ivfPqSearch(probes, corpus, topK * refine, kc, nprobe,
+      m, k, dim, idCol, vecCol, centroids, codebooks)
+      .select(col("probe_id"), col("cand_id"))
+    val withVecs = corpus
+      .select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"))
+      .join(broadcast(shortlist), Seq("cand_id"))
+    val pv = probes.select(col(idCol).as("probe_id"),
+      col(vecCol).as("probe_vec"))
+    val exact = withVecs.join(broadcast(pv), Seq("probe_id"))
+      .withColumn("adist",
+        pairL2Col(probes.sparkSession, "probe_vec", "cand_vec"))
+      .select(col("probe_id"), col("cand_id"), col("adist"))
+    rankMinDist(exact, topK)
   }
 
   /** DuckDB oracle for [[ivfPqSearch]] with SEEDED centroids AND

@@ -516,6 +516,66 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfPqSearchRefined: equals the composed shortlist-then-exact-rerank reference") {
+    val probes = emb.filter(col("vec_id") % 50 === 0)
+    val corpus = emb.filter(col("vec_id") % 50 =!= 0)
+    val topK = 3; val refine = 4
+    val out = Similarity.ivfPqSearchRefined(probes, corpus, topK, refine)
+      .collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("cand_id"),
+        r.getAs[Double]("adist"), r.getAs[Int]("rnk"))).toSet
+    // driver-side reference: the SAME ADC shortlist, exact squared-L2
+    // recomputed in index order from 0.0 (the bruteL2TopK fold), cut at
+    // topK by (dist, cand_id)
+    val shortlist = Similarity.ivfPqSearch(probes, corpus, topK * refine)
+      .select("probe_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def vecsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    val pv = vecsOf(probes); val cv = vecsOf(corpus)
+    val expected = shortlist.map { case (p, c) =>
+      var a = 0.0; var i = 0; val x = pv(p); val y = cv(c)
+      while (i < x.length) {
+        val d = x(i).toDouble - y(i).toDouble; a += d * d; i += 1
+      }
+      (p, c, a)
+    }.groupBy(_._1).values.flatMap { rs =>
+      rs.sortBy { case (_, c, a) => (a, c) }.take(topK).zipWithIndex
+        .map { case ((p, c, a), i) => (p, c, a, i + 1) }
+    }.toSet
+    assert(out == expected)
+  }
+
+  test("ivfPqSearchRefined: refine=1 keeps the ADC candidate set, reorders by exact") {
+    val probes = emb.filter(col("vec_id") % 50 === 0)
+    val corpus = emb.filter(col("vec_id") % 50 =!= 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(
+      pairs(Similarity.ivfPqSearchRefined(probes, corpus, topK = 3,
+        refine = 1))
+        == pairs(Similarity.ivfPqSearch(probes, corpus, topK = 3)))
+  }
+
+  test("refined recall dominates unrefined on the gate carve") {
+    // deterministic at the spec SF: both gates share the carve and the
+    // untrained (iters=0 seeded) quantizers, so the means are constants;
+    // the refine step may only ADD truth hits (exact rerank of a
+    // superset shortlist), measured as a strict win here
+    val probes = emb.filter(col("vec_id") % 50 === 0)
+    val corpus = emb.filter(col("vec_id") % 50 =!= 0)
+    def mean(df: org.apache.spark.sql.DataFrame) =
+      df.agg(avg(col("recall"))).head().getDouble(0)
+    val base = mean(Similarity.recallIvfPq(probes, corpus, topK = 5))
+    val refined = mean(
+      Similarity.recallIvfPqRefined(probes, corpus, topK = 5, refine = 4))
+    assert(refined >= base,
+      s"refined $refined < unrefined $base")
+    assert(refined > 0.0)
+  }
+
   test("pqSearch: a planted twin attains the per-probe ADC lower bound at rank 1") {
     import spark.implicits._
     val corpus = emb.filter(col("vec_id") < 40)
