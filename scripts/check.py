@@ -15,6 +15,16 @@ import pandas as pd
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
 name_re = re.compile(sys.argv[3]) if len(sys.argv) > 3 else None
 con = duckdb.connect()
+# optional resource knobs for staged-SF sweeps (heavy trained-IVFPQ
+# oracles build ~100M-row intermediate CTEs): GRAFT_DUCKDB_MEM like
+# '96GB', GRAFT_DUCKDB_THREADS like '16'
+if os.environ.get("GRAFT_DUCKDB_MEM"):
+    con.execute(f"SET memory_limit='{os.environ['GRAFT_DUCKDB_MEM']}'")
+    # an in-memory duckdb has no temp dir -> large sorts/windows cannot
+    # spill and die at the limit; give it one
+    con.execute("SET temp_directory='/tmp/graft_duckdb_spill'")
+if os.environ.get("GRAFT_DUCKDB_THREADS"):
+    con.execute(f"SET threads={os.environ['GRAFT_DUCKDB_THREADS']}")
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
