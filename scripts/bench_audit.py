@@ -46,19 +46,11 @@ BASELINE = os.path.join(os.path.dirname(__file__), "..",
                         "bench_baseline_sf0.1.json")
 
 
-def load_bench(path):
-    with open(path) as f:
-        d = json.load(f)
-    reps = d.get("reps_sec") or {}
-    qs = d.get("queries") or {}
-    out = {}
-    for name in set(reps) | set(qs):
-        r = reps.get(name)
-        if r:
-            out[name] = min(r)
-        elif name in qs:
-            out[name] = qs[name]
-    return d, out
+# ONE loader for bench artifacts (min-of-reps + driver-wrapper salvage)
+# shared with the round-over-round diff tool — the r11 review found the
+# same empty-reps bug fixed twice in two copies of it
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from bench_diff import load as load_bench  # noqa: E402
 
 
 def calib_state(d):
@@ -106,6 +98,12 @@ def main():
         base = json.load(f)
     bq = base["queries"]
 
+    # cross-SF artifacts are not comparable — refuse, don't "improve"
+    if base.get("sf") and d.get("sf") and base["sf"] != d["sf"]:
+        print(f"[bench-audit] FAIL: artifact sf={d['sf']} does not match "
+              f"baseline sf={base['sf']} — wrong artifact or baseline")
+        sys.exit(2)
+
     shared = sorted(set(bq) & set(cur))
     added = sorted(set(cur) - set(bq))
     gone = sorted(set(bq) - set(cur))
@@ -129,6 +127,14 @@ def main():
     if gone:
         print(f"  missing vs baseline: {', '.join(gone)}")
 
+    # a query MISSING from the artifact is the worst regression there is
+    # (it crashed or the run died partway) — never a green exit; no
+    # box-churn attribution applies (churn slows queries, it does not
+    # delete them)
+    if gone:
+        print(f"[bench-audit] FAIL: {len(gone)} baseline query(ies) absent "
+              "from the artifact — incomplete run or crashing query")
+        sys.exit(1)
     if breaches:
         if dirty:
             print(f"[bench-audit] {len(breaches)} breach(es) but calib is "

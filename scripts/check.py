@@ -90,4 +90,9 @@ for n, c in passes: print(f"PASS  {n} ({c} rows)")
 for n, c in skips: print(f"SKIP  {n} ({c} rows, no oracle)")
 for n, msg in fails: print(f"FAIL  {n}: {msg}")
 print(f"\n{len(passes)} pass, {len(skips)} rows-only, {len(fails)} fail")
+# a filter that matches NOTHING must not read as a green sweep (a
+# transposed regex would otherwise record success while comparing 0)
+if name_re is not None and not (passes or skips or fails):
+    print(f"FAIL  name_regex {name_re.pattern!r} matched no output dirs")
+    sys.exit(1)
 sys.exit(1 if fails else 0)

@@ -41,6 +41,11 @@ object StageSf1 {
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("target/sf1")
     val reps = args.lift(1).map(_.toInt).getOrElse(10)
+    // the embedding-perturbation uniqueness proof below only covers
+    // |r1 - r2| < 13 (mod-13 residues); reps > 13 would silently
+    // recreate the byte-equal ANN ties the stager exists to avoid
+    require(reps >= 1 && reps <= 13,
+      s"replicas=$reps out of the perturbation formula's proven range 1..13")
     val srcDir = "/root/testdata/sf0.1"
     val spark = Tables.session("graft-stage-sf1")
     spark.sparkContext.setLogLevel("WARN")

@@ -12,11 +12,22 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType}
   * fuse it into one codegen'd call with a per-partition MessageDigest.
   */
 object Md5Kernel {
-  def lower64(bytes: Array[Byte]): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val d = md.digest(bytes)
-    lower64OfDigest(d)
+  // MessageDigest is stateful and not thread-safe; getInstance does a
+  // JCA provider lookup — a per-row cost on interpreted hot paths
+  // (MinhashKernel evaluates once per corpus row). One instance per
+  // thread, reset per use, mirrors the codegen path's mutable state.
+  private val tlMd = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  /** The shared per-thread digest, already reset. */
+  def digest(bytes: Array[Byte]): Array[Byte] = {
+    val md = tlMd.get()
+    md.reset()
+    md.digest(bytes)
   }
+
+  def lower64(bytes: Array[Byte]): Long =
+    lower64OfDigest(digest(bytes))
 
   def lower64OfDigest(d: Array[Byte]): Long = {
     var v = 0L

@@ -149,7 +149,6 @@ private[functions] object MinhashKernel {
     val k = MinHashSpec.SHINGLE_K
     val mins = Array.fill(K)(Long.MaxValue)
     var any = false
-    val md = java.security.MessageDigest.getInstance("MD5")
     // the partial-shingle rule: a doc with < k tokens gets its single
     // (shorter) slice — `sequence(1, greatest(n - k + 1, 1))`
     val nShingles = math.max(n - k + 1, 1)
@@ -169,11 +168,9 @@ private[functions] object MinhashKernel {
       // and must contribute nothing (the NULL-text contract)
       if (shingle.numBytes() > 0) {
         any = true
-        md.reset()
-        val d = md.digest(shingle.getBytes)
-        var u = 0L
-        var bi = 15
-        while (bi >= 8) { u = (u << 8) | (d(bi) & 0xffL); bi -= 1 }
+        // Md5Kernel: per-thread digest (no per-row provider lookup) and
+        // the ONE spelling of the little-endian lower-64 contract
+        val u = Md5Kernel.lower64(shingle.getBytes)
         val h = java.lang.Long.remainderUnsigned(u, P)
         var p = 0
         while (p < K) {

@@ -761,10 +761,40 @@ object Streams {
     // "" bucket would be both a false near-dup class of missing
     // payloads and a quadratic C(m,2) state bomb. No filter needed —
     // the equality contract is in the generator itself.
-    val banded = docs
-      .withColumn("__toks", Text.tokens(col("text")))
-      .select(col("doc_id"), col("ts"),
-        posexplode(expr("minhash_bandsigs(__toks)")).as(Seq("band", "bsig")))
+    val banded = if (spark.catalog.functionExists("minhash_bandsigs")) {
+      docs
+        .withColumn("__toks", Text.tokens(col("text")))
+        .select(col("doc_id"), col("ts"),
+          posexplode(expr("minhash_bandsigs(__toks)")).as(Seq("band", "bsig")))
+    } else {
+      // no-extension fallback (the same contract as
+      // MinHashSpec.signatures' composed branch): value-identical, but
+      // it IS the r10 regression's interpreted-HOF shape — sessions
+      // that care about the stream's throughput register GraftFunctions
+      import graft.dedup.MinHashSpec
+      val mh = (0 until MinHashSpec.K).map { i =>
+        expr(s"""array_min(transform(__hashes,
+             h -> (h * ${MinHashSpec.a(i)}L
+                   + ${MinHashSpec.b(i)}L) % ${MinHashSpec.P}))""").as(s"mh_$i")
+      }
+      val bandSigs = (0 until MinHashSpec.BANDS).map { j =>
+        val cs = (j * MinHashSpec.ROWS until (j + 1) * MinHashSpec.ROWS)
+          .map(i => col(s"mh_$i"))
+        concat_ws("_", cs: _*)
+      }
+      docs
+        .withColumn("__toks", Text.tokens(col("text")))
+        .withColumn("__shingles",
+          expr(Text.shingleExpr("__toks", MinHashSpec.SHINGLE_K)))
+        .withColumn("__hashes",
+          expr(s"transform(__shingles, w -> ${MinHashSpec.hpExpr(spark, "w")})"))
+        .select(col("doc_id") +: col("ts") +: mh: _*)
+        // no-shingle docs have null minhashes; concat_ws would collapse
+        // them into one "" bucket (false dup class + C(m,2) state bomb)
+        .filter(col("mh_0").isNotNull)
+        .select(col("doc_id"), col("ts"),
+          posexplode(array(bandSigs: _*)).as(Seq("band", "bsig")))
+    }
     banded
       .withWatermark("ts", s"$horizonMinutes minutes")
       .as[BandedDoc]
