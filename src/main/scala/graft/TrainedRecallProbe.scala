@@ -102,6 +102,28 @@ object TrainedRecallProbe {
       spark.stop()
       return
     }
+    if (args.contains("--refine-shipping")) {
+      // refine on the SHIPPING structure (trained kc=64/m=32/nprobe=8,
+      // the D64b dial): does the exact rerank stack with the coarse
+      // 4×-cheaper candidate fraction, or does kc=64's pruning starve
+      // the shortlist?
+      val cents = Similarity.ivfCentroids(corpus, k = 64, iters = 5)
+      val cbs = Similarity.pqCodebooks(corpus, m = 32, k = 16, iters = 5)
+      val base = Similarity.recallIvfPq(probes, corpus, topK = 5,
+          nprobe = 8, m = 32,
+          centroids = Some(cents), codebooks = Some(cbs))
+        .agg(avg(col("recall"))).collect()(0).getDouble(0)
+      println(f"PROBE shipping kc=64 m=32 nprobe=8 refine= 0 recall@5=$base%.3f")
+      for (refine <- Seq(4, 8, 16)) {
+        val r = Similarity.recallIvfPqRefined(probes, corpus, topK = 5,
+            refine = refine, nprobe = 8, m = 32,
+            centroids = Some(cents), codebooks = Some(cbs))
+          .agg(avg(col("recall"))).collect()(0).getDouble(0)
+        println(f"PROBE shipping kc=64 m=32 nprobe=8 refine=$refine%2d recall@5=$r%.3f")
+      }
+      spark.stop()
+      return
+    }
     if (args.contains("--nprobe")) {
       // the FINE-TUNE dial at the shipping structure (trained kc=64,
       // m=32): the D64b gate fixes nprobe=8 (candidate fraction 0.125)
