@@ -285,6 +285,41 @@ class FunctionsSourcesSpec extends SparkSpec {
     assert(rawNull.head.isNullAt(0))
   }
 
+  test("no-extension fallbacks: batch signatures value-equal, stream generator resolves") {
+    import graft.dedup.MinHashSpec
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(100)
+    val fused = MinHashSpec.signatures(docs, "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    val reg = spark.sessionState.functionRegistry
+    val sigId = FunctionIdentifier("minhash_sig")
+    val bandId = FunctionIdentifier("minhash_bandsigs")
+    assert(reg.functionExists(sigId) && reg.functionExists(bandId))
+    try {
+      reg.dropFunction(sigId): Unit
+      reg.dropFunction(bandId): Unit
+      assert(!spark.catalog.functionExists("minhash_sig"))
+      // batch branch: the composed explode/groupBy spelling, same values
+      val composed = MinHashSpec.signatures(docs, "doc_id", "text")
+        .collect().map(_.toSeq).toSet
+      assert(composed == fused)
+      // stream branch: the fallback must RESOLVE end to end (the fused
+      // spelling would throw an undefined-function AnalysisException at
+      // the banded select) — construction analyzes every stage
+      val stream = graft.streaming.Streams.lshCandidatesStream(
+        docs.withColumn("ts",
+          lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))))
+      assert(stream.schema.fieldNames.toSeq == Seq("doc_a", "doc_b"))
+    } finally {
+      val (i1, e1, b1) = graft.functions.GraftFunctions.minhashSigDescriptor
+      val (i2, e2, b2) =
+        graft.functions.GraftFunctions.minhashBandSigsDescriptor
+      reg.registerFunction(i1, e1, b1): Unit
+      reg.registerFunction(i2, e2, b2): Unit
+    }
+  }
+
   test("fused minhash_sig signatures equal the composed explode/groupBy spelling") {
     import graft.dedup.MinHashSpec
     import graft.text.Text
