@@ -11,25 +11,43 @@ baseline and FAILS on attributable regressions.
 Usage:
   python3 scripts/bench_audit.py [bench_out.json]            # audit
   python3 scripts/bench_audit.py --record [bench_out.json]   # rebase
+  options: --baseline PATH  --rel R --abs A (stored on --record)
+           --accept-uniform (downgrade a uniform+clean-calib fail)
+           --force (record despite dirty calib)
 
-Baseline: bench_baseline_sf0.1.json (committed; per-query min-of-reps
-seconds plus the calib context it was recorded under).
+Baselines are PER-SF (committed): bench_baseline_sf0.1.json for the
+full driver-SF suite, bench_baseline_sf1.json for the staged-sf1 heavy
+subset (graft.BenchSubset artifact). The baseline is picked from the
+artifact's own sf field, so auditing a sf1 artifact against the sf0.1
+baseline is impossible by construction; --baseline overrides. Each
+baseline carries its own headroom (rel/abs) because the noise regime
+differs: sf0.1 is scheduler noise (+25%+0.3 s), sf1 is 48g GC churn
+(wider, recorded from the measured rep band).
 
 Gate rule (the ShuffleAudit shape): FAIL when
-    cur > base * (1 + REL) + ABS          (REL=0.25, ABS=0.3 s)
+    cur > base * (1 + REL) + ABS
 so sub-second scheduler noise can never trip it, while a multi-second
 or >25% shift on a real query does.
 
 Attribution rule (SURVEY §8 box-churn discipline), applied BEFORE
 failing — a regression is only code-attributable on a healthy box:
+  * calib fields ABSENT entirely: the artifact is UNINSTRUMENTED — it
+    can neither certify health nor attribute a breach, and it must
+    never become the committed baseline. Audit exits 2; --record
+    refuses (no --force escape: an idle-box baseline NEEDS the
+    sentinel evidence by definition).
   * calib dirty (calib_pre or calib_post > 1.5x the 0.22 s clean
     constant on the 32-thread reference): machine, not code -> every
     breach downgrades to a WARNING and the exit code stays 0. Re-run
     on an idle box before believing either verdict.
   * uniform inflation (>= 40% of shared queries above the noise floor
-    in the SAME direction): co-tenant load or thermal state inflates
-    the whole suite at once; single-query code regressions do not ->
-    downgrade to warnings.
+    in the SAME direction) with calib ALSO dirty: co-tenant load or
+    thermal state inflates the whole suite at once -> warnings.
+    With calib CLEAN, uniform inflation is NOT machine-attributable —
+    a clean sentinel contradicts the co-tenant-load explanation, and a
+    slowdown in a shared kernel (tokenizer, md5) inflates the suite
+    exactly this way (the r10 blind-spot class) -> FAIL unless the
+    operator passes an explicit --accept-uniform.
 Recording refuses a dirty-calib artifact (--force overrides) so the
 baseline itself is always an idle-box measurement.
 """
@@ -42,8 +60,7 @@ ABS = 0.30
 CALIB_CLEAN = 0.22
 CALIB_DIRTY_FACTOR = 1.5
 UNIFORM_FRACTION = 0.40
-BASELINE = os.path.join(os.path.dirname(__file__), "..",
-                        "bench_baseline_sf0.1.json")
+REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
 
 
 # ONE loader for bench artifacts (min-of-reps + driver-wrapper salvage)
@@ -54,25 +71,71 @@ from bench_diff import load as load_bench  # noqa: E402
 
 
 def calib_state(d):
+    """-> (pre, post, dirty) where dirty is None when the artifact has
+    NO calib fields at all (uninstrumented — distinct from clean!)."""
     pre = d.get("calib_pre_sec")
     post = d.get("calib_post_sec")
+    if pre is None and post is None:
+        return None, None, None
     clean = d.get("calib_clean_sec", CALIB_CLEAN)
     worst = max(x for x in (pre, post, 0.0) if x is not None)
     dirty = worst > clean * CALIB_DIRTY_FACTOR
     return pre, post, dirty
 
 
+def baseline_path_for(d):
+    """Pick the committed per-SF baseline from the artifact's sf field.
+    Bench/BenchSubset write sf as the data DIRECTORY ('…/sf0.1',
+    'target/sf1'); the driver wrapper rewrites it numeric (0.1)."""
+    sf = d.get("sf")
+    if isinstance(sf, (int, float)):
+        name = f"sf{sf:g}"
+    elif isinstance(sf, str) and sf:
+        name = os.path.basename(sf.rstrip("/"))
+    else:
+        name = "sf0.1"
+    return os.path.join(REPO, f"bench_baseline_{name}.json")
+
+
+def opt_value(argv, flag, default=None):
+    if flag in argv:
+        i = argv.index(flag)
+        if i + 1 < len(argv):
+            return argv[i + 1]
+    return default
+
+
 def main():
     argv = sys.argv[1:]
     record = "--record" in argv
     force = "--force" in argv
-    paths = [a for a in argv if not a.startswith("--")]
+    accept_uniform = "--accept-uniform" in argv
+    baseline_opt = opt_value(argv, "--baseline")
+    rel_opt = opt_value(argv, "--rel")
+    abs_opt = opt_value(argv, "--abs")
+    skip = {baseline_opt, rel_opt, abs_opt}
+    paths = [a for a in argv if not a.startswith("--") and a not in skip]
     bench_path = paths[0] if paths else "bench_out.json"
 
     d, cur = load_bench(bench_path)
     pre, post, dirty = calib_state(d)
+    baseline = baseline_opt or baseline_path_for(d)
     print(f"[bench-audit] artifact={bench_path} queries={len(cur)} "
-          f"calib={pre}/{post} dirty={dirty}")
+          f"calib={pre}/{post} "
+          f"dirty={'UNINSTRUMENTED' if dirty is None else dirty} "
+          f"baseline={os.path.basename(baseline)}")
+
+    if dirty is None:
+        if record:
+            print("[bench-audit] REFUSING to record an artifact with no "
+                  "calib fields — a baseline must carry its own idle-box "
+                  "evidence (run graft.Bench / graft.BenchSubset, which "
+                  "emit the sentinel)")
+            sys.exit(2)
+        print("[bench-audit] FAIL: artifact carries no calib sentinel — "
+              "it can neither certify box health nor attribute a breach; "
+              "re-run graft.Bench (the sentinel is built in)")
+        sys.exit(2)
 
     if record:
         if dirty and not force:
@@ -84,19 +147,24 @@ def main():
             "sf": d.get("sf"),
             "calib_pre_sec": pre,
             "calib_post_sec": post,
+            "rel": float(rel_opt) if rel_opt else REL,
+            "abs": float(abs_opt) if abs_opt else ABS,
             "queries": {k: round(v, 4) for k, v in sorted(cur.items())},
         }
-        with open(BASELINE, "w") as f:
+        with open(baseline, "w") as f:
             json.dump(base, f, indent=1, sort_keys=True)
-        print(f"[bench-audit] recorded {len(cur)} baselines -> {BASELINE}")
+        print(f"[bench-audit] recorded {len(cur)} baselines "
+              f"(headroom +{base['rel']:.0%}+{base['abs']}s) -> {baseline}")
         return
 
-    if not os.path.exists(BASELINE):
-        print("[bench-audit] no baseline committed yet — run with --record")
+    if not os.path.exists(baseline):
+        print(f"[bench-audit] no baseline at {baseline} — run with --record")
         sys.exit(2)
-    with open(BASELINE) as f:
+    with open(baseline) as f:
         base = json.load(f)
     bq = base["queries"]
+    rel = base.get("rel", REL)
+    abs_ = base.get("abs", ABS)
 
     # cross-SF artifacts are not comparable — refuse, don't "improve"
     if base.get("sf") and d.get("sf") and base["sf"] != d["sf"]:
@@ -109,14 +177,14 @@ def main():
     gone = sorted(set(bq) - set(cur))
 
     breaches = [(n, bq[n], cur[n]) for n in shared
-                if cur[n] > bq[n] * (1 + REL) + ABS]
+                if cur[n] > bq[n] * (1 + rel) + abs_]
     # uniform-inflation detector: count noise-floor-exceeding moves by
     # direction over ALL shared queries (not just gate breaches)
     up = sum(1 for n in shared if cur[n] - bq[n] > max(0.10 * bq[n], 0.05))
     uniform = shared and up / len(shared) >= UNIFORM_FRACTION
 
     improved = [(n, bq[n], cur[n]) for n in shared
-                if bq[n] > cur[n] * (1 + REL) + ABS]
+                if bq[n] > cur[n] * (1 + rel) + abs_]
 
     for n, b, c in sorted(breaches, key=lambda r: -(r[2] - r[1])):
         print(f"  REGRESSED {n:36s} {b:7.2f} -> {c:7.2f}  ({c - b:+.2f} s)")
@@ -142,15 +210,30 @@ def main():
                   "attributed, WARN only. Re-run on an idle box.")
             sys.exit(0)
         if uniform:
-            print(f"[bench-audit] {len(breaches)} breach(es) but inflation "
-                  f"is UNIFORM ({up}/{len(shared)} queries up) — machine-"
-                  "attributed, WARN only. Re-run on an idle box.")
-            sys.exit(0)
+            # clean calib CONTRADICTS the co-tenant-load explanation: a
+            # shared-kernel slowdown (tokenizer, md5) inflates the suite
+            # uniformly too, and it is exactly code. (ADVICE r11)
+            if accept_uniform:
+                print(f"[bench-audit] {len(breaches)} breach(es), inflation "
+                      f"UNIFORM ({up}/{len(shared)} up) with CLEAN calib — "
+                      "downgraded by --accept-uniform. Record WHY in the "
+                      "ledger.")
+                sys.exit(0)
+            print(f"[bench-audit] FAIL: {len(breaches)} breach(es), "
+                  f"inflation UNIFORM ({up}/{len(shared)} up) but calib is "
+                  "CLEAN — a clean sentinel contradicts co-tenant load; "
+                  "suspect a shared kernel (tokenizer/md5) regression. "
+                  "Pass --accept-uniform only with an attribution in hand.")
+            sys.exit(1)
         print(f"[bench-audit] FAIL: {len(breaches)} code-attributable "
               f"regression(s) (calib clean, inflation not uniform)")
         sys.exit(1)
+    if uniform and not dirty:
+        print(f"[bench-audit] NOTE: no gate breach, but {up}/{len(shared)} "
+              "queries are above the noise floor with clean calib — "
+              "sub-headroom uniform drift; watch the next artifact.")
     print(f"[bench-audit] OK: {len(shared)} queries within "
-          f"+{REL:.0%}+{ABS}s of baseline"
+          f"+{rel:.0%}+{abs_}s of baseline"
           + (f"; {len(improved)} improved (consider --record)"
              if improved else ""))
 

@@ -25,9 +25,8 @@ object Bench {
     }.min
   }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+  /** Session builder shared by [[main]] and [[BenchSubset]]. */
+  def session(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .withExtensions(graft.functions.GraftFunctions.register)
       .master(s"local[$cpus]")
@@ -37,9 +36,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warmup: run every query once at the smallest SF so JIT/codegen/
-    // parquet-reader init doesn't land on whichever timed query runs
-    // first. Timed numbers below then measure the queries, not the JVM.
+    spark
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = session(cpus)
     // Sorted-key order BOTH for warmup and timing: SparkEntry.queries is
     // an unordered Map, so adding a key used to reshuffle execution order
     // every round and neighbor effects (GC/ContextCleaner pressure from a
@@ -47,6 +50,22 @@ object Bench {
     // untouched queries regress 6-7× purely from order noise. Sorted
     // order makes per-query numbers comparable round-over-round.
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    runSuite(spark, ordered, sfDir, reps = 2, cpus = cpus,
+      outPath = "bench_out.json")
+    spark.stop()
+  }
+
+  /** The whole measured harness (warmup → calib → timed reps → calib →
+    * artifact), factored so [[BenchSubset]] shares it verbatim — one
+    * loader discipline on the write side like scripts/bench_diff.load
+    * on the read side.
+    */
+  def runSuite(spark: SparkSession, ordered: Seq[(String,
+      (SparkSession, String) => org.apache.spark.sql.DataFrame)],
+      sfDir: String, reps: Int, cpus: String, outPath: String): Unit = {
+    // Warmup: run every query once at the smallest SF so JIT/codegen/
+    // parquet-reader init doesn't land on whichever timed query runs
+    // first. Timed numbers below then measure the queries, not the JVM.
     // clearCache() drops only CacheManager entries — localCheckpoint()
     // blocks (used by every "materialize the bounded frame once"
     // operator) are plain persistent RDDs and survive it. Over 100
@@ -73,11 +92,10 @@ object Bench {
         .format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    // Two fully-cold reps per query, report the MIN: each rep starts with
+    // Fully-cold reps per query, report the MIN: each rep starts with
     // an empty cache so nothing carries over between queries or reps; the
     // min discards one-off scheduler/GC hiccups (r2's driver run recorded
     // a single 6.6 s outlier for a query that measures 2.1-2.6 s cold).
-    val reps = 2
     // machine-state sentinel BEFORE the suite (see [[calibrate]]): the
     // artifact carries its own box-health evidence
     val calibPre = calibrate(spark)
@@ -132,17 +150,16 @@ object Bench {
     // ...and the complete artifact also lands on disk, immune to any
     // stdout capture policy
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_out.json"),
+      java.nio.file.Paths.get(outPath),
       line.getBytes("UTF-8"))
     catch { case e: Throwable =>
-      System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}") }
+      System.err.println(s"[bench] $outPath write failed: ${e.getMessage}") }
     println(line)
     // ...and a COMPACT summary as the very last stdout line: a capture
     // that keeps only the tail (or parses only the final line) gets a
     // complete, valid JSON object with every scalar field — the r9
     // artifact lost all totals because they lived at the head of the
     // one big line
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","reps":$reps,"agg":"min","n_queries":${results.size},"calib_pre_sec":$calibPre,"calib_post_sec":$calibPost,"calib_threads":$cpus$calibClean,"batch_sec":${total - streaming},"streaming_sec":$streaming,"full":"bench_out.json","value":$total}""")
-    spark.stop()
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","reps":$reps,"agg":"min","n_queries":${results.size},"calib_pre_sec":$calibPre,"calib_post_sec":$calibPost,"calib_threads":$cpus$calibClean,"batch_sec":${total - streaming},"streaming_sec":$streaming,"full":"$outPath","value":$total}""")
   }
 }

@@ -1126,7 +1126,16 @@ object SparkEntry {
     // that IS cross-engine checkable; the stub decode stays rows-only
     "mm_meta_only" -> ((s, dir) =>
       Multimodal.asMedia(Tables(s, dir, "documents"))
-        .select("doc_id", "mime", "payload_len")))
+        .select("doc_id", "mime", "payload_len")),
+    // the REAL decode path (r12): synthesize a conformant RIFF/WAVE PCM
+    // container per doc (chunk layout rotated so the corpus exercises
+    // the parser's chunk walk), parse it with a genuine WAV parser
+    // (Multimodal.parseWav), surface typed audio features. The oracle
+    // replays the features as byte arithmetic over `text` because the
+    // fixture is deterministic — the PARSER is format-general
+    // (spec-tested on 16-bit stereo and on malformed bytes).
+    "mm_decode_wav" -> ((s, dir) =>
+      Multimodal.wavPipeline(s, Tables(s, dir, "documents"))))
 
   private def probeList: String = (0 until 10).mkString(", ")
 
@@ -2032,11 +2041,19 @@ object SparkEntry {
     // the UTF-8 payload — expressible in DuckDB because the corpus is
     // pure ASCII (asserted by the octet_length guard in the first CTE:
     // a future non-ASCII doc makes ascii()≠byte and this oracle must
-    // fail loudly via the 1/0 division, not drift silently).
+    // fail loudly, not drift silently). The trip-wire is DuckDB's
+    // error() — division 1/0 does NOT raise in DuckDB (returns NULL),
+    // so an arithmetic guard would be dead code (ADVICE r11, verified
+    // empirically against the installed duckdb). The outer WHERE must
+    // REFERENCE guard.ok: an unreferenced cross-join column is pruned
+    // by DuckDB's optimizer and the CASE never evaluates (also
+    // verified — the bare cross join does not trip on a hostile doc).
     // list_sum may return NULL for empty lists, hence the coalesce.
     "mm_binary_meta" ->
       s"""WITH guard AS (
-           SELECT CASE WHEN count(*) = 0 THEN 1 ELSE 1/0 END AS ok
+           SELECT CASE WHEN count(*) = 0 THEN 1
+                       ELSE cast(error('mm_binary_meta oracle requires a pure-ASCII corpus: byte arithmetic != codepoint arithmetic on this data') AS int)
+                  END AS ok
            FROM documents
            WHERE text IS NOT NULL AND octet_length(encode(text)) <> length(text)
          )
@@ -2058,7 +2075,39 @@ object SparkEntry {
                 cast(CASE WHEN text IS NULL OR length(text) = 0 THEN 0
                           ELSE ascii(substring(text, length(text), 1)) END
                   as int) AS last_byte
-         FROM documents, guard""",
+         FROM documents, guard WHERE guard.ok = 1""",
+
+    // The WAV fixture is deterministic (8-bit mono PCM, samples = the
+    // UTF-8 payload bytes, rate keyed off doc_id), so every decoded
+    // feature reduces to byte arithmetic over `text` — same ASCII-guard
+    // discipline as mm_binary_meta (and the same error() trip-wire,
+    // referenced through the WHERE so DuckDB cannot prune it).
+    "mm_decode_wav" ->
+      s"""WITH guard AS (
+           SELECT CASE WHEN count(*) = 0 THEN 1
+                       ELSE cast(error('mm_decode_wav oracle requires a pure-ASCII corpus: byte arithmetic != codepoint arithmetic on this data') AS int)
+                  END AS ok
+           FROM documents
+           WHERE text IS NOT NULL AND octet_length(encode(text)) <> length(text)
+         )
+         SELECT doc_id,
+                1 AS decode_ok,
+                1 AS audio_format,
+                1 AS channels,
+                cast(8000 + (doc_id % 8) * 1000 as int) AS sample_rate,
+                8 AS bits_per_sample,
+                cast(coalesce(octet_length(encode(text)), 0) as int)
+                  AS n_samples,
+                CASE WHEN text IS NULL OR length(text) = 0 THEN 0.0
+                     ELSE ${Text.halfUpSql(
+        """cast(coalesce(list_sum(list_transform(range(1, length(text) + 1),
+               i -> ascii(substring(text, i, 1)))), 0) as double)
+           / length(text)""", 4)}
+                END AS mean_amp,
+                ${Text.halfUpSql(
+        """cast(coalesce(octet_length(encode(text)), 0) as double) * 1000.0
+           / (8000 + (doc_id % 8) * 1000)""", 4)} AS duration_ms
+         FROM documents, guard WHERE guard.ok = 1""",
 
     "sample_stratified" ->
       s"""SELECT doc_id, lang FROM documents

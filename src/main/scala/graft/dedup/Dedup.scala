@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.text.Text
+import graft.config.Checkpoints.CutSyntax
 
 /** Deduplication operators for LLM training-data pipelines:
   * exact (hash-groupBy), n-gram Jaccard, MinHash+LSH, SimHash.
@@ -13,10 +14,13 @@ import graft.text.Text
   * band) and only joins within buckets. The bucket join shuffles on the
   * bucket key; bucket sizes are bounded by construction.
   *
-  * The `localCheckpoint()` cuts in this file follow the SURVEY §5
-  * cluster-loss contract: executor-local, non-recoverable on executor
-  * loss — swap per the §5 size-class table on preemptible clusters
-  * (the staged-parquet path for the incremental index already exists).
+  * The lineage cuts in this file (`cutLineage()`,
+  * [[graft.config.Checkpoints]]) follow the SURVEY §5 cluster-loss
+  * contract: executor-local `localCheckpoint` by default — on a
+  * preemptible cluster set `graft.checkpoint=reliable` (+
+  * `setCheckpointDir`) to make every cut recoverable; the
+  * staged-parquet path for the incremental index already exists as
+  * class (c).
   */
 /** Persisted screening index for [[Dedup.incrementalFromIndex]]:
   * `hashes` is the corpus content-hash set (`content_hash`), `bands`
@@ -139,7 +143,7 @@ object Dedup {
                   maxBucket: Int = Int.MaxValue): DataFrame = {
     val exactDrops = exactNormalized(df, idCol, textCol)
       .filter(col("is_duplicate") === 1).select(col(idCol))
-      .localCheckpoint()
+      .cutLineage()
     // Propose/verify on the EXACT SURVIVORS only — the canonical crawl
     // cascade (exact first, fuzzy on what remains). This is not just a
     // cost win (fewer docs shingled and banded): a mega-duplicate
@@ -170,7 +174,7 @@ object Dedup {
     df.withColumn("__toks", Text.tokens(col(textCol)))
       .select(col(idCol).as("id"), col(blockCol).as("blk"),
         explode(expr(Text.shingleExpr("__toks", k))).as("w"))
-      .localCheckpoint()
+      .cutLineage()
 
   /** N-gram Jaccard similarity over k-token shingle sets.
     * Blocking on `blockCol` bounds the pair space; within a block the
@@ -217,7 +221,7 @@ object Dedup {
     // leaves no CacheManager entry behind (see ngramJaccard note).
     val cand = MinHashSpec.candidatePairs(df, idCol, textCol,
         maxBucket = maxBucket)
-      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+      .select(col("doc_a"), col("doc_b")).cutLineage()
     // Verify pass touches ONLY documents that appear in a candidate pair:
     // the semi-join prunes the corpus before the shingle explode, so
     // verify cost is Σ_candidate-docs |shingles|, independent of corpus
@@ -359,7 +363,7 @@ object Dedup {
       .join(indexBands.as("y"),
         col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig"))
       .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
-      .distinct().localCheckpoint()
+      .distinct().cutLineage()
     def words(df: DataFrame, side: String) = df
       .join(cand.select(col(side).as("id")).distinct(),
         df(idCol) === col("id"), "left_semi")
@@ -571,7 +575,7 @@ object Dedup {
     // cutting would be a full extra materialization of the index
     // (~500 GB at 1e10 docs) for nothing — skip it there.
     val useBloom = nShards <= maxBloomShards
-    val hashes = if (useBloom) hashesIn.localCheckpoint() else hashesIn
+    val hashes = if (useBloom) hashesIn.cutLineage() else hashesIn
     val hashed = incoming.select(col(idCol), md5(col(textCol)).as("content_hash"))
     val probeVal = xxhash64(col("content_hash"))
     val screened: Option[DataFrame] =
@@ -651,8 +655,8 @@ object Dedup {
     val corp = corpus.select(col(idCol), col(textCol))
     val built = buildIndex(corp, idCol, textCol)
     incrementalLoopFrom(corp,
-      DedupIndex(built.hashes.localCheckpoint(),
-        built.bands.localCheckpoint()),
+      DedupIndex(built.hashes.cutLineage(),
+        built.bands.cutLineage()),
       batches, idCol, textCol, k, threshold, digits, maxBucket)
   }
 
@@ -671,7 +675,7 @@ object Dedup {
                           maxBucket: Int = Int.MaxValue): DataFrame = {
     require(batches.nonEmpty, "incrementalLoop needs at least one batch")
     def cut(i: DedupIndex) =
-      DedupIndex(i.hashes.localCheckpoint(), i.bands.localCheckpoint())
+      DedupIndex(i.hashes.cutLineage(), i.bands.cutLineage())
     // Drop a localCheckpointed frame's resident blocks: the checkpoint
     // RDD sits behind a LogicalRDD leaf in the returned frame's plan.
     // Without this, a long-running loop (many batches) accumulates every
@@ -688,10 +692,10 @@ object Dedup {
     var idx = index
     val out = batches.map { case (tag, batch) =>
       val bands = MinHashSpec.bandedSignatures(batch, idCol, textCol)
-        .localCheckpoint()
+        .cutLineage()
       val flags = incrementalFromIndex(corp, idx, batch, idCol, textCol,
         k, threshold, digits, incomingBands = Some(bands),
-        maxBucket = maxBucket).localCheckpoint()
+        maxBucket = maxBucket).cutLineage()
       val keptIds = flags.filter(col("kept") === 1).select(col(idCol))
       val kept = batch.select(col(idCol), col(textCol))
         .join(keptIds, Seq(idCol), "left_semi")
@@ -739,7 +743,7 @@ object Dedup {
       .filter(col("__df") <= maxDf)
       .select(col("blk"), col("w"))
     val capped = words.join(rare, Seq("blk", "w"), "left_semi")
-      .localCheckpoint()
+      .cutLineage()
     val sizes = capped.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val a = capped.select(col("blk"), col("id").as("id_a"), col("w"))
     val b = capped.select(col("blk"), col("id").as("id_b"), col("w"))
@@ -821,10 +825,10 @@ object Dedup {
     // pipeline) pair frame ONCE before mirroring it: union'ing two selects
     // of the raw frame would compute the upstream pipeline twice.
     val p = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .localCheckpoint()
+      .cutLineage()
     val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id")).localCheckpoint()
+      .withColumn("lbl", col("id")).cutLineage()
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxRounds) {
@@ -850,7 +854,7 @@ object Dedup {
       // action that materializes it, so each round is ONE job (the r4
       // eager-checkpoint + join-and-count shape was two jobs, the second
       // with its own shuffle). Lineage is still truncated.
-      val next = jumped.localCheckpoint(eager = false)
+      val next = jumped.cutLineageLazy()
       // coalesce: sum over an EMPTY frame is null (no pairs at all —
       // the r4 join-and-count shape returned 0 there)
       changed = next.agg(coalesce(sum(col("chg")), lit(0L)))
@@ -1203,6 +1207,14 @@ object MinHashSpec {
       one.select(col(idCol) +: (0 until K).map(i =>
         element_at(col("__sigv"), i + 1).as(s"mh_$i")): _*)
     } else {
+      graft.functions.FallbackWarnings.warnOnce("minhash_sig-fallback",
+        "MinHashSpec.signatures: session has no `minhash_sig` — falling " +
+          "back to the composed shingle explode+groupBy, which SHUFFLES " +
+          "the exploded shingle frame (~shingle-width × corpus text " +
+          "volume; the largest near-dup shuffle at scale). Values are " +
+          "identical; to get the scan-local fused kernel register the " +
+          "extension: SparkSession.builder.withExtensions(" +
+          "graft.functions.GraftFunctions.register)."): Unit
       val words = df
         .withColumn("__toks", Text.tokens(col(textCol)))
         .select(col(idCol),
@@ -1263,7 +1275,7 @@ object MinHashSpec {
     */
   def bandedSignatures(df: DataFrame, idCol: String,
                        textCol: String): DataFrame = {
-    val sig = signatures(df, idCol, textCol).localCheckpoint()
+    val sig = signatures(df, idCol, textCol).cutLineage()
     val bandSigs = (0 until BANDS).map { j =>
       val cs = (j * ROWS until (j + 1) * ROWS).map(i => col(s"mh_$i"))
       concat_ws("_", cs: _*)

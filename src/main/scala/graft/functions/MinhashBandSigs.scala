@@ -1,8 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 
@@ -45,7 +46,7 @@ import graft.dedup.MinHashSpec
   * md5-derived, mirrored in the DuckDB oracles).
   */
 case class MinhashBandSigs(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def prettyName: String = "minhash_bandsigs"
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -54,30 +55,18 @@ case class MinhashBandSigs(child: Expression)
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     MinhashKernel.checkTokens(prettyName, child.dataType)
 
-  private val K = MinHashSpec.K
-  private val ROWS = MinHashSpec.ROWS
-  private val BANDS = MinHashSpec.BANDS
+  override def nullSafeEval(input: Any): Any =
+    MinhashKernel.bandSigs(input.asInstanceOf[ArrayData])
 
-  override def nullSafeEval(input: Any): Any = {
-    val mins = MinhashKernel.minima(input.asInstanceOf[ArrayData])
-    if (mins == null) new GenericArrayData(Array.empty[Any])
-    else {
-      val out = new Array[Any](BANDS)
-      var j = 0
-      while (j < BANDS) {
-        val sb = new java.lang.StringBuilder(ROWS * 11)
-        var r = 0
-        while (r < ROWS) {
-          if (r > 0) sb.append('_')
-          sb.append(mins(j * ROWS + r))
-          r += 1
-        }
-        out(j) = UTF8String.fromString(sb.toString)
-        j += 1
-      }
-      new GenericArrayData(out)
-    }
-  }
+  // r11 shipped these as CodegenFallback; the fallback wrapper routes
+  // every row through boxed InternalRow eval AND pins ctx.INPUT_ROW in
+  // the enclosing stage. The hot loop itself stays ONE JIT-compiled
+  // Scala method (MinhashKernel.bandSigs — the PqCodes discipline of
+  // keeping real work out of Janino), so the generated code is just a
+  // static call on the already-evaluated child.
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinhashKernel.bandSigs($c);")
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
@@ -101,7 +90,7 @@ case class MinhashBandSigs(child: Expression)
   * (spec-pinned in FunctionsSourcesSpec over real + hostile rows).
   */
 case class MinhashSigRows(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def prettyName: String = "minhash_sig"
   override def dataType: DataType =
@@ -112,23 +101,31 @@ case class MinhashSigRows(child: Expression)
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     MinhashKernel.checkTokens(prettyName, child.dataType)
 
-  override def nullSafeEval(input: Any): Any = {
-    val mins = MinhashKernel.minima(input.asInstanceOf[ArrayData])
-    if (mins == null) new GenericArrayData(Array.empty[Any])
-    else new GenericArrayData(
-      Array[Any](new GenericArrayData(mins.map(v => v: Any))))
-  }
+  override def nullSafeEval(input: Any): Any =
+    MinhashKernel.sigRows(input.asInstanceOf[ArrayData])
+
+  // same shape as [[MinhashBandSigs.doGenCode]]: one static call into
+  // the JIT-compiled kernel, no CodegenFallback row boxing
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinhashKernel.sigRows($c);")
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
 
-/** Shared interpreted kernel behind [[MinhashBandSigs]] and
-  * [[MinhashSigRows]]: tokens → shingles (partial-shingle rule, empty
-  * shingles dropped per the NULL-text contract) → md5-lower-64 mod P →
-  * K affine minima. Returns null when the doc has no non-empty shingle.
+/** Shared kernel behind [[MinhashBandSigs]] and [[MinhashSigRows]]:
+  * tokens → shingles (partial-shingle rule, whitespace-only shingles
+  * dropped per the NULL-text contract) → md5-lower-64 mod P → K affine
+  * minima. Returns null when the doc has no real shingle.
+  *
+  * PUBLIC (not private[functions]) because both expressions' doGenCode
+  * call it through the object's static forwarders from Janino-compiled
+  * code — the hot loop stays one JIT-compiled Scala method either way
+  * (interpreted eval and codegen share it), so "codegen parity" is
+  * structural, not a second implementation to drift.
   */
-private[functions] object MinhashKernel {
+object MinhashKernel {
   private val K = MinHashSpec.K
   private val P = MinHashSpec.P
   private val as: Array[Long] = MinHashSpec.a.toArray
@@ -164,9 +161,12 @@ private[functions] object MinhashKernel {
         j += 1
       }
       val shingle = UTF8String.concatWs(SEP, parts: _*)
-      // `filter(s -> s != '')`: a zero-real-token doc shingles to [""]
-      // and must contribute nothing (the NULL-text contract)
-      if (shingle.numBytes() > 0) {
+      // `filter(s -> trim(s) != '')`: a zero-real-token doc shingles
+      // to [""] (or [" "] for tab/newline-only text — empty tokens
+      // joined by the concat_ws space) and must contribute nothing
+      // (the NULL-text contract, Text.shingleExpr). UTF8String.trim()
+      // is space-only, exactly Spark's trim().
+      if (shingle.trim().numBytes() > 0) {
         any = true
         // Md5Kernel: per-thread digest (no per-row provider lookup) and
         // the ONE spelling of the little-endian lower-64 contract
@@ -182,5 +182,45 @@ private[functions] object MinhashKernel {
       i += 1
     }
     if (!any) null else mins
+  }
+
+  private val EMPTY = new GenericArrayData(Array.empty[Any])
+
+  /** Full `minhash_bandsigs` result: BANDS `_`-joined band-signature
+    * strings, or an EMPTY array for a degenerate doc (posexplode drops
+    * it with no filter — the no-pushdown-duplication contract).
+    */
+  def bandSigs(toks: ArrayData): ArrayData = {
+    val mins = minima(toks)
+    if (mins == null) EMPTY
+    else {
+      val ROWS = MinHashSpec.ROWS
+      val BANDS = MinHashSpec.BANDS
+      val out = new Array[Any](BANDS)
+      var j = 0
+      while (j < BANDS) {
+        val sb = new java.lang.StringBuilder(ROWS * 11)
+        var r = 0
+        while (r < ROWS) {
+          if (r > 0) sb.append('_')
+          sb.append(mins(j * ROWS + r))
+          r += 1
+        }
+        out(j) = UTF8String.fromString(sb.toString)
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  /** Full `minhash_sig` result: ONE K-long signature row (unsafe
+    * primitive array — no per-value boxing) or an EMPTY outer array for
+    * a degenerate doc.
+    */
+  def sigRows(toks: ArrayData): ArrayData = {
+    val mins = minima(toks)
+    if (mins == null) EMPTY
+    else new GenericArrayData(
+      Array[Any](UnsafeArrayData.fromPrimitiveArray(mins)))
   }
 }

@@ -771,6 +771,13 @@ object Streams {
       // MinHashSpec.signatures' composed branch): value-identical, but
       // it IS the r10 regression's interpreted-HOF shape — sessions
       // that care about the stream's throughput register GraftFunctions
+      graft.functions.FallbackWarnings.warnOnce("minhash_bandsigs-fallback",
+        "Streams.lshCandidatesStream: session has no `minhash_bandsigs` " +
+          "— falling back to the interpreted higher-order-function " +
+          "signature chain (the r10 regression's shape, ~1.8× the fused " +
+          "kernel's per-row cost). Values are identical; to get the " +
+          "fused kernel register the extension: SparkSession.builder" +
+          ".withExtensions(graft.functions.GraftFunctions.register)."): Unit
       import graft.dedup.MinHashSpec
       val mh = (0 until MinHashSpec.K).map { i =>
         expr(s"""array_min(transform(__hashes,

@@ -2,16 +2,19 @@ package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.config.Checkpoints.CutSyntax
 
 /** Text-analysis operators for LLM training-data pipelines: quality
   * scoring, token counting, language ID, fingerprinting. All are pure
   * column expressions (whole-stage-codegen'd, no UDFs) so they fuse into
   * the scan — at 100 TB these run at parquet read speed.
   *
-  * The `localCheckpoint()` cuts in this file (postings, LM count and
-  * n-gram frames) follow the SURVEY §5 cluster-loss contract:
-  * executor-local, non-recoverable on executor loss — swap per the §5
-  * size-class table on preemptible clusters.
+  * The lineage cuts in this file (postings, LM count and n-gram
+  * frames; `cutLineage()`, [[graft.config.Checkpoints]]) follow the
+  * SURVEY §5 cluster-loss contract: executor-local `localCheckpoint`
+  * by default — on a preemptible cluster set
+  * `graft.checkpoint=reliable` (+ `setCheckpointDir`) to make every
+  * cut recoverable.
   */
 object Text {
 
@@ -42,22 +45,31 @@ object Text {
     // shingle layer: a doc with zero real tokens tokenizes to [""]
     // (trim+split of null/empty/whitespace), and the greatest(...,1)
     // partial-shingle rule would hand every such doc the SAME
-    // one-element shingle set {""} — jaccard 1.0 between any two
-    // degenerate docs, so the whole near-dup stack (LSH buckets,
-    // verify, contamination grams) would merge missing payloads as
+    // one-element shingle set — jaccard 1.0 between any two degenerate
+    // docs, so the whole near-dup stack (LSH buckets, verify,
+    // contamination grams) would merge missing payloads as
     // "duplicates". No real tokens → NO shingles: degenerate docs are
-    // invisible to every shingle-based operator on both engines. Docs
-    // with ≥1 real token are untouched (their slices are never empty).
+    // invisible to every shingle-based operator on both engines.
+    // `trim(s) != ''`, not `s != ''`: trim() is SPACE-only in both
+    // engines, so tab/newline-only text tokenizes to ["",""] whose
+    // single shingle is " " — a bare non-empty check let every
+    // tab-only doc share that one shingle (one false near-dup class,
+    // and in streaming LSH one C(m,2) bucket bomb per band; ADVICE
+    // r11). Tokens themselves can never contain whitespace (they are
+    // split products), so a shingle's only whitespace is its space
+    // joiners: space-trim exactly isolates the degenerate case. Docs
+    // with ≥1 real token are untouched (their slices are never
+    // all-empty).
     s"""filter(array_distinct(transform(
        sequence(1, greatest(size($toksCol) - ${k - 1}, 1)),
-       i -> concat_ws(' ', slice($toksCol, i, $k)))), s -> s != '')"""
+       i -> concat_ws(' ', slice($toksCol, i, $k)))), s -> trim(s) != '')"""
 
   /** DuckDB twin of [[shingleExpr]] over a text expression. */
   def shingleSql(textExpr: String, k: Int): String = {
     val toks = s"string_split_regex(trim(lower($textExpr)), '$wsRe')"
     s"""list_filter(list_distinct(list_transform(
        range(1, greatest(len($toks) - ${k - 1}, 1) + 1),
-       i -> array_to_string(($toks)[i:i+${k - 1}], ' '))), s -> s <> '')"""
+       i -> array_to_string(($toks)[i:i+${k - 1}], ' '))), s -> trim(s) <> '')"""
   }
 
   /** Per-language marker-word lists for the language-ID heuristic.
@@ -491,7 +503,7 @@ object Text {
       .select(col("tt.tag").as("tag"), col("tt.term").as("term"))
     // consumed three times (totals, unigram side, bigram side)
     val counts = tagged.groupBy(col("tag"), col("term"))
-      .agg(count(lit(1)).as("c")).localCheckpoint()
+      .agg(count(lit(1)).as("c")).cutLineage()
     val totals = counts.groupBy(col("tag")).agg(sum(col("c")).as("n"))
     val n1 = totals.filter(col("tag") === 1).select(col("n").as("n_uni"))
     val n2 = totals.filter(col("tag") === 2).select(col("n").as("n_bi"))
@@ -692,7 +704,7 @@ object Text {
         explode(expr(s"filter(__toks, t -> ${inList("t", terms)})")).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
-      .localCheckpoint()
+      .cutLineage()
     val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scored = postings
       .join(broadcast(dfreq), Seq("term"))
@@ -808,7 +820,7 @@ object Text {
     val base = df.withColumn("__toks", tokens(col(textCol)))
     val toks = base.select(col(idCol), explode(col("__toks")).as("tok"))
     val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint() // consumed twice (context + backoff joins)
+      .cutLineage() // consumed twice (context + backoff joins)
     val tot = uni.agg(sum(col("cnt")).as("total"))
     // adjacent pairs via zip_with of the two shifted slices: empty for
     // 1-token docs with no sequence(1,0)-counts-down hazard
@@ -818,7 +830,7 @@ object Text {
                       slice(__toks, 2, size(__toks) - 1),
                       (a, b) -> struct(a as prev, b as cur))""")).as("__bg"))
       .select(col(idCol), col("__bg.prev").as("prev"), col("__bg.cur").as("cur"))
-      .localCheckpoint() // consumed twice (LM counts + scoring join)
+      .cutLineage() // consumed twice (LM counts + scoring join)
     val cb = bigs.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("cb"))
     val scored = cb
       .join(uni.select(col("tok").as("prev"), col("cnt").as("cp")), Seq("prev"))
@@ -905,7 +917,7 @@ object Text {
       .withColumn("__toks", tokens(col(textCol)))
       .select(col(idCol), explode(col("__toks")).as("tok"))
       .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .cutLineage()
     val n = df.select(count(lit(1)).as("n_docs"))
     val dfreq = counts.groupBy(col("tok"))
       .agg(count(lit(1)).as("df"))
@@ -1172,7 +1184,7 @@ object Text {
       // fine while the vocabulary fits the shuffle; the sketch path is
       // the open-web-scale shape
       val counted = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-        .localCheckpoint()
+        .cutLineage()
       val total = counted.agg(sum(col("cnt")).as("n"))
       return counted.crossJoin(broadcast(total))
         .filter(col("cnt") * 1000 > col("n") * perMille)
@@ -1181,7 +1193,7 @@ object Text {
     // pass 1: sketch + total token count in the SAME single-pass agg
     val sketch = toks.agg(
       expr(s"misra_gries(tok, $sketchK)").as("mg"),
-      count(lit(1)).as("n")).localCheckpoint()
+      count(lit(1)).as("n")).cutLineage()
     val candidates = sketch.select(explode(map_keys(col("mg"))).as("tok"))
     val total = sketch.select(col("n"))
     // pass 2: exact counts for candidates only; broadcast both bounded frames

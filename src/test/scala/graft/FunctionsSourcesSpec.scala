@@ -222,10 +222,12 @@ class FunctionsSourcesSpec extends SparkSpec {
       (9005L, "two tokens"), (9006L, "a b a b a b a b"),
       (9007L, "The  QUICK\tbrown fox\njumps over the lazy dog"),
       // tab/newline-only text: trim() is SPACE-only in BOTH engines, so
-      // this tokenizes to ["",""] whose single shingle is " " (survives
-      // the != '' filter) — such docs DO get a (shared) signature, in
-      // the batch path too. Pinned here as fused==composed; the
-      // degenerate-doc "no shingles" contract covers space-only text.
+      // this tokenizes to ["",""] whose single shingle is " " — under
+      // the r11-era `s != ''` filter every such doc SHARED that one
+      // shingle (one false near-dup class; one LSH bucket bomb per band
+      // in streaming). r12 extends the degenerate-doc contract to all-
+      // whitespace text: the filter is now `trim(s) != ''` in BOTH
+      // engines and the fused kernel, so this row gets NO signature.
       (9008L, " \t\n "))
       .toDF("doc_id", "text")
     val df = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -264,16 +266,13 @@ class FunctionsSourcesSpec extends SparkSpec {
       assert(r.getSeq[String](1) == r.getSeq[String](2),
         s"doc ${r.getLong(0)}: fused=${r.getSeq[String](1)} composed=${r.getSeq[String](2)}")
     }
-    // null text → null (posexplode drops); empty/space-only → EMPTY
-    // array (posexplode drops): degenerate docs need no filter
+    // null text → null (posexplode drops); empty/whitespace-only →
+    // EMPTY array (posexplode drops): degenerate docs need no filter
     assert(out.find(_.getLong(0) == 9001L).get.isNullAt(1))
-    Seq(9002L, 9003L).foreach { id =>
+    Seq(9002L, 9003L, 9008L).foreach { id =>
       val row = out.find(_.getLong(0) == id).get
       assert(row.getSeq[String](1).isEmpty, s"doc $id should have no band sigs")
     }
-    // tab-only doc: signature EXISTS (shared " " shingle — see the
-    // hostile-rows comment above); equality with composed already pinned
-    assert(out.find(_.getLong(0) == 9008L).get.getSeq[String](1).nonEmpty)
     // a real doc gets exactly BANDS sigs
     assert(out.find(_.getLong(0) == 9007L).get.getSeq[String](1).length
       == MinHashSpec.BANDS)
@@ -304,6 +303,13 @@ class FunctionsSourcesSpec extends SparkSpec {
       val composed = MinHashSpec.signatures(docs, "doc_id", "text")
         .collect().map(_.toSeq).toSet
       assert(composed == fused)
+      // the silent-slow-path fix (VERDICT r11 item 6): taking the
+      // fallback branch logs a one-time WARN naming the cost class —
+      // fired now, and a second take of the branch does NOT re-fire
+      assert(graft.functions.FallbackWarnings.hasFired("minhash_sig-fallback"))
+      MinHashSpec.signatures(docs, "doc_id", "text"): Unit
+      assert(!graft.functions.FallbackWarnings.warnOnce(
+        "minhash_sig-fallback", "must not re-log"))
       // stream branch: the fallback must RESOLVE end to end (the fused
       // spelling would throw an undefined-function AnalysisException at
       // the banded select) — construction analyzes every stage
@@ -311,6 +317,9 @@ class FunctionsSourcesSpec extends SparkSpec {
         docs.withColumn("ts",
           lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))))
       assert(stream.schema.fieldNames.toSeq == Seq("doc_a", "doc_b"))
+      // the stream fallback's one-time WARN fired too
+      assert(graft.functions.FallbackWarnings.hasFired(
+        "minhash_bandsigs-fallback"))
     } finally {
       val (i1, e1, b1) = graft.functions.GraftFunctions.minhashSigDescriptor
       val (i2, e2, b2) =
@@ -324,8 +333,9 @@ class FunctionsSourcesSpec extends SparkSpec {
     import graft.dedup.MinHashSpec
     import graft.text.Text
     // same hostile sweep as the band-sig parity test: the fused batch
-    // path must DROP exactly the docs the composed explode dropped
-    // (null/empty/space-only text) and keep tab-only text (" " shingle)
+    // path must DROP exactly the docs the composed explode drops —
+    // null/empty/ALL-whitespace text (tab-only included since the r12
+    // trim(s) != '' contract extension)
     val hostile = Seq[(Long, String)](
       (9001L, null), (9002L, ""), (9003L, "   "), (9004L, "one"),
       (9005L, "two tokens"), (9006L, "a b a b a b a b"),
@@ -352,10 +362,12 @@ class FunctionsSourcesSpec extends SparkSpec {
     val c = composed.orderBy("doc_id").collect()
     assert(f.length == c.length && f.length > 190)
     f.zip(c).foreach { case (a, b) => assert(a == b, s"fused $a vs composed $b") }
-    // row-set contract: degenerate docs absent, tab-only present
+    // row-set contract: ALL degenerate docs absent (tab-only included),
+    // real single-token doc present
     val ids = f.map(_.getLong(0)).toSet
-    assert(!ids.contains(9001L) && !ids.contains(9002L) && !ids.contains(9003L))
-    assert(ids.contains(9008L) && ids.contains(9004L))
+    assert(!ids.contains(9001L) && !ids.contains(9002L) &&
+      !ids.contains(9003L) && !ids.contains(9008L))
+    assert(ids.contains(9004L))
     // and the signature stage is shuffle-free: no Exchange in the plan
     // (checked over the raw scan — the test frame's limit()/local-union
     // adds its own SinglePartition exchange unrelated to signatures)
@@ -363,6 +375,52 @@ class FunctionsSourcesSpec extends SparkSpec {
         spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text")
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"fused signatures should not shuffle:\n$plan")
+  }
+
+  test("minhash natives: codegen path equals interpreted eval (r12 doGenCode)") {
+    // r11 shipped minhash_bandsigs/minhash_sig as CodegenFallback —
+    // the only natives outside whole-stage codegen (VERDICT r11 item
+    // 2). r12 adds doGenCode as a static call into the shared
+    // JIT-compiled kernel; this pins that the generated path and the
+    // interpreted path (factoryMode=NO_CODEGEN) produce identical
+    // values over real + hostile rows — and that the expressions are
+    // genuinely not CodegenFallback anymore.
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    val e = graft.functions.MinhashBandSigs(
+      org.apache.spark.sql.catalyst.expressions.Literal(null))
+    val s = graft.functions.MinhashSigRows(
+      org.apache.spark.sql.catalyst.expressions.Literal(null))
+    assert(!e.isInstanceOf[CodegenFallback] && !s.isInstanceOf[CodegenFallback])
+    val hostile = Seq[(Long, String)](
+      (9001L, null), (9002L, ""), (9003L, "   "), (9004L, "one"),
+      (9005L, "two tokens"), (9008L, " \t\n "))
+      .toDF("doc_id", "text")
+    val df = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(100)
+      .unionByName(hostile)
+      .withColumn("__toks", graft.text.Text.tokens(col("text")))
+    def run(): Seq[(Long, Seq[String], Seq[Seq[Long]])] =
+      df.selectExpr("doc_id", "minhash_bandsigs(__toks) AS b",
+          "minhash_sig(__toks) AS s")
+        .orderBy("doc_id").collect().toSeq.map { r =>
+          (r.getLong(0),
+           if (r.isNullAt(1)) null else r.getSeq[String](1),
+           if (r.isNullAt(2)) null
+           else r.getSeq[scala.collection.Seq[Long]](2).map(_.toSeq))
+        }
+    val viaCodegen = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val viaInterp = run()
+      assert(viaCodegen.size == viaInterp.size && viaCodegen.nonEmpty)
+      viaCodegen.zip(viaInterp).foreach { case (a, b) =>
+        assert(a == b, s"codegen $a vs interpreted $b")
+      }
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
   }
 
   test("copyInto reads lake csv per config, auto-creates missing columns, stamps audit") {

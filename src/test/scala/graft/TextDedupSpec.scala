@@ -182,6 +182,37 @@ class TextDedupSpec extends SparkSpec {
     pairs.foreach { case (_, b) => assert(!kept.contains(b)) }
   }
 
+  test("graft.checkpoint=reliable: cleanCorpus value-equal to local mode") {
+    // the §5 size-class-(b) swap as a session KNOB (VERDICT r11 item
+    // 3): reliable checkpoint() instead of localCheckpoint() at every
+    // Dedup/Text cut site. Value-neutral by construction — pinned here
+    // end to end on the operator with the most cut sites in its plan
+    // (exact stage + candidate pairs + verify).
+    val docs = Tables(spark, sfDir, "documents")
+    val viaLocal = Dedup.cleanCorpus(docs, threshold = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    val ckptDir = tempDir("graft_ckpt")
+    spark.sparkContext.setCheckpointDir(ckptDir)
+    spark.conf.set(graft.config.Checkpoints.KEY, "reliable")
+    try {
+      val viaReliable = Dedup.cleanCorpus(docs, threshold = 0.5)
+        .collect().map(_.getLong(0)).toSet
+      assert(viaReliable == viaLocal)
+      // the mode really wrote reliable checkpoints (not a silent
+      // fall-through to executor-local blocks)
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckptDir))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(wrote > 0, "reliable mode should write to the checkpoint dir")
+    } finally spark.conf.set(graft.config.Checkpoints.KEY, "local")
+    // and a bogus value fails loudly, not silently-local
+    spark.conf.set(graft.config.Checkpoints.KEY, "bogus")
+    try {
+      intercept[IllegalArgumentException] {
+        graft.config.Checkpoints.cut(docs.limit(1).toDF()): Unit
+      }: Unit
+    } finally spark.conf.set(graft.config.Checkpoints.KEY, "local")
+  }
+
   test("keepBest keeps the highest-quality cluster member, not the min id") {
     import spark.implicits._
     // docs 1/2/3 are near-identical (one differing trailing token, so
