@@ -1040,6 +1040,16 @@ object SparkEntry {
       Similarity.ivfPqSearch(e.filter(col("vec_id") % 50 === 0),
         e.filter(col("vec_id") % 50 =!= 0), topK = 3)
     }),
+    // refined-IVFPQ kNN JOIN (r12, VERDICT-r11 item 5): the deployment
+    // twin of sim_knn_join on the trained-index path — no probe-side
+    // broadcast assumption, ADC shortlist at topK×refine, exact-L2
+    // rerank. Seeded quantizers here so the oracle is static SQL; the
+    // trained path reuses the same dial through centroids/codebooks.
+    "sim_knn_join_pq" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      Similarity.knnJoinPq(e.filter(col("vec_id") % 50 === 0),
+        e.filter(col("vec_id") % 50 =!= 0), topK = 3, refine = 4)
+    }),
     // SemDeDup: cluster-then-dedup with the seeded quantizer (same
     // cross-engine contract as sim_ann_ivf_seeded); threshold 0.4 for
     // the same no-true-near-dups reason as sim_near_dup
@@ -2367,6 +2377,9 @@ object SparkEntry {
     "sim_ann_ivfpq" -> Similarity.ivfPqSeededDuckdbSql(
       probeWhere = "vec_id % 50 = 0", corpusWhere = "vec_id % 50 <> 0",
       topK = 3),
+    "sim_knn_join_pq" -> Similarity.knnJoinPqSeededDuckdbSql(
+      probeWhere = "vec_id % 50 = 0", corpusWhere = "vec_id % 50 <> 0",
+      topK = 3, refine = 4),
     "dedup_lsh_jaccard" -> MinHashSpec.duckdbJaccardSql(),
     "dedup_incremental" -> MinHashSpec.duckdbIncrementalSql(
       splitCaseSql = graft.etl.Sampling.hashSplitSql("doc_id", incrementalSplit)),

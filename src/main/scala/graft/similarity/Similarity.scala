@@ -510,8 +510,8 @@ object Similarity {
          FROM sl
          JOIN rp pe ON pe.$idCol = sl.probe_id
          JOIN rc ce ON ce.$idCol = sl.cand_id)
-       SELECT probe_id, cand_id FROM (
-         SELECT probe_id, cand_id,
+       SELECT probe_id, cand_id, adist, cast(rnk as int) AS rnk FROM (
+         SELECT probe_id, cand_id, adist,
                 row_number() OVER (PARTITION BY probe_id
                   ORDER BY adist, cand_id) AS rnk
          FROM ex) WHERE rnk <= $topK"""
@@ -1439,6 +1439,21 @@ object Similarity {
       s"ivfPqSearch: codebook shape must be [m=$m][k][dim/m=$sub]")
     require(cents.forall(_.length == dim),
       s"ivfPqSearch: centroids must be dim=$dim")
+    rankMinDist(ivfPqScored(probes, corpus, nprobe, sub, idCol, vecCol,
+      cents, cbs, broadcastProbes = true), topK)
+  }
+
+  /** Shared IVFPQ candidate+ADC pipeline of [[ivfPqSearch]] (bounded
+    * probe set → broadcast the probe side) and [[knnJoinPq]] (arbitrary
+    * probe TABLE → plain equi-join on cluster, no broadcast
+    * assumption). Values are identical either way — only the join
+    * strategy hint differs.
+    */
+  private def ivfPqScored(probes: DataFrame, corpus: DataFrame,
+                          nprobe: Int, sub: Int, idCol: String,
+                          vecCol: String, cents: Array[Array[Double]],
+                          cbs: Array[Array[Array[Double]]],
+                          broadcastProbes: Boolean): DataFrame = {
     val codes = corpus
       .withColumn("__cd", centroidDistsCol(corpus, vecCol, cents))
       .select(col(idCol).as("cand_id"),
@@ -1455,11 +1470,11 @@ object Similarity {
       .withColumn("__dt", dt)
       .select(col(idCol).as("probe_id"), col("__dt"),
         explode(slice(probeClusters, 1, nprobe)).as("cluster"))
-    val scored = codes.join(broadcast(pdt), Seq("cluster"))
+    val probeSide = if (broadcastProbes) broadcast(pdt) else pdt
+    codes.join(probeSide, Seq("cluster"))
       .withColumn("adist",
         adcDistCol(probes.sparkSession, "__dt", "__codes"))
       .select(col("probe_id"), col("cand_id"), col("adist"))
-    rankMinDist(scored, topK)
   }
 
   /** [[ivfPqSearch]] plus the standard refine step (the public
@@ -1507,6 +1522,75 @@ object Similarity {
       .select(col("probe_id"), col("cand_id"), col("adist"))
     rankMinDist(exact, topK)
   }
+
+  /** Refined IVFPQ k-NN as a JOIN of two embedding TABLES — the
+    * trained-index deployment twin of [[knnJoin]] (VERDICT-r11 item 5):
+    * [[ivfPqSearchRefined]]'s semantics (IVF prune → ADC shortlist at
+    * topK × refine → exact-L2 rerank → cut at topK) with NO broadcast
+    * assumption on the probe side, so an unbounded probe table (e.g.
+    * "re-rank every new document against the corpus index") is legal.
+    * Value-identical to [[ivfPqSearchRefined]] at the same dials — only
+    * join strategy differs, and that is Catalyst's to pick (AQE
+    * broadcasts a small probe side on its own).
+    *
+    * Scale shape: the candidate join keys on `cluster`, so parallelism
+    * is ∝ kc distinct keys — at the production dial (kc ≈ √corpus,
+    * thousands-plus) that is far above core counts, and AQE's skew
+    * split handles hot clusters; the kc=16 default here is the test
+    * dial. The rerank joins the shortlist (|probes| × refine·topK rows)
+    * back to both vector tables by id — an equi-join a vector store
+    * serves as point lookups at deployment. Corpus-sized state per row
+    * stays one int + m code bytes, exactly [[ivfPqSearch]]'s contract.
+    */
+  def knnJoinPq(probes: DataFrame, corpus: DataFrame, topK: Int,
+                refine: Int = 4, kc: Int = 16, nprobe: Int = 4,
+                m: Int = 8, k: Int = 16, dim: Int = 64,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                centroids: Option[Array[Array[Double]]] = None,
+                codebooks: Option[Array[Array[Array[Double]]]] = None)
+      : DataFrame = {
+    require(dim % m == 0, s"knnJoinPq: m=$m must divide dim=$dim")
+    require(refine >= 1, s"knnJoinPq: refine=$refine must be >= 1")
+    val sub = dim / m
+    val cents = centroids.getOrElse(
+      ivfCentroids(corpus, kc, iters = 0, dim, idCol, vecCol))
+    val cbs = codebooks.getOrElse(
+      pqCodebooks(corpus, m, k, iters = 0, dim, idCol, vecCol))
+    require(cbs.length == m && cbs.forall(_.forall(_.length == sub)),
+      s"knnJoinPq: codebook shape must be [m=$m][k][dim/m=$sub]")
+    require(cents.forall(_.length == dim),
+      s"knnJoinPq: centroids must be dim=$dim")
+    val shortlist = rankMinDist(
+      ivfPqScored(probes, corpus, nprobe, sub, idCol, vecCol, cents, cbs,
+        broadcastProbes = false), topK * refine)
+      .select(col("probe_id"), col("cand_id"))
+    val exact = shortlist
+      .join(corpus.select(col(idCol).as("cand_id"),
+        col(vecCol).as("cand_vec")), Seq("cand_id"))
+      .join(probes.select(col(idCol).as("probe_id"),
+        col(vecCol).as("probe_vec")), Seq("probe_id"))
+      .withColumn("adist",
+        pairL2Col(probes.sparkSession, "probe_vec", "cand_vec"))
+      .select(col("probe_id"), col("cand_id"), col("adist"))
+    rankMinDist(exact, topK)
+  }
+
+  /** DuckDB oracle for [[knnJoinPq]] with SEEDED quantizers: the seeded
+    * IVFPQ shortlist at topK × refine ([[ivfPqSeededDuckdbSql]])
+    * re-ranked by the shared exact-L2 fold ([[refinedApproxSql]]) —
+    * exactly how the Spark side composes, so (probe, cand, adist, rnk)
+    * replay bit-for-bit.
+    */
+  def knnJoinPqSeededDuckdbSql(probeWhere: String, corpusWhere: String,
+                               topK: Int, refine: Int, kc: Int = 16,
+                               nprobe: Int = 4, m: Int = 8, k: Int = 16,
+                               dim: Int = 64, table: String = "embeddings",
+                               idCol: String = "vec_id",
+                               vecCol: String = "embedding"): String =
+    refinedApproxSql(
+      ivfPqSeededDuckdbSql(probeWhere, corpusWhere, topK * refine, kc,
+        nprobe, m, k, dim, table, idCol, vecCol),
+      probeWhere, corpusWhere, topK, dim, table, idCol, vecCol)
 
   /** DuckDB oracle for [[ivfPqSearch]] with SEEDED centroids AND
     * codebooks: coarse assignment / nprobe probe lists replayed as in

@@ -547,6 +547,29 @@ class SimilaritySpec extends SparkSpec {
     assert(out == expected)
   }
 
+  test("knnJoinPq equals ivfPqSearchRefined at the same dials, and has no probe broadcast") {
+    // the join twin's ONLY difference is join strategy (no probe-side
+    // broadcast hint) — values must be identical row for row
+    val probes = emb.filter(col("vec_id") % 50 === 0)
+    val corpus = emb.filter(col("vec_id") % 50 =!= 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("probe_id"),
+        r.getAs[Long]("cand_id"), r.getAs[Double]("adist"),
+        r.getAs[Int]("rnk"))).toSet
+    val joined = Similarity.knnJoinPq(probes, corpus, topK = 3, refine = 4)
+    assert(rows(joined)
+      == rows(Similarity.ivfPqSearchRefined(probes, corpus, topK = 3,
+        refine = 4)))
+    // the deployment contract: no FORCED broadcast anywhere in the plan
+    // (AQE may still pick broadcast at runtime for a genuinely small
+    // side — the point is the logical plan carries no hint; after
+    // EliminateResolvedHint a forced broadcast survives as a join-node
+    // `strategy=broadcast` hint)
+    val optimized = joined.queryExecution.optimizedPlan.toString
+    assert(!optimized.toLowerCase.contains("broadcast"),
+      s"knnJoinPq must not force a broadcast:\n$optimized")
+  }
+
   test("ivfPqSearchRefined: refine=1 keeps the ADC candidate set, reorders by exact") {
     val probes = emb.filter(col("vec_id") % 50 === 0)
     val corpus = emb.filter(col("vec_id") % 50 =!= 0)
