@@ -29,6 +29,28 @@ class PropertySpec extends SparkSpec {
     Gen.zip(Gen.chooseNum(0L, 8L), Gen.chooseNum(-100.0, 100.0),
       Gen.oneOf("a", "b", "c")))
 
+  test("parseWav ∘ wavFixture is identity on (rate, frames, mean) for ARBITRARY bytes") {
+    // the WAV gate's oracle needs ASCII text, but the PARSER must hold
+    // for any payload a real corpus could carry — full-range bytes
+    // (0–255), empty, odd lengths (pad-byte path), and all three junk-
+    // chunk layouts (id mod 3) × all rates (id mod 8)
+    import graft.multimodal.Multimodal
+    val gen = Gen.zip(Gen.chooseNum(0L, 1000L),
+      Gen.chooseNum(0, 97).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte))))
+    forAll(gen, n = 60) { case (id, byteList) =>
+      val bytes = byteList.toArray
+      val (ok, af, ch, rate, bits, frames, mean) =
+        Multimodal.parseWav(Multimodal.wavFixture(id, bytes))
+      assert(ok && af == 1 && ch == 1 && bits == 8)
+      assert(rate == 8000 + (id % 8).toInt * 1000)
+      assert(frames == bytes.length)
+      val want = if (bytes.isEmpty) 0.0
+        else bytes.map(_ & 0xff).sum.toDouble / bytes.length
+      assert(mean == want, s"id=$id n=${bytes.length}")
+    }
+  }
+
   test("binned intervalJoin equals the naive O(n^2) range join") {
     import graft.analytics.Queries
     val binned = Queries.intervalJoin(spark, sfDir).collect()
