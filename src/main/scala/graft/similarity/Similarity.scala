@@ -235,24 +235,49 @@ object Similarity {
   /** Shared candidate + exact-score pipeline of [[knnJoin]] /
     * [[rangeSearch]]: both sides bucket with the same plane matrix,
     * ids-only pair dedup across tables, vectors attach once per side.
+    *
+    * SELF-JOIN halving (r12): when probes and corpus are the SAME frame
+    * (the kNN-graph / self-range case — detected by reference equality,
+    * the only sound test) and self-pairs are excluded, bucket
+    * collisions are symmetric, so the directed candidate set is exactly
+    * the mirror closure of the `probe_id < cand_id` half. Dedup, both
+    * vector-attach joins and the cosine are computed on HALF the pairs,
+    * the scored half is materialized once (`cutLineage` — the §5
+    * class-(b) knob; without the cut the union would re-execute the
+    * whole subtree per branch and win nothing), then mirrored by a free
+    * projection. Value-identical: per-element multiply and the norm
+    * product commute in IEEE double, so cosine(a,b) ≡ cosine(b,a)
+    * bitwise, and the directed row SET is unchanged. On the near-dup
+    * corpora where LSH families collide densely (the sf1 staging, crawl
+    * boilerplate in production) the pair space dominates this operator —
+    * halving it is the single biggest lever the plan has.
     */
   private def scoredCandidates(probes: DataFrame, corpus: DataFrame,
                                nBits: Int, nTables: Int, dim: Int,
                                idCol: String, vecCol: String,
                                excludeSelf: Boolean, digits: Int): DataFrame = {
+    val selfJoin = (probes eq corpus) && excludeSelf
     val pb = lshBuckets(probes, nBits, nTables, dim, idCol, vecCol)
       .select(col("table"), col("bucket"), col(idCol).as("probe_id"))
     val cb = lshBuckets(corpus, nBits, nTables, dim, idCol, vecCol)
       .select(col("table"), col("bucket"), col(idCol).as("cand_id"))
     val joined = pb.join(cb, Seq("table", "bucket"))
-    val pairs = (if (excludeSelf) joined.filter(col("probe_id") =!= col("cand_id"))
-                 else joined)
-      .select(col("probe_id"), col("cand_id")).distinct()
+    val pairs =
+      (if (selfJoin) joined.filter(col("probe_id") < col("cand_id"))
+       else if (excludeSelf) joined.filter(col("probe_id") =!= col("cand_id"))
+       else joined)
+        .select(col("probe_id"), col("cand_id")).distinct()
     val pv = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
     val cv = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"))
-    pairs.join(pv, Seq("probe_id")).join(cv, Seq("cand_id"))
+    val scored = pairs.join(pv, Seq("probe_id")).join(cv, Seq("cand_id"))
       .withColumn("cosine",
         round(expr(cosineSql(probes, "probe_vec", "cand_vec")), digits))
+    if (selfJoin) {
+      val half = graft.config.Checkpoints.cut(
+        scored.select(col("probe_id"), col("cand_id"), col("cosine")))
+      half.unionByName(half.select(col("cand_id").as("probe_id"),
+        col("probe_id").as("cand_id"), col("cosine")))
+    } else scored
   }
 
   /** ANN recall@k evaluation — the measurement loop of the ANN family:

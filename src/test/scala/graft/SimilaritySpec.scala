@@ -547,6 +547,22 @@ class SimilaritySpec extends SparkSpec {
     assert(out == expected)
   }
 
+  test("self-join kNN graph: the halved (mirror-closure) path equals the generic path") {
+    // r12 halving: same-reference probes/corpus with excludeSelf takes
+    // the probe_id < cand_id half + mirror. Passing a non-reference-
+    // equal copy of the SAME table forces the generic directed path —
+    // the two must agree row for row (cosine(a,b) ≡ cosine(b,a) bitwise)
+    val e = emb
+    val copy = emb.filter(lit(true)) // value-identical, different reference
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("probe_id"),
+        r.getAs[Long]("cand_id"), r.getAs[Double]("cosine"),
+        r.getAs[Int]("rnk"))).toSet
+    val halved = rows(Similarity.knnJoin(e, e, k = 2, excludeSelf = true))
+    val generic = rows(Similarity.knnJoin(e, copy, k = 2, excludeSelf = true))
+    assert(halved.nonEmpty && halved == generic)
+  }
+
   test("knnJoinPq equals ivfPqSearchRefined at the same dials, and has no probe broadcast") {
     // the join twin's ONLY difference is join strategy (no probe-side
     // broadcast hint) — values must be identical row for row
