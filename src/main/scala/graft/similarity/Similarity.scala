@@ -1636,7 +1636,8 @@ object Similarity {
                 FROM (SELECT * FROM c WHERE $vecCol IS NOT NULL ORDER BY $idCol LIMIT $kc)""",
       cbSql = s"""SELECT row_number() OVER (ORDER BY $idCol) - 1 AS code,
                      $vecCol AS cv
-              FROM (SELECT * FROM c WHERE $vecCol IS NOT NULL ORDER BY $idCol LIMIT $k)""")
+              FROM (SELECT * FROM c WHERE $vecCol IS NOT NULL ORDER BY $idCol LIMIT $k)""",
+      k = k)
 
   /** DuckDB replay of [[ivfPqSearch]] with TRAINED (driver-literal)
     * quantizers: the centroid matrix and the per-subspace codebooks are
@@ -1673,19 +1674,34 @@ object Similarity {
     ivfPqDuckdbCore(probeWhere, corpusWhere, topK, nprobe, m, sub, dim,
       table, idCol, vecCol,
       centSql = s"SELECT * FROM (VALUES\n    $centVals) t(cluster, cv)",
-      cbSql = s"SELECT * FROM (VALUES\n    $cbVals) t(code, cv)")
+      cbSql = s"SELECT * FROM (VALUES\n    $cbVals) t(code, cv)",
+      k = k)
   }
 
   /** The IVFPQ oracle pipeline around any centroid/codebook source:
     * coarse assignment, nprobe probe lists, per-subspace codes, ADC
     * tables, cluster-equi-join candidates, identical subspace-order
     * fold — shared by the seeded and trained contracts.
+    *
+    * The adist stage is deliberately LINEAR in memory: per-cand code
+    * lists (m ints, `list(code ORDER BY subspace)`) and per-probe ADC
+    * tables (m×k doubles, `list(l2 ORDER BY subspace, code)` — pd has
+    * exactly one row per (probe, subspace, code), so position
+    * i·k + code indexes l2(subspace i, code) 0-based), then one
+    * in-row fold per candidate pair. The earlier formulation — join
+    * cand×codes×pd to pairs×m rows and `list(l2 ORDER BY subspace)`
+    * per pair — is the same doubles in the same order (bit-exact equal
+    * fold), but its pairs×m list-aggregate cannot spill in DuckDB 1.0
+    * and OOMs a 105 GB limit at sf1 m=32 (125M+ join rows); the
+    * list-indexed form streams the pair scan and verified bit-equal at
+    * all SFs. `tbl[i*k + codes[i+1] + 1]` is 1-based list addressing
+    * over 0-based (subspace, code).
     */
   private def ivfPqDuckdbCore(probeWhere: String, corpusWhere: String,
                               topK: Int, nprobe: Int, m: Int, sub: Int,
                               dim: Int, table: String, idCol: String,
                               vecCol: String, centSql: String,
-                              cbSql: String): String = {
+                              cbSql: String, k: Int): String = {
     def fullL2(side: String) =
       s"""list_sum(list_transform(range(1, ${dim + 1}),
          d -> (cast($side.$vecCol[d] as double) - cast(ct.cv[d] as double))
@@ -1730,16 +1746,21 @@ object Similarity {
        cand AS (
          SELECT pc.probe_id, a.cand_id
          FROM pc JOIN assign a USING (cluster)),
+       codes_l AS (
+         SELECT cand_id, list(code ORDER BY subspace) AS codes
+         FROM codes GROUP BY 1),
+       pd_l AS (
+         SELECT probe_id, list(l2 ORDER BY subspace, code) AS tbl
+         FROM pd GROUP BY 1),
        s AS (
          SELECT cand.probe_id, cand.cand_id,
                 list_reduce(list_prepend(cast(0.0 as double),
-                  list(pd.l2 ORDER BY pd.subspace)),
+                  list_transform(range(0, $m),
+                    i -> pl.tbl[i * $k + cl.codes[i + 1] + 1])),
                   (acc, v) -> acc + v) AS adist
          FROM cand
-         JOIN codes co ON co.cand_id = cand.cand_id
-         JOIN pd ON pd.probe_id = cand.probe_id
-           AND pd.subspace = co.subspace AND pd.code = co.code
-         GROUP BY 1, 2)
+         JOIN codes_l cl ON cl.cand_id = cand.cand_id
+         JOIN pd_l pl ON pl.probe_id = cand.probe_id)
        SELECT probe_id, cand_id, adist,
               cast(row_number() OVER (PARTITION BY probe_id
                 ORDER BY adist, cand_id) as int) AS rnk
