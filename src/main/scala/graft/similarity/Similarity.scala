@@ -1376,8 +1376,12 @@ object Similarity {
   /** DuckDB oracle for [[pqSearch]] with SEEDED codebooks (codeword j =
     * j-th lowest-id CORPUS vector's subvector): corpus codes and probe
     * distance tables replayed from the same first-k rows, adist as the
-    * identical subspace-order left fold (`list(... ORDER BY subspace)`
-    * then a 0.0-seeded list_reduce), ranks by (adist, cand_id).
+    * identical subspace-order left fold (a 0.0-seeded list_reduce over
+    * the per-probe ADC table indexed by the cand's per-subspace codes
+    * — the memory-linear shape shared with [[ivfPqDuckdbCore]], whose
+    * Scaladoc carries the bit-exactness argument; here the pair scan
+    * is the explicit probes×corpus CROSS JOIN brute ADC implies),
+    * ranks by (adist, cand_id).
     */
   def pqSearchSeededDuckdbSql(probeWhere: String, corpusWhere: String,
                               topK: Int, m: Int = 8, k: Int = 16,
@@ -1409,14 +1413,19 @@ object Similarity {
          SELECT p.$idCol AS probe_id, subs.subspace, cb.code,
                 ${l2("p")} AS l2
          FROM p CROSS JOIN subs CROSS JOIN cb),
+       codes_l AS (
+         SELECT cand_id, list(code ORDER BY subspace) AS codes
+         FROM codes GROUP BY 1),
+       pd_l AS (
+         SELECT probe_id, list(l2 ORDER BY subspace, code) AS tbl
+         FROM pd GROUP BY 1),
        s AS (
-         SELECT pd.probe_id, co.cand_id,
+         SELECT pl.probe_id, cl.cand_id,
                 list_reduce(list_prepend(cast(0.0 as double),
-                  list(pd.l2 ORDER BY pd.subspace)),
+                  list_transform(range(0, $m),
+                    i -> pl.tbl[i * $k + cl.codes[i + 1] + 1])),
                   (acc, v) -> acc + v) AS adist
-         FROM codes co
-         JOIN pd ON co.subspace = pd.subspace AND co.code = pd.code
-         GROUP BY 1, 2)
+         FROM codes_l cl CROSS JOIN pd_l pl)
        SELECT probe_id, cand_id, adist,
               cast(row_number() OVER (PARTITION BY probe_id
                 ORDER BY adist, cand_id) as int) AS rnk
