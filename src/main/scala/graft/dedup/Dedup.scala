@@ -162,19 +162,25 @@ object Dedup {
 
   /** The (id, block, shingle) frame both shingle-pair operators
     * ([[ngramJaccard]], [[containment]]) index — distinct k-token
-    * shingles per doc, exploded long. Materialized once (consumed by
-    * sizes + both sides of the self-join); without it the
-    * tokenize+shingle explode runs per consumer. `localCheckpoint`, not
-    * `cache`: blocks are ContextCleaner-freed when the result is GC'd
-    * instead of squatting in the CacheManager for the session's
-    * lifetime.
+    * shingles per doc, exploded long. Deliberately NOT materialized and
+    * NOT pre-partitioned: the operators hang their self-join off ONE
+    * `repartition(blk, w)` exchange that AQE's ReuseExchange shares
+    * across both join sides (and the semi-join/sizes consumers), so the
+    * exploded table is shuffled exactly once, while the per-doc /
+    * per-shingle aggregates read the RAW frame and shrink map-side
+    * (partial agg) to doc- / vocab-sized shuffles. That trades one
+    * extra scan+explode (scan-local CPU, columnar read) for a full
+    * shuffle + a cluster-loss-sensitive localCheckpoint materialization
+    * of the biggest intermediate — the right side of the trade at
+    * 100 TB, and measured faster at sf1 (§8h). An earlier revision cut
+    * the frame here; under AQE a checkpointed LogicalRDD reports
+    * UnknownPartitioning, so every consumer re-shuffled it.
     */
   private def shingledWords(df: DataFrame, idCol: String, textCol: String,
                             blockCol: String, k: Int): DataFrame =
     df.withColumn("__toks", Text.tokens(col(textCol)))
       .select(col(idCol).as("id"), col(blockCol).as("blk"),
         explode(expr(Text.shingleExpr("__toks", k))).as("w"))
-      .cutLineage()
 
   /** N-gram Jaccard similarity over k-token shingle sets.
     * Blocking on `blockCol` bounds the pair space; within a block the
@@ -187,8 +193,12 @@ object Dedup {
                    textCol: String = "text", blockCol: String = "lang",
                    k: Int = 3, threshold: Double = 0.5,
                    digits: Int = 4): DataFrame = {
-    val words = shingledWords(df, idCol, textCol, blockCol, k)
-    val sizes = words.groupBy(col("id")).agg(count(lit(1)).as("n_words"))
+    val raw = shingledWords(df, idCol, textCol, blockCol, k)
+    // one (blk, w) exchange feeds BOTH self-join sides (ReuseExchange);
+    // sizes reads the raw frame so its shuffle is the doc-sized partial
+    // aggregate, not the exploded table
+    val words = raw.repartition(col("blk"), col("w"))
+    val sizes = raw.groupBy(col("id")).agg(count(lit(1)).as("n_words"))
     val a = words.select(col("blk"), col("id").as("id_a"), col("w"))
     val b = words.select(col("blk"), col("id").as("id_b"), col("w"))
     val inter = a.join(b, Seq("blk", "w"))
@@ -737,13 +747,18 @@ object Dedup {
                   textCol: String = "text", blockCol: String = "lang",
                   k: Int = 3, threshold: Double = 0.6, maxDf: Int = 100,
                   digits: Int = 4): DataFrame = {
-    val words = shingledWords(df, idCol, textCol, blockCol, k)
-    val rare = words.groupBy(col("blk"), col("w"))
+    val raw = shingledWords(df, idCol, textCol, blockCol, k)
+    // one (blk, w) exchange of the exploded table, shared via
+    // ReuseExchange by the semi-join probe under sizes AND both
+    // self-join sides; the df-cap aggregate reads the raw frame, so its
+    // shuffle is the vocab-sized partial aggregate (and its semi-join
+    // side arrives already partitioned on the join key)
+    val words = raw.repartition(col("blk"), col("w"))
+    val rare = raw.groupBy(col("blk"), col("w"))
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf)
       .select(col("blk"), col("w"))
     val capped = words.join(rare, Seq("blk", "w"), "left_semi")
-      .cutLineage()
     val sizes = capped.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val a = capped.select(col("blk"), col("id").as("id_a"), col("w"))
     val b = capped.select(col("blk"), col("id").as("id_b"), col("w"))

@@ -604,6 +604,48 @@ class TextDedupSpec extends SparkSpec {
     assert(scans(Text.corpusFilter(docs)) == 2)
   }
 
+  test("shingle self-joins hang both sides off ONE reused exchange") {
+    // The r12 §8h shape: ngramJaccard/containment shuffle the exploded
+    // shingle table exactly ONCE — a single repartition(blk, w) exchange
+    // that AQE ReuseExchange shares across both self-join sides (and the
+    // semi-join probe) — because at 100 TB that table is the operator's
+    // biggest intermediate. Auto-broadcast off so the tiny test corpus
+    // plans the at-scale join shape; measured at sf1: ngram 38.3→8.0 s,
+    // containment 56.4→23.7 s when this replaced the localCheckpoint
+    // (whose LogicalRDD reports UnknownPartitioning under AQE, forcing
+    // every consumer to re-shuffle).
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+        df.queryExecution.toRdd.count(): Unit
+        df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      }
+      val docs = Tables(spark, sfDir, "documents")
+      // expected count of NON-reused shingle-keyed exchanges:
+      // ngramJaccard 1 (the exploded table, both join sides reuse it);
+      // containment 2 (the exploded table — the optimizer collapses the
+      // explicit repartition into the semi-join's ENSURE_REQUIREMENTS
+      // exchange — plus the vocab-sized df-cap partial aggregate, with
+      // BOTH reused on the second self-join side)
+      for ((op, want) <- Seq(Dedup.ngramJaccard(docs) -> 1,
+                             Dedup.containment(docs) -> 2)) {
+        val plan = finalPlan(op)
+        // a ReusedExchange line textually embeds the description of the
+        // exchange it reuses — count only lines that ARE the exchange
+        val shingleShuffles = plan.linesIterator
+          .filterNot(_.contains("ReusedExchange"))
+          .count(l => l.contains("Exchange hashpartitioning(") &&
+            l.contains(" w#"))
+        assert(shingleShuffles == want,
+          s"expected $want shingle-keyed exchanges, got $shingleShuffles:\n$plan")
+        assert(plan.contains("ReusedExchange"),
+          s"self-join sides must reuse the shingle exchange:\n$plan")
+      }
+    } finally spark.conf.set(key, saved)
+  }
+
   test("cache hygiene: multi-consumer operators leave no CacheManager entry") {
     // The operators that materialize an intermediate for multiple
     // consumers (fused QA stats, LSH signatures/candidates, shingle
