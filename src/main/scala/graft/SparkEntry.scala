@@ -1033,6 +1033,17 @@ object SparkEntry {
       Similarity.pqSearch(e.filter(col("vec_id") % 50 === 0),
         e.filter(col("vec_id") % 50 =!= 0), topK = 3)
     }),
+    // short-codebook edge gate (ADVICE r12): a corpus slice with FEWER
+    // than k non-null vectors seeds a short codebook (take(k) of a short
+    // sample). The oracle's ADC stride must be derived from the actual
+    // table length — the old fixed-k stride over-indexed into NULL
+    // adists here. SF-independent slice: 12 corpus < k=16, 28 probes.
+    "sim_ann_pq_short_cb" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      Similarity.pqSearch(
+        e.filter(col("vec_id") >= 12 && col("vec_id") < 40),
+        e.filter(col("vec_id") < 12), topK = 3)
+    }),
     // IVF-PQ: coarse cluster pruning + ADC ranking from codes — the
     // two-level index that actually ships at corpus scale
     "sim_ann_ivfpq" -> ((s, dir) => {
@@ -2374,6 +2385,9 @@ object SparkEntry {
     "sim_ann_pq" -> Similarity.pqSearchSeededDuckdbSql(
       probeWhere = "vec_id % 50 = 0", corpusWhere = "vec_id % 50 <> 0",
       topK = 3),
+    "sim_ann_pq_short_cb" -> Similarity.pqSearchSeededDuckdbSql(
+      probeWhere = "vec_id >= 12 AND vec_id < 40",
+      corpusWhere = "vec_id < 12", topK = 3),
     "sim_ann_ivfpq" -> Similarity.ivfPqSeededDuckdbSql(
       probeWhere = "vec_id % 50 = 0", corpusWhere = "vec_id % 50 <> 0",
       topK = 3),

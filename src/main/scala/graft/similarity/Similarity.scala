@@ -1423,7 +1423,7 @@ object Similarity {
          SELECT pl.probe_id, cl.cand_id,
                 list_reduce(list_prepend(cast(0.0 as double),
                   list_transform(range(0, $m),
-                    i -> pl.tbl[i * $k + cl.codes[i + 1] + 1])),
+                    i -> pl.tbl[i * (len(pl.tbl) // $m) + cl.codes[i + 1] + 1])),
                   (acc, v) -> acc + v) AS adist
          FROM codes_l cl CROSS JOIN pd_l pl)
        SELECT probe_id, cand_id, adist,
@@ -1645,8 +1645,7 @@ object Similarity {
                 FROM (SELECT * FROM c WHERE $vecCol IS NOT NULL ORDER BY $idCol LIMIT $kc)""",
       cbSql = s"""SELECT row_number() OVER (ORDER BY $idCol) - 1 AS code,
                      $vecCol AS cv
-              FROM (SELECT * FROM c WHERE $vecCol IS NOT NULL ORDER BY $idCol LIMIT $k)""",
-      k = k)
+              FROM (SELECT * FROM c WHERE $vecCol IS NOT NULL ORDER BY $idCol LIMIT $k)""")
 
   /** DuckDB replay of [[ivfPqSearch]] with TRAINED (driver-literal)
     * quantizers: the centroid matrix and the per-subspace codebooks are
@@ -1683,8 +1682,7 @@ object Similarity {
     ivfPqDuckdbCore(probeWhere, corpusWhere, topK, nprobe, m, sub, dim,
       table, idCol, vecCol,
       centSql = s"SELECT * FROM (VALUES\n    $centVals) t(cluster, cv)",
-      cbSql = s"SELECT * FROM (VALUES\n    $cbVals) t(code, cv)",
-      k = k)
+      cbSql = s"SELECT * FROM (VALUES\n    $cbVals) t(code, cv)")
   }
 
   /** The IVFPQ oracle pipeline around any centroid/codebook source:
@@ -1703,14 +1701,19 @@ object Similarity {
     * fold), but its pairs×m list-aggregate cannot spill in DuckDB 1.0
     * and OOMs a 105 GB limit at sf1 m=32 (125M+ join rows); the
     * list-indexed form streams the pair scan and verified bit-equal at
-    * all SFs. `tbl[i*k + codes[i+1] + 1]` is 1-based list addressing
-    * over 0-based (subspace, code).
+    * all SFs. `tbl[i*(len(tbl)//m) + codes[i+1] + 1]` is 1-based list
+    * addressing over 0-based (subspace, code); the stride is DERIVED
+    * from the table length rather than the nominal k so a corpus slice
+    * with fewer than k non-null vectors (seeded cbSql's LIMIT k comes
+    * up short, matching the Spark side's take(k) of a short sample)
+    * still indexes its shorter per-subspace blocks correctly instead
+    * of over-indexing into NULL adists.
     */
   private def ivfPqDuckdbCore(probeWhere: String, corpusWhere: String,
                               topK: Int, nprobe: Int, m: Int, sub: Int,
                               dim: Int, table: String, idCol: String,
                               vecCol: String, centSql: String,
-                              cbSql: String, k: Int): String = {
+                              cbSql: String): String = {
     def fullL2(side: String) =
       s"""list_sum(list_transform(range(1, ${dim + 1}),
          d -> (cast($side.$vecCol[d] as double) - cast(ct.cv[d] as double))
@@ -1765,7 +1768,7 @@ object Similarity {
          SELECT cand.probe_id, cand.cand_id,
                 list_reduce(list_prepend(cast(0.0 as double),
                   list_transform(range(0, $m),
-                    i -> pl.tbl[i * $k + cl.codes[i + 1] + 1])),
+                    i -> pl.tbl[i * (len(pl.tbl) // $m) + cl.codes[i + 1] + 1])),
                   (acc, v) -> acc + v) AS adist
          FROM cand
          JOIN codes_l cl ON cl.cand_id = cand.cand_id

@@ -648,10 +648,13 @@ class TextDedupSpec extends SparkSpec {
 
   test("cache hygiene: multi-consumer operators leave no CacheManager entry") {
     // The operators that materialize an intermediate for multiple
-    // consumers (fused QA stats, LSH signatures/candidates, shingle
-    // self-join) must do it via localCheckpoint, NOT persist/cache: a
-    // long-lived session would otherwise accumulate cached frames until
-    // clearCache. Assert none of them registers anything.
+    // consumers (fused QA stats, LSH signatures/candidates) must do it
+    // via localCheckpoint, NOT persist/cache: a long-lived session
+    // would otherwise accumulate cached frames until clearCache. The
+    // shingle self-joins no longer materialize at all — they reuse one
+    // exchange (see the "reuse the shingle exchange" plan spec above) —
+    // but stay in the sweep so a reintroduced cache would be caught.
+    // Assert none of them registers anything.
     spark.catalog.clearCache()
     val docs = Tables(spark, sfDir, "documents")
     Dedup.ngramJaccard(docs).write.format("noop").mode("overwrite").save()
