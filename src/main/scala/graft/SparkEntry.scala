@@ -1128,6 +1128,23 @@ object SparkEntry {
       Text.corpusFilter(Tables(s, dir, "documents"))),
     "emb_group_centroids" -> ((s, dir) =>
       Similarity.groupCentroids(Tables(s, dir, "embeddings"))),
+    // k-means clustering as a product operator (SemDeDup/DataComp's
+    // cluster-then-curate primitive): the IVF trainer's fit exposed as
+    // per-vector (cluster, l2) assignment under the trained-literal
+    // oracle contract — train on the bounded sample, persist, reload,
+    // replay the centroid matrix as literals in both engines
+    "emb_kmeans" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val trained = java.nio.file.Files
+        .createTempDirectory("graft_emb_kmeans").toString
+      Similarity.saveCentroids(s,
+        Similarity.ivfCentroids(e, k = 16, iters = 5), trained)
+      val cents = Similarity.loadCentroids(s, trained)
+      deleteRecursively(new java.io.File(trained))
+      stashTrainedOracle("emb_kmeans", dir,
+        Similarity.kmeansTrainedDuckdbSql(cents))
+      Similarity.kmeansAssign(e, centroids = Some(cents))
+    }),
     // int8 scalar quantization (SQ8): the 4x-smaller candidate-scan
     // copy of an IVF+SQ stack, long shape with per-row scale
     "emb_quantize" -> ((s, dir) =>
@@ -2419,6 +2436,7 @@ object SparkEntry {
     "text_repetition" -> Text.repetitionSql(),
     "text_bm25" -> Text.bm25Sql(bm25Terms),
     "emb_group_centroids" -> Similarity.groupCentroidsSql(),
+    "emb_kmeans" -> trainedOracleSql("emb_kmeans"),
     "emb_quantize" -> Similarity.quantizeInt8Sql(),
 
     "emb_norm_filter" -> Similarity.normFilterSql(),

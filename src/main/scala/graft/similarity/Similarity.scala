@@ -978,6 +978,82 @@ object Similarity {
       .groupBy(_._1).toArray.sortBy(_._1)
       .map(_._2.map(_._2))
 
+  /** K-MEANS CLUSTERING as a first-class corpus operator: every vector
+    * labeled with its nearest trained centroid plus the squared-L2
+    * distance to it — the semantic-clustering primitive of curation
+    * pipelines (SemDeDup clusters before within-cluster dedup; DataComp
+    * and domain-mixture recipes cluster before reweighting). The IVF
+    * coarse quantizer ([[ivfCentroids]]) IS a k-means fit, so this is
+    * the same train-once/load-per-job loop exposed as a product
+    * operator rather than index plumbing: one corpus scan, the k×dim
+    * centroid matrix rides as a literal into the fused `centroid_dists`
+    * kernel (or its composed fallback — same index-order accumulation),
+    * and nothing shuffles — assignment is embarrassingly parallel, so
+    * the plan survives any scale-up that the scan itself does.
+    *
+    * Tie-break: the FIRST centroid index attaining the minimum distance
+    * (array_position of the min), i.e. lowest cluster id — the same
+    * deterministic rule as [[ivfTopK]]'s assignment. Null vectors carry
+    * no position in any cluster and are excluded (callers that need
+    * them keep a left join back on the id); short vectors accumulate
+    * over min(|vec|, dim) like every scoring path here. `l2` is
+    * half-up-rounded at `digits` (the engine-exact rounding rule —
+    * see [[graft.text.Text.halfUp]]).
+    */
+  def kmeansAssign(embeddings: DataFrame, k: Int = 16, iters: Int = 5,
+                   dim: Int = 64, idCol: String = "vec_id",
+                   vecCol: String = "embedding", digits: Int = 4,
+                   centroids: Option[Array[Array[Double]]] = None)
+      : DataFrame = {
+    val cents = centroids.getOrElse(
+      ivfCentroids(embeddings, k, iters, dim, idCol, vecCol))
+    embeddings
+      .where(col(vecCol).isNotNull)
+      .withColumn("__dists", centroidDistsCol(embeddings, vecCol, cents))
+      .select(col(idCol),
+        (array_position(col("__dists"), array_min(col("__dists")))
+          .cast("int") - 1).as("cluster"),
+        graft.text.Text.halfUp(array_min(col("__dists")), digits).as("l2"))
+  }
+
+  /** DuckDB replay of [[kmeansAssign]] under the trained-literal
+    * contract: the centroid matrix as a VALUES table of
+    * `cast('<Double.toString>' as double)` literals (the [[dLit]]
+    * discipline — identical string→double parse on both engines), the
+    * squared-L2 as the prepend-0.0 index-order `list_reduce` fold (the
+    * exact accumulation the fused kernel and the composed fallback
+    * perform, see CentroidDists.scala), argmin by (l2, cluster) — the
+    * first-min tie-break — and the same half-up rounding of the
+    * winning distance.
+    */
+  def kmeansTrainedDuckdbSql(cents: Array[Array[Double]], dim: Int = 64,
+                             table: String = "embeddings",
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding",
+                             digits: Int = 4): String = {
+    require(cents.forall(_.length == dim),
+      s"kmeansTrainedDuckdbSql: centroids must be dim=$dim")
+    val centVals = cents.zipWithIndex.map { case (cv, i) =>
+      s"($i, ${duckVecLit(cv)})"
+    }.mkString(",\n    ")
+    val l2 =
+      s"""list_reduce(list_prepend(cast(0.0 as double),
+         list_transform(range(1, ${dim + 1}),
+           d -> (cast(e.$vecCol[d] as double) - c.cv[d])
+              * (cast(e.$vecCol[d] as double) - c.cv[d]))),
+         (acc, v) -> acc + v)"""
+    s"""WITH e AS (SELECT $idCol, $vecCol FROM $table
+         WHERE $vecCol IS NOT NULL),
+       cent AS (SELECT * FROM (VALUES\n    $centVals) t(cluster, cv)),
+       dists AS (
+         SELECT e.$idCol, c.cluster, $l2 AS l2
+         FROM e CROSS JOIN cent c)
+       SELECT $idCol, cluster, ${graft.text.Text.halfUpSql("l2", digits)} AS l2
+       FROM dists
+       QUALIFY row_number() OVER (PARTITION BY $idCol
+         ORDER BY l2, cluster) = 1"""
+  }
+
   /** ANN via IVF: vectors assigned to their nearest centroid's list;
     * probes search only the `nprobe` nearest lists. Candidate cost is
     * (nprobe/k) of the corpus per probe — the standard recall/latency

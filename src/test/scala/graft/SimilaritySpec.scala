@@ -343,6 +343,46 @@ class SimilaritySpec extends SparkSpec {
     assert(out((1, 0)) == ((10.0, 1)) && out((1, 1)) == ((0.0, 1)))
   }
 
+  test("kmeansAssign: equals a driver-side strict replay, planted centroid lands at l2 0") {
+    val cents = Similarity.ivfCentroids(emb, k = 8, iters = 3)
+    val out = Similarity.kmeansAssign(emb, centroids = Some(cents)).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Int]("cluster"), r.getAs[Double]("l2"))).toMap
+    // driver replay: the same index-order double fold + first-min
+    // tie-break + half-up rounding the operator contracts
+    val vecs = emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getAs[Long](0) -> r.getSeq[Float](1).toArray)
+    assert(out.size == vecs.length) // one row per non-null vector
+    vecs.foreach { case (id, v) =>
+      var best = 0; var bestD = Double.MaxValue
+      for (c <- cents.indices) {
+        val n = math.min(v.length, cents(c).length)
+        var d = 0.0; var i = 0
+        while (i < n) {
+          val t = v(i).toDouble - cents(c)(i); d += t * t; i += 1
+        }
+        if (d < bestD) { bestD = d; best = c } // strict < = first-min wins
+      }
+      val expL2 = math.floor(bestD * 1e4 + 0.5) / 1e4
+      assert(out(id) == ((best, expL2)), s"vec $id")
+    }
+    // a vector that IS a centroid must land in that cluster at l2 0;
+    // a null vector must be excluded, a short one accumulates min(len,dim)
+    import spark.implicits._
+    val planted = Seq(
+      (1000L, Some(cents(3).map(_.toFloat).toSeq)),
+      (1001L, None),
+      (1002L, Some(Seq(cents(0)(0).toFloat)))) // short: only dim 0 counts
+      .toDF("vec_id", "embedding")
+    val p = Similarity.kmeansAssign(planted, centroids = Some(cents))
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Int]("cluster"), r.getAs[Double]("l2"))).toMap
+    assert(p(1000L) == ((3, 0.0)))
+    assert(!p.contains(1001L))
+    assert(p.contains(1002L) && p(1002L)._2 >= 0.0)
+  }
+
   test("cosineNearDup returns only pairs above threshold, id_a < id_b") {
     val out = Similarity.cosineNearDup(emb, threshold = 0.9,
       nBits = 4, nTables = 4).collect()
