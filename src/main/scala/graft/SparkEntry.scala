@@ -159,6 +159,24 @@ object SparkEntry {
 
   // The corpus carve's dedup index persisted to parquet — what the
   // incremental loop LOADS in production instead of rebuilding.
+  // The incremental screen's index staged as BUCKETED tables (the
+  // production layout: written once per index version, joined by every
+  // crawl batch with no index-side shuffle). Table names are
+  // dir-unique so two SFs staged in one JVM never collide in the
+  // session catalog.
+  private def bucketedIndexPrefix(dir: String): String =
+    "graft_bidx_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+  private def bucketedIndexDir(s: SparkSession, dir: String): String =
+    stagedOnce("bucketed_idx", dir) { out =>
+      val corpus = graft.etl.Sampling
+        .hashSplit(Tables(s, dir, "documents"), "doc_id", incrementalSplit)
+        .filter(col("split") === "corpus")
+        .select(col("doc_id"), col("text"))
+      Dedup.saveIndexBucketed(s, Dedup.buildIndex(corpus), out,
+        tablePrefix = bucketedIndexPrefix(dir))
+    }
+
   private def prestagedLoopIndexDir(s: SparkSession, dir: String): String =
     stagedOnce("loop_idx", dir) { out =>
       val corpus = graft.etl.Sampling
@@ -791,6 +809,23 @@ object SparkEntry {
         "doc_id", incrementalSplit)
       Dedup.incremental(
         split.filter(col("split") === "corpus").drop("split"),
+        split.filter(col("split") === "incoming").drop("split"))
+    }),
+    // the SAME screen via the production BUCKETED-index layout: the
+    // persisted index is staged once per JVM as bucketed tables
+    // (hashes by content_hash, bands by (band, bsig) — the screens'
+    // join keys), re-attached in-session, and screened against — gated
+    // on the identical rebuild oracle as dedup_incremental, so a green
+    // row proves the layout changes the PLAN (no index-side Exchange;
+    // the TextDedupSpec plan test pins it), never the answer
+    "dedup_incremental_bucketed" -> ((s, dir) => {
+      val split = graft.etl.Sampling.hashSplit(Tables(s, dir, "documents"),
+        "doc_id", incrementalSplit)
+      val idxDir = bucketedIndexDir(s, dir)
+      Dedup.incrementalFromIndex(
+        split.filter(col("split") === "corpus").drop("split"),
+        Dedup.loadIndexBucketed(s, idxDir,
+          tablePrefix = bucketedIndexPrefix(dir)),
         split.filter(col("split") === "incoming").drop("split"))
     }),
     // the exact screen with a broadcast Bloom pre-filter: definite-new
@@ -2413,6 +2448,10 @@ object SparkEntry {
       topK = 3, refine = 4),
     "dedup_lsh_jaccard" -> MinHashSpec.duckdbJaccardSql(),
     "dedup_incremental" -> MinHashSpec.duckdbIncrementalSql(
+      splitCaseSql = graft.etl.Sampling.hashSplitSql("doc_id", incrementalSplit)),
+    // same semantics as dedup_incremental — the bucketed layout may
+    // only change the plan, so the oracle is the identical rebuild SQL
+    "dedup_incremental_bucketed" -> MinHashSpec.duckdbIncrementalSql(
       splitCaseSql = graft.etl.Sampling.hashSplitSql("doc_id", incrementalSplit)),
     "dedup_incremental_loop" -> MinHashSpec.duckdbIncrementalLoopSql(
       splitCaseSql = graft.etl.Sampling.hashSplitSql("doc_id", incrementalLoopSplit)),

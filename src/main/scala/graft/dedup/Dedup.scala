@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.text.Text
@@ -299,6 +299,71 @@ object Dedup {
                  textCol: String = "text"): DedupIndex = DedupIndex(
     corpusHashes(corpus, textCol),
     MinHashSpec.bandedSignatures(corpus, idCol, textCol))
+
+  /** Persist a [[DedupIndex]] as BUCKETED, bucket-sorted parquet tables:
+    * hashes clustered by `content_hash`, bands by `(band, bsig)` — the
+    * exact keys every screening run joins on. This is the LAYOUT lever
+    * of the incremental loop at 100 TB: the index is written once per
+    * version but joined by every crawl batch, and a bucketed scan
+    * reports its hash partitioning to Catalyst, so the screen's
+    * index-side Exchange disappears from every run — shuffle cost
+    * becomes ∝ the incoming batch, never ∝ the corpus-sized index
+    * (see [[loadIndexBucketed]]; the plan spec pins the shape).
+    * `nBuckets` is a production dial — size it so a bucket of the
+    * BANDS-fold band table fits an executor core's scan budget.
+    *
+    * Each bucket is written as ONE file (the repartition below aligns
+    * writer tasks with buckets — Spark's bucket id and repartition both
+    * hash with Murmur3 mod n), which also lets the sorted-scan path
+    * elide the join sort. Tables are registered in the session catalog
+    * (`<tablePrefix>_hashes` / `<tablePrefix>_bands`) with the data at
+    * `dir` — external, so the files outlive any one session and
+    * [[loadIndexBucketed]] can re-attach them elsewhere.
+    */
+  def saveIndexBucketed(spark: SparkSession, index: DedupIndex, dir: String,
+                        nBuckets: Int = 8,
+                        tablePrefix: String = "graft_bidx"): Unit = {
+    def one(df: DataFrame, cols: Seq[String], sub: String): Unit = {
+      val tbl = s"${tablePrefix}_$sub"
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      df.repartition(nBuckets, cols.map(col): _*)
+        .write.format("parquet")
+        .bucketBy(nBuckets, cols.head, cols.tail: _*)
+        .sortBy(cols.head, cols.tail: _*)
+        .option("path", s"$dir/$sub")
+        .mode("overwrite")
+        .saveAsTable(tbl)
+    }
+    one(index.hashes, Seq("content_hash"), "hashes")
+    one(index.bands, Seq("band", "bsig"), "bands")
+  }
+
+  /** Re-attach a bucketed index written by [[saveIndexBucketed]] in THIS
+    * session (catalog entries are per-session; the parquet files are
+    * not): idempotently registers the external bucketed tables over the
+    * files — schema read from the parquet footers, bucket spec restated
+    * — and returns them as a [[DedupIndex]]. The returned frames' scans
+    * carry `HashPartitioning(content_hash)` / `HashPartitioning(band,
+    * bsig)`, which is what removes the index-side Exchange from
+    * [[incrementalFromIndex]]'s screens.
+    */
+  def loadIndexBucketed(spark: SparkSession, dir: String, nBuckets: Int = 8,
+                        tablePrefix: String = "graft_bidx"): DedupIndex = {
+    def attach(sub: String, bucketCols: Seq[String]): DataFrame = {
+      val tbl = s"${tablePrefix}_$sub"
+      if (!spark.catalog.tableExists(tbl)) {
+        val ddl = spark.read.parquet(s"$dir/$sub").schema.toDDL
+        val keys = bucketCols.mkString(", ")
+        spark.sql(
+          s"""CREATE TABLE $tbl ($ddl) USING parquet
+             CLUSTERED BY ($keys) SORTED BY ($keys) INTO $nBuckets BUCKETS
+             LOCATION '$dir/$sub'""")
+      }
+      spark.table(tbl)
+    }
+    DedupIndex(attach("hashes", Seq("content_hash")),
+      attach("bands", Seq("band", "bsig")))
+  }
 
   /** The exact-screen half of the index alone: the distinct content-hash
     * set. [[exactScreenBloom]] needs only this — building the full

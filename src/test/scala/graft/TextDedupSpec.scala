@@ -646,6 +646,66 @@ class TextDedupSpec extends SparkSpec {
     } finally spark.conf.set(key, saved)
   }
 
+  test("bucketed index: screens scan the index in place (no index-side " +
+    "exchange), and flags equal the raw-index path exactly") {
+    // auto-broadcast off so the tiny spec corpus plans the at-scale
+    // shape (at 100 TB neither the hash set nor the band table of a
+    // corpus-sized index broadcasts)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+        df.queryExecution.toRdd.count(): Unit
+        df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      }
+      def exchanges(plan: String): Int = plan.linesIterator
+        .filterNot(_.contains("ReusedExchange"))
+        .count(_.contains("Exchange hashpartitioning("))
+      val split = graft.etl.Sampling.hashSplit(
+        Tables(spark, sfDir, "documents"), "doc_id",
+        Seq("corpus" -> 0.8, "incoming" -> 0.2))
+      val corpus = split.filter(col("split") === "corpus").drop("split")
+        .select(col("doc_id"), col("text"))
+      val incoming = split.filter(col("split") === "incoming").drop("split")
+        .select(col("doc_id"), col("text"))
+      val dir = tempDir("graft-bidx")
+      Dedup.saveIndexBucketed(spark, Dedup.buildIndex(corpus), dir,
+        tablePrefix = "spec_bidx")
+      // the re-attach contract: a NEW session has no catalog entries —
+      // loadIndexBucketed must recreate the external bucketed tables
+      // over the files, not assume the writer's registrations
+      spark.sql("DROP TABLE IF EXISTS spec_bidx_hashes")
+      spark.sql("DROP TABLE IF EXISTS spec_bidx_bands")
+      val idx = Dedup.loadIndexBucketed(spark, dir, tablePrefix = "spec_bidx")
+      // the two per-batch screen joins: the bucketed scan reports its
+      // hash partitioning, so ONLY the incoming side shuffles (1
+      // exchange); the derived (unbucketed) index pays one per side
+      val incHash = incoming.select(md5(col("text")).as("content_hash"))
+      val pHash = finalPlan(
+        incHash.join(idx.hashes, Seq("content_hash"), "left_semi"))
+      assert(pHash.contains("Bucketed: true"), s"hash screen:\n$pHash")
+      assert(exchanges(pHash) == 1, s"hash screen:\n$pHash")
+      val incBands = MinHashSpec.bandedSignatures(incoming, "doc_id", "text")
+      val pBand = finalPlan(incBands.as("x")
+        .join(idx.bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig"))
+        .select(col("x.id").as("doc_a"), col("y.id").as("doc_b")))
+      assert(pBand.contains("Bucketed: true"), s"band screen:\n$pBand")
+      assert(exchanges(pBand) == 1, s"band screen:\n$pBand")
+      // layout may only change the plan, never the answer
+      def flags(i: graft.dedup.DedupIndex) =
+        Dedup.incrementalFromIndex(corpus, i, incoming).collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+          .toSet
+      assert(flags(idx) == flags(Dedup.buildIndex(corpus)))
+    } finally {
+      spark.conf.set(key, saved)
+      spark.sql("DROP TABLE IF EXISTS spec_bidx_hashes")
+      spark.sql("DROP TABLE IF EXISTS spec_bidx_bands")
+    }
+  }
+
   test("cache hygiene: multi-consumer operators leave no CacheManager entry") {
     // The operators that materialize an intermediate for multiple
     // consumers (fused QA stats, LSH signatures/candidates) must do it
