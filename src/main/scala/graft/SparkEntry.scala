@@ -1208,7 +1208,15 @@ object SparkEntry {
     // fixture is deterministic — the PARSER is format-general
     // (spec-tested on 16-bit stereo and on malformed bytes).
     "mm_decode_wav" -> ((s, dir) =>
-      Multimodal.wavPipeline(s, Tables(s, dir, "documents"))))
+      Multimodal.wavPipeline(s, Tables(s, dir, "documents"))),
+    // the IMAGE twin (r13): a conformant BI_RGB BMP per doc (row order
+    // and pixel-data gap rotated so the corpus exercises bottom-up AND
+    // top-down storage plus the declared-offset contract), parsed with
+    // a genuine BMP parser (Multimodal.parseBmp) — first_px is
+    // order-sensitive, so the oracle proves the row-order handling,
+    // not just sums. Spec-tested on 24-bit and malformed bytes.
+    "mm_decode_bmp" -> ((s, dir) =>
+      Multimodal.bmpPipeline(s, Tables(s, dir, "documents"))))
 
   private def probeList: String = (0 until 10).mkString(", ")
 
@@ -2181,6 +2189,43 @@ object SparkEntry {
         """cast(coalesce(octet_length(encode(text)), 0) as double) * 1000.0
            / (8000 + (doc_id % 8) * 1000)""", 4)} AS duration_ms
          FROM documents, guard WHERE guard.ok = 1""",
+
+    // The BMP fixture is deterministic (8-bit grayscale, logical pixels
+    // = the UTF-8 payload bytes at width 1 + doc_id % 8, zero-filled to
+    // the last row), so the decoded features reduce to byte arithmetic
+    // over `text` — same ASCII-guard trip-wire as mm_decode_wav. The
+    // row order and data-offset gap the fixture rotates through are
+    // invisible here BY DESIGN: they change the container layout, and
+    // the parser must recover the same logical image from all of them
+    // (first_px = the top-left pixel = the first payload byte, wherever
+    // the header says row 0 lives).
+    "mm_decode_bmp" ->
+      s"""WITH guard AS (
+           SELECT CASE WHEN count(*) = 0 THEN 1
+                       ELSE cast(error('mm_decode_bmp oracle requires a pure-ASCII corpus: byte arithmetic != codepoint arithmetic on this data') AS int)
+                  END AS ok
+           FROM documents
+           WHERE text IS NOT NULL AND octet_length(encode(text)) <> length(text)
+         ), dims AS (
+           SELECT doc_id, text,
+                  cast(1 + doc_id % 8 as int) AS w,
+                  cast(coalesce(octet_length(encode(text)), 0) as int) AS n
+           FROM documents
+         )
+         SELECT doc_id,
+                1 AS decode_ok,
+                w AS width,
+                cast(greatest(1, (n + w - 1) // w) as int) AS height,
+                8 AS bits_per_pixel,
+                cast(w * greatest(1, (n + w - 1) // w) as int) AS n_pixels,
+                ${Text.halfUpSql(
+        """cast(coalesce(list_sum(list_transform(range(1, length(text) + 1),
+               i -> ascii(substring(text, i, 1)))), 0) as double)
+           / (w * greatest(1, (n + w - 1) // w))""", 4)} AS mean_px,
+                cast(CASE WHEN text IS NULL OR length(text) = 0 THEN 0
+                          ELSE ascii(substring(text, 1, 1)) END as int)
+                  AS first_px
+         FROM dims, guard WHERE guard.ok = 1""",
 
     "sample_stratified" ->
       s"""SELECT doc_id, lang FROM documents

@@ -281,6 +281,176 @@ object Multimodal {
           col("n_samples") * lit(1000.0) / col("sample_rate"), 4)
           .as("duration_ms"))
 
+  // ---------------------------------------------------------------------
+  // Real decode path #2: BMP (Windows DIB, BI_RGB). Like RIFF/WAVE, an
+  // uncompressed BMP is a self-describing public container — file
+  // header + BITMAPINFOHEADER + optional palette + 4-byte-padded pixel
+  // rows, all little-endian byte arithmetic, no codec library — so the
+  // IMAGE modality also gets a genuine parser while the stub remains
+  // the mandated stand-in for real codecs (JPEG/PNG/MP4...). The
+  // parser honors the header's declared pixel-data offset (it never
+  // assumes 14+40+palette), reads 8-bit palette-indexed and 24-bit
+  // BGR, handles BOTH row orders (positive height = bottom-up, the
+  // common case; negative = top-down), excludes row padding from the
+  // statistics, bounds-checks every declared size, and verdicts
+  // malformed bytes (decode_ok=0) instead of throwing.
+  // ---------------------------------------------------------------------
+
+  case class BmpFeatures(doc_id: Long, decode_ok: Int, width: Int,
+                         height: Int, bits_per_pixel: Int, n_pixels: Int,
+                         mean_px: Double, first_px: Int)
+
+  private def le16(a: Array[Byte], o: Int, v: Int): Unit = {
+    a(o) = (v & 0xff).toByte; a(o + 1) = ((v >> 8) & 0xff).toByte
+  }
+  private def le32(a: Array[Byte], o: Int, v: Int): Unit = {
+    le16(a, o, v & 0xffff); le16(a, o + 2, (v >>> 16) & 0xffff)
+  }
+
+  /** Parse a BMP byte buffer. Returns (ok, width, height, bitsPerPixel,
+    * nPixels, meanChannelByte, firstPx) where meanChannelByte averages
+    * the pixel bytes only (row padding excluded; for 24-bit that is the
+    * mean over all B,G,R bytes) and firstPx is the first stored channel
+    * byte of IMAGE pixel (0,0) — the top-left pixel, which lives in the
+    * LAST stored row of a bottom-up file (an order-sensitive feature:
+    * a parser that ignored the row order would read the wrong byte).
+    * NOT ok when: too short / wrong magic / compressed / non-8/24 bpp /
+    * zero or negative width / zero height / any declared offset or size
+    * past the buffer.
+    */
+  def parseBmp(bytes: Array[Byte]): (Boolean, Int, Int, Int, Int, Double, Int) = {
+    val bad = (false, 0, 0, 0, 0, 0.0, 0)
+    if (bytes == null || bytes.length < 54) return bad
+    if (bytes(0) != 'B'.toByte || bytes(1) != 'M'.toByte) return bad
+    val dataOff = u32(bytes, 10)
+    val hdrSize = u32(bytes, 14)
+    if (hdrSize < 40 || 14 + hdrSize > bytes.length) return bad
+    val width = u32(bytes, 18).toInt // signed i32 via truncation
+    val rawH = u32(bytes, 22).toInt
+    val planes = u16(bytes, 26)
+    val bpp = u16(bytes, 28)
+    val compression = u32(bytes, 30)
+    if (width <= 0 || rawH == 0 || planes != 1 || compression != 0L) return bad
+    if (bpp != 8 && bpp != 24) return bad
+    val topDown = rawH < 0
+    // via Long: abs(Int.MinValue) overflows back to negative in Int —
+    // a hostile height must verdict, not drive a negative array index
+    val heightL = math.abs(rawH.toLong)
+    if (heightL > Int.MaxValue) return bad
+    val height = heightL.toInt
+    val bytesPerPx = bpp / 8
+    val rowBytesL = width.toLong * bytesPerPx
+    val strideL = (rowBytesL + 3) & ~3L
+    if (dataOff < 14 + hdrSize || dataOff > bytes.length) return bad
+    if (dataOff + strideL * height > bytes.length) return bad
+    val off = dataOff.toInt
+    val stride = strideL.toInt // bounded by the buffer check above
+    val rowBytes = rowBytesL.toInt
+    var sum = 0.0
+    var r = 0
+    while (r < height) {
+      val ro = off + r * stride
+      var i = 0
+      while (i < rowBytes) { sum += (bytes(ro + i) & 0xff); i += 1 }
+      r += 1
+    }
+    val nPx = width * height
+    val mean = sum / (nPx.toDouble * bytesPerPx)
+    val row0 = if (topDown) 0 else height - 1
+    val first = bytes(off + row0 * stride) & 0xff
+    (true, width, height, bpp, nPx, mean, first)
+  }
+
+  /** Deterministic BMP fixture: 8-bit palette-indexed (256-entry
+    * grayscale palette), width keyed off `docId`, the payload bytes
+    * laid out row-major top-down as the LOGICAL image (zero-filled to
+    * the last row), then STORED in the order the header declares —
+    * bottom-up for even ids, top-down (negative height) for odd ids —
+    * with a junk gap rotated in before the pixel array so the corpus
+    * exercises the declared-data-offset contract, two row orders, and
+    * the row-padding walk. Field-for-field what a real writer emits;
+    * [[parseBmp]] accepts any conformant BI_RGB BMP, the fixture just
+    * keeps the gate's features derivable in DuckDB.
+    */
+  def bmpFixture(docId: Long, payload: Array[Byte]): Array[Byte] = {
+    val w = 1 + (docId % 8).toInt
+    val n = payload.length
+    val h = math.max(1, (n + w - 1) / w)
+    val topDown = docId % 2 == 1
+    val gap = (docId % 3).toInt * 4
+    val stride = (w + 3) & ~3
+    val dataOff = 14 + 40 + 1024 + gap
+    val out = new Array[Byte](dataOff + stride * h)
+    out(0) = 'B'.toByte; out(1) = 'M'.toByte
+    le32(out, 2, out.length)
+    le32(out, 10, dataOff)
+    le32(out, 14, 40)
+    le32(out, 18, w)
+    le32(out, 22, if (topDown) -h else h)
+    le16(out, 26, 1) // planes
+    le16(out, 28, 8) // bpp
+    le32(out, 30, 0) // BI_RGB
+    le32(out, 34, stride * h)
+    le32(out, 38, 2835); le32(out, 42, 2835) // 72 dpi
+    le32(out, 46, 256); le32(out, 50, 0)
+    var i = 0
+    while (i < 256) { // grayscale BGRA palette: index IS the intensity
+      out(54 + i * 4) = i.toByte; out(54 + i * 4 + 1) = i.toByte
+      out(54 + i * 4 + 2) = i.toByte
+      i += 1
+    }
+    var r = 0
+    while (r < h) {
+      val storedRow = if (topDown) r else h - 1 - r
+      var j = 0
+      while (j < w) {
+        val k = r * w + j
+        if (k < n) out(dataOff + storedRow * stride + j) = payload(k)
+        j += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** Synthesize the BMP-media frame for the decode gate: one fixture per
+    * document, logical pixels = the UTF-8 payload bytes (null text ≡ a
+    * valid all-zero w×1 image).
+    */
+  def asBmpMedia(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    documents.select(col("doc_id"),
+        coalesce(encode(col("text"), "UTF-8"), lit(Array.empty[Byte]))
+          .as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) => (id, bmpFixture(id, p)) })
+      .toDF("doc_id", "payload")
+  }
+
+  /** Decode BMP payloads into typed features — same batch shape and
+    * never-throw verdicting as [[decodeWavFeatures]].
+    */
+  def decodeBmpFeatures(spark: SparkSession, media: DataFrame): Dataset[BmpFeatures] = {
+    import spark.implicits._
+    media.select(col("doc_id"),
+        coalesce(col("payload"), lit(Array.empty[Byte])).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (ok, w, h, bpp, n, mean, first) = parseBmp(bytes)
+        BmpFeatures(id, if (ok) 1 else 0, w, h, bpp, n, mean, first)
+      })
+  }
+
+  /** End-to-end BMP gate frame: synthesize → parse → features, halfUp
+    * on the mean (the byte-ratio midpoint discipline, see [[pipeline]]).
+    */
+  def bmpPipeline(spark: SparkSession, documents: DataFrame): DataFrame =
+    decodeBmpFeatures(spark, asBmpMedia(spark, documents)).toDF()
+      .select(col("doc_id"), col("decode_ok"), col("width"), col("height"),
+        col("bits_per_pixel"), col("n_pixels"),
+        graft.text.Text.halfUp(col("mean_px"), 4).as("mean_px"),
+        col("first_px"))
+
   /** End-to-end: documents → media payloads → decoded feature frame.
     * mean_byte uses the corpus-wide halfUp discipline (not `round`):
     * byte-sum/length ratios genuinely land on exact .00005 midpoints

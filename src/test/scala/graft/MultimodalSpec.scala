@@ -111,6 +111,83 @@ class MultimodalSpec extends SparkSpec {
     notOk(java.util.Arrays.copyOf(bb.array(), bb.position()))
   }
 
+  test("bmpPipeline: fixture decodes to byte-derivable features across " +
+    "both row orders, null-safe") {
+    val docs = Seq(
+      (0L, "abc", "x", "s1", 3L), // w=1, h=3, bottom-up, no gap
+      (1L, "hello world", "x", "s1", 11L), // w=2, h=6, TOP-DOWN, gap 4
+      (2L, "z", "x", "s1", 1L), // w=3, h=1, bottom-up, gap 8
+      (9L, null.asInstanceOf[String], "x", "s1", 0L)) // w=2, all-zero 2×1
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Multimodal.bmpPipeline(spark, docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    out.values.foreach { r =>
+      assert(r.getAs[Int]("decode_ok") == 1)
+      assert(r.getAs[Int]("bits_per_pixel") == 8)
+    }
+    assert(out(0L).getAs[Int]("width") == 1 &&
+      out(0L).getAs[Int]("height") == 3 && out(0L).getAs[Int]("n_pixels") == 3)
+    assert(out(0L).getAs[Double]("mean_px") == 98.0) // mean('a','b','c')
+    assert(out(0L).getAs[Int]("first_px") == 'a'.toInt) // top-left = byte 0
+    // w=2: "hello world" (11 bytes) → h=6, 12 pixels incl. 1 zero fill
+    assert(out(1L).getAs[Int]("width") == 2 && out(1L).getAs[Int]("height") == 6)
+    val sum1 = "hello world".getBytes.map(_.toInt).sum
+    assert(out(1L).getAs[Double]("mean_px") ==
+      math.floor(sum1 / 12.0 * 1e4 + 0.5) / 1e4)
+    assert(out(1L).getAs[Int]("first_px") == 'h'.toInt) // top-down storage
+    assert(out(2L).getAs[Int]("n_pixels") == 3) // w=3, h=1, 2 zero fills
+    assert(out(9L).getAs[Int]("width") == 2 &&
+      out(9L).getAs[Int]("height") == 1) // empty → valid all-zero w×1
+    assert(out(9L).getAs[Double]("mean_px") == 0.0 &&
+      out(9L).getAs[Int]("first_px") == 0)
+  }
+
+  test("parseBmp is a real header-driven parser: 24-bit bottom-up with row padding") {
+    // hand-build a 24-bit BMP (a layout the fixture never emits): 2×2,
+    // no palette, bottom-up, stride 8 (6 pixel bytes + 2 pad). Proves
+    // the parser reads bpp/stride/row order from the header, not
+    // fixture assumptions.
+    val bb = java.nio.ByteBuffer.allocate(14 + 40 + 16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(70).putInt(0).putInt(54)
+    bb.putInt(40).putInt(2).putInt(2).putShort(1).putShort(24)
+    bb.putInt(0).putInt(16).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    // stored row 0 = IMAGE BOTTOM row: pixels (B,G,R) = (1,2,3),(4,5,6)
+    bb.put(Array[Byte](1, 2, 3, 4, 5, 6, 99, 99)) // 99s = padding, excluded
+    // stored row 1 = IMAGE TOP row: (7,8,9),(10,11,12)
+    bb.put(Array[Byte](7, 8, 9, 10, 11, 12, 99, 99))
+    val bmp = java.util.Arrays.copyOf(bb.array(), bb.position())
+    val (ok, w, h, bpp, n, mean, first) = Multimodal.parseBmp(bmp)
+    assert(ok && w == 2 && h == 2 && bpp == 24 && n == 4)
+    assert(mean == (1 + 2 + 3 + 4 + 5 + 6 + 7 + 8 + 9 + 10 + 11 + 12) / 12.0)
+    assert(first == 7) // top-left pixel's first channel = LAST stored row
+  }
+
+  test("parseBmp verdicts malformed bytes instead of throwing") {
+    def notOk(b: Array[Byte]): Unit = assert(!Multimodal.parseBmp(b)._1)
+    notOk(null)
+    notOk(Array.empty[Byte])
+    val good = Multimodal.bmpFixture(0L, "abcdef".getBytes)
+    assert(Multimodal.parseBmp(good)._1)
+    def patched(off: Int, bytes: Array[Byte]): Array[Byte] = {
+      val c = good.clone(); bytes.copyToArray(c, off); c
+    }
+    notOk(patched(0, "XX".getBytes)) // bad magic
+    notOk(patched(30, Array[Byte](1, 0, 0, 0))) // compressed (BI_RLE8)
+    notOk(patched(28, Array[Byte](4, 0))) // unsupported bpp
+    notOk(patched(18, Array[Byte](0, 0, 0, 0))) // zero width
+    notOk(patched(22, Array[Byte](0, 0, 0, 0))) // zero height
+    notOk(patched(22, Array[Byte](0, 0, 0, 0x80.toByte))) // Int.MinValue height
+    notOk(patched(10, Array[Byte](-1, -1, 0, 0))) // data offset past buffer
+    // truncation at every offset must verdict, never throw
+    (0 until good.length).foreach { cut =>
+      Multimodal.parseBmp(java.util.Arrays.copyOf(good, cut)): Unit
+    }
+    notOk(java.util.Arrays.copyOf(good, good.length - 1)) // truncated pixels
+    // a width whose stride overruns the buffer
+    notOk(patched(18, Array[Byte](-1, -1, -1, 0x7f)))
+  }
+
   test("notifier renders templates and dispatches to the sink") {
     import graft.etl.{CollectingNotifier, Notifier}
     val sink = new CollectingNotifier

@@ -51,6 +51,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("parseBmp ∘ bmpFixture is identity on (w, h, mean, first) for ARBITRARY bytes") {
+    // full-range payloads across both row orders (id mod 2), all gap
+    // rotations (id mod 3), all widths (id mod 8) — incl. empty (the
+    // all-zero w×1 image) and payloads that don't fill the last row
+    import graft.multimodal.Multimodal
+    val gen = Gen.zip(Gen.chooseNum(0L, 1000L),
+      Gen.chooseNum(0, 97).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte))))
+    forAll(gen, n = 60) { case (id, byteList) =>
+      val bytes = byteList.toArray
+      val (ok, w, h, bpp, nPx, mean, first) =
+        Multimodal.parseBmp(Multimodal.bmpFixture(id, bytes))
+      val wantW = 1 + (id % 8).toInt
+      val wantH = math.max(1, (bytes.length + wantW - 1) / wantW)
+      assert(ok && bpp == 8 && w == wantW && h == wantH && nPx == wantW * wantH)
+      val wantMean = bytes.map(_ & 0xff).sum.toDouble / (wantW * wantH)
+      assert(mean == wantMean, s"id=$id n=${bytes.length}")
+      assert(first == (if (bytes.isEmpty) 0 else bytes.head & 0xff))
+    }
+  }
+
   test("binned intervalJoin equals the naive O(n^2) range join") {
     import graft.analytics.Queries
     val binned = Queries.intervalJoin(spark, sfDir).collect()
