@@ -1180,6 +1180,26 @@ object SparkEntry {
         Similarity.kmeansTrainedDuckdbSql(cents))
       Similarity.kmeansAssign(e, centroids = Some(cents))
     }),
+    // trained PCA projection (the third trained-quantizer family
+    // member): deterministic power-iteration fit on the bounded
+    // sample, persisted + reloaded (mean as a 1-row matrix, components
+    // as a p×dim matrix — parquet doubles are exact), replayed by the
+    // oracle as literals; emb_project's random signs are this
+    // operator's untrained baseline
+    "emb_pca" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val (mean, comps) = Similarity.pcaFit(e, p = 4)
+      val trained = java.nio.file.Files
+        .createTempDirectory("graft_emb_pca").toString
+      Similarity.saveCentroids(s, Array(mean), s"$trained/mean")
+      Similarity.saveCentroids(s, comps, s"$trained/comps")
+      val mean2 = Similarity.loadCentroids(s, s"$trained/mean").head
+      val comps2 = Similarity.loadCentroids(s, s"$trained/comps")
+      deleteRecursively(new java.io.File(trained))
+      stashTrainedOracle("emb_pca", dir,
+        Similarity.pcaProjectDuckdbSql(mean2, comps2))
+      Similarity.pcaProject(e, mean2, comps2)
+    }),
     // int8 scalar quantization (SQ8): the 4x-smaller candidate-scan
     // copy of an IVF+SQ stack, long shape with per-row scale
     "emb_quantize" -> ((s, dir) =>
@@ -2521,6 +2541,7 @@ object SparkEntry {
     "text_bm25" -> Text.bm25Sql(bm25Terms),
     "emb_group_centroids" -> Similarity.groupCentroidsSql(),
     "emb_kmeans" -> trainedOracleSql("emb_kmeans"),
+    "emb_pca" -> trainedOracleSql("emb_pca"),
     "emb_quantize" -> Similarity.quantizeInt8Sql(),
 
     "emb_norm_filter" -> Similarity.normFilterSql(),

@@ -1054,6 +1054,164 @@ object Similarity {
          ORDER BY l2, cluster) = 1"""
   }
 
+  /** PCA fit on the bounded lowest-id sample — the third member of the
+    * trained-quantizer family (k-means coarse [[ivfCentroids]], PQ
+    * [[pqCodebooks]], and now the linear-projection model): mean vector
+    * plus the top `p` principal components, trained deterministically
+    * (same TakeOrdered sample contract; sample mean/covariance
+    * accumulated in sample order; power iteration with Hotelling
+    * deflation, fixed iteration count, uniform deterministic init,
+    * sign fixed so each component's first non-negligible coordinate is
+    * positive). Only (1+p)×dim doubles reach the driver — constant in
+    * corpus size, the train-once/load-per-job loop.
+    *
+    * Why it's here: dimensionality reduction before similarity is a
+    * standard curation step (PCA-reduced embeddings for clustering /
+    * SemDeDup; OPQ-style rotations in ANN stacks), and [[project]]'s
+    * random signs are the untrained baseline of exactly this operator.
+    *
+    * Degenerate corpora (no non-null vectors) yield the zero mean and
+    * the first p standard-basis vectors — a defined, loud-in-output
+    * fallback rather than a throw.
+    */
+  def pcaFit(embeddings: DataFrame, p: Int = 4, dim: Int = 64,
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             maxTrainSamples: Int = 4096, powerIters: Int = 100)
+      : (Array[Double], Array[Array[Double]]) = {
+    require(p >= 1 && p <= dim, s"pcaFit: p=$p out of range 1..$dim")
+    val sample: Array[Array[Double]] = embeddings
+      .select(col(idCol), col(vecCol))
+      .where(col(vecCol).isNotNull).orderBy(col(idCol))
+      .limit(maxTrainSamples)
+      .select(col(vecCol)).collect()
+      .map(r => java.util.Arrays.copyOf(
+        r.getSeq[Float](0).toArray.map(_.toDouble), dim))
+    if (sample.isEmpty)
+      return (new Array[Double](dim),
+        Array.tabulate(p)(c => Array.tabulate(dim)(d => if (d == c) 1.0 else 0.0)))
+    val n = sample.length
+    val mean = new Array[Double](dim)
+    sample.foreach { v =>
+      var d = 0; while (d < dim) { mean(d) += v(d); d += 1 }
+    }
+    locally { var d = 0; while (d < dim) { mean(d) /= n; d += 1 } }
+    val cov = Array.fill(dim, dim)(0.0)
+    sample.foreach { v =>
+      var i = 0
+      while (i < dim) {
+        val ci = v(i) - mean(i)
+        var j = 0
+        while (j < dim) { cov(i)(j) += ci * (v(j) - mean(j)); j += 1 }
+        i += 1
+      }
+    }
+    locally { var i = 0; while (i < dim) {
+        var j = 0; while (j < dim) { cov(i)(j) /= n; j += 1 }; i += 1 } }
+    val comps = Array.ofDim[Double](p, dim)
+    for (c <- 0 until p) {
+      var w = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+      for (_ <- 0 until powerIters) {
+        val nw = new Array[Double](dim)
+        var i = 0
+        while (i < dim) {
+          var s = 0.0; var j = 0
+          while (j < dim) { s += cov(i)(j) * w(j); j += 1 }
+          nw(i) = s; i += 1
+        }
+        // Gram–Schmidt against the already-extracted components every
+        // iteration: deflation alone leaves O(residual) cross-talk when
+        // the eigengap is small, re-orthogonalizing pins orthogonality
+        // at machine precision regardless of the spectrum
+        var cc = 0
+        while (cc < c) {
+          val prev = comps(cc)
+          var dot = 0.0; var d = 0
+          while (d < dim) { dot += nw(d) * prev(d); d += 1 }
+          d = 0
+          while (d < dim) { nw(d) -= dot * prev(d); d += 1 }
+          cc += 1
+        }
+        val norm = math.sqrt(nw.map(x => x * x).sum)
+        // a zero image means the remaining spectrum is (numerically)
+        // empty — keep the current direction rather than divide by 0
+        w = if (norm > 1e-300) nw.map(_ / norm) else w
+      }
+      // sign convention: first coordinate with |w_d| > 1e-9 is positive
+      val lead = w.indexWhere(x => math.abs(x) > 1e-9)
+      if (lead >= 0 && w(lead) < 0) w = w.map(-_)
+      comps(c) = w
+      // Hotelling deflation: remove the captured direction's variance
+      val lambda = {
+        var s = 0.0; var i = 0
+        while (i < dim) {
+          var t = 0.0; var j = 0
+          while (j < dim) { t += cov(i)(j) * w(j); j += 1 }
+          s += w(i) * t; i += 1
+        }
+        s
+      }
+      var i = 0
+      while (i < dim) {
+        var j = 0
+        while (j < dim) { cov(i)(j) -= lambda * w(i) * w(j); j += 1 }
+        i += 1
+      }
+    }
+    (mean, comps)
+  }
+
+  /** Project every vector onto trained principal components: one scan,
+    * zero shuffle, one output column `pc<c>` per component, each the
+    * strict index-order fold Σ_d (v[d] − mean[d])·w_c[d] from 0.0
+    * (half-up-rounded at `digits`). Null vectors are excluded (the
+    * [[kmeansAssign]] contract); short vectors null-pad through
+    * zip_with, so their projections are NULL — visibly degenerate,
+    * never silently wrong.
+    */
+  def pcaProject(embeddings: DataFrame, mean: Array[Double],
+                 comps: Array[Array[Double]],
+                 idCol: String = "vec_id", vecCol: String = "embedding",
+                 digits: Int = 4): DataFrame = {
+    val centered = zip_with(col(vecCol), typedLit(mean.toSeq),
+      (x, m) => x.cast("double") - m)
+    val cols = comps.zipWithIndex.map { case (w, c) =>
+      graft.text.Text.halfUp(
+        aggregate(
+          zip_with(centered, typedLit(w.toSeq), (cx, wd) => cx * wd),
+          lit(0.0), (acc, v) => acc + v),
+        digits).as(s"pc$c")
+    }
+    embeddings.where(col(vecCol).isNotNull)
+      .select(col(idCol) +: cols.toIndexedSeq: _*)
+  }
+
+  /** DuckDB replay of [[pcaProject]] under the trained-literal contract:
+    * mean and components as [[dLit]] literals, the identical
+    * centered-then-weighted per-element product folded prepend-0.0 in
+    * index order, the same half-up rounding.
+    */
+  def pcaProjectDuckdbSql(mean: Array[Double], comps: Array[Array[Double]],
+                          dim: Int = 64, table: String = "embeddings",
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding",
+                          digits: Int = 4): String = {
+    require(mean.length == dim && comps.forall(_.length == dim),
+      s"pcaProjectDuckdbSql: mean/components must be dim=$dim")
+    val meanLit = duckVecLit(mean)
+    val cols = comps.zipWithIndex.map { case (w, c) =>
+      val fold =
+        s"""list_reduce(list_prepend(cast(0.0 as double),
+           list_transform(range(1, ${dim + 1}),
+             d -> (cast($vecCol[d] as double) - (${meanLit})[d])
+                * (${duckVecLit(w)})[d])),
+           (acc, v) -> acc + v)"""
+      s"${graft.text.Text.halfUpSql(fold, digits)} AS pc$c"
+    }.mkString(",\n       ")
+    s"""SELECT $idCol,
+       $cols
+       FROM $table WHERE $vecCol IS NOT NULL"""
+  }
+
   /** ANN via IVF: vectors assigned to their nearest centroid's list;
     * probes search only the `nprobe` nearest lists. Candidate cost is
     * (nprobe/k) of the corpus per probe — the standard recall/latency

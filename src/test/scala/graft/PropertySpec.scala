@@ -72,6 +72,25 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("parseWav/parseBmp NEVER throw on arbitrary byte garbage — verdict or parse") {
+    // beyond the targeted malformed cases: a decoder facing 100 TB of
+    // crawl bytes sees every possible prefix/corruption; any input must
+    // produce a verdict, never an exception. Seed some inputs with the
+    // real magics so the walk past the header is exercised, not just
+    // the magic check.
+    import graft.multimodal.Multimodal
+    val raw = Gen.chooseNum(0, 200).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte)))
+    val seeded = for {
+      bytes <- raw
+      magic <- Gen.oneOf("RIFF", "BM", "RIFFxxxxWAVE", "")
+    } yield magic.getBytes ++ bytes.toArray
+    forAll(seeded, n = 120) { bytes =>
+      Multimodal.parseWav(bytes): Unit
+      Multimodal.parseBmp(bytes): Unit
+    }
+  }
+
   test("binned intervalJoin equals the naive O(n^2) range join") {
     import graft.analytics.Queries
     val binned = Queries.intervalJoin(spark, sfDir).collect()

@@ -383,6 +383,59 @@ class SimilaritySpec extends SparkSpec {
     assert(p.contains(1002L) && p(1002L)._2 >= 0.0)
   }
 
+  test("pcaFit: deterministic orthonormal components, variance-ordered; " +
+    "projection equals a driver-side strict replay") {
+    val (m1, c1) = Similarity.pcaFit(emb, p = 4)
+    val (m2, c2) = Similarity.pcaFit(emb, p = 4)
+    assert(m1.sameElements(m2))
+    assert(c1.zip(c2).forall { case (a, b) => a.sameElements(b) })
+    // orthonormal within power-iteration tolerance
+    for (i <- c1.indices; j <- c1.indices) {
+      val dot = c1(i).zip(c1(j)).map { case (a, b) => a * b }.sum
+      if (i == j) assert(math.abs(dot - 1.0) < 1e-9)
+      else assert(math.abs(dot) < 1e-6, s"components $i,$j not orthogonal: $dot")
+    }
+    // sign convention: leading non-negligible coordinate positive
+    c1.foreach { w =>
+      val lead = w.indexWhere(x => math.abs(x) > 1e-9)
+      assert(lead < 0 || w(lead) > 0)
+    }
+    val out = Similarity.pcaProject(emb, m1, c1).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (0 until 4).map(c => r.getAs[Double](s"pc$c"))).toMap
+    // driver replay: centered-then-weighted strict fold + halfUp
+    val vecs = emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getAs[Long](0) -> r.getSeq[Float](1).toArray)
+    assert(out.size == vecs.length)
+    vecs.foreach { case (id, v) =>
+      val want = (0 until 4).map { c =>
+        var s = 0.0; var d = 0
+        while (d < 64) { s += (v(d).toDouble - m1(d)) * c1(c)(d); d += 1 }
+        math.floor(s * 1e4 + 0.5) / 1e4
+      }
+      assert(out(id) == want, s"vec $id")
+    }
+    // captured variance is non-increasing across components
+    val vars = (0 until 4).map { c =>
+      val xs = out.values.map(_(c)).toArray
+      val mu = xs.sum / xs.length
+      xs.map(x => (x - mu) * (x - mu)).sum / xs.length
+    }
+    assert(vars.sliding(2).forall { case Seq(a, b) => a >= b - 1e-9 },
+      s"variances not ordered: $vars")
+    // a planted dominant axis is recovered as pc0 (up to the sign rule)
+    import spark.implicits._
+    val axis = Array.tabulate(64)(d => if (d == 7) 1.0 else 0.0)
+    val planted = (0 until 64).map { i =>
+      (i.toLong, Array.tabulate(64)(d =>
+        (axis(d) * (i % 13) + 0.01 * ((i * 31 + d) % 5)).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val (_, pcs) = Similarity.pcaFit(planted, p = 1)
+    assert(math.abs(pcs(0)(7)) > 0.99,
+      s"dominant axis not recovered: ${pcs(0).toSeq.take(10)}")
+  }
+
   test("cosineNearDup returns only pairs above threshold, id_a < id_b") {
     val out = Similarity.cosineNearDup(emb, threshold = 0.9,
       nBits = 4, nTables = 4).collect()
