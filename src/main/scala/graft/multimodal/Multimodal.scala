@@ -342,7 +342,11 @@ object Multimodal {
     val rowBytesL = width.toLong * bytesPerPx
     val strideL = (rowBytesL + 3) & ~3L
     if (dataOff < 14 + hdrSize || dataOff > bytes.length) return bad
-    if (dataOff + strideL * height > bytes.length) return bad
+    // division form, not `dataOff + strideL * height > length`: with a
+    // hostile width×height (both near 2^31, bpp=24) the product
+    // overflows Long and the multiplied check PASSES — the pixel walk
+    // would then throw instead of verdicting (height >= 1 here)
+    if (strideL > (bytes.length - dataOff) / height) return bad
     val off = dataOff.toInt
     val stride = strideL.toInt // bounded by the buffer check above
     val rowBytes = rowBytesL.toInt

@@ -186,6 +186,17 @@ class MultimodalSpec extends SparkSpec {
     notOk(java.util.Arrays.copyOf(good, good.length - 1)) // truncated pixels
     // a width whose stride overruns the buffer
     notOk(patched(18, Array[Byte](-1, -1, -1, 0x7f)))
+    // Long-overflow bounds evasion: width=0x7FFFFFFF × height=0x60000000
+    // at 24 bpp makes strideL*height wrap negative, so the multiplied
+    // form of the bounds check would PASS and the pixel walk would
+    // throw — the division-form check must verdict it
+    val evil = java.nio.ByteBuffer.allocate(58)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    evil.put('B'.toByte).put('M'.toByte).putInt(58).putInt(0).putInt(54)
+    evil.putInt(40).putInt(0x7fffffff).putInt(0x60000000).putShort(1)
+    evil.putShort(24).putInt(0).putInt(0).putInt(0).putInt(0)
+    evil.putInt(0).putInt(0)
+    notOk(java.util.Arrays.copyOf(evil.array(), 58))
   }
 
   test("notifier renders templates and dispatches to the sink") {
