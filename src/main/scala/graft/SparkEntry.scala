@@ -911,6 +911,19 @@ object SparkEntry {
     // streaming state (the suite's one statefulOps=0 gate)
     "stream_contamination" -> ((s, dir) =>
       graft.streaming.Streams.contaminationAvailableNow(s, dir)),
+    // stateless streaming MODEL INFERENCE: the k-means quantizer
+    // trained out-of-band on the batch corpus, every arriving vector
+    // labeled per-row (the embedding-pipeline twin of the
+    // contamination screen; second statefulOps=0 gate) — gated on the
+    // SAME trained-literal oracle as emb_kmeans, so batch and stream
+    // scoring provably agree
+    "stream_kmeans" -> ((s, dir) => {
+      val cents = Similarity.ivfCentroids(
+        Tables(s, dir, "embeddings"), k = 16, iters = 5)
+      stashTrainedOracle("stream_kmeans", dir,
+        Similarity.kmeansTrainedDuckdbSql(cents))
+      graft.streaming.Streams.kmeansAssignAvailableNow(s, dir, cents)
+    }),
     // pairs → clusters: transitive closure of the verified near-dup pairs,
     // every doc labeled with its cluster's min id (singletons label
     // themselves)
@@ -2470,6 +2483,7 @@ object SparkEntry {
     // stateless stream screen vs the batch SQL; distinct-fp count is the
     // array_intersect semantics (see Text.contaminationSql)
     "stream_contamination" -> Text.contaminationSql(distinctFps = true),
+    "stream_kmeans" -> trainedOracleSql("stream_kmeans"),
     "sim_ann_lsh" -> Similarity.annTopKDuckdbSql((0L until 10L), 5),
     "sim_ann_ivf_seeded" -> Similarity.ivfSeededDuckdbSql((0L until 10L), 5),
     "sim_near_dup" -> Similarity.cosineNearDupDuckdbSql(threshold = 0.4),

@@ -718,6 +718,61 @@ object Streams {
       contaminationStream(df.repartition(cores), benchmarkFingerprints(bench)))
   }
 
+  /** Stage the embeddings table as a vec_id-ordered chunked replay —
+    * [[stageDocsReplay]]'s contract for the vector table. No synthetic
+    * event time: the consumer ([[kmeansAssignAvailableNow]]) is
+    * STATELESS, so there is no watermark to feed and no late-row
+    * eviction to guard against; chunk order just makes the replay
+    * deterministic.
+    */
+  def stageEmbReplay(spark: SparkSession, sfDir: String,
+                     chunks: Int = 3): String = {
+    import java.nio.file.Files
+    val in = s"target/stream_stage/v1_emb_${stageKey(sfDir, "embeddings")}_x$chunks"
+    if (!new java.io.File(s"$in/_STAGED").exists()) {
+      rmTree(in); new java.io.File(in).mkdirs(): Unit
+      val e = graft.Tables(spark, sfDir, "embeddings")
+      val maxId = e.agg(max(col("vec_id"))).first().getLong(0)
+      val base = System.currentTimeMillis() - 3600L * 1000
+      (0 until chunks).foreach { i =>
+        val lo = maxId * i / chunks
+        val hi = if (i == chunks - 1) maxId else maxId * (i + 1) / chunks
+        writeChunk(in,
+          e.filter((if (i == 0) lit(true) else col("vec_id") > lo) &&
+            col("vec_id") <= hi).orderBy(col("vec_id")),
+          f"chunk-$i%02d.parquet", base + i * 60000L)
+      }
+      Files.writeString(java.nio.file.Paths.get(s"$in/_STAGED"), "ok"): Unit
+    }
+    in
+  }
+
+  /** STREAMING K-MEANS SCORING — the trained-offline / score-in-stream
+    * inference pattern (the embedding-pipeline shape of
+    * [[contaminationAvailableNow]]'s broadcast screen): the quantizer is
+    * trained out-of-band on the batch corpus (the caller passes the
+    * centroid matrix — production loads it from the persisted model),
+    * and every ARRIVING vector is labeled per-row through the same
+    * fused `centroid_dists` projection as the batch operator. Zero
+    * streaming state (no watermark, no state store — each vector's
+    * cluster is final on arrival), so the result is replay-order
+    * independent and the batch oracle gates the streaming path
+    * end to end.
+    */
+  def kmeansAssignAvailableNow(spark: SparkSession, sfDir: String,
+                               centroids: Array[Array[Double]],
+                               chunks: Int = 3): DataFrame = {
+    val in = stageEmbReplay(spark, sfDir, chunks)
+    // one staged file per micro-batch = ONE read task; the k×dim
+    // distance projection is the heavy part — repartition ahead of it
+    // so the map-only scoring uses the executor cores (the LSH /
+    // contamination gates' note)
+    val cores = spark.sparkContext.defaultParallelism
+    runStagedAvailableNow(spark, in, "append", chunks)(df =>
+      graft.similarity.Similarity.kmeansAssign(
+        df.repartition(cores), centroids = Some(centroids)))
+  }
+
   case class BandedDoc(band: Int, bsig: String, doc_id: Long, ts: Timestamp)
   case class CandPair(doc_a: Long, doc_b: Long)
 

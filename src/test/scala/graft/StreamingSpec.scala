@@ -255,6 +255,22 @@ class StreamingSpec extends SparkSpec {
     assert(progress.stateOperators.isEmpty)
   }
 
+  test("streaming k-means scoring equals the batch assignment end to end, keeps no state") {
+    import graft.similarity.Similarity
+    val e = Tables(spark, sfDir, "embeddings")
+    val cents = Similarity.ivfCentroids(e, k = 8, iters = 3)
+    val batch = Similarity.kmeansAssign(e, centroids = Some(cents))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    val streamed = Streams.kmeansAssignAvailableNow(spark, sfDir, cents)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(streamed == batch)
+    val stats = Streams.lastRunStats.get
+    assert(stats.statefulOps == 0,
+      s"per-row scoring must hold no streaming state: $stats")
+    assert(stats.dataBatches >= 2,
+      s"the replay must actually span micro-batches: $stats")
+  }
+
   test("streaming as-of enrichment carries last-click state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Streams.Event]
