@@ -48,6 +48,18 @@ failing — a regression is only code-attributable on a healthy box:
     slowdown in a shared kernel (tokenizer, md5) inflates the suite
     exactly this way (the r10 blind-spot class) -> FAIL unless the
     operator passes an explicit --accept-uniform.
+  * I/O sentinel (r13): the CPU spin is blind to host STORAGE
+    contention — the r13 close measured calib +15% while the
+    fsync-heavy streaming floor inflated +40%, proven box-not-code by
+    a same-box cross-version run. Artifacts now carry
+    calib_io_pre/post_sec (Bench.calibrateIo: 24 small durable
+    writes, the streaming-checkpoint shape), and a recorded baseline
+    stores its own io pair, so io-dirtiness is SELF-ANCHORED: when a
+    uniform+cpu-clean fail would fire but the artifact's worst io
+    calib exceeds 1.5x the baseline's recorded worst, the breach is
+    machine-attributed (io-dirty) and downgrades to WARN. Baselines
+    recorded before r13 carry no io pair — the branch stays dormant
+    for them (conservative: the FAIL still demands a human).
 Recording refuses a dirty-calib artifact (--force overrides) so the
 baseline itself is always an idle-box measurement.
 """
@@ -81,6 +93,14 @@ def calib_state(d):
     worst = max(x for x in (pre, post, 0.0) if x is not None)
     dirty = worst > clean * CALIB_DIRTY_FACTOR
     return pre, post, dirty
+
+
+def io_worst(d):
+    """Worst of the artifact's I/O sentinel pair, or None when the
+    artifact predates Bench.calibrateIo."""
+    vals = [d.get("calib_io_pre_sec"), d.get("calib_io_post_sec")]
+    vals = [v for v in vals if v is not None]
+    return max(vals) if vals else None
 
 
 def baseline_path_for(d):
@@ -119,10 +139,12 @@ def main():
 
     d, cur = load_bench(bench_path)
     pre, post, dirty = calib_state(d)
+    io_cur = io_worst(d)
     baseline = baseline_opt or baseline_path_for(d)
     print(f"[bench-audit] artifact={bench_path} queries={len(cur)} "
           f"calib={pre}/{post} "
           f"dirty={'UNINSTRUMENTED' if dirty is None else dirty} "
+          f"io={io_cur if io_cur is not None else 'n/a'} "
           f"baseline={os.path.basename(baseline)}")
 
     if dirty is None:
@@ -151,6 +173,9 @@ def main():
             "abs": float(abs_opt) if abs_opt else ABS,
             "queries": {k: round(v, 4) for k, v in sorted(cur.items())},
         }
+        if io_cur is not None:
+            base["calib_io_pre_sec"] = d.get("calib_io_pre_sec")
+            base["calib_io_post_sec"] = d.get("calib_io_post_sec")
         with open(baseline, "w") as f:
             json.dump(base, f, indent=1, sort_keys=True)
         print(f"[bench-audit] recorded {len(cur)} baselines "
@@ -210,6 +235,18 @@ def main():
                   "attributed, WARN only. Re-run on an idle box.")
             sys.exit(0)
         if uniform:
+            # io-dirty escape (r13): the CPU spin can sit clean while
+            # host storage contention inflates every fsync/scan-heavy
+            # query — self-anchored to the baseline's own recorded io
+            io_base = io_worst(base)
+            if io_base and io_cur and io_cur > io_base * 1.5:
+                print(f"[bench-audit] {len(breaches)} breach(es), "
+                      f"inflation UNIFORM ({up}/{len(shared)} up), CPU "
+                      f"calib clean but IO sentinel DIRTY ({io_cur:.3f} "
+                      f"vs {io_base:.3f} recorded) — machine-attributed "
+                      "(storage contention), WARN only. Re-run on an "
+                      "idle box.")
+                sys.exit(0)
             # clean calib CONTRADICTS the co-tenant-load explanation: a
             # shared-kernel slowdown (tokenizer, md5) inflates the suite
             # uniformly too, and it is exactly code. (ADVICE r11)

@@ -25,6 +25,37 @@ object Bench {
     }.min
   }
 
+  /** STORAGE-state sentinel, the [[calibrate]] twin for I/O: the
+    * CPU-spin sentinel is blind to host storage contention, and the
+    * r13 close measured the gap — a session where calib moved ~15%
+    * while the fsync-heavy streaming floor inflated ~40% (proven
+    * box-not-code by a same-box cross-version run). This times the
+    * streaming-checkpoint shape directly: 24 small durable writes
+    * (create, 256 KiB write, force, close), min-of-reps seconds.
+    * Artifacts carry calib_io_pre/post next to the CPU pair; the
+    * audit anchors io-dirtiness to the BASELINE's own recorded io
+    * (self-anchoring — no cross-box magic constant).
+    */
+  def calibrateIo(reps: Int = 3): Double = {
+    import java.nio.file.{Files, StandardOpenOption}
+    (1 to reps).map { _ =>
+      val dir = Files.createTempDirectory("graft_iocalib")
+      val t0 = System.nanoTime()
+      (0 until 24).foreach { i =>
+        val ch = java.nio.channels.FileChannel.open(
+          dir.resolve(s"f$i"),
+          StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+        ch.write(java.nio.ByteBuffer.allocate(256 * 1024))
+        ch.force(true)
+        ch.close()
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      (0 until 24).foreach(i => Files.deleteIfExists(dir.resolve(s"f$i")))
+      Files.deleteIfExists(dir)
+      dt
+    }.min
+  }
+
   /** Session builder shared by [[main]] and [[BenchSubset]]. */
   def session(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
@@ -99,6 +130,7 @@ object Bench {
     // machine-state sentinel BEFORE the suite (see [[calibrate]]): the
     // artifact carries its own box-health evidence
     val calibPre = calibrate(spark)
+    val calibIoPre = calibrateIo()
     val allTimes = ordered.map { case (name, fn) =>
       System.gc()
       val times = (1 to reps).map { _ =>
@@ -119,6 +151,7 @@ object Bench {
     // ...and AFTER: churn that develops mid-suite (GC pressure, a
     // co-tenant process) shows as calib_post >> calib_pre
     val calibPost = calibrate(spark)
+    val calibIoPost = calibrateIo()
     val results = allTimes.map { case (name, ts) => name -> ts.min }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -146,7 +179,7 @@ object Bench {
     // field because they were printed BEFORE the ~137-entry reps map).
     // The big maps go FIRST and the scalar summary fields LAST, so a
     // truncated head costs per-query detail, never the totals.
-    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","reps":$reps,"agg":"min","queries":$qs,"reps_sec":$repsJson,"calib_pre_sec":$calibPre,"calib_post_sec":$calibPost,"calib_threads":$cpus$calibClean,"batch_sec":${total - streaming},"streaming_sec":$streaming,"value":$total}"""
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","reps":$reps,"agg":"min","queries":$qs,"reps_sec":$repsJson,"calib_pre_sec":$calibPre,"calib_post_sec":$calibPost,"calib_io_pre_sec":$calibIoPre,"calib_io_post_sec":$calibIoPost,"calib_threads":$cpus$calibClean,"batch_sec":${total - streaming},"streaming_sec":$streaming,"value":$total}"""
     // ...and the complete artifact also lands on disk, immune to any
     // stdout capture policy
     try java.nio.file.Files.write(
@@ -160,6 +193,6 @@ object Bench {
     // complete, valid JSON object with every scalar field — the r9
     // artifact lost all totals because they lived at the head of the
     // one big line
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","reps":$reps,"agg":"min","n_queries":${results.size},"calib_pre_sec":$calibPre,"calib_post_sec":$calibPost,"calib_threads":$cpus$calibClean,"batch_sec":${total - streaming},"streaming_sec":$streaming,"full":"$outPath","value":$total}""")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","reps":$reps,"agg":"min","n_queries":${results.size},"calib_pre_sec":$calibPre,"calib_post_sec":$calibPost,"calib_io_pre_sec":$calibIoPre,"calib_io_post_sec":$calibIoPost,"calib_threads":$cpus$calibClean,"batch_sec":${total - streaming},"streaming_sec":$streaming,"full":"$outPath","value":$total}""")
   }
 }
