@@ -102,15 +102,15 @@ def calib_state(d):
     clean = d.get("calib_clean_sec", CALIB_CLEAN)
     worst = max(x for x in (pre, post, 0.0) if x is not None)
     dirty = worst > clean * CALIB_DIRTY_FACTOR
-    return pre, post, dirty
+    return pre, post, worst, dirty
 
 
-def io_worst(d):
-    """Worst of the artifact's I/O sentinel pair, or None when the
+def io_pair(d):
+    """The artifact's I/O sentinel samples (negatives = the salvage
+    sentinel for an unavailable measurement — dropped), or [] when the
     artifact predates Bench.calibrateIo."""
     vals = [d.get("calib_io_pre_sec"), d.get("calib_io_post_sec")]
-    vals = [v for v in vals if v is not None]
-    return max(vals) if vals else None
+    return [v for v in vals if v is not None and v >= 0]
 
 
 def baseline_path_for(d):
@@ -148,13 +148,13 @@ def main():
     bench_path = paths[0] if paths else "bench_out.json"
 
     d, cur = load_bench(bench_path)
-    pre, post, dirty = calib_state(d)
-    io_cur = io_worst(d)
+    pre, post, worst, dirty = calib_state(d)
+    io_cur = io_pair(d)
     baseline = baseline_opt or baseline_path_for(d)
     print(f"[bench-audit] artifact={bench_path} queries={len(cur)} "
           f"calib={pre}/{post} "
           f"dirty={'UNINSTRUMENTED' if dirty is None else dirty} "
-          f"io={io_cur if io_cur is not None else 'n/a'} "
+          f"io={'/'.join(f'{v:.3f}' for v in io_cur) if io_cur else 'n/a'} "
           f"baseline={os.path.basename(baseline)}")
 
     if dirty is None:
@@ -170,10 +170,19 @@ def main():
         sys.exit(2)
 
     if record:
+        clean_ref = d.get("calib_clean_sec", CALIB_CLEAN)
         if dirty and not force:
             print("[bench-audit] REFUSING to record a dirty-calib artifact "
                   "(calib > 1.5x clean); rerun Bench on an idle box or pass "
                   "--force")
+            sys.exit(2)
+        if worst > clean_ref * 1.15 and not force:
+            # the graded-band rule applied to the RECORD side of the same
+            # invariant: an elevated-band box pins every value 15-50% high,
+            # silently loosening the gate for every future audit
+            print(f"[bench-audit] REFUSING to record an elevated-box "
+                  f"artifact (calib {worst:.3f} = {worst / clean_ref:.2f}x "
+                  "clean > 1.15x); rerun on an idle box or pass --force")
             sys.exit(2)
         base = {
             "sf": d.get("sf"),
@@ -183,7 +192,7 @@ def main():
             "abs": float(abs_opt) if abs_opt else ABS,
             "queries": {k: round(v, 4) for k, v in sorted(cur.items())},
         }
-        if io_cur is not None:
+        if io_cur:
             base["calib_io_pre_sec"] = d.get("calib_io_pre_sec")
             base["calib_io_post_sec"] = d.get("calib_io_post_sec")
         with open(baseline, "w") as f:
@@ -214,7 +223,6 @@ def main():
     # graded sentinel band (r13): an elevated-but-not-dirty box scales
     # every allowance by its own measured factor — see the module doc
     clean = d.get("calib_clean_sec", CALIB_CLEAN)
-    worst = max(x for x in (pre, post, 0.0) if x is not None)
     scale = worst / clean if worst / clean > 1.15 and not dirty else 1.0
     if scale > 1.0:
         print(f"[bench-audit] box ELEVATED: calib {worst:.3f} = "
@@ -257,13 +265,19 @@ def main():
         if uniform:
             # io-dirty escape (r13): the CPU spin can sit clean while
             # host storage contention inflates every fsync/scan-heavy
-            # query — self-anchored to the baseline's own recorded io
-            io_base = io_worst(base)
-            if io_base and io_cur and io_cur > io_base * 1.5:
+            # query — self-anchored to the baseline's own recorded io.
+            # BOTH samples must exceed 2x the baseline's worst: the
+            # pair's within-run spread measured 1.6x on a HEALTHY box,
+            # so a single-sample 1.5x test would let a real shared-
+            # kernel regression ride a noise spike to a green exit
+            io_base = io_pair(base)
+            if io_base and len(io_cur) == 2 and \
+                    min(io_cur) > max(io_base) * 2.0:
                 print(f"[bench-audit] {len(breaches)} breach(es), "
                       f"inflation UNIFORM ({up}/{len(shared)} up), CPU "
-                      f"calib clean but IO sentinel DIRTY ({io_cur:.3f} "
-                      f"vs {io_base:.3f} recorded) — machine-attributed "
+                      "calib clean but IO sentinel DIRTY (both samples "
+                      f"{min(io_cur):.3f}/{max(io_cur):.3f} > 2x the "
+                      f"{max(io_base):.3f} recorded) — machine-attributed "
                       "(storage contention), WARN only. Re-run on an "
                       "idle box.")
                 sys.exit(0)
@@ -276,11 +290,15 @@ def main():
                       "downgraded by --accept-uniform. Record WHY in the "
                       "ledger.")
                 sys.exit(0)
+            band = ("CLEAN" if scale == 1.0 else
+                    f"ELEVATED ({worst / clean:.2f}x, already scaled into "
+                    "the allowance)")
             print(f"[bench-audit] FAIL: {len(breaches)} breach(es), "
                   f"inflation UNIFORM ({up}/{len(shared)} up) but calib is "
-                  "CLEAN — a clean sentinel contradicts co-tenant load; "
-                  "suspect a shared kernel (tokenizer/md5) regression. "
-                  "Pass --accept-uniform only with an attribution in hand.")
+                  f"{band} — the sentinel does not support co-tenant load "
+                  "at this size; suspect a shared kernel (tokenizer/md5) "
+                  "regression. Pass --accept-uniform only with an "
+                  "attribution in hand.")
             sys.exit(1)
         print(f"[bench-audit] FAIL: {len(breaches)} code-attributable "
               f"regression(s) (calib clean, inflation not uniform)")

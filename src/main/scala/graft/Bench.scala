@@ -36,25 +36,34 @@ object Bench {
     * audit anchors io-dirtiness to the BASELINE's own recorded io
     * (self-anchoring — no cross-box magic constant).
     */
-  def calibrateIo(reps: Int = 3): Double = {
-    import java.nio.file.{Files, StandardOpenOption}
-    (1 to reps).map { _ =>
-      val dir = Files.createTempDirectory("graft_iocalib")
-      val t0 = System.nanoTime()
-      (0 until 24).foreach { i =>
-        val ch = java.nio.channels.FileChannel.open(
-          dir.resolve(s"f$i"),
-          StandardOpenOption.CREATE, StandardOpenOption.WRITE)
-        ch.write(java.nio.ByteBuffer.allocate(256 * 1024))
-        ch.force(true)
-        ch.close()
-      }
-      val dt = (System.nanoTime() - t0) / 1e9
-      (0 until 24).foreach(i => Files.deleteIfExists(dir.resolve(s"f$i")))
-      Files.deleteIfExists(dir)
-      dt
-    }.min
-  }
+  def calibrateIo(reps: Int = 3): Double =
+    // salvage on I/O failure (full/unwritable tmp): the sentinel must
+    // never abort a completed suite — post-calibration runs AFTER the
+    // timed reps, and an exception here would lose the whole artifact.
+    // -1.0 = "sentinel unavailable"; the audit ignores negatives.
+    try {
+      import java.nio.file.{Files, StandardOpenOption}
+      (1 to reps).map { _ =>
+        val dir = Files.createTempDirectory("graft_iocalib")
+        try {
+          val t0 = System.nanoTime()
+          (0 until 24).foreach { i =>
+            val ch = java.nio.channels.FileChannel.open(
+              dir.resolve(s"f$i"),
+              StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+            try { ch.write(java.nio.ByteBuffer.allocate(256 * 1024))
+                  ch.force(true) } finally ch.close()
+          }
+          (System.nanoTime() - t0) / 1e9
+        } finally {
+          (0 until 24).foreach(i => Files.deleteIfExists(dir.resolve(s"f$i")))
+          Files.deleteIfExists(dir): Unit
+        }
+      }.min
+    } catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] io calib unavailable: ${e.getMessage}")
+      -1.0
+    }
 
   /** Session builder shared by [[main]] and [[BenchSubset]]. */
   def session(cpus: String): SparkSession = {

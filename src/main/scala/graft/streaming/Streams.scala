@@ -332,32 +332,49 @@ object Streams {
     * staged dir. Shared by every streaming gate over documents.
     */
   def stageDocsReplay(spark: SparkSession, sfDir: String,
-                      chunks: Int = 4): String = {
+                      chunks: Int = 4): String =
+    // ts is offset a day past the epoch: the initial watermark is 0,
+    // and a doc_id-0 row AT exactly epoch 0 would be "older than the
+    // watermark" and silently dropped as late by stateful operators
+    // (observed: 499/500 docs through the dedup gate).
+    stageTableReplay(spark, sfDir, "documents", "doc_id", chunks,
+      dirTag = "v3_docs")(
+      _.withColumn("ts",
+        expr("timestamp_micros(86400000000 + doc_id * 1000)")))
+
+  /** The ONE table-replay stager behind [[stageDocsReplay]] and
+    * [[stageEmbReplay]]: id-range chunks, each sorted by id and written
+    * as a single file with a pinned modification time so the file
+    * source replays them in id order. `prep` adds any per-table columns
+    * (the documents replay's synthetic event time). The sort matters:
+    * sorting before writeChunk's coalesce(1) preserves the total order
+    * (coalesce concatenates parent partitions in order) — without it,
+    * within-chunk arrival order would be the source parquet's PHYSICAL
+    * row order, and first-seen semantics would match the min-id oracles
+    * only by accident of how the test data happens to be written.
+    */
+  private def stageTableReplay(spark: SparkSession, sfDir: String,
+                               table: String, idCol: String, chunks: Int,
+                               dirTag: String)
+                              (prep: DataFrame => DataFrame): String = {
     import java.nio.file.Files
-    val in = s"target/stream_stage/v3_docs_${stageKey(sfDir, "documents")}_x$chunks"
+    val in = s"target/stream_stage/${dirTag}_${stageKey(sfDir, table)}_x$chunks"
     if (!new java.io.File(s"$in/_STAGED").exists()) {
       rmTree(in); new java.io.File(in).mkdirs(): Unit
-      // ts is offset a day past the epoch: the initial watermark is 0,
-      // and a doc_id-0 row AT exactly epoch 0 would be "older than the
-      // watermark" and silently dropped as late by stateful operators
-      // (observed: 499/500 docs through the dedup gate).
-      val d = graft.Tables(spark, sfDir, "documents")
-        .withColumn("ts", expr("timestamp_micros(86400000000 + doc_id * 1000)"))
-      val maxId = d.agg(max(col("doc_id"))).first().getLong(0)
+      val d = prep(graft.Tables(spark, sfDir, table))
+      val maxIdRow = d.agg(max(col(idCol))).first()
+      // legible failure, not an NPE from getLong(null): an empty table
+      // cannot be chunked into a replay
+      require(!maxIdRow.isNullAt(0),
+        s"stageTableReplay: $sfDir/$table is empty — nothing to replay")
+      val maxId = maxIdRow.getLong(0)
       val base = System.currentTimeMillis() - 3600L * 1000
       (0 until chunks).foreach { i =>
         val lo = maxId * i / chunks
         val hi = if (i == chunks - 1) maxId else maxId * (i + 1) / chunks
-        // sortWithinPartitions AFTER the coalesce-to-one in writeChunk
-        // would be ideal; sorting here + coalesce(1) preserves the
-        // total order (coalesce concatenates parent partitions in
-        // order). Without the sort, within-chunk arrival order would be
-        // the source parquet's PHYSICAL row order — first-seen dedup
-        // equals the min-doc_id oracle only because the test data
-        // happens to be written sorted.
         writeChunk(in,
-          d.filter((if (i == 0) lit(true) else col("doc_id") > lo) &&
-            col("doc_id") <= hi).orderBy(col("doc_id")),
+          d.filter((if (i == 0) lit(true) else col(idCol) > lo) &&
+            col(idCol) <= hi).orderBy(col(idCol)),
           f"chunk-$i%02d.parquet", base + i * 60000L)
       }
       Files.writeString(java.nio.file.Paths.get(s"$in/_STAGED"), "ok"): Unit
@@ -726,26 +743,9 @@ object Streams {
     * deterministic.
     */
   def stageEmbReplay(spark: SparkSession, sfDir: String,
-                     chunks: Int = 3): String = {
-    import java.nio.file.Files
-    val in = s"target/stream_stage/v1_emb_${stageKey(sfDir, "embeddings")}_x$chunks"
-    if (!new java.io.File(s"$in/_STAGED").exists()) {
-      rmTree(in); new java.io.File(in).mkdirs(): Unit
-      val e = graft.Tables(spark, sfDir, "embeddings")
-      val maxId = e.agg(max(col("vec_id"))).first().getLong(0)
-      val base = System.currentTimeMillis() - 3600L * 1000
-      (0 until chunks).foreach { i =>
-        val lo = maxId * i / chunks
-        val hi = if (i == chunks - 1) maxId else maxId * (i + 1) / chunks
-        writeChunk(in,
-          e.filter((if (i == 0) lit(true) else col("vec_id") > lo) &&
-            col("vec_id") <= hi).orderBy(col("vec_id")),
-          f"chunk-$i%02d.parquet", base + i * 60000L)
-      }
-      Files.writeString(java.nio.file.Paths.get(s"$in/_STAGED"), "ok"): Unit
-    }
-    in
-  }
+                     chunks: Int = 3): String =
+    stageTableReplay(spark, sfDir, "embeddings", "vec_id", chunks,
+      dirTag = "v1_emb")(identity)
 
   /** STREAMING K-MEANS SCORING — the trained-offline / score-in-stream
     * inference pattern (the embedding-pipeline shape of
