@@ -93,12 +93,16 @@ from bench_diff import load as load_bench  # noqa: E402
 
 
 def calib_state(d):
-    """-> (pre, post, dirty) where dirty is None when the artifact has
-    NO calib fields at all (uninstrumented — distinct from clean!)."""
+    """-> (pre, post, worst, dirty) where dirty is None when the
+    artifact has NO calib fields at all (uninstrumented — distinct from
+    clean!); worst is None in that same branch so the caller's 4-way
+    unpack never crashes on an uninstrumented artifact (ADVICE r13:
+    the old 3-tuple here turned the documented exit-2 path into a
+    ValueError traceback)."""
     pre = d.get("calib_pre_sec")
     post = d.get("calib_post_sec")
     if pre is None and post is None:
-        return None, None, None
+        return None, None, None, None
     clean = d.get("calib_clean_sec", CALIB_CLEAN)
     worst = max(x for x in (pre, post, 0.0) if x is not None)
     dirty = worst > clean * CALIB_DIRTY_FACTOR

@@ -51,8 +51,15 @@ object Bench {
             val ch = java.nio.channels.FileChannel.open(
               dir.resolve(s"f$i"),
               StandardOpenOption.CREATE, StandardOpenOption.WRITE)
-            try { ch.write(java.nio.ByteBuffer.allocate(256 * 1024))
-                  ch.force(true) } finally ch.close()
+            try {
+              // loop until drained: FileChannel.write may legally
+              // consume less than the whole buffer, and a partial
+              // write would silently time a smaller payload than the
+              // baselines recorded (ADVICE r13)
+              val buf = java.nio.ByteBuffer.allocate(256 * 1024)
+              while (buf.hasRemaining) ch.write(buf)
+              ch.force(true)
+            } finally ch.close()
           }
           (System.nanoTime() - t0) / 1e9
         } finally {

@@ -351,6 +351,27 @@ object Dedup {
                         tablePrefix: String = "graft_bidx"): DedupIndex = {
     def attach(sub: String, bucketCols: Seq[String]): DataFrame = {
       val tbl = s"${tablePrefix}_$sub"
+      if (spark.catalog.tableExists(tbl)) {
+        // identity check (ADVICE r13): a bare tableExists short-circuit
+        // would hand back whatever table already holds the name — two
+        // indexes loaded in one session under the default prefix (or a
+        // changed nBuckets) silently read the FIRST dir's data for the
+        // second. Validate the catalog entry's LOCATION and bucket count
+        // against this call's arguments; on mismatch drop and re-attach.
+        val meta = spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+        val sameLoc = meta.storage.locationUri.exists { u =>
+          val want = s"$dir/$sub"
+          if (u.getScheme == null || u.getScheme == "file")
+            // local paths: canonicalize both sides so relative vs
+            // absolute spellings of the same dir compare equal
+            new java.io.File(u.getPath).getCanonicalPath ==
+              new java.io.File(want).getCanonicalPath
+          else u.toString.stripSuffix("/") == want.stripSuffix("/")
+        }
+        val sameBuckets = meta.bucketSpec.exists(_.numBuckets == nBuckets)
+        if (!(sameLoc && sameBuckets)) spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      }
       if (!spark.catalog.tableExists(tbl)) {
         val ddl = spark.read.parquet(s"$dir/$sub").schema.toDDL
         val keys = bucketCols.mkString(", ")

@@ -852,13 +852,22 @@ object Similarity {
 
   /** Squared-L2 distance of a vector expression (a column name or any
     * array<float> SQL fragment, e.g. a `slice(...)`) to a literal
-    * centroid.
+    * centroid. Accumulates over min(|vec|, dim) elements — BOTH sides
+    * are sliced to the shorter length before the fold, so a ragged
+    * (short) vector scores over its present coordinates instead of
+    * null-padding through `zip_with` into a NULL distance (ADVICE r13:
+    * the old form made the composed fallback disagree with the fused
+    * `centroid_dists` kernel, which has always used min(len, dim) —
+    * see CentroidDists.scala:50).
     */
-  private def l2Sq(vecCol: String, centroid: Array[Double]): Column =
+  private[graft] def l2Sq(vecCol: String, centroid: Array[Double]): Column = {
+    val v = expr(vecCol)
+    val n = least(size(v), lit(centroid.length))
     aggregate(
-      zip_with(expr(vecCol), typedLit(centroid),
+      zip_with(slice(v, lit(1), n), slice(typedLit(centroid), lit(1), n),
         (x, c) => { val d = x.cast("double") - c; d * d }),
       lit(0.0), (acc, v) => acc + v)
+  }
 
   /** Squared-L2 distances to ALL centroids as one array column. Uses the
     * fused native `centroid_dists` expression when registered (one plan
@@ -1036,9 +1045,14 @@ object Similarity {
     val centVals = cents.zipWithIndex.map { case (cv, i) =>
       s"($i, ${duckVecLit(cv)})"
     }.mkString(",\n    ")
+    // range bound = min(len(vec), dim), matching the fused kernel's and
+    // the composed fallback's min(|vec|, dim) accumulation — a ragged
+    // short vector scores over its present coordinates on BOTH engines
+    // instead of the oracle indexing past the list into NULLs (ADVICE
+    // r13); no-op for fixed-dim corpora (range is identical there)
     val l2 =
       s"""list_reduce(list_prepend(cast(0.0 as double),
-         list_transform(range(1, ${dim + 1}),
+         list_transform(range(1, least(len(e.$vecCol), ${dim}) + 1),
            d -> (cast(e.$vecCol[d] as double) - c.cv[d])
               * (cast(e.$vecCol[d] as double) - c.cv[d]))),
          (acc, v) -> acc + v)"""

@@ -784,4 +784,31 @@ class EtlSpec extends SparkSpec {
     assert(out("A") == Seq(2L, 3L, 4L, 2L * 1000000L / 3L, 500000L))
     assert(out("B") == Seq(1L, 3L, 5L, 1000000L / 3L, 500000L))
   }
+
+  test("starJoin: customer join shuffles when nothing fits broadcast; " +
+    "fixed dims stay hinted") {
+    // VERDICT r13 item 2: the old plan force-broadcast the full customer
+    // dim — a multi-TB driver OOM at the 100 TB target, hidden at test
+    // SFs where customer happens to fit. The contract now: only the
+    // FIXED-cardinality dims (nation 25 / region 5 rows) carry a
+    // broadcast hint; customer goes through AQE's size-gated path. With
+    // autoBroadcastJoinThreshold=-1 (modeling "dims side too big to
+    // fit"), the orders ⨝ customer join MUST appear as a shuffle join
+    // (SMJ/shuffled-hash) while the hinted nation/region joins remain
+    // BroadcastHashJoins — proving the hint is on the small dims only,
+    // never hard-coded on the scale-proportional side.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val q = graft.analytics.Queries.starJoin(spark, sfDir)
+      assert(q.collect().length == 25) // 25 nations — values unchanged
+      val plan = q.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      val smj = "SortMergeJoin".r.findAllIn(plan).length +
+        "ShuffledHashJoin".r.findAllIn(plan).length
+      val bhj = "BroadcastHashJoin".r.findAllIn(plan).length
+      assert(smj == 1, s"orders-customer must shuffle at threshold=-1:\n$plan")
+      assert(bhj == 2, s"nation/region hints must survive threshold=-1:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

@@ -383,6 +383,34 @@ class SimilaritySpec extends SparkSpec {
     assert(p.contains(1002L) && p(1002L)._2 >= 0.0)
   }
 
+  test("l2Sq composed fallback matches the fused kernel on ragged vectors " +
+    "(min(len,dim) accumulation, never NULL)") {
+    // ADVICE r13: the old zip_with null-padded short vectors into NULL
+    // distances, so a ragged corpus answered differently depending on
+    // whether the fused centroid_dists expression was registered. Both
+    // paths now contract min(|vec|, dim): slice both sides before the
+    // fold. Pin value parity on short, exact-dim, and over-long vectors.
+    import spark.implicits._
+    val cent = Array(1.0, 2.0, 3.0, 4.0)
+    val rows = Seq(
+      (1L, Seq(1.0f)),                      // short: only dim 0 scores
+      (2L, Seq(1.0f, 2.0f, 3.0f, 4.0f)),    // exact: full accumulation
+      (3L, Seq(0.0f, 0.0f, 0.0f, 0.0f, 9f)),// long: extra dim ignored
+      (4L, Seq.empty[Float]))               // empty: d = 0.0, not NULL
+      .toDF("id", "v")
+    val composed = rows.select(col("id"),
+      Similarity.l2Sq("v", cent).as("d")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // fused kernel on the same rows (registered in this session)
+    val fused = rows.selectExpr("id",
+      "centroid_dists(v, array(array(1.0d, 2.0d, 3.0d, 4.0d)))[0] as d")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(composed == fused, s"composed=$composed fused=$fused")
+    assert(composed(1L) == 0.0 && composed(4L) == 0.0)
+    assert(composed(2L) == 0.0)
+    assert(composed(3L) == 1.0 + 4.0 + 9.0 + 16.0)
+  }
+
   test("pcaFit: deterministic orthonormal components, variance-ordered; " +
     "projection equals a driver-side strict replay") {
     val (m1, c1) = Similarity.pcaFit(emb, p = 4)

@@ -706,6 +706,42 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("loadIndexBucketed re-attaches on location/bucket mismatch instead " +
+    "of returning the stale catalog entry") {
+    // ADVICE r13: the bare tableExists short-circuit made two indexes
+    // loaded in one session under the same prefix silently read the
+    // FIRST dir's data for the second. Plant two disjoint corpora in
+    // two dirs, load both with the default-style shared prefix, and
+    // assert each load answers from ITS dir.
+    import spark.implicits._
+    val dirA = tempDir("graft-bidx-a")
+    val dirB = tempDir("graft-bidx-b")
+    val corpusA = Seq((1L, "alpha one"), (2L, "alpha two"))
+      .toDF("doc_id", "text")
+    val corpusB = Seq((10L, "beta one"), (11L, "beta two"),
+      (12L, "beta three")).toDF("doc_id", "text")
+    try {
+      Dedup.saveIndexBucketed(spark, Dedup.buildIndex(corpusA), dirA,
+        tablePrefix = "spec_bidx2")
+      Dedup.saveIndexBucketed(spark, Dedup.buildIndex(corpusB), dirB,
+        tablePrefix = "spec_bidx2")
+      // save registered dirB last; loading dirA must detect the location
+      // mismatch and re-attach rather than serve dirB's rows
+      val a = Dedup.loadIndexBucketed(spark, dirA, tablePrefix = "spec_bidx2")
+      assert(a.hashes.count() == 2L, "dirA load must see corpusA's 2 hashes")
+      val b = Dedup.loadIndexBucketed(spark, dirB, tablePrefix = "spec_bidx2")
+      assert(b.hashes.count() == 3L, "dirB load must see corpusB's 3 hashes")
+      // nBuckets mismatch on the SAME dir must also re-attach (the
+      // restated bucket spec drives the zero-exchange screen plan)
+      val a4 = Dedup.loadIndexBucketed(spark, dirA, nBuckets = 8,
+        tablePrefix = "spec_bidx2")
+      assert(a4.hashes.count() == 2L)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS spec_bidx2_hashes")
+      spark.sql("DROP TABLE IF EXISTS spec_bidx2_bands")
+    }
+  }
+
   test("cache hygiene: multi-consumer operators leave no CacheManager entry") {
     // The operators that materialize an intermediate for multiple
     // consumers (fused QA stats, LSH signatures/candidates) must do it
