@@ -70,6 +70,18 @@ failing — a regression is only code-attributable on a healthy box:
     machine-attributed (io-dirty) and downgrades to WARN. Baselines
     recorded before r13 carry no io pair — the branch stays dormant
     for them (conservative: the FAIL still demands a human).
+  * streaming-floor graded band (r14): a third sentinel,
+    calib_sched_pre/post_sec (Bench.calibrateSched: 24 trivial
+    single-partition jobs — the DAGScheduler round trip every
+    micro-batch pays), rides next to the io pair. For stream_* queries
+    ONLY, the allowance scales by the WORST self-anchored floor
+    elevation, max over {io, sched} of min(cur_pair)/max(base_pair)
+    when > 1.15, capped at 2.0 (the both-samples 2x io-dirty escape
+    owns anything beyond). Batch queries never get the floor band —
+    their cost is not floor-shaped, and loosening them would hide real
+    kernel regressions behind storage noise. A real streaming code
+    regression still breaches: it stacks ON TOP of the floor factor,
+    same argument as the CPU band.
 Recording refuses a dirty-calib artifact (--force overrides) so the
 baseline itself is always an idle-box measurement.
 """
@@ -109,12 +121,33 @@ def calib_state(d):
     return pre, post, worst, dirty
 
 
-def io_pair(d):
-    """The artifact's I/O sentinel samples (negatives = the salvage
-    sentinel for an unavailable measurement — dropped), or [] when the
-    artifact predates Bench.calibrateIo."""
-    vals = [d.get("calib_io_pre_sec"), d.get("calib_io_post_sec")]
+def sentinel_pair(d, prefix):
+    """An artifact's floor-sentinel samples for `prefix` ('calib_io' or
+    'calib_sched'; negatives = the salvage value for an unavailable
+    measurement — dropped), or [] when the artifact predates that
+    sentinel."""
+    vals = [d.get(f"{prefix}_pre_sec"), d.get(f"{prefix}_post_sec")]
     return [v for v in vals if v is not None and v >= 0]
+
+
+def io_pair(d):
+    return sentinel_pair(d, "calib_io")
+
+
+def floor_scale(cur_pair, base_pair):
+    """Self-anchored elevation factor of a floor sentinel (io/sched)
+    vs the baseline's own recorded pair: conservative min(cur)/max(base)
+    — BOTH current samples must sit above the baseline's worst, the
+    same both-samples discipline as the io-dirty escape — applied only
+    past the same 1.15 band the CPU sentinel uses, and capped at 2.0
+    (beyond that the 2x both-samples io-dirty escape owns attribution,
+    not the graded band). 1.0 when either side lacks a recorded pair
+    (pre-r14 baselines: the band stays dormant, conservative)."""
+    if len(cur_pair) == 2 and base_pair:
+        f = min(cur_pair) / max(base_pair)
+        if f > 1.15:
+            return min(f, 2.0)
+    return 1.0
 
 
 def baseline_path_for(d):
@@ -154,11 +187,13 @@ def main():
     d, cur = load_bench(bench_path)
     pre, post, worst, dirty = calib_state(d)
     io_cur = io_pair(d)
+    sched_cur = sentinel_pair(d, "calib_sched")
     baseline = baseline_opt or baseline_path_for(d)
     print(f"[bench-audit] artifact={bench_path} queries={len(cur)} "
           f"calib={pre}/{post} "
           f"dirty={'UNINSTRUMENTED' if dirty is None else dirty} "
           f"io={'/'.join(f'{v:.3f}' for v in io_cur) if io_cur else 'n/a'} "
+          f"sched={'/'.join(f'{v:.3f}' for v in sched_cur) if sched_cur else 'n/a'} "
           f"baseline={os.path.basename(baseline)}")
 
     if dirty is None:
@@ -199,6 +234,9 @@ def main():
         if io_cur:
             base["calib_io_pre_sec"] = d.get("calib_io_pre_sec")
             base["calib_io_post_sec"] = d.get("calib_io_post_sec")
+        if sched_cur:
+            base["calib_sched_pre_sec"] = d.get("calib_sched_pre_sec")
+            base["calib_sched_post_sec"] = d.get("calib_sched_post_sec")
         with open(baseline, "w") as f:
             json.dump(base, f, indent=1, sort_keys=True)
         print(f"[bench-audit] recorded {len(cur)} baselines "
@@ -233,8 +271,29 @@ def main():
               f"{worst / clean:.2f}x clean — scaling headroom by that "
               "factor (code regressions stack on top and still breach)")
 
+    # streaming-floor graded band (r14, VERDICT item 3): the CPU spin is
+    # blind to what a micro-batch pays — fsync latency (io sentinel) and
+    # DAGScheduler round trips (sched sentinel). For stream_* queries
+    # ONLY (the queries whose cost is actually floor-shaped), the
+    # allowance additionally scales by the worst self-anchored floor
+    # elevation; batch queries keep the CPU band alone, plus the
+    # existing uniform io-dirty escape.
+    io_base = io_pair(base)
+    sched_base = sentinel_pair(base, "calib_sched")
+    floor = max(floor_scale(io_cur, io_base),
+                floor_scale(sched_cur, sched_base)) if not dirty else 1.0
+    stream_scale = max(scale, floor)
+    if floor > 1.0:
+        print(f"[bench-audit] streaming floor ELEVATED: worst sentinel "
+              f"{floor:.2f}x the baseline's recorded pair — scaling "
+              "stream_* allowances by that factor (batch gates unscaled)")
+
+    def allowance(n):
+        s = stream_scale if n.startswith("stream_") else scale
+        return bq[n] * (1 + rel) * s + abs_
+
     breaches = [(n, bq[n], cur[n]) for n in shared
-                if cur[n] > bq[n] * (1 + rel) * scale + abs_]
+                if cur[n] > allowance(n)]
     # uniform-inflation detector: count noise-floor-exceeding moves by
     # direction over ALL shared queries (not just gate breaches)
     up = sum(1 for n in shared if cur[n] - bq[n] > max(0.10 * bq[n], 0.05))
@@ -274,7 +333,6 @@ def main():
             # pair's within-run spread measured 1.6x on a HEALTHY box,
             # so a single-sample 1.5x test would let a real shared-
             # kernel regression ride a noise spike to a green exit
-            io_base = io_pair(base)
             if io_base and len(io_cur) == 2 and \
                     min(io_cur) > max(io_base) * 2.0:
                 print(f"[bench-audit] {len(breaches)} breach(es), "

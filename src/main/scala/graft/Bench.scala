@@ -72,6 +72,33 @@ object Bench {
       -1.0
     }
 
+  /** SCHEDULER-latency sentinel, the third member of the calibration
+    * family (CPU spin [[calibrate]], durable-write floor
+    * [[calibrateIo]]): times 24 trivial single-partition Spark jobs —
+    * the DAGScheduler submit→dispatch→complete round trip that every
+    * streaming MICRO-BATCH pays as fixed cost on top of its fsyncs.
+    * The r13 close measured the blind spot directly: CPU calib moved
+    * ~15% while the fsync-heavy streaming floor inflated ~40% — the
+    * gap is scheduler/commit latency that neither a pure CPU spin nor
+    * a pure write loop prices. Like the io sentinel it is
+    * SELF-ANCHORED: the audit compares an artifact's pair against the
+    * BASELINE's own recorded pair (no cross-box clean constant), and
+    * [[scripts/bench_audit.py]] folds the elevation into the graded
+    * band for `stream_*` queries only — the queries whose cost is
+    * actually floor-shaped.
+    */
+  def calibrateSched(spark: SparkSession, reps: Int = 3,
+                     jobs: Int = 24): Double =
+    (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < jobs) {
+        spark.sparkContext.parallelize(Seq(1), 1).count(): Unit
+        i += 1
+      }
+      (System.nanoTime() - t0) / 1e9
+    }.min
+
   /** Session builder shared by [[main]] and [[BenchSubset]]. */
   def session(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
@@ -147,6 +174,7 @@ object Bench {
     // artifact carries its own box-health evidence
     val calibPre = calibrate(spark)
     val calibIoPre = calibrateIo()
+    val calibSchedPre = calibrateSched(spark)
     val allTimes = ordered.map { case (name, fn) =>
       System.gc()
       val times = (1 to reps).map { _ =>
@@ -168,6 +196,7 @@ object Bench {
     // co-tenant process) shows as calib_post >> calib_pre
     val calibPost = calibrate(spark)
     val calibIoPost = calibrateIo()
+    val calibSchedPost = calibrateSched(spark)
     val results = allTimes.map { case (name, ts) => name -> ts.min }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -195,7 +224,7 @@ object Bench {
     // field because they were printed BEFORE the ~137-entry reps map).
     // The big maps go FIRST and the scalar summary fields LAST, so a
     // truncated head costs per-query detail, never the totals.
-    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","reps":$reps,"agg":"min","queries":$qs,"reps_sec":$repsJson,"calib_pre_sec":$calibPre,"calib_post_sec":$calibPost,"calib_io_pre_sec":$calibIoPre,"calib_io_post_sec":$calibIoPost,"calib_threads":$cpus$calibClean,"batch_sec":${total - streaming},"streaming_sec":$streaming,"value":$total}"""
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","reps":$reps,"agg":"min","queries":$qs,"reps_sec":$repsJson,"calib_pre_sec":$calibPre,"calib_post_sec":$calibPost,"calib_io_pre_sec":$calibIoPre,"calib_io_post_sec":$calibIoPost,"calib_sched_pre_sec":$calibSchedPre,"calib_sched_post_sec":$calibSchedPost,"calib_threads":$cpus$calibClean,"batch_sec":${total - streaming},"streaming_sec":$streaming,"value":$total}"""
     // ...and the complete artifact also lands on disk, immune to any
     // stdout capture policy
     try java.nio.file.Files.write(
@@ -209,6 +238,6 @@ object Bench {
     // complete, valid JSON object with every scalar field — the r9
     // artifact lost all totals because they lived at the head of the
     // one big line
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","reps":$reps,"agg":"min","n_queries":${results.size},"calib_pre_sec":$calibPre,"calib_post_sec":$calibPost,"calib_io_pre_sec":$calibIoPre,"calib_io_post_sec":$calibIoPost,"calib_threads":$cpus$calibClean,"batch_sec":${total - streaming},"streaming_sec":$streaming,"full":"$outPath","value":$total}""")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","reps":$reps,"agg":"min","n_queries":${results.size},"calib_pre_sec":$calibPre,"calib_post_sec":$calibPost,"calib_io_pre_sec":$calibIoPre,"calib_io_post_sec":$calibIoPost,"calib_sched_pre_sec":$calibSchedPre,"calib_sched_post_sec":$calibSchedPost,"calib_threads":$cpus$calibClean,"batch_sec":${total - streaming},"streaming_sec":$streaming,"full":"$outPath","value":$total}""")
   }
 }
