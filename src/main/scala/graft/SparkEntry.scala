@@ -189,6 +189,23 @@ object SparkEntry {
       built.bands.write.mode("overwrite").parquet(s"$out/bands")
     }
 
+  // The LOOP carve's corpus index in the BUCKETED layout (the D66
+  // tables, but over incrementalLoopSplit's 70% corpus) — what the
+  // streaming crawl-ingest gate loads as its initial index version.
+  private def bucketedLoopIndexPrefix(dir: String): String =
+    "graft_blidx_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+  private def bucketedLoopIndexDir(s: SparkSession, dir: String): String =
+    stagedOnce("bucketed_loop_idx", dir) { out =>
+      val corpus = graft.etl.Sampling
+        .hashSplit(Tables(s, dir, "documents"), "doc_id",
+          incrementalLoopSplit)
+        .filter(col("split") === "corpus")
+        .select(col("doc_id"), col("text"))
+      Dedup.saveIndexBucketed(s, Dedup.buildIndex(corpus), out,
+        tablePrefix = bucketedLoopIndexPrefix(dir))
+    }
+
   // The trained-IVFPQ recall gate body, shared by the m=16 / m=32 /
   // kc=64 entries (the helper takes the dials): train on the corpus
   // carve (deterministic bounded-sample driver Lloyd), persist +
@@ -199,12 +216,71 @@ object SparkEntry {
   private def trainedRecallGate(s: SparkSession, dir: String,
                                 key: String, m: Int,
                                 kc: Int = 16, nprobe: Int = 8,
-                                refine: Int = 0): DataFrame = {
+                                refine: Int = 0,
+                                pca: Boolean = false,
+                                kcSqrt: Boolean = false): DataFrame = {
     val e = Tables(s, dir, "embeddings")
     val probes = e.filter(col("vec_id") % 50 === 0)
     val corpus = e.filter(col("vec_id") % 50 =!= 0)
     val trained = java.nio.file.Files
       .createTempDirectory(s"graft_$key").toString
+    if (kcSqrt) {
+      // kc = ⌈√n⌉ as code (VERDICT-r13 item 5): the index builder
+      // derives its cluster count from the corpus instead of a caller
+      // literal, so the SAME gate trains kc=23 at sf0.001/0.01 (490
+      // corpus vectors) and kc=45 at sf0.1 (1960) — the artifact
+      // carries kc as an output column so the scaling is visible in
+      // CORRECTNESS, not just this comment. Dials otherwise D64b's
+      // (m=32, nprobe=8).
+      val kcUsed = Similarity.kcSqrtN(corpus)
+      Similarity.saveCentroids(s,
+        Similarity.ivfCentroids(corpus, k = kcUsed, iters = 5),
+        s"$trained/ivf")
+      Similarity.savePqCodebooks(s,
+        Similarity.pqCodebooks(corpus, m = m, k = 16, iters = 5),
+        s"$trained/pq")
+      val cents = Similarity.loadCentroids(s, s"$trained/ivf")
+      val cbs = Similarity.loadPqCodebooks(s, s"$trained/pq")
+      deleteRecursively(new java.io.File(trained))
+      stashTrainedOracle(key, dir,
+        s"""SELECT *, cast($kcUsed as int) AS kc FROM (
+           ${Similarity.recallIvfPqTrainedDuckdbSql(
+              probeWhere = "vec_id % 50 = 0",
+              corpusWhere = "vec_id % 50 <> 0",
+              topK = 5, cents, cbs, nprobe = nprobe)}
+           )""")
+      return Similarity.recallIvfPq(probes, corpus, topK = 5,
+        nprobe = nprobe, m = m,
+        centroids = Some(cents), codebooks = Some(cbs))
+        .withColumn("kc", lit(kcUsed))
+    }
+    if (pca) {
+      // OPQ-lite (VERDICT-r13 item 4): fit the full-rank PCA rotation on
+      // the corpus sample, train IVF+PQ in the ROTATED space, persist +
+      // reload ALL THREE models through the save/load loop (the PCA
+      // model rides the centroid layout: mean as row 0, components as
+      // rows 1..p), score recall against ORIGINAL-space exact L2.
+      val (meanT, compsT) = Similarity.pcaFit(corpus, p = 64)
+      Similarity.saveCentroids(s, meanT +: compsT, s"$trained/pca")
+      val rotT = Similarity.pcaRotate(corpus, meanT, compsT)
+      Similarity.saveCentroids(s,
+        Similarity.ivfCentroids(rotT, k = kc, iters = 5), s"$trained/ivf")
+      Similarity.savePqCodebooks(s,
+        Similarity.pqCodebooks(rotT, m = m, k = 16, iters = 5),
+        s"$trained/pq")
+      val pcaRows = Similarity.loadCentroids(s, s"$trained/pca")
+      val (mean, comps) = (pcaRows.head, pcaRows.tail)
+      val cents = Similarity.loadCentroids(s, s"$trained/ivf")
+      val cbs = Similarity.loadPqCodebooks(s, s"$trained/pq")
+      deleteRecursively(new java.io.File(trained))
+      stashTrainedOracle(key, dir,
+        Similarity.recallIvfPqPcaTrainedDuckdbSql(
+          probeWhere = "vec_id % 50 = 0", corpusWhere = "vec_id % 50 <> 0",
+          topK = 5, mean, comps, cents, cbs, nprobe = nprobe))
+      return Similarity.recallIvfPqPca(probes, corpus, topK = 5,
+        mean, comps, nprobe = nprobe, m = m,
+        centroids = Some(cents), codebooks = Some(cbs))
+    }
     Similarity.saveCentroids(s,
       Similarity.ivfCentroids(corpus, k = kc, iters = 5), s"$trained/ivf")
     Similarity.savePqCodebooks(s,
@@ -896,6 +972,26 @@ object SparkEntry {
     // batch candidate pairs
     "stream_lsh_candidates" -> ((s, dir) =>
       graft.streaming.Streams.lshCandidatesAvailableNow(s, dir)),
+    // the index-MAINTENANCE loop as a STREAM (r14): the loop carve's b1
+    // and b2 arrive as micro-batches, each screened against the current
+    // index — initial version = the persisted BUCKETED layout, loaded —
+    // kept docs merged in foreachBatch before the next batch fires.
+    // Gated on dedup_incremental_loop's rebuild-from-scratch oracle
+    // VERBATIM: merge == rebuild through the streaming runtime.
+    "stream_incremental_dedup" -> ((s, dir) => {
+      val split = graft.etl.Sampling.hashSplit(Tables(s, dir, "documents"),
+        "doc_id", incrementalLoopSplit)
+      def part(p: String) = split.filter(col("split") === p).drop("split")
+        .select(col("doc_id"), col("text"))
+      val in = graft.streaming.Streams.stageBatchesReplay(s, dir,
+        "v1_incdedup", Seq("b1" -> part("b1"), "b2" -> part("b2")))
+      val idxDir = bucketedLoopIndexDir(s, dir)
+      graft.streaming.Streams.incrementalDedupAvailableNow(s, in,
+        part("corpus"),
+        Dedup.loadIndexBucketed(s, idxDir,
+          tablePrefix = bucketedLoopIndexPrefix(dir)),
+        chunks = 2)
+    }),
     // streaming content dedup driven end-to-end: first-seen per
     // normalized hash over the doc_id-ordered replay == batch keep-min
     "stream_dedup_docs" -> ((s, dir) =>
@@ -1052,6 +1148,24 @@ object SparkEntry {
     "emb_recall_ivfpq_trained_kc64" -> ((s, dir) =>
       trainedRecallGate(s, dir, "emb_recall_ivfpq_trained_kc64",
         m = 32, kc = 64)),
+    // OPQ-lite (r14): the trained PCA rotation composed with PQ — the
+    // public FAISS OPQ-P idea (rotate into the decorrelated basis, then
+    // product-quantize; Ge et al. CVPR 2013). Identical dials to
+    // emb_recall_ivfpq_trained (m=16, kc=16, nprobe=8, recall@5 vs
+    // ORIGINAL-space exact L2), so the recall delta between the two
+    // gates IS the rotation's value — the tuning-table row §8 carries
+    "emb_recall_ivfpq_pca" -> ((s, dir) =>
+      trainedRecallGate(s, dir, "emb_recall_ivfpq_pca", m = 16,
+        pca = true)),
+    // kc = ⌈√n⌉ as code (r14): the coarse-quantizer size derived from
+    // the corpus (Similarity.kcSqrtN — the FAISS √n sizing guideline,
+    // bounded by the trainer's sample), gated at every SF so the
+    // artifact shows kc scaling with the corpus while recall holds;
+    // m=32/nprobe=8 = D64b's dials, so the recall column is directly
+    // comparable to the fixed kc=16 (m32) and kc=64 gates
+    "emb_recall_ivfpq_kc_sqrtn" -> ((s, dir) =>
+      trainedRecallGate(s, dir, "emb_recall_ivfpq_kc_sqrtn", m = 32,
+        kcSqrt = true)),
     // the REFINE dial (exact-L2 rerank of the ADC top-4k shortlist,
     // ivfPqSearchRefined): same trained m=16 index as
     // emb_recall_ivfpq_trained, so the recall delta between the two
@@ -1249,7 +1363,17 @@ object SparkEntry {
     // order-sensitive, so the oracle proves the row-order handling,
     // not just sums. Spec-tested on 24-bit and malformed bytes.
     "mm_decode_bmp" -> ((s, dir) =>
-      Multimodal.bmpPipeline(s, Tables(s, dir, "documents"))))
+      Multimodal.bmpPipeline(s, Tables(s, dir, "documents"))),
+    // the COMPRESSED-container twin (r14): a conformant 8-bit grayscale
+    // PNG per doc — zlib IDAT via the JDK Inflater, per-row scanline
+    // filter rotated through None/Sub/Up/Average/Paeth by doc_id, an
+    // ancillary tEXt chunk on the skip path — parsed with a genuine
+    // chunk-walking inflate+unfilter decoder (Multimodal.parsePng).
+    // Same logical image as mm_decode_bmp, so a green row proves the
+    // filter reversal recovered the exact payload bytes through the
+    // compression round trip.
+    "mm_decode_png" -> ((s, dir) =>
+      Multimodal.pngPipeline(s, Tables(s, dir, "documents"))))
 
   private def probeList: String = (0 until 10).mkString(", ")
 
@@ -2260,6 +2384,41 @@ object SparkEntry {
                   AS first_px
          FROM dims, guard WHERE guard.ok = 1""",
 
+    // same logical image as mm_decode_bmp (the fixtures share the
+    // payload→pixels mapping), so the oracle differs only in the typed
+    // header columns — the compression and the five rotated scanline
+    // filters are invisible here BY DESIGN: they change the container
+    // bytes, and the parser must recover the identical logical image
+    // from every (filter, deflate) encoding of it.
+    "mm_decode_png" ->
+      s"""WITH guard AS (
+           SELECT CASE WHEN count(*) = 0 THEN 1
+                       ELSE cast(error('mm_decode_png oracle requires a pure-ASCII corpus: byte arithmetic != codepoint arithmetic on this data') AS int)
+                  END AS ok
+           FROM documents
+           WHERE text IS NOT NULL AND octet_length(encode(text)) <> length(text)
+         ), dims AS (
+           SELECT doc_id, text,
+                  cast(1 + doc_id % 8 as int) AS w,
+                  cast(coalesce(octet_length(encode(text)), 0) as int) AS n
+           FROM documents
+         )
+         SELECT doc_id,
+                1 AS decode_ok,
+                w AS width,
+                cast(greatest(1, (n + w - 1) // w) as int) AS height,
+                8 AS bit_depth,
+                0 AS color_type,
+                cast(w * greatest(1, (n + w - 1) // w) as int) AS n_pixels,
+                ${Text.halfUpSql(
+        """cast(coalesce(list_sum(list_transform(range(1, length(text) + 1),
+               i -> ascii(substring(text, i, 1)))), 0) as double)
+           / (w * greatest(1, (n + w - 1) // w))""", 4)} AS mean_px,
+                cast(CASE WHEN text IS NULL OR length(text) = 0 THEN 0
+                          ELSE ascii(substring(text, 1, 1)) END as int)
+                  AS first_px
+         FROM dims, guard WHERE guard.ok = 1""",
+
     "sample_stratified" ->
       s"""SELECT doc_id, lang FROM documents
          WHERE ${graft.etl.Sampling.stratifiedSampleSql("lang", "doc_id",
@@ -2508,6 +2667,10 @@ object SparkEntry {
       trainedOracleSql("emb_recall_ivfpq_trained_m32"),
     "emb_recall_ivfpq_trained_kc64" ->
       trainedOracleSql("emb_recall_ivfpq_trained_kc64"),
+    "emb_recall_ivfpq_pca" ->
+      trainedOracleSql("emb_recall_ivfpq_pca"),
+    "emb_recall_ivfpq_kc_sqrtn" ->
+      trainedOracleSql("emb_recall_ivfpq_kc_sqrtn"),
     "emb_recall_ivfpq_refined" ->
       trainedOracleSql("emb_recall_ivfpq_refined"),
     "sim_ann_ivf" -> trainedOracleSql("sim_ann_ivf"),
@@ -2533,6 +2696,11 @@ object SparkEntry {
     "dedup_incremental_bucketed" -> MinHashSpec.duckdbIncrementalSql(
       splitCaseSql = graft.etl.Sampling.hashSplitSql("doc_id", incrementalSplit)),
     "dedup_incremental_loop" -> MinHashSpec.duckdbIncrementalLoopSql(
+      splitCaseSql = graft.etl.Sampling.hashSplitSql("doc_id", incrementalLoopSplit)),
+    // identical oracle: the stream gate replays the SAME b1/b2 carve
+    // through foreachBatch with the same per-batch step — the rebuild
+    // contract does not care which runtime drove the merges
+    "stream_incremental_dedup" -> MinHashSpec.duckdbIncrementalLoopSql(
       splitCaseSql = graft.etl.Sampling.hashSplitSql("doc_id", incrementalLoopSplit)),
     // identical oracle: the prestaged gate differs ONLY in where the
     // initial index comes from (parquet load vs in-query build), and

@@ -763,6 +763,63 @@ object Dedup {
     * successor materializes (same discipline as every loop-internal
     * version), so pass per-call checkpoints, not a shared cache.
     */
+  private def cutIdx(i: DedupIndex) =
+    DedupIndex(i.hashes.cutLineage(), i.bands.cutLineage())
+  /** Drop a localCheckpointed frame's resident blocks: the checkpoint
+    * RDD sits behind a LogicalRDD leaf in the returned frame's plan.
+    * Without this, a long-running loop (many batches) accumulates every
+    * superseded index version's blocks in executor storage for the
+    * whole query — the harness only clears them after the query ends.
+    */
+  private def dropCut(dfs: DataFrame*): Unit = dfs.foreach { d =>
+    d.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+  }
+
+  /** ONE crawl-cycle step of the index-maintenance loop: screen `batch`
+    * against (`corp`, `idx`), merge the kept docs' hash/band rows into
+    * the index. Returns (flags, kept, merged index) — flags and the
+    * merged index are MATERIALIZED (cutLineage), and the superseded
+    * `idx`'s blocks are NOT released here (the caller owns its version
+    * chain — it may still be screening with it elsewhere); callers
+    * release via their own discipline (see [[incrementalLoopFrom]] and
+    * the streaming twin in graft.streaming.Streams). Factored out so
+    * the BATCH loop and the STREAMING foreachBatch ingest run the
+    * byte-identical step — the merge==rebuild oracle then gates both.
+    */
+  def incrementalStep(corp: DataFrame, idx: DedupIndex, batch: DataFrame,
+                      idCol: String = "doc_id", textCol: String = "text",
+                      k: Int = 3, threshold: Double = 0.5,
+                      digits: Int = 4,
+                      maxBucket: Int = Int.MaxValue)
+      : (DataFrame, DataFrame, DedupIndex) = {
+    val bands = MinHashSpec.bandedSignatures(batch, idCol, textCol)
+      .cutLineage()
+    val flags = incrementalFromIndex(corp, idx, batch, idCol, textCol,
+      k, threshold, digits, incomingBands = Some(bands),
+      maxBucket = maxBucket).cutLineage()
+    val keptIds = flags.filter(col("kept") === 1).select(col(idCol))
+    val kept = batch.select(col(idCol), col(textCol))
+      .join(keptIds, Seq(idCol), "left_semi")
+    val merged = cutIdx(mergeIndex(idx, kept, idCol, textCol,
+      keptBands = Some(bands.join(keptIds.select(col(idCol).as("id")),
+        Seq("id"), "left_semi"))))
+    // the merged successor is materialized (cutIdx is eager), so this
+    // batch's band blocks are dead — both consumers (screen, merge) ran
+    dropCut(bands)
+    (flags, kept, merged)
+  }
+
+  /** Release a superseded index version's resident blocks (no-op for
+    * scan-backed frames — e.g. the initial bucketed-table index, whose
+    * "blocks" are the parquet files). Public for the streaming ingest
+    * runner, which owns its own version chain across micro-batches.
+    */
+  def releaseIndex(i: DedupIndex): Unit = dropCut(i.hashes, i.bands)
+
   def incrementalLoopFrom(corpus: DataFrame, index: DedupIndex,
                           batches: Seq[(String, DataFrame)],
                           idCol: String = "doc_id", textCol: String = "text",
@@ -770,39 +827,15 @@ object Dedup {
                           digits: Int = 4,
                           maxBucket: Int = Int.MaxValue): DataFrame = {
     require(batches.nonEmpty, "incrementalLoop needs at least one batch")
-    def cut(i: DedupIndex) =
-      DedupIndex(i.hashes.cutLineage(), i.bands.cutLineage())
-    // Drop a localCheckpointed frame's resident blocks: the checkpoint
-    // RDD sits behind a LogicalRDD leaf in the returned frame's plan.
-    // Without this, a long-running loop (many batches) accumulates every
-    // superseded index version's blocks in executor storage for the
-    // whole query — the harness only clears them after the query ends.
-    def dropCut(dfs: DataFrame*): Unit = dfs.foreach { d =>
-      d.queryExecution.analyzed.foreach {
-        case lr: org.apache.spark.sql.execution.LogicalRDD =>
-          lr.rdd.unpersist(blocking = false)
-        case _ => ()
-      }
-    }
     var corp = corpus.select(col(idCol), col(textCol))
     var idx = index
     val out = batches.map { case (tag, batch) =>
-      val bands = MinHashSpec.bandedSignatures(batch, idCol, textCol)
-        .cutLineage()
-      val flags = incrementalFromIndex(corp, idx, batch, idCol, textCol,
-        k, threshold, digits, incomingBands = Some(bands),
-        maxBucket = maxBucket).cutLineage()
-      val keptIds = flags.filter(col("kept") === 1).select(col(idCol))
-      val kept = batch.select(col(idCol), col(textCol))
-        .join(keptIds, Seq(idCol), "left_semi")
-      val prev = idx
-      idx = cut(mergeIndex(prev, kept, idCol, textCol,
-        keptBands = Some(bands.join(keptIds.select(col(idCol).as("id")),
-          Seq("id"), "left_semi"))))
-      // the merged successor is materialized (cut is eager), so the
-      // superseded index version's and this batch's band blocks are dead
-      // — every consumer (this screen's flags, the merge) already ran
-      dropCut(prev.hashes, prev.bands, bands)
+      val (flags, kept, merged) = incrementalStep(corp, idx, batch,
+        idCol, textCol, k, threshold, digits, maxBucket)
+      // the superseded index version's blocks are dead once its merged
+      // successor materializes — every consumer already ran in the step
+      dropCut(idx.hashes, idx.bands)
+      idx = merged
       corp = corp.union(kept)
       flags.withColumn("batch", lit(tag))
     }.reduce(_.union(_))

@@ -129,6 +129,22 @@ object GraftFunctions {
       CentroidDists(exprs.head, cents)
     })
 
+  val matRotateDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("mat_rotate"),
+    new ExpressionInfo(classOf[MatRotate].getName, "mat_rotate"),
+    (exprs: Seq[Expression]) => {
+      // fold the literal mean vector and p×dim component matrix once at
+      // resolution time (the centroid_dists discipline)
+      val mv = exprs(1).eval().asInstanceOf[ArrayData]
+      val mean = Array.tabulate(mv.numElements())(mv.getDouble)
+      val cm = exprs(2).eval().asInstanceOf[ArrayData]
+      val comps = Array.tabulate(cm.numElements()) { i =>
+        val row = cm.getArray(i)
+        Array.tabulate(row.numElements())(row.getDouble)
+      }
+      MatRotate(exprs.head, mean, comps)
+    })
+
   val topKByDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("topk_by"),
     new ExpressionInfo(classOf[TopKByAgg].getName, "topk_by"),
@@ -284,6 +300,7 @@ object GraftFunctions {
     ext.injectFunction(md5Fp62Descriptor)
     ext.injectFunction(lshBucketsDescriptor)
     ext.injectFunction(centroidDistsDescriptor)
+    ext.injectFunction(matRotateDescriptor)
     ext.injectFunction(topKByDescriptor)
     ext.injectFunction(misraGriesDescriptor)
     ext.injectFunction(bloomBuildDescriptor)

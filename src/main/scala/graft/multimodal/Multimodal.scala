@@ -455,6 +455,256 @@ object Multimodal {
         graft.text.Text.halfUp(col("mean_px"), 4).as("mean_px"),
         col("first_px"))
 
+  // ---------------------------------------------------------------------
+  // Real decode path #3 (r14): PNG. Unlike WAV/BMP this is a COMPRESSED
+  // container, but the compression is zlib/DEFLATE — public byte
+  // arithmetic end to end via the JDK's Inflater, no codec library —
+  // so the stub's mandate (stand in for real codec LIBRARIES:
+  // JPEG/MP4/opus...) is untouched while the image family gains a
+  // filtered+compressed real decoder. The parser walks the chunk
+  // stream (length/type/data/crc), takes IHDR from the first chunk,
+  // concatenates every IDAT, inflates, and REVERSES the per-row scanline
+  // filters (None/Sub/Up/Average/Paeth — the part a wrong decoder gets
+  // silently wrong, which the mean/first features then expose). 8-bit
+  // grayscale (color type 0) and truecolor (2), non-interlaced.
+  // Malformed bytes verdict (decode_ok=0), never throw; declared sizes
+  // are Long-guarded and the inflated allocation is capped.
+  // ---------------------------------------------------------------------
+
+  case class PngFeatures(doc_id: Long, decode_ok: Int, width: Int,
+                         height: Int, bit_depth: Int, color_type: Int,
+                         n_pixels: Int, mean_px: Double, first_px: Int)
+
+  private def u32be(a: Array[Byte], o: Int): Long =
+    ((a(o) & 0xffL) << 24) | ((a(o + 1) & 0xffL) << 16) |
+      ((a(o + 2) & 0xffL) << 8) | (a(o + 3) & 0xffL)
+  private def be32(a: Array[Byte], o: Int, v: Long): Unit = {
+    a(o) = ((v >>> 24) & 0xff).toByte; a(o + 1) = ((v >>> 16) & 0xff).toByte
+    a(o + 2) = ((v >>> 8) & 0xff).toByte; a(o + 3) = (v & 0xff).toByte
+  }
+  private val pngSig: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+  // standard Paeth predictor (PNG spec §4.5.4 — exact tie order matters)
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b)
+    val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+  // inflated-size cap: a 4-byte IHDR can DECLARE a petabyte image; a
+  // never-throw parser must bound what it allocates before inflating
+  private val maxPngPixels = 64L << 20
+
+  /** Parse a PNG byte buffer. Returns (ok, width, height, bitDepth,
+    * colorType, nPixels, meanChannelByte, firstPx) where meanChannelByte
+    * averages the UNFILTERED pixel bytes (all channels; filter bytes
+    * excluded) and firstPx is the first channel byte of pixel (0,0) —
+    * PNG rows are stored top-down, but under Sub/Up/Average/Paeth
+    * filtering even byte 0 of the stream is not the pixel value until
+    * the filters are reversed, so both features prove the unfilter walk.
+    * NOT ok when: short / bad signature / first chunk not IHDR / zero
+    * or ≥2^31 dimension / bit depth ≠ 8 / color type ∉ {0, 2} /
+    * nonzero compression, filter method, or interlace / declared chunk
+    * length past the buffer / no IDAT / zlib error / inflated stream
+    * shorter than the scanlines / unknown per-row filter type / decoded
+    * image past the allocation cap.
+    */
+  def parsePng(bytes: Array[Byte])
+      : (Boolean, Int, Int, Int, Int, Int, Double, Int) = {
+    val bad = (false, 0, 0, 0, 0, 0, 0.0, 0)
+    if (bytes == null || bytes.length < 8 + 25) return bad
+    var i = 0
+    while (i < 8) { if (bytes(i) != pngSig(i)) return bad; i += 1 }
+    var off = 8
+    var w = 0L; var h = 0L; var bitDepth = -1; var colorType = -1
+    var sawIhdr = false; var sawIend = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (!sawIend && off + 8 <= bytes.length) {
+      val len = u32be(bytes, off)
+      // chunk length is u31 by spec; a length past the buffer is hostile
+      if (len > Int.MaxValue || off + 12 + len > bytes.length) return bad
+      val typ = new String(bytes, off + 4, 4, "US-ASCII")
+      val dataOff = off + 8
+      if (!sawIhdr) {
+        if (typ != "IHDR" || len != 13) return bad
+        w = u32be(bytes, dataOff); h = u32be(bytes, dataOff + 4)
+        bitDepth = bytes(dataOff + 8) & 0xff
+        colorType = bytes(dataOff + 9) & 0xff
+        val compression = bytes(dataOff + 10) & 0xff
+        val filterMethod = bytes(dataOff + 11) & 0xff
+        val interlace = bytes(dataOff + 12) & 0xff
+        if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue)
+          return bad
+        if (bitDepth != 8 || (colorType != 0 && colorType != 2)) return bad
+        if (compression != 0 || filterMethod != 0 || interlace != 0)
+          return bad
+        sawIhdr = true
+      } else typ match {
+        case "IDAT" => idat.write(bytes, dataOff, len.toInt)
+        case "IEND" => sawIend = true
+        case _ => () // ancillary chunks (tEXt, pHYs, ...) are skipped
+      }
+      off = dataOff + len.toInt + 4 // skip data + crc (tolerant reader)
+    }
+    if (!sawIhdr || !sawIend || idat.size() == 0) return bad
+    val ch = if (colorType == 2) 3 else 1
+    if (w * h > maxPngPixels / ch) return bad
+    val rowBytes = (w * ch).toInt
+    val expected = (rowBytes + 1).toLong * h
+    val recon = new Array[Byte](expected.toInt)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var got = 0
+      var n = -1
+      while (got < recon.length && n != 0 && !inf.finished()) {
+        n = inf.inflate(recon, got, recon.length - got)
+        got += n
+      }
+      if (got < recon.length) return bad
+    } catch {
+      case _: java.util.zip.DataFormatException => return bad
+    } finally inf.end()
+    // reverse the scanline filters IN PLACE (recon holds filtered rows
+    // prefixed by their filter byte; the reconstructed bytes replace
+    // the filtered ones so Up/Average/Paeth read the prior RECON row)
+    val height = h.toInt
+    var sum = 0.0
+    var r = 0
+    while (r < height) {
+      val ro = r * (rowBytes + 1)
+      val f = recon(ro) & 0xff
+      if (f > 4) return bad
+      var j = 0
+      while (j < rowBytes) {
+        val x = recon(ro + 1 + j) & 0xff
+        val left = if (j >= ch) recon(ro + 1 + j - ch) & 0xff else 0
+        val above = if (r > 0) recon(ro - rowBytes + j) & 0xff else 0
+        val ul =
+          if (r > 0 && j >= ch) recon(ro - rowBytes + j - ch) & 0xff else 0
+        val v = f match {
+          case 0 => x
+          case 1 => (x + left) & 0xff
+          case 2 => (x + above) & 0xff
+          case 3 => (x + ((left + above) >> 1)) & 0xff
+          case 4 => (x + paeth(left, above, ul)) & 0xff
+        }
+        recon(ro + 1 + j) = v.toByte
+        sum += v
+        j += 1
+      }
+      r += 1
+    }
+    val nPx = (w * h).toInt
+    (true, w.toInt, height, bitDepth, colorType, nPx,
+      sum / (nPx.toDouble * ch), recon(1) & 0xff)
+  }
+
+  /** Deterministic PNG fixture: 8-bit grayscale, width keyed off
+    * `docId`, logical pixels = the payload bytes row-major top-down
+    * (zero-filled to the last row) — the SAME logical image as
+    * [[bmpFixture]]'s, so the two image gates share one oracle shape.
+    * Every row is encoded with scanline filter `docId % 5`, rotating
+    * the corpus through None/Sub/Up/Average/Paeth so the parser's
+    * unfilter arithmetic (not just its chunk walk) is what the oracle
+    * verifies; a tEXt ancillary chunk rides between IHDR and IDAT so
+    * the skip path is exercised too. Chunks carry real CRCs (the file
+    * is conformant — any PNG reader opens it); the parser does not
+    * require them.
+    */
+  def pngFixture(docId: Long, payload: Array[Byte]): Array[Byte] = {
+    val w = 1 + (docId % 8).toInt
+    val n = payload.length
+    val h = math.max(1, (n + w - 1) / w)
+    val f = (docId % 5).toInt
+    // logical image, zero-padded
+    val px = new Array[Int](w * h)
+    var k = 0
+    while (k < n) { px(k) = payload(k) & 0xff; k += 1 }
+    // filtered scanlines (filter f applied per the spec, mod 256)
+    val raw = new Array[Byte](h * (w + 1))
+    var r = 0
+    while (r < h) {
+      raw(r * (w + 1)) = f.toByte
+      var j = 0
+      while (j < w) {
+        val x = px(r * w + j)
+        val left = if (j > 0) px(r * w + j - 1) else 0
+        val above = if (r > 0) px((r - 1) * w + j) else 0
+        val ul = if (r > 0 && j > 0) px((r - 1) * w + j - 1) else 0
+        val enc = f match {
+          case 0 => x
+          case 1 => (x - left) & 0xff
+          case 2 => (x - above) & 0xff
+          case 3 => (x - ((left + above) >> 1)) & 0xff
+          case 4 => (x - paeth(left, above, ul)) & 0xff
+        }
+        raw(r * (w + 1) + 1 + j) = enc.toByte
+        j += 1
+      }
+      r += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val zbuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](4096)
+    while (!deflater.finished()) zbuf.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](12 + data.length)
+      be32(out, 0, data.length.toLong)
+      typ.getBytes("US-ASCII").copyToArray(out, 4)
+      data.copyToArray(out, 8)
+      val crc = new java.util.zip.CRC32()
+      crc.update(out, 4, 4 + data.length)
+      be32(out, 8 + data.length, crc.getValue)
+      out
+    }
+    val ihdr = new Array[Byte](13)
+    be32(ihdr, 0, w.toLong); be32(ihdr, 4, h.toLong)
+    ihdr(8) = 8; ihdr(9) = 0; ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0
+    pngSig ++ chunk("IHDR", ihdr) ++
+      chunk("tEXt", s"Comment graft fixture $docId".getBytes("US-ASCII")) ++
+      chunk("IDAT", zbuf.toByteArray) ++ chunk("IEND", Array.empty)
+  }
+
+  /** Synthesize the PNG-media frame for the decode gate (the
+    * [[asBmpMedia]] twin — same logical pixels, compressed container).
+    */
+  def asPngMedia(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    documents.select(col("doc_id"),
+        coalesce(encode(col("text"), "UTF-8"), lit(Array.empty[Byte]))
+          .as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) => (id, pngFixture(id, p)) })
+      .toDF("doc_id", "payload")
+  }
+
+  /** Decode PNG payloads into typed features — same batch shape and
+    * never-throw verdicting as [[decodeBmpFeatures]].
+    */
+  def decodePngFeatures(spark: SparkSession, media: DataFrame): Dataset[PngFeatures] = {
+    import spark.implicits._
+    media.select(col("doc_id"),
+        coalesce(col("payload"), lit(Array.empty[Byte])).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (ok, w, h, bd, ct, n, mean, first) = parsePng(bytes)
+        PngFeatures(id, if (ok) 1 else 0, w, h, bd, ct, n, mean, first)
+      })
+  }
+
+  /** End-to-end PNG gate frame: synthesize → inflate+unfilter → features,
+    * halfUp on the mean (the byte-ratio midpoint discipline).
+    */
+  def pngPipeline(spark: SparkSession, documents: DataFrame): DataFrame =
+    decodePngFeatures(spark, asPngMedia(spark, documents)).toDF()
+      .select(col("doc_id"), col("decode_ok"), col("width"), col("height"),
+        col("bit_depth"), col("color_type"), col("n_pixels"),
+        graft.text.Text.halfUp(col("mean_px"), 4).as("mean_px"),
+        col("first_px"))
+
   /** End-to-end: documents → media payloads → decoded feature frame.
     * mean_byte uses the corpus-wide halfUp discipline (not `round`):
     * byte-sum/length ratios genuinely land on exact .00005 midpoints

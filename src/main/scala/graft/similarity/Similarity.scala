@@ -562,6 +562,13 @@ object Similarity {
         probeWhere, corpusWhere, topK, dim, table, idCol, vecCol),
       probeWhere, corpusWhere, topK, dim, table, idCol, vecCol)
 
+  /** NOTE: `table` here feeds ONLY the ground-truth CTEs (p2/c2/bt) —
+    * the approx branch is a closed subquery. The PCA-rotated gate
+    * exploits exactly that: its approx SQL searches the rotated inline
+    * table while `table` stays the original, so recall is scored
+    * against exact-L2 neighbors in the ORIGINAL space (what a user of
+    * the index cares about).
+    */
   private def recallIvfPqWrapSql(approxSql: String, probeWhere: String,
                                  corpusWhere: String, topK: Int, dim: Int,
                                  table: String, idCol: String,
@@ -881,6 +888,27 @@ object Similarity {
       val lit2d = cents.map(sparkVecLit).mkString("array(", ",", ")")
       expr(s"centroid_dists($vecCol, $lit2d)")
     } else array(cents.toIndexedSeq.map(c => l2Sq(vecCol, c)): _*)
+
+  /** The default coarse-quantizer size rule, kc = ⌈√n⌉ over the corpus'
+    * non-null vector count, bounded by the trainer's sample size — the
+    * classic IVF sizing (the public FAISS guideline): per probe, the
+    * coarse scan costs kc·dim and the candidate scan costs
+    * nprobe·(n/kc)·m, so total probe cost is minimized at kc ∝ √n.
+    * The r13 dial study (§8 tuning table) measured the trade at fixed
+    * kc values; this makes the rule CODE — an index built without an
+    * explicit kc scales its cluster count with the corpus instead of
+    * freezing a literal that was tuned at one SF. The upper bound is
+    * `maxTrainSamples` (the bounded-sample Lloyd trainer cannot
+    * usefully seed more centroids than it has samples — take(kc) of a
+    * shorter sample would just duplicate the short-codebook case).
+    * One count() scan at train time — train-once state, never per-query.
+    */
+  def kcSqrtN(embeddings: DataFrame, vecCol: String = "embedding",
+              maxTrainSamples: Int = 4096): Int = {
+    val n = embeddings.where(col(vecCol).isNotNull).count()
+    math.max(1, math.min(
+      math.ceil(math.sqrt(n.toDouble)).toInt, maxTrainSamples))
+  }
 
   /** IVF coarse quantizer: k-means centroids trained with deterministic
     * init (the k lowest vector ids) and a fixed iteration count. Only
@@ -1224,6 +1252,140 @@ object Similarity {
     s"""SELECT $idCol,
        $cols
        FROM $table WHERE $vecCol IS NOT NULL"""
+  }
+
+  /** OPQ-style rotation: every vector re-expressed in the trained PCA
+    * basis as an `array<float>` column — the full-rank (p = dim)
+    * companion of [[pcaProject]]'s per-component output, shaped so the
+    * ENTIRE downstream quantizer stack (IVF assignment, PQ encode, ADC
+    * scan) runs unchanged on the rotated vectors. This is the public
+    * FAISS OPQ idea in its simplest effective form: an orthonormal
+    * rotation decorrelates the coordinates so PQ's independent
+    * subspace quantizers waste less of their code budget (Ge et al.,
+    * "Optimized Product Quantization", CVPR 2013 — their OPQ-P
+    * variant: PCA rotation, no iterative refinement).
+    *
+    * One scan, zero shuffle: the (1+p)×dim model rides as expression
+    * literals into the fused `mat_rotate` kernel (one codegen'd node —
+    * the composed fallback builds p interpreted HOF trees, bit-equal
+    * values, spec-pinned). Each coordinate is the strict index-order
+    * double fold Σ_d (v[d] − mean[d])·w_c[d] from 0.0 over
+    * min(|vec|, dim), cast to float — the same correctly-rounded cast
+    * as DuckDB `cast(x as real)`, so both engines hold bit-identical
+    * rotated vectors. Null vectors are excluded (the [[kmeansAssign]]
+    * contract).
+    */
+  def pcaRotate(embeddings: DataFrame, mean: Array[Double],
+                comps: Array[Array[Double]],
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val rotated =
+      if (embeddings.sparkSession.catalog.functionExists("mat_rotate"))
+        expr(s"mat_rotate($vecCol, ${sparkVecLit(mean)}, " +
+          comps.map(sparkVecLit).mkString("array(", ",", ")") + ")")
+      else {
+        val centered = zip_with(col(vecCol), typedLit(mean.toSeq),
+          (x, m) => x.cast("double") - m)
+        array(comps.toIndexedSeq.map { w =>
+          aggregate(
+            zip_with(centered, typedLit(w.toSeq), (cx, wd) => cx * wd),
+            lit(0.0), (acc, v) => acc + v).cast("float")
+        }: _*)
+      }
+    embeddings.where(col(vecCol).isNotNull)
+      .select(col(idCol), rotated.as(vecCol))
+  }
+
+  /** The rotated corpus as a DuckDB WITH-clause FRAGMENT defining a
+    * `rotemb($idCol, $vecCol)` CTE — the [[pcaRotate]] rotation
+    * replayed as: center once per row (cent, MATERIALIZED), components
+    * as a VALUES table (pcomp), one prepend-0.0 index-order fold per
+    * (row, component) pair, `list(... ORDER BY c)` back to a vector,
+    * `cast(... as real)` for the identical double→float rounding.
+    *
+    * Why this shape and not a matrix literal indexed in a nested
+    * lambda: DuckDB re-CONSTRUCTS a constant list literal on every
+    * lambda access, so `(compsLit)[c][d]` inside the per-dim lambda
+    * costs O(p·dim) per element — the measured straight-line form took
+    * minutes on 500 rows where this join form takes 0.6 s. Both CTE
+    * bodies are MATERIALIZED because the IVFPQ core references its
+    * table several times and DuckDB inlines plain CTEs per reference.
+    */
+  private def rotatedCtesSql(mean: Array[Double],
+                             comps: Array[Array[Double]],
+                             dim: Int, table: String, idCol: String,
+                             vecCol: String): String = {
+    val meanLit = duckVecLit(mean)
+    val pvals = comps.zipWithIndex
+      .map { case (w, c) => s"($c, ${duckVecLit(w)})" }.mkString(",\n    ")
+    // CTE names are rot-prefixed: the IVFPQ core nested below defines
+    // its own `cent`/`cb` CTEs, and duplicate names across the nesting
+    // confuse DuckDB's binder (observed: "Referenced table ct not found")
+    s"""rotcent AS MATERIALIZED (
+         SELECT $idCol, list_transform(range(1, least(len($vecCol), $dim) + 1),
+           d -> cast($vecCol[d] as double) - ($meanLit)[d]) AS cv
+         FROM $table WHERE $vecCol IS NOT NULL),
+       rotcomp AS (SELECT * FROM (VALUES
+    $pvals) t(c, w)),
+       rotemb AS MATERIALIZED (
+         SELECT rotcent.$idCol,
+           list(cast(list_reduce(list_prepend(cast(0.0 as double),
+             list_transform(range(1, len(rotcent.cv) + 1),
+               d -> rotcent.cv[d] * pc.w[d])),
+             (acc, v) -> acc + v) as real) ORDER BY pc.c) AS $vecCol
+         FROM rotcent CROSS JOIN rotcomp pc GROUP BY rotcent.$idCol)"""
+  }
+
+  /** Recall@k of the PCA-ROTATED trained IVFPQ index ([[pcaRotate]] →
+    * IVF+PQ trained in the rotated space) against exact-L2 ground truth
+    * in the ORIGINAL space — the OPQ-lite composition's tuning number,
+    * directly comparable to [[recallIvfPq]] at identical dials (same
+    * probes, same truth, only the indexed representation differs).
+    * The rotation is orthonormal so candidate L2 ordering is preserved
+    * up to float rounding; what changes is how well PQ's subspace
+    * quantizers fit — the decorrelated coordinates are the whole point.
+    */
+  def recallIvfPqPca(probes: DataFrame, corpus: DataFrame, topK: Int,
+                     mean: Array[Double], comps: Array[Array[Double]],
+                     kc: Int = 16, nprobe: Int = 4, m: Int = 8, k: Int = 16,
+                     dim: Int = 64, idCol: String = "vec_id",
+                     vecCol: String = "embedding", digits: Int = 4,
+                     centroids: Option[Array[Array[Double]]] = None,
+                     codebooks: Option[Array[Array[Array[Double]]]] = None)
+      : DataFrame =
+    recallOf(
+      ivfPqSearch(pcaRotate(probes, mean, comps, idCol, vecCol),
+        pcaRotate(corpus, mean, comps, idCol, vecCol),
+        topK, kc, nprobe, m, k, dim, idCol, vecCol, centroids, codebooks),
+      bruteL2TopK(probes, corpus, topK, idCol, vecCol),
+      probes, topK, idCol, digits)
+
+  /** DuckDB oracle for [[recallIvfPqPca]]: the trained-literal IVFPQ
+    * approx branch over the ROTATED table — materialized ONCE as a
+    * `rotemb` CTE ([[rotatedCtesSql]] explains why the join form and
+    * MATERIALIZED are both load-bearing), with the core's own WITH
+    * nested inside a subquery — ground truth over the ORIGINAL table
+    * (the wrap's `table` feeds only the truth CTEs).
+    */
+  def recallIvfPqPcaTrainedDuckdbSql(probeWhere: String, corpusWhere: String,
+                                     topK: Int,
+                                     mean: Array[Double],
+                                     comps: Array[Array[Double]],
+                                     cents: Array[Array[Double]],
+                                     cbs: Array[Array[Array[Double]]],
+                                     nprobe: Int = 4, dim: Int = 64,
+                                     table: String = "embeddings",
+                                     idCol: String = "vec_id",
+                                     vecCol: String = "embedding"): String = {
+    val core = ivfPqTrainedDuckdbSql(probeWhere, corpusWhere, topK, cents,
+      cbs, nprobe, dim, "rotemb", idCol, vecCol)
+    val approx =
+      s"""WITH ${rotatedCtesSql(mean, comps, dim, table, idCol, vecCol)}
+         SELECT * FROM (
+           $core
+         )"""
+    recallIvfPqWrapSql(approx, probeWhere, corpusWhere, topK, dim, table,
+      idCol, vecCol)
   }
 
   /** ANN via IVF: vectors assigned to their nearest centroid's list;

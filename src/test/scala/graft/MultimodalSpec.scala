@@ -199,6 +199,120 @@ class MultimodalSpec extends SparkSpec {
     notOk(java.util.Arrays.copyOf(evil.array(), 58))
   }
 
+  test("pngPipeline: fixture round-trips through deflate + every scanline " +
+    "filter, null-safe") {
+    // doc_ids 0..4 rotate the per-row filter None/Sub/Up/Average/Paeth;
+    // the features must be identical functions of the payload bytes for
+    // ALL of them — a wrong unfilter shifts mean/first immediately.
+    val docs = Seq(
+      (0L, "abc", "x", "s1", 3L), // w=1, filter None
+      (1L, "hello world", "x", "s1", 11L), // w=2, filter Sub
+      (2L, "zq", "x", "s1", 2L), // w=3, filter Up
+      (3L, "some longer text with spaces", "x", "s1", 28L), // w=4, Average
+      (4L, "paeth filter row", "x", "s1", 16L), // w=5, Paeth
+      (9L, null.asInstanceOf[String], "x", "s1", 0L)) // empty → all-zero
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Multimodal.pngPipeline(spark, docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    out.values.foreach { r =>
+      assert(r.getAs[Int]("decode_ok") == 1)
+      assert(r.getAs[Int]("bit_depth") == 8)
+      assert(r.getAs[Int]("color_type") == 0)
+    }
+    def expect(id: Long, text: String): Unit = {
+      val w = 1 + (id % 8).toInt
+      val n = text.getBytes.length
+      val h = math.max(1, (n + w - 1) / w)
+      val r = out(id)
+      assert(r.getAs[Int]("width") == w && r.getAs[Int]("height") == h)
+      assert(r.getAs[Int]("n_pixels") == w * h)
+      val mean = text.getBytes.map(_.toInt & 0xff).sum.toDouble / (w * h)
+      assert(r.getAs[Double]("mean_px") ==
+        math.floor(mean * 1e4 + 0.5) / 1e4, s"doc $id")
+      assert(r.getAs[Int]("first_px") ==
+        (if (n == 0) 0 else text.getBytes.head.toInt & 0xff))
+    }
+    expect(0L, "abc"); expect(1L, "hello world"); expect(2L, "zq")
+    expect(3L, "some longer text with spaces")
+    expect(4L, "paeth filter row")
+    assert(out(9L).getAs[Double]("mean_px") == 0.0 &&
+      out(9L).getAs[Int]("first_px") == 0)
+  }
+
+  test("parsePng is a real inflate+unfilter decoder: truecolor with " +
+    "Paeth, a layout the fixture never emits") {
+    // hand-build a 2×2 color-type-2 (RGB) PNG with Up then Paeth rows —
+    // proves the parser reads channels from IHDR and reverses filters
+    // with the 3-byte pixel stride, not fixture assumptions.
+    val px = Array( // rows top-down, (R,G,B) per pixel
+      Array(10, 20, 30, 40, 50, 60),
+      Array(15, 25, 35, 45, 55, 65))
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    val raw = new java.io.ByteArrayOutputStream()
+    raw.write(2) // row 0: Up (above = 0 ⇒ raw values)
+    px(0).foreach(raw.write)
+    raw.write(4) // row 1: Paeth
+    (0 until 6).foreach { j =>
+      val left = if (j >= 3) px(1)(j - 3) else 0
+      val above = px(0)(j)
+      val ul = if (j >= 3) px(0)(j - 3) else 0
+      raw.write((px(1)(j) - paeth(left, above, ul)) & 0xff)
+    }
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw.toByteArray); d.finish()
+    val z = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](1024)
+    while (!d.finished()) z.write(buf, 0, d.deflate(buf))
+    d.end()
+    def be(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val body = typ.getBytes("US-ASCII") ++ data
+      val crc = new java.util.zip.CRC32(); crc.update(body)
+      be(data.length) ++ body ++ be(crc.getValue.toInt)
+    }
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val ihdr = be(2) ++ be(2) ++ Array[Byte](8, 2, 0, 0, 0)
+    val png = sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", z.toByteArray) ++
+      chunk("IEND", Array.empty[Byte])
+    val (ok, w, h, bd, ct, n, mean, first) = Multimodal.parsePng(png)
+    assert(ok && w == 2 && h == 2 && bd == 8 && ct == 2 && n == 4)
+    assert(mean == (px(0).sum + px(1).sum) / 12.0)
+    assert(first == 10) // pixel (0,0) R channel, through the Up reverse
+  }
+
+  test("parsePng verdicts malformed bytes instead of throwing") {
+    def notOk(b: Array[Byte]): Unit = assert(!Multimodal.parsePng(b)._1)
+    notOk(null)
+    notOk(Array.empty[Byte])
+    val good = Multimodal.pngFixture(4L, "abcdefgh".getBytes) // Paeth rows
+    assert(Multimodal.parsePng(good)._1)
+    def patched(off: Int, bytes: Array[Byte]): Array[Byte] = {
+      val c = good.clone(); bytes.copyToArray(c, off); c
+    }
+    notOk(patched(0, "XX".getBytes)) // bad signature
+    notOk(patched(16, Array[Byte](0, 0, 0, 0))) // zero width
+    notOk(patched(20, Array[Byte](0, 0, 0, 0))) // zero height
+    notOk(patched(24, Array[Byte](16))) // 16-bit depth unsupported
+    notOk(patched(25, Array[Byte](3))) // palette color type unsupported
+    notOk(patched(28, Array[Byte](1))) // interlaced (Adam7) unsupported
+    // declared giant dimensions must verdict at the allocation cap,
+    // never allocate: width=2^30, height=2^30
+    notOk(patched(16, Array[Byte](0x40, 0, 0, 0)))
+    // corrupt the zlib stream (flip a byte inside IDAT data)
+    val idatOff = good.indexOfSlice("IDAT".getBytes) + 4
+    notOk(patched(idatOff + 2, Array[Byte](0x55)))
+    // truncation at every offset must verdict, never throw
+    (0 until good.length).foreach { cut =>
+      Multimodal.parsePng(java.util.Arrays.copyOf(good, cut)): Unit
+    }
+    notOk(java.util.Arrays.copyOf(good, good.length - 1)) // no IEND
+  }
+
   test("notifier renders templates and dispatches to the sink") {
     import graft.etl.{CollectingNotifier, Notifier}
     val sink = new CollectingNotifier

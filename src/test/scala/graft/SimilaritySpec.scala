@@ -411,6 +411,49 @@ class SimilaritySpec extends SparkSpec {
     assert(composed(3L) == 1.0 + 4.0 + 9.0 + 16.0)
   }
 
+  test("pcaRotate: fused kernel equals a driver-side strict replay; " +
+    "rotation is an isometry; ragged/null handled") {
+    val (mean, comps) = Similarity.pcaFit(emb, p = 64)
+    val out = Similarity.pcaRotate(emb, mean, comps).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).toArray).toMap
+    val vecs = emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getAs[Long](0) -> r.getSeq[Float](1).toArray)
+    assert(out.size == vecs.length)
+    // driver replay: per component, the strict index-order double fold
+    // over min(len, dim), cast to float — the mat_rotate contract
+    def replay(v: Array[Float]): Array[Float] =
+      comps.map { w =>
+        val n = math.min(v.length, w.length)
+        var acc = 0.0; var d = 0
+        while (d < n) { acc += (v(d).toDouble - mean(d)) * w(d); d += 1 }
+        acc.toFloat
+      }
+    vecs.foreach { case (id, v) =>
+      assert(out(id).sameElements(replay(v)), s"vec $id") }
+    // isometry within float rounding: pairwise L2 preserved (the reason
+    // ORIGINAL-space ground truth is fair for the rotated index)
+    val ids = vecs.take(6).map(_._1)
+    def l2(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) =>
+        (x.toDouble - y) * (x.toDouble - y) }.sum
+    val vm = vecs.toMap
+    for (i <- ids; j <- ids if i < j) {
+      val orig = l2(vm(i), vm(j))
+      val rot = l2(out(i), out(j))
+      assert(math.abs(orig - rot) <= 1e-3 * math.max(orig, 1.0),
+        s"pair ($i,$j): $orig vs $rot")
+    }
+    // null excluded, short vector accumulates over its present dims
+    import spark.implicits._
+    val hostile = Seq(
+      (1L, Some(Seq(1.0f, 2.0f))), (2L, None: Option[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+    val h = Similarity.pcaRotate(hostile, mean, comps).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    assert(h.size == 1 && h(1L).sameElements(replay(Array(1.0f, 2.0f))))
+  }
+
   test("pcaFit: deterministic orthonormal components, variance-ordered; " +
     "projection equals a driver-side strict replay") {
     val (m1, c1) = Similarity.pcaFit(emb, p = 4)
