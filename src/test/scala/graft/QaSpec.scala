@@ -347,4 +347,84 @@ class QaSpec extends SparkSpec {
       pivoted.exceptAll(direct).isEmpty,
       "direct sheets and pivoted report must be multiset-identical")
   }
+
+  test("writeXlsx emits a valid OOXML workbook: sheets, headers, numeric " +
+    "and escaped string cells round-trip through a zip+DOM re-read") {
+    import graft.qa.Workbook
+    val s1 = Seq((1L, "plain", 2.5), (2L, "esc <&> \"q\"", 4.0))
+      .toDF("id", "label", "score")
+    val s2 = Seq(("x", 10)).toDF("k", "n")
+    val path = tempDir("graft_xlsx") + "/report.xlsx"
+    Workbook.writeXlsx(Seq("first" -> s1, "second[bad]:name" -> s2), path)
+    // re-open as what it claims to be: a zip of OOXML parts
+    val zf = new java.util.zip.ZipFile(path)
+    try {
+      val names = {
+        val e = zf.entries(); val b = Seq.newBuilder[String]
+        while (e.hasMoreElements) b += e.nextElement().getName
+        b.result()
+      }
+      assert(names.contains("[Content_Types].xml"))
+      assert(names.contains("xl/workbook.xml"))
+      assert(names.contains("xl/worksheets/sheet1.xml"))
+      assert(names.contains("xl/worksheets/sheet2.xml"))
+      def xml(entry: String) = {
+        val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+        f.setNamespaceAware(true)
+        f.newDocumentBuilder().parse(zf.getInputStream(zf.getEntry(entry)))
+      }
+      // workbook part: both sheet names, the second sanitized
+      val wb = xml("xl/workbook.xml")
+      val sheetEls = wb.getElementsByTagNameNS("*", "sheet")
+      val sheetNames = (0 until sheetEls.getLength).map(i =>
+        sheetEls.item(i).getAttributes.getNamedItem("name").getNodeValue)
+      assert(sheetNames == Seq("first", "second_bad__name"))
+      // sheet 1: header row + 2 data rows; cells carry the right values
+      val ws = xml("xl/worksheets/sheet1.xml")
+      val rows = ws.getElementsByTagNameNS("*", "row")
+      assert(rows.getLength == 3)
+      def cells(r: Int): Map[String, String] = {
+        val cs = rows.item(r).asInstanceOf[org.w3c.dom.Element]
+          .getElementsByTagNameNS("*", "c")
+        (0 until cs.getLength).map { i =>
+          val c = cs.item(i).asInstanceOf[org.w3c.dom.Element]
+          c.getAttribute("r") -> c.getTextContent
+        }.toMap
+      }
+      assert(cells(0) == Map("A1" -> "id", "B1" -> "label", "C1" -> "score"))
+      assert(cells(1)("A2") == "1" && cells(1)("B2") == "plain" &&
+        cells(1)("C2") == "2.5")
+      // the DOM re-read UNescapes — proving the writer escaped correctly
+      assert(cells(2)("B3") == "esc <&> \"q\"")
+      assert(cells(2)("C3") == "4") // integral double prints without .0
+    } finally zf.close()
+    // boundedness is enforced loudly, not by a driver OOM
+    intercept[IllegalArgumentException] {
+      Workbook.writeXlsx(Seq("s" -> s1), path, maxRows = 1)
+    }
+  }
+
+  test("writeQaWorkbook renders the full pipeline: one tab per family " +
+    "plus the unioned wide sheet") {
+    import graft.qa.Workbook
+    val df = Seq(
+      ("p1", 1.0, "a", java.sql.Timestamp.valueOf("2020-01-01 00:00:00")),
+      ("p2", 2.0, "b", java.sql.Timestamp.valueOf("2020-02-01 00:00:00")))
+      .toDF("period", "num", "cat", "when")
+    val pipeline = Qa.runPipeline(df, "period", Seq("num", "cat", "when"))
+    val path = tempDir("graft_xlsx_qa") + "/qa.xlsx"
+    Workbook.writeQaWorkbook(pipeline, "period", path)
+    val zf = new java.util.zip.ZipFile(path)
+    try {
+      val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      f.setNamespaceAware(true)
+      val wb = f.newDocumentBuilder()
+        .parse(zf.getInputStream(zf.getEntry("xl/workbook.xml")))
+      val sheetEls = wb.getElementsByTagNameNS("*", "sheet")
+      val names = (0 until sheetEls.getLength).map(i =>
+        sheetEls.item(i).getAttributes.getNamedItem("name").getNodeValue)
+      assert(names.head == "workbook")
+      assert(names.toSet == Set("workbook") ++ pipeline.keySet)
+    } finally zf.close()
+  }
 }
