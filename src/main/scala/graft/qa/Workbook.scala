@@ -25,8 +25,14 @@ import org.apache.spark.sql.DataFrame
   */
 object Workbook {
 
+  /** XML escape. Quote and apostrophe must be escaped too: esc() output
+    * lands inside double-quoted attributes (sheet name="…") as well as
+    * element text, and an unescaped '"' in an attribute makes Excel
+    * reject the whole workbook.
+    */
   private def esc(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;").replace("'", "&apos;")
 
   /** A1-style column name: 0 -> A, 25 -> Z, 26 -> AA ... */
   private[qa] def colRef(i: Int): String = {
@@ -139,10 +145,14 @@ object Workbook {
           "</Relationships>")
       sheets.zipWithIndex.foreach { case ((_, df), i) =>
         val header = df.columns.toSeq
-        val rows = df.collect()
+        // Guard BEFORE materializing: limit() pushes into the scan, so
+        // the driver never holds more than maxRows+1 rows even when the
+        // caller hands us a fact table — the loud-failure contract is
+        // enforced by the plan, not by an after-the-OOM require.
+        val rows = df.limit(maxRows + 1).collect()
         require(rows.length <= maxRows,
-          s"writeXlsx: sheet ${names(i)} has ${rows.length} rows — a " +
-            s"workbook is a bounded human artifact (max $maxRows); " +
+          s"writeXlsx: sheet ${names(i)} has more than $maxRows rows — a " +
+            "workbook is a bounded human artifact; " +
             "export big frames to parquet instead")
         part(s"xl/worksheets/sheet${i + 1}.xml",
           sheetXml(header, rows.toIndexedSeq.map(_.toSeq)))

@@ -1283,17 +1283,34 @@ object Similarity {
       if (embeddings.sparkSession.catalog.functionExists("mat_rotate"))
         expr(s"mat_rotate($vecCol, ${sparkVecLit(mean)}, " +
           comps.map(sparkVecLit).mkString("array(", ",", ")") + ")")
-      else {
-        val centered = zip_with(col(vecCol), typedLit(mean.toSeq),
-          (x, m) => x.cast("double") - m)
-        array(comps.toIndexedSeq.map { w =>
-          aggregate(
-            zip_with(centered, typedLit(w.toSeq), (cx, wd) => cx * wd),
-            lit(0.0), (acc, v) => acc + v).cast("float")
-        }: _*)
-      }
+      else pcaRotateComposedCol(vecCol, mean, comps)
     embeddings.where(col(vecCol).isNotNull)
       .select(col(idCol), rotated.as(vecCol))
+  }
+
+  /** The composed (no-extension) rotation column — p HOF fold trees.
+    * Mirrors the fused kernel's ragged-row contract: MatRotate (and the
+    * DuckDB rotcent CTE) accumulate over min(len(vec), dim), so slice
+    * BOTH zip_with sides to n before combining — an unsliced zip_with
+    * null-pads the shorter side and a single null coordinate nulls the
+    * whole dot product (the l2Sq bug class). Exposed private[graft] so
+    * the spec can pin this path even when mat_rotate is registered.
+    */
+  private[graft] def pcaRotateComposedCol(vecCol: String,
+                                          mean: Array[Double],
+                                          comps: Array[Array[Double]])
+      : Column = {
+    val n = least(size(col(vecCol)), lit(mean.length))
+    val centered = zip_with(
+      slice(col(vecCol), lit(1), n),
+      slice(typedLit(mean.toSeq), lit(1), n),
+      (x, m) => x.cast("double") - m)
+    array(comps.toIndexedSeq.map { w =>
+      aggregate(
+        zip_with(centered, slice(typedLit(w.toSeq), lit(1), n),
+          (cx, wd) => cx * wd),
+        lit(0.0), (acc, v) => acc + v).cast("float")
+    }: _*)
   }
 
   /** The rotated corpus as a DuckDB WITH-clause FRAGMENT defining a

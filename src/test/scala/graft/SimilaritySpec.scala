@@ -452,6 +452,23 @@ class SimilaritySpec extends SparkSpec {
     val h = Similarity.pcaRotate(hostile, mean, comps).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
     assert(h.size == 1 && h(1L).sameElements(replay(Array(1.0f, 2.0f))))
+    // the COMPOSED fallback path (mat_rotate not registered) must obey
+    // the same min(len, dim) contract — this session has the extension,
+    // so drive the fallback column directly; an unsliced zip_with would
+    // null-pad a short vector into NULL coordinates here (ADVICE r14)
+    val long = (1 to 80).map(_.toFloat) // longer than dim, truncates
+    val hostile2 = Seq(
+      (1L, Seq(1.0f, 2.0f)), (2L, vecs.head._2.toSeq), (3L, long))
+      .toDF("vec_id", "embedding")
+    val hc = hostile2.select(col("vec_id"),
+        Similarity.pcaRotateComposedCol("embedding", mean, comps)
+          .as("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    assert(hc(1L).sameElements(replay(Array(1.0f, 2.0f))),
+      "composed fallback must accumulate a short vector over its dims")
+    assert(hc(2L).sameElements(replay(vecs.head._2)))
+    assert(hc(3L).sameElements(replay(long.toArray)),
+      "composed fallback must truncate an over-long vector at dim")
   }
 
   test("pcaFit: deterministic orthonormal components, variance-ordered; " +
