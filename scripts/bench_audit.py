@@ -14,6 +14,9 @@ Usage:
   options: --baseline PATH  --rel R --abs A (stored on --record)
            --accept-uniform (downgrade a uniform+clean-calib fail)
            --force (record despite dirty calib)
+           --replace (record may RAISE existing pins; default keeps
+                      per-query min(old pin, new value) — ADVICE r14:
+                      one clean run must not loosen 55 gates at once)
 
 Baselines are PER-SF (committed): bench_baseline_sf0.1.json for the
 full driver-SF suite, bench_baseline_sf1.json for the staged-sf1 heavy
@@ -110,13 +113,18 @@ def calib_state(d):
     clean!); worst is None in that same branch so the caller's 4-way
     unpack never crashes on an uninstrumented artifact (ADVICE r13:
     the old 3-tuple here turned the documented exit-2 path into a
-    ValueError traceback)."""
+    ValueError traceback). worst folds in the MID-SUITE decile probes
+    (calib_decile_sec, r15): a co-tenant burst that starts after
+    calib_pre and dies before calib_post used to be invisible to both
+    suite-level samples — now it elevates worst, so the graded band /
+    dirty attribution see it in the artifact's own evidence."""
     pre = d.get("calib_pre_sec")
     post = d.get("calib_post_sec")
     if pre is None and post is None:
         return None, None, None, None
     clean = d.get("calib_clean_sec", CALIB_CLEAN)
-    worst = max(x for x in (pre, post, 0.0) if x is not None)
+    deciles = [x for x in d.get("calib_decile_sec", []) if x is not None]
+    worst = max(x for x in [pre, post, 0.0, *deciles] if x is not None)
     dirty = worst > clean * CALIB_DIRTY_FACTOR
     return pre, post, worst, dirty
 
@@ -132,6 +140,20 @@ def sentinel_pair(d, prefix):
 
 def io_pair(d):
     return sentinel_pair(d, "calib_io")
+
+
+def gate_bracket(d, name):
+    """-> (io_pair, sched_pair) from the artifact's per-gate sentinel
+    bracket for stream gate `name` (gate_sentinels[name] =
+    [io_pre, io_post, sched_pre, sched_post], r15), each pair with
+    negative salvage values dropped; ([], []) when the artifact (or
+    that gate) predates the bracketing."""
+    b = d.get("gate_sentinels", {}).get(name)
+    if not b or len(b) != 4:
+        return [], []
+    io = [v for v in b[:2] if v is not None and v >= 0]
+    sched = [v for v in b[2:] if v is not None and v >= 0]
+    return io, sched
 
 
 def floor_scale(cur_pair, base_pair):
@@ -176,6 +198,7 @@ def main():
     argv = sys.argv[1:]
     record = "--record" in argv
     force = "--force" in argv
+    replace = "--replace" in argv
     accept_uniform = "--accept-uniform" in argv
     baseline_opt = opt_value(argv, "--baseline")
     rel_opt = opt_value(argv, "--rel")
@@ -223,13 +246,39 @@ def main():
                   f"artifact (calib {worst:.3f} = {worst / clean_ref:.2f}x "
                   "clean > 1.15x); rerun on an idle box or pass --force")
             sys.exit(2)
+        # Downward-only discipline (ADVICE r14): recording over an
+        # existing baseline keeps per-query min(old pin, new value) —
+        # ONE clean run must never RAISE pins wholesale (e8c8135 raised
+        # 55 of 150 by 5-61% from a single run, loosening the gate by
+        # up to ~60% on top of the rel headroom). A pin may only rise
+        # under an explicit --replace, which prints the raises it makes
+        # so the ledger can record why.
+        pinned = {k: round(v, 4) for k, v in sorted(cur.items())}
+        if os.path.exists(baseline) and not replace:
+            with open(baseline) as f:
+                old_q = json.load(f).get("queries", {})
+            kept = {k: old_q[k] for k in pinned
+                    if k in old_q and old_q[k] < pinned[k]}
+            pinned.update(kept)
+            if kept:
+                print(f"[bench-audit] downward-only: kept {len(kept)} "
+                      "existing tighter pin(s); pass --replace to raise "
+                      "pins from this run")
+        elif replace and os.path.exists(baseline):
+            with open(baseline) as f:
+                old_q = json.load(f).get("queries", {})
+            raised = sorted(k for k in pinned
+                            if k in old_q and pinned[k] > old_q[k])
+            if raised:
+                print(f"[bench-audit] --replace RAISED {len(raised)} "
+                      f"pin(s): {', '.join(raised)}")
         base = {
             "sf": d.get("sf"),
             "calib_pre_sec": pre,
             "calib_post_sec": post,
             "rel": float(rel_opt) if rel_opt else REL,
             "abs": float(abs_opt) if abs_opt else ABS,
-            "queries": {k: round(v, 4) for k, v in sorted(cur.items())},
+            "queries": pinned,
         }
         if io_cur:
             base["calib_io_pre_sec"] = d.get("calib_io_pre_sec")
@@ -237,6 +286,15 @@ def main():
         if sched_cur:
             base["calib_sched_pre_sec"] = d.get("calib_sched_pre_sec")
             base["calib_sched_post_sec"] = d.get("calib_sched_post_sec")
+        if d.get("gate_sentinels"):
+            # per-gate brackets anchor future per-gate floor scaling the
+            # same self-anchored way the suite pairs do (r15)
+            base["gate_sentinels"] = {
+                k: [round(v, 4) for v in vs]
+                for k, vs in sorted(d["gate_sentinels"].items())}
+        if d.get("calib_decile_sec"):
+            base["calib_decile_sec"] = [
+                round(v, 4) for v in d["calib_decile_sec"]]
         with open(baseline, "w") as f:
             json.dump(base, f, indent=1, sort_keys=True)
         print(f"[bench-audit] recorded {len(cur)} baselines "
@@ -288,8 +346,42 @@ def main():
               f"{floor:.2f}x the baseline's recorded pair — scaling "
               "stream_* allowances by that factor (batch gates unscaled)")
 
+    def gate_floor(n):
+        """Per-gate floor scale for stream gate `n` (r15): the gate's
+        own bracket (taken seconds around its reps — immune to the
+        mid-suite-burst blind spot) anchored to the baseline's bracket
+        for the same gate, falling back to the baseline's suite pair
+        for baselines recorded before bracketing. Combined max() with
+        the suite-level floor so whichever sentinel actually saw the
+        burst wins; 1.0 when the gate has no bracket (pre-r15
+        artifact) so the suite-level path is unchanged."""
+        g_io, g_sched = gate_bracket(d, n)
+        if not g_io and not g_sched:
+            return 1.0
+        b_io, b_sched = gate_bracket(base, n)
+        f = max(floor_scale(g_io, b_io or io_base),
+                floor_scale(g_sched, b_sched or sched_base))
+        return f
+
+    per_gate = {}
+    if not dirty:
+        for n in shared:
+            if n.startswith("stream_"):
+                g = gate_floor(n)
+                if g > 1.0:
+                    per_gate[n] = g
+    if per_gate:
+        worst_g = max(per_gate, key=per_gate.get)
+        print(f"[bench-audit] per-gate floor ELEVATED on "
+              f"{len(per_gate)} stream gate(s) (worst {worst_g} "
+              f"{per_gate[worst_g]:.2f}x its bracket) — scaling those "
+              "gates' allowances individually")
+
     def allowance(n):
-        s = stream_scale if n.startswith("stream_") else scale
+        if n.startswith("stream_"):
+            s = max(stream_scale, per_gate.get(n, 1.0))
+        else:
+            s = scale
         return bq[n] * (1 + rel) * s + abs_
 
     breaches = [(n, bq[n], cur[n]) for n in shared

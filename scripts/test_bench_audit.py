@@ -175,6 +175,66 @@ def main():
         assert recorded["calib_sched_pre_sec"] == 0.10, recorded
         assert recorded["calib_io_pre_sec"] == 0.030, recorded
 
+        # 15. PER-GATE bracket (r15): a mid-suite burst hits only
+        #     stream_x — suite-level sentinels all CLEAN (the blind spot
+        #     two closes burned on), but the gate's own bracket recorded
+        #     the burst. Its inflation is absorbed per-gate...
+        burst = dict(CLEAN, gate_sentinels={
+            "stream_x": [0.072, 0.080, 0.22, 0.24],
+            "stream_y": [0.031, 0.032, 0.10, 0.11]})
+        q_burst = dict(q_ok, stream_x=3.0 * 1.7)
+        rc, out = run(tmp, artifact(q_burst, **burst), base)
+        check("per-gate bracket absorbs mid-suite burst", rc, 0, out)
+        assert "per-gate floor ELEVATED" in out, out
+        #     ...while the same inflation on a gate whose OWN bracket is
+        #     clean stays a code regression (the band is per-gate)
+        q_burst2 = dict(q_ok, stream_y=4.0 * 1.7)
+        rc, out = run(tmp, artifact(q_burst2, **burst), base)
+        check("clean-bracket gate still fails", rc, 1, out)
+        #     ...and the per-gate band is capped at 2x like the suite one
+        wild_burst = dict(CLEAN, gate_sentinels={
+            "stream_x": [0.30, 0.30, 1.0, 1.0]})
+        q_wild2 = dict(q_ok, stream_x=3.0 * 5.0)
+        rc, out = run(tmp, artifact(q_wild2, **wild_burst), base)
+        check("per-gate band capped at 2x", rc, 1, out)
+        #     anchoring prefers the BASELINE's own bracket when recorded:
+        #     baseline bracket already at 0.06 io means a 0.072 reading
+        #     is only 1.2x — elevated, band opens smaller but still covers
+        base_br = baseline(q_ok, **CLEAN)
+        base_br["gate_sentinels"] = {"stream_x": [0.05, 0.06, 0.18, 0.20]}
+        q_small = dict(q_ok, stream_x=3.0 * 1.45)
+        rc, out = run(tmp, artifact(q_small, **burst), base_br)
+        check("per-gate anchored to baseline bracket", rc, 0, out)
+
+        # 15b. downward-only record (ADVICE r14): recording over an
+        #      existing baseline keeps the tighter old pin per query;
+        #      --replace raises and says so
+        q_mixed = dict(q_ok, q_a=0.5, q_b=2.6)  # a faster, b slower
+        rc, out = run(tmp, artifact(q_mixed, **CLEAN), base, ["--record"])
+        check("downward-only record", rc, 0, out)
+        assert "downward-only: kept 1 existing tighter pin" in out, out
+        with open(os.path.join(tmp, "base.json")) as f:
+            rec = json.load(f)["queries"]
+        assert rec["q_a"] == 0.5 and rec["q_b"] == 2.0, rec
+        rc, out = run(tmp, artifact(q_mixed, **CLEAN), base,
+                      ["--record", "--replace"])
+        check("--replace record raises", rc, 0, out)
+        assert "RAISED 1 pin(s): q_b" in out, out
+        with open(os.path.join(tmp, "base.json")) as f:
+            rec = json.load(f)["queries"]
+        assert rec["q_b"] == 2.6, rec
+
+        # 16. DECILE probes (r15): a burst visible only to a mid-suite
+        #     CPU probe makes worst dirty — uniform inflation downgrades
+        #     to machine-attributed WARN even though pre/post sit clean
+        decile_dirty = dict(CLEAN, calib_decile_sec=[0.22, 0.55, 0.23])
+        rc, out = run(tmp, artifact(q_uniform, **decile_dirty), base)
+        check("decile burst attributes uniform inflation", rc, 0, out)
+        #     ...and --record refuses an artifact whose deciles saw churn
+        rc, out = run(tmp, artifact(dict(q_ok), **decile_dirty), base,
+                      ["--record"])
+        check("record refuses decile-elevated box", rc, 2, out)
+
     print("all bench_audit red paths hold")
 
 

@@ -175,8 +175,33 @@ object Bench {
     val calibPre = calibrate(spark)
     val calibIoPre = calibrateIo()
     val calibSchedPre = calibrateSched(spark)
-    val allTimes = ordered.map { case (name, fn) =>
+    // Per-gate sentinel bracketing (r15, VERDICT item 1b): two suite
+    // closes in a row burned on suite-level pre/post sentinels that a
+    // MID-SUITE burst evades — the floor band only scales stream_*
+    // allowances when the ARTIFACT's sentinels are elevated, and a
+    // burst that starts after calib_pre and dies before calib_post is
+    // invisible to both. So every streaming gate (the fsync/scheduler-
+    // floor-shaped cost class) gets its own cheap single-rep io+sched
+    // probe pair taken immediately before and after its timed reps,
+    // recorded per-gate in the artifact; scripts/bench_audit.py scales
+    // that gate's allowance by ITS OWN bracket instead of the suite
+    // pair. Probes run OUTSIDE the timed window (bench wall-clock, not
+    // query numbers) and cost ~0.3 s per bracket — noise against the
+    // 2-4 s streaming gates they guard.
+    val gateSentinels =
+      new scala.collection.mutable.LinkedHashMap[String, (Double, Double,
+        Double, Double)]
+    // ...and a CPU-spin probe every ~decile of the suite, so a mid-suite
+    // burst shows in the artifact's own evidence for BATCH gates too
+    // (the audit folds the worst decile into the graded CPU band)
+    val decileEvery = math.max(1, ordered.size / 10)
+    val decileCalib = new scala.collection.mutable.ArrayBuffer[Double]
+    val allTimes = ordered.zipWithIndex.map { case ((name, fn), qi) =>
       System.gc()
+      val streamGate = name.startsWith("stream_")
+      val (ioPre, schedPre) =
+        if (streamGate) (calibrateIo(reps = 1), calibrateSched(spark, reps = 1))
+        else (0.0, 0.0)
       val times = (1 to reps).map { _ =>
         // each rep starts with an empty cache: timings measure the query,
         // not leftover cached blocks from whatever ran before it
@@ -190,6 +215,11 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
+      if (streamGate)
+        gateSentinels(name) =
+          (ioPre, calibrateIo(reps = 1), schedPre, calibrateSched(spark, reps = 1))
+      if ((qi + 1) % decileEvery == 0 && qi + 1 < ordered.size)
+        decileCalib += calibrate(spark, reps = 1)
       name -> times
     }
     // ...and AFTER: churn that develops mid-suite (GC pressure, a
@@ -206,6 +236,11 @@ object Bench {
     val repsJson = allTimes.map { case (k, ts) =>
       s"\"" + k + "\":" + ts.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
+    // per-gate sentinel brackets, [io_pre, io_post, sched_pre, sched_post]
+    val gateSentJson = gateSentinels.map { case (k, (a, b, c, d)) =>
+      s"\"" + k + "\":" + Seq(a, b, c, d).mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val decileJson = decileCalib.mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // split the total so the artifact itself distinguishes batch query
     // time from the end-to-end streaming runs' fixed costs (staging +
@@ -224,7 +259,7 @@ object Bench {
     // field because they were printed BEFORE the ~137-entry reps map).
     // The big maps go FIRST and the scalar summary fields LAST, so a
     // truncated head costs per-query detail, never the totals.
-    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","reps":$reps,"agg":"min","queries":$qs,"reps_sec":$repsJson,"calib_pre_sec":$calibPre,"calib_post_sec":$calibPost,"calib_io_pre_sec":$calibIoPre,"calib_io_post_sec":$calibIoPost,"calib_sched_pre_sec":$calibSchedPre,"calib_sched_post_sec":$calibSchedPost,"calib_threads":$cpus$calibClean,"batch_sec":${total - streaming},"streaming_sec":$streaming,"value":$total}"""
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","reps":$reps,"agg":"min","queries":$qs,"reps_sec":$repsJson,"gate_sentinels":$gateSentJson,"calib_decile_sec":$decileJson,"calib_pre_sec":$calibPre,"calib_post_sec":$calibPost,"calib_io_pre_sec":$calibIoPre,"calib_io_post_sec":$calibIoPost,"calib_sched_pre_sec":$calibSchedPre,"calib_sched_post_sec":$calibSchedPost,"calib_threads":$cpus$calibClean,"batch_sec":${total - streaming},"streaming_sec":$streaming,"value":$total}"""
     // ...and the complete artifact also lands on disk, immune to any
     // stdout capture policy
     try java.nio.file.Files.write(
