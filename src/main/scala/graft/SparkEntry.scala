@@ -565,6 +565,19 @@ object SparkEntry {
         partitionCol = Some("l_orderkey"))
         .withColumn("l_shipdate", col("l_shipdate").cast("string"))
     }),
+    // The DATE-keyed variant (VERDICT-r14 item 3): same warehouse
+    // table, split on l_shipdate — a DATE column, no numeric surrogate
+    // key involved — through discovered date bounds. The reference's
+    // truncate_date incremental loads key on exactly this shape
+    // (R/load_table_from_sql.R). Oracle identical to the numeric split:
+    // the partitioning strategy must never change the result.
+    "etl_jdbc_date_split" -> ((s, dir) => {
+      val conn = graft.sources.Jdbc.createDbConnection(
+        s"jdbc:derby:${derbyDbDir(s, dir)}/db")
+      graft.sources.Jdbc.loadTableFromSqlByDate(s, conn, "lineitem_jdbc",
+        partitionCol = "l_shipdate", numPartitions = 8)
+        .withColumn("l_shipdate", col("l_shipdate").cast("string"))
+    }),
     "etl_checksum" -> ((s, dir) =>
       Etl.rowChecksum(Tables(s, dir, "nation"),
         Seq("n_nationkey", "n_name", "n_regionkey"))),
@@ -1777,6 +1790,16 @@ object SparkEntry {
     // value-lossless through the JDBC write+partitioned-read like A10
     // through CSV — the oracle is the untouched parquet table
     "etl_jdbc_roundtrip" ->
+      """SELECT cast(l_orderkey as bigint) AS l_orderkey,
+           cast(l_linenumber as int) AS l_linenumber,
+           cast(l_quantity as double) AS l_quantity,
+           cast(l_returnflag as varchar) AS l_returnflag,
+           cast(cast(l_shipdate as date) as varchar) AS l_shipdate
+         FROM lineitem""",
+
+    // same oracle as etl_jdbc_roundtrip on purpose: the date-range
+    // partitioning must be result-invariant vs the numeric split
+    "etl_jdbc_date_split" ->
       """SELECT cast(l_orderkey as bigint) AS l_orderkey,
            cast(l_linenumber as int) AS l_linenumber,
            cast(l_quantity as double) AS l_quantity,

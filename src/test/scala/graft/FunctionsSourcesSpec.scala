@@ -852,4 +852,66 @@ class FunctionsSourcesSpec extends SparkSpec {
         passwordKey = Some("absent"), credentials = creds)
     }
   }
+
+  test("Jdbc date split + predicate partitions + fetchsize: the " +
+    "truncate_date shapes against a real embedded database") {
+    import graft.sources.Jdbc
+    val dbDir = tempDir("graft_derby_date")
+    val conn = Jdbc.createDbConnection(s"jdbc:derby:$dbDir/db;create=true")
+    val src = Tables(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate").cast("date").as("o_orderdate"))
+    Jdbc.writeTable(src, conn, "orders_dt")
+    val expect = src.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getDouble(2), String.valueOf(r.getDate(3)))).toSet
+
+    // DATE-bounds discovery: one pushed-down min/max, string form
+    val (lo, hi) = Jdbc.columnBoundsDate(spark, conn, "orders_dt",
+      "o_orderdate")
+    assert(lo < hi && lo.matches("""\d{4}-\d{2}-\d{2}"""), s"$lo..$hi")
+
+    // date-keyed partitioned read: 6 date ranges = 6 RDD partitions,
+    // value-identical to the source — the split must never change rows
+    val byDate = Jdbc.loadTableFromSqlByDate(spark, conn, "orders_dt",
+      partitionCol = "o_orderdate", numPartitions = 6)
+    assert(byDate.rdd.getNumPartitions == 6)
+    val gotDate = byDate.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getDouble(2), String.valueOf(r.getDate(3)))).toSet
+    assert(gotDate == expect)
+    // filters still push down through the date-split read
+    val f = byDate.filter(col("o_custkey") === 370)
+    val scanLine = f.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("JDBCRelation")).getOrElse("")
+    assert(scanLine.contains("PushedFilters") &&
+      scanLine.contains("o_custkey"), scanLine)
+
+    // predicate-array read: truncate_date cutpoints -> disjoint +
+    // covering ranges, one partition per predicate, NULLs in the first
+    val cutCol = Jdbc.quoted(conn, "o_orderdate")
+    val preds = Jdbc.datePredicates(cutCol,
+      Seq("1994-01-01", "1996-01-01"))
+    assert(preds.size == 3 && preds.head.contains("IS NULL"))
+    val byPred = Jdbc.loadTableFromSqlPredicates(spark, conn, "orders_dt",
+      preds)
+    assert(byPred.rdd.getNumPartitions == 3)
+    val gotPred = byPred.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getDouble(2), String.valueOf(r.getDate(3)))).toSet
+    assert(gotPred == expect)
+
+    // fetchsize reaches the reader as an option (the per-partition
+    // row-batching knob; Derby accepts it silently — the assertion is
+    // the read stays correct with a tiny batch that forces many
+    // round trips)
+    val small = Jdbc.loadTableFromSql(spark, conn, "orders_dt",
+      partitionCol = Some("o_orderkey"), fetchSize = 7)
+    assert(small.count() == expect.size)
+
+    // unsorted/empty cutpoints are loud errors
+    intercept[IllegalArgumentException] {
+      Jdbc.datePredicates(cutCol, Seq("1996-01-01", "1994-01-01"))
+    }
+    intercept[IllegalArgumentException] {
+      Jdbc.loadTableFromSqlPredicates(spark, conn, "orders_dt", Nil)
+    }
+  }
 }
