@@ -9,6 +9,13 @@ package graft.etl
   */
 trait NotifySink {
   def notify(msgName: String, vars: Map[String, String]): Unit
+
+  /** Dispatch WITH the rendered message text. Default delegates to the
+    * vars-only form so existing sinks are unaffected; transports that
+    * persist the message (the audit table) override this one.
+    */
+  def notifyRendered(msgName: String, vars: Map[String, String],
+                     rendered: String): Unit = notify(msgName, vars)
 }
 
 /** Template store + render (reference: apde_notify_msg_set/get — messages
@@ -20,10 +27,8 @@ final class Notifier(templates: Map[String, String], sink: NotifySink) {
       sys.error(s"no notify template '$msgName'"))
     vars.foldLeft(tpl) { case (s, (k, v)) => s.replace(s"{$k}", v) }
   }
-  def send(msgName: String, vars: Map[String, String]): Unit = {
-    render(msgName, vars) // fail fast on unknown template
-    sink.notify(msgName, vars)
-  }
+  def send(msgName: String, vars: Map[String, String]): Unit =
+    sink.notifyRendered(msgName, vars, render(msgName, vars))
 }
 
 /** Test/default sink: records every dispatch. */
@@ -32,6 +37,48 @@ final class CollectingNotifier extends NotifySink {
     scala.collection.mutable.Buffer.empty
   def notify(msgName: String, vars: Map[String, String]): Unit =
     sent += (msgName -> vars)
+}
+
+/** One dispatched notification as an audit-table row. */
+final case class NotifyRecord(msg_name: String,
+                              vars: Map[String, String],
+                              rendered: String,
+                              sent_at: java.sql.Timestamp)
+
+/** CONCRETE transport (VERDICT-r14 item 5): every dispatch appended as
+  * a row to a parquet audit table — the email-less production pattern
+  * (ops dashboards and alerting read the table; nothing in the engine
+  * owns SMTP or stores a secret, the deliberate stance of this module's
+  * doc). Volume contract: notifications are pipeline EVENTS — dozens
+  * per run, not per row — so per-dispatch appends of tiny files are
+  * the right durability/latency trade; compact with a periodic
+  * read→coalesce→rewrite if a deployment sends thousands.
+  *
+  * `clock` is injectable so specs pin deterministic rows; production
+  * uses the wall-clock default.
+  */
+final class ParquetNotifySink(
+    spark: org.apache.spark.sql.SparkSession, path: String,
+    clock: () => java.sql.Timestamp =
+      () => new java.sql.Timestamp(System.currentTimeMillis()))
+    extends NotifySink {
+  def notify(msgName: String, vars: Map[String, String]): Unit =
+    notifyRendered(msgName, vars, null)
+  override def notifyRendered(msgName: String, vars: Map[String, String],
+                              rendered: String): Unit = {
+    import spark.implicits._
+    Seq(NotifyRecord(msgName, vars, rendered, clock())).toDS()
+      .write.mode("append").parquet(path)
+  }
+}
+
+object ParquetNotifySink {
+  /** The audit table back as a frame (msg_name, vars, rendered,
+    * sent_at) — what a dashboard or follow-up pipeline reads.
+    */
+  def read(spark: org.apache.spark.sql.SparkSession, path: String)
+      : org.apache.spark.sql.DataFrame =
+    spark.read.parquet(path)
 }
 
 /** Credential surface modeled from the reference's keyring/connection

@@ -50,7 +50,8 @@ object Pipeline {
           clusterLater: Boolean = false,
           validationRules: Seq[(String, org.apache.spark.sql.Column)] = Nil,
           quarantineInvalid: Boolean = false,
-          freshnessSla: Option[FreshnessSla] = None): Result = {
+          freshnessSla: Option[FreshnessSla] = None,
+          xlsxPath: Option[String] = None): Result = {
     val raw = source.getOrElse {
       if (cfg.years.nonEmpty) Sources.loadYears(spark, cfg)
       else Sources.loadDelimited(spark, cfg)
@@ -91,6 +92,21 @@ object Pipeline {
     // not "was the raw feed stale".
     val fresh = freshnessSla.map { f =>
       Qa.freshness(deduped, f.groupCol, f.tsCol, f.asOfUs, f.slaUs)
+    }
+
+    // Workbook export hook (VERDICT-r14 item 6): the reference's
+    // end-to-end flow is ONE call — load → conform → QA → .xlsx on disk
+    // (etl_qa_run_pipeline.R:697-808 + 1772-1786). The analyst artifact
+    // rides the same Result the deployment writes; requires a QA stage
+    // (qaTimeVar), because the workbook IS the QA families rendered.
+    xlsxPath.foreach { p =>
+      val tv = qaTimeVar.getOrElse(sys.error(
+        "Pipeline.run: xlsxPath needs qaTimeVar — the workbook renders " +
+          "the QA families"))
+      require(qa.nonEmpty,
+        s"Pipeline.run: QA produced no sheets (is '$tv' a column of the " +
+          "loaded table?) — nothing to export to " + p)
+      graft.qa.Workbook.writeQaWorkbook(qa, tv, p)
     }
 
     outPath.foreach { p =>

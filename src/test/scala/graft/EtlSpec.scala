@@ -426,6 +426,75 @@ class EtlSpec extends SparkSpec {
     assert(!new java.io.File(s"$dir/out__reclustered").exists())
   }
 
+  test("ParquetNotifySink: dispatches land as audit-table rows with the " +
+    "rendered text; appends accumulate across sink instances") {
+    import graft.etl.{Notifier, ParquetNotifySink}
+    val path = tempDir("graft_notify") + "/audit"
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 08:00:00")
+    val sink = new ParquetNotifySink(spark, path, clock = () => t0)
+    val n = new Notifier(Map(
+      "load_done" -> "Loaded {table} ({rows} rows)",
+      "qa_fail" -> "QA failed on {table}: {rule}"), sink)
+    n.send("load_done", Map("table" -> "claims", "rows" -> "42"))
+    n.send("qa_fail", Map("table" -> "claims", "rule" -> "v_positive"))
+    // a SECOND sink instance appends to the same table (the production
+    // shape: one table, many pipeline runs)
+    val n2 = new Notifier(Map("load_done" -> "Loaded {table} ({rows} rows)"),
+      new ParquetNotifySink(spark, path, clock = () => t0))
+    n2.send("load_done", Map("table" -> "rx", "rows" -> "7"))
+    val back = graft.etl.ParquetNotifySink.read(spark, path)
+    assert(back.count() == 3)
+    assert(back.columns.toSet ==
+      Set("msg_name", "vars", "rendered", "sent_at"))
+    val rows = back.collect().map(r =>
+      (r.getAs[String]("msg_name"), r.getAs[String]("rendered"))).toSet
+    assert(rows == Set(
+      ("load_done", "Loaded claims (42 rows)"),
+      ("qa_fail", "QA failed on claims: v_positive"),
+      ("load_done", "Loaded rx (7 rows)")))
+    // vars survive as a queryable map column
+    assert(back.filter(col("vars")("table") === "claims").count() == 2)
+    // unknown template still fails fast, nothing appended
+    intercept[RuntimeException] { n.send("nope", Map.empty) }
+    assert(graft.etl.ParquetNotifySink.read(spark, path).count() == 3)
+  }
+
+  test("pipeline xlsxPath hook: load → conform → QA → one .xlsx on disk " +
+    "in a single run() call") {
+    val dir = tempDir("graft_pipe_xlsx")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/in.csv"),
+      "id,period,v\n1,p1,10\n2,p1,20\n3,p2,30\n")
+    val cfg = TableConfig(
+      toTable = "t",
+      vars = Seq(ColumnSpec("id", "BIGINT"), ColumnSpec("period", "VARCHAR(4)"),
+        ColumnSpec("v", "FLOAT")),
+      filePath = Map("overall" -> s"$dir/in.csv"),
+      fieldTerm = Map("overall" -> ","))
+    val res = graft.etl.Pipeline.run(spark, cfg,
+      qaTimeVar = Some("period"), outPath = Some(s"$dir/out"),
+      xlsxPath = Some(s"$dir/qa.xlsx"))
+    assert(res.rowCount == 3)
+    // the workbook exists, re-reads as OOXML, and carries one tab per
+    // QA family plus the unioned wide sheet first
+    val zf = new java.util.zip.ZipFile(s"$dir/qa.xlsx")
+    try {
+      val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      f.setNamespaceAware(true)
+      val wb = f.newDocumentBuilder()
+        .parse(zf.getInputStream(zf.getEntry("xl/workbook.xml")))
+      val sheetEls = wb.getElementsByTagNameNS("*", "sheet")
+      val names = (0 until sheetEls.getLength).map(i =>
+        sheetEls.item(i).getAttributes.getNamedItem("name").getNodeValue)
+      assert(names.head == "workbook")
+      assert(names.toSet == Set("workbook") ++ res.qa.keySet)
+    } finally zf.close()
+    // xlsxPath without a QA stage is a loud error, not a silent no-op
+    intercept[RuntimeException] {
+      graft.etl.Pipeline.run(spark, cfg, xlsxPath = Some(s"$dir/q2.xlsx"))
+    }
+  }
+
   test("schemaDiff reports match / mismatch / one-sided columns") {
     val a = Seq((1L, "x", 1.0)).toDF("id", "name", "amt")
     val b = Seq((1, "x", true)).toDF("id", "name", "active")
