@@ -23,14 +23,23 @@ object BenchOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // the same machine-state sentinel as Bench: a BenchOne attribution
-    // is only as good as the box it ran on (clean ~0.22 s at 32 threads)
-    println(f"[benchone] calib                    ${Bench.calibrate(spark)}%.2f")
+    // is only as good as the box it ran on (clean ~0.22 s at 32 threads).
+    // COLD caveat: this first reading runs in a fresh JVM — it reads
+    // 0.1+ s high from JIT/GC ramp (r15 measured 0.36-0.45 cold vs
+    // 0.26-0.27 for the SAME box's mid-suite warm calib). The
+    // post-warmup reading below is the one comparable to Bench's
+    // calib_pre/post — quote THAT in attribution receipts.
+    println(f"[benchone] calib-cold               ${Bench.calibrate(spark)}%.2f")
     // same JIT/codegen warmup as Bench
     names.foreach { n =>
       try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").write
         .format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
+    // warm sentinels, the receipt-grade family: CPU (comparable to the
+    // suite's calib_pre/post), io floor, scheduler floor
+    println(f"[benchone] calib-warm               ${Bench.calibrate(spark)}%.2f" +
+      f"  io ${Bench.calibrateIo()}%.3f  sched ${Bench.calibrateSched(spark)}%.3f")
     // per-rep state snapshot: persistent-RDD count and block-manager
     // storage in use AFTER the unpersist sweep — if either grows across
     // reps, invocations leak driver state (the long-running-driver
