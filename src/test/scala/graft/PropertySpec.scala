@@ -540,4 +540,40 @@ class PropertySpec extends SparkSpec {
       assert(spark.sql(s"SELECT $c AS v").head().isNullAt(0),
         s"$c should evaluate to NULL")
   }
+
+  test("datePredicates: disjoint and covering for any sorted cutpoints — " +
+    "every date (and NULL) matches exactly one predicate") {
+    import graft.sources.Jdbc
+    val day = Gen.choose(0L, 3650L)
+      .map(d => java.time.LocalDate.of(2015, 1, 1).plusDays(d))
+    val gen = for {
+      n <- Gen.choose(1, 8)
+      cuts <- Gen.listOfN(n, day)
+      probes <- Gen.listOfN(30, Gen.option(day))
+    } yield (cuts.map(_.toString).distinct.sorted, probes)
+    forAll(gen, n = 80) { case (cuts, probes) =>
+      val preds = Jdbc.datePredicates("d", cuts)
+      assert(preds.size == cuts.size + 1)
+      // evaluate each predicate as a driver-side function of an
+      // Option[LocalDate] — the semantics Spark/the database apply
+      def matches(p: String, v: Option[java.time.LocalDate]): Boolean = {
+        val s = v.map(_.toString)
+        if (p.contains("IS NULL")) // first range: d < c1 OR d IS NULL
+          s.isEmpty || s.get < cuts.head
+        else if (p.contains(">=") && p.contains("<")) {
+          val Array(a, b) = """'([0-9-]+)'""".r
+            .findAllMatchIn(p).map(_.group(1)).toArray
+          s.exists(x => x >= a && x < b)
+        } else { // trailing: d >= cn
+          val a = """'([0-9-]+)'""".r.findFirstMatchIn(p).get.group(1)
+          s.exists(_ >= a)
+        }
+      }
+      probes.foreach { v =>
+        val hits = preds.count(matches(_, v))
+        assert(hits == 1,
+          s"$v matched $hits of $preds (cuts=$cuts)")
+      }
+    }
+  }
 }
