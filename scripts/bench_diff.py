@@ -30,8 +30,17 @@ def load(path):
         if d.get("parsed"):
             d = d["parsed"]
         else:
+            tail = d.get("tail") or ""
+            # the r15 sentinel fields also match the "name":[reps]
+            # shape — a truncated tail must not salvage a stream gate's
+            # [io_pre, io_post, sched_pre, sched_post] bracket (or the
+            # decile array) as that gate's rep times. Strip them first;
+            # [^}]*/[^\]]* with an optional closer also swallows an
+            # object the truncation cut mid-way through.
+            tail = re.sub(r'"gate_sentinels":\{[^}]*\}?', '', tail)
+            tail = re.sub(r'"calib_decile_sec":\[[^\]]*\]?', '', tail)
             pairs = re.findall(r'"([a-z0-9_]+)":\[([0-9.,eE+-]+)\]',
-                               d.get("tail") or "")
+                               tail)
             d = dict(d, reps_sec={n: [float(x) for x in v.split(",")]
                                   for n, v in pairs})
     # union of both maps: a tail-truncated capture can carry reps_sec

@@ -235,6 +235,24 @@ def main():
                       ["--record"])
         check("record refuses decile-elevated box", rc, 2, out)
 
+        # 17. tail-salvage must NOT swallow the r15 sentinel arrays as
+        #     query reps: a driver-truncated artifact whose tail carries
+        #     gate_sentinels (cut mid-object) + calib_decile_sec must
+        #     salvage ONLY the real reps pairs — otherwise stream_x
+        #     would "measure" its 0.05 s io probe and every audit would
+        #     report phantom improvements
+        import bench_diff
+        tail = ('"stream_x":[3.1,3.0],"q_a":[1.0,1.1],'
+                '"calib_decile_sec":[0.22,0.55,0.23],'
+                '"gate_sentinels":{"stream_x":[0.05,0.053,0.268,0.209],'
+                '"stream_y":[0.031,0.032')  # truncated mid-object
+        tpath = os.path.join(tmp, "trunc.json")
+        with open(tpath, "w") as f:
+            json.dump({"n": 15, "rc": 0, "tail": tail}, f)
+        _, cur = bench_diff.load(tpath)
+        assert cur == {"stream_x": 3.0, "q_a": 1.0}, cur
+        print("ok   tail-salvage ignores sentinel arrays")
+
     print("all bench_audit red paths hold")
 
 
