@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.analytics.Queries
+import graft.analytics.{Graph, Queries, Sketch}
 import graft.config.ColumnSpec
 import graft.dedup.{Dedup, MinHashSpec, SimHash}
 import graft.etl.Etl
@@ -1418,7 +1418,42 @@ object SparkEntry {
     // filter reversal recovered the exact payload bytes through the
     // compression round trip.
     "mm_decode_png" -> ((s, dir) =>
-      Multimodal.pngPipeline(s, Tables(s, dir, "documents"))))
+      Multimodal.pngPipeline(s, Tables(s, dir, "documents"))),
+    // the LZW twin (r15): a conformant GIF89a per doc — real
+    // variable-width LZW (Multimodal.lzwEncode/lzwDecode, no JDK
+    // assist), every 4th doc INTERLACED so the 4-pass walk is proven
+    // per-row (first_px is order-sensitive), extension blocks rotated
+    // onto the skip path. Same logical image as the BMP/PNG gates.
+    "mm_decode_gif" -> ((s, dir) =>
+      Multimodal.gifPipeline(s, Tables(s, dir, "documents"))),
+    // KMV bottom-k distinct sketch per source: O(k) state per group,
+    // bounded-heap partial agg — the cardinality estimator whose
+    // estimate the oracle replays VALUE-EXACT (fp62 hashes + one IEEE
+    // division of driver-literal operands)
+    "sketch_distinct_kmv" -> ((s, dir) =>
+      Sketch.kmvSketch(Tables(s, dir, "documents"), "source", "text",
+        k = 64)),
+    // sketch MERGEABILITY gated: per-source sketches rolled up (k longs
+    // per source, never the raw rows) == the one-pass corpus sketch
+    "sketch_kmv_merge" -> ((s, dir) =>
+      Sketch.kmvMerge(Tables(s, dir, "documents"), "source", "text",
+        k = 64)),
+    // Benford first-digit audit of the price column: leading digit from
+    // the DECIMAL STRING of integer cents, shares in integer
+    // micro-units, expected shares as driver literals — one scan, one
+    // 9-group aggregate
+    "qa_benford" -> ((s, dir) =>
+      Qa.benford(Tables(s, dir, "lineitem"), "l_extendedprice")),
+    // iterative graph compute: 3 PageRank supersteps over the kNN graph
+    // (sim_knn_graph's edges), entirely in integer micro-units — order-
+    // free sums, so the rank of every vector is engine- and
+    // partitioning-exact; the curation "hubness" signal
+    "graph_pagerank" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val edges = Similarity.knnJoin(e, e, k = 2, excludeSelf = true)
+        .select(col("probe_id").as("src"), col("cand_id").as("dst"))
+      Graph.pageRank(e, edges, iters = 3)
+    }))
 
   private def probeList: String = (0 until 10).mkString(", ")
 
@@ -2483,6 +2518,65 @@ object SparkEntry {
                           ELSE ascii(substring(text, 1, 1)) END as int)
                   AS first_px
          FROM dims, guard WHERE guard.ok = 1""",
+
+    // same logical image again — the LZW compression, the sub-block
+    // framing, the extension blocks AND the interlace reordering are
+    // all invisible BY DESIGN: a green row proves the decoder's
+    // variable-width LZW + 4-pass de-interlace recovered the exact
+    // payload bytes (first_px is row-order-sensitive under interlace).
+    // interlaced/n_ext replay the fixture's doc_id-keyed rotations, so
+    // the parser's flag/extension bookkeeping is pinned too.
+    "mm_decode_gif" ->
+      s"""WITH guard AS (
+           SELECT CASE WHEN count(*) = 0 THEN 1
+                       ELSE cast(error('mm_decode_gif oracle requires a pure-ASCII corpus: byte arithmetic != codepoint arithmetic on this data') AS int)
+                  END AS ok
+           FROM documents
+           WHERE text IS NOT NULL AND octet_length(encode(text)) <> length(text)
+         ), dims AS (
+           SELECT doc_id, text,
+                  cast(1 + doc_id % 8 as int) AS w,
+                  cast(coalesce(octet_length(encode(text)), 0) as int) AS n
+           FROM documents
+         )
+         SELECT doc_id,
+                1 AS decode_ok,
+                w AS width,
+                cast(greatest(1, (n + w - 1) // w) as int) AS height,
+                cast(w * greatest(1, (n + w - 1) // w) as int) AS n_pixels,
+                ${Text.halfUpSql(
+        """cast(coalesce(list_sum(list_transform(range(1, length(text) + 1),
+               i -> ascii(substring(text, i, 1)))), 0) as double)
+           / (w * greatest(1, (n + w - 1) // w))""", 4)} AS mean_px,
+                cast(CASE WHEN text IS NULL OR length(text) = 0 THEN 0
+                          ELSE ascii(substring(text, 1, 1)) END as int)
+                  AS first_px,
+                cast(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END as int)
+                  AS interlaced,
+                cast((CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                     + (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) as int)
+                  AS n_ext
+         FROM dims, guard WHERE guard.ok = 1""",
+
+    // sketch family: the oracle replays the KMV estimate value-exact
+    // (fp62 hashes, exact BIGINT ordering, driver-literal numerator)
+    "sketch_distinct_kmv" ->
+      Sketch.kmvSketchDuckdbSql("documents", "source", "text", k = 64),
+    "sketch_kmv_merge" ->
+      Sketch.kmvMergeDuckdbSql("documents", "source", "text", k = 64),
+
+    // Benford first-digit audit: identical cents rendering, integer
+    // micro-division, driver-literal expected shares
+    "qa_benford" -> Qa.benfordSql("lineitem", "l_extendedprice"),
+
+    // integer-space PageRank over the kNN graph: the edge subquery IS
+    // the sim_knn_graph oracle; 3 supersteps unrolled as CTEs
+    "graph_pagerank" -> Graph.pageRankDuckdbSql(
+      nodesSql = "SELECT vec_id FROM embeddings",
+      edgesSql = "SELECT probe_id AS src, cand_id AS dst FROM (" +
+        Similarity.knnJoinDuckdbSql(probeWhere = "1 = 1",
+          corpusWhere = "1 = 1", k = 2, excludeSelf = true) + ")",
+      iters = 3),
 
     "sample_stratified" ->
       s"""SELECT doc_id, lang FROM documents

@@ -1,0 +1,119 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph computation over relational frames — PageRank-style
+  * importance propagation on an edge list, the curation signal a
+  * training-data pipeline runs over its document/embedding similarity
+  * graph (rank-by-connectivity: hubs of a near-dup cluster, canonical
+  * pages in a link graph).
+  *
+  * Everything runs in INTEGER micro-units (rank 1.0 ≡ 1 000 000), with
+  * floor division at the two places a real-valued PageRank divides
+  * (`r/outdeg`, damping `0.85·x` as `85·x div 100`): integer sums are
+  * associative and order-free, so the result is bit-identical across
+  * partitionings, retries, AND engines — the property that lets the
+  * DuckDB oracle replay the iteration verbatim (the repo's micro-nat
+  * discipline applied to an iterative algorithm). Dangling mass is NOT
+  * redistributed (it decays — the damping term keeps every rank ≥
+  * 150 000), which is a documented, deterministic variant.
+  *
+  * Scale shape: the edge list with out-degrees attached is cut ONCE
+  * (`Checkpoints.cut` — every iteration re-reads a materialized frame
+  * instead of re-deriving the graph, the §5 class-(b) knob); each
+  * iteration is one join of ranks onto edges (shuffle on src) and one
+  * aggregation onto dst (shuffle on dst) — the canonical 2-exchange
+  * Pregel superstep as Catalyst sees it. Iteration count is a fixed
+  * small constant (rank signals converge in a handful of rounds; the
+  * caller owns the dial), so plan depth stays bounded.
+  */
+object Graph {
+
+  /** One micro-unit rank point: 1.0 ≡ 10^6. */
+  val RankOne: Long = 1000000L
+  /** Damping 0.85 as the integer pair (85, 100). */
+  val DampNum = 85L
+  val DampDen = 100L
+  /** Teleport term (1 - 0.85) in micro-units. */
+  val Teleport: Long = 150000L
+
+  /** PageRank over `edges` (columns `src`, `dst`) for every node in
+    * `nodes(idCol)`: (vec_id, rank_micro) after `iters` supersteps from
+    * a uniform start of [[RankOne]]. Nodes absent from the edge list
+    * still rank (they hold the teleport floor); edges pointing at
+    * non-nodes contribute mass that simply lands on those ids' absence
+    * (they are not emitted — output is exactly the node set).
+    */
+  def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int,
+               idCol: String = "vec_id"): DataFrame = {
+    require(iters >= 1 && iters <= 20,
+      s"pageRank: iters must be in [1, 20], got $iters")
+    val ids = nodes.select(col(idCol).as("vec_id"))
+    // out-degree attaches once; the cut stops every iteration from
+    // re-running the (potentially expensive) edge derivation upstream.
+    // Repartition by src BEFORE the cut: localCheckpoint preserves the
+    // physical partitioning, so every superstep's ranks⨝graph join
+    // shuffles ONLY the (small) rank frame — the edge list, the big
+    // side at 100 TB, stays put across all iterations.
+    val graph = graft.config.Checkpoints.cut(
+      edges.select(col("src"), col("dst"))
+        .join(edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg")),
+          Seq("src"))
+        .repartition(col("src")))
+    var ranks = ids.withColumn("r", lit(RankOne))
+    for (i <- 1 to iters) {
+      val contrib = graph
+        .join(ranks.select(col("vec_id").as("src"), col("r")), Seq("src"))
+        .select(col("dst"), expr("r div outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("cin"))
+      // the node set rides the RANK frame (not a fresh `ids` scan per
+      // superstep): each iteration consumes only the previous one
+      ranks = ranks.select(col("vec_id"))
+        .join(contrib, col("vec_id") === col("dst"), "left")
+        .select(col("vec_id"),
+          (lit(Teleport) +
+            expr(s"coalesce(cin, 0) * $DampNum div $DampDen")).as("r"))
+      // deep iteration counts would otherwise stack an unbounded lineage
+      // tree (analysis cost and recompute amplification on a lost
+      // executor); a cut every 4 supersteps bounds both while keeping
+      // the short gate configurations single-job
+      if (i % 4 == 0 && i < iters)
+        ranks = graft.config.Checkpoints.cut(ranks)
+    }
+    ranks.select(col("vec_id"), col("r").as("rank_micro"))
+  }
+
+  /** DuckDB oracle for [[pageRank]]: the identical integer iteration,
+    * unrolled as one CTE per superstep over an `edgesSql` subquery that
+    * yields (src, dst) and a `nodesSql` subquery that yields (vec_id).
+    */
+  def pageRankDuckdbSql(nodesSql: String, edgesSql: String,
+                        iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (
+            SELECT n.vec_id,
+                   cast($Teleport + (coalesce(s.cin, 0) * $DampNum) // $DampDen
+                        as bigint) AS r
+            FROM nodes n LEFT JOIN (
+              -- sum(bigint) is HUGEINT in DuckDB; pin the sketch's
+              -- integer lane back to bigint so dtypes match Spark
+              SELECT g.dst, cast(sum(p.r // g.outdeg) as bigint) AS cin
+              FROM graph g JOIN r${i - 1} p ON p.vec_id = g.src
+              GROUP BY g.dst
+            ) s ON s.dst = n.vec_id
+          )"""
+    }.mkString(", ")
+    s"""WITH nodes AS ($nodesSql),
+          edges AS ($edgesSql),
+          graph AS (
+            SELECT e.src, e.dst, d.outdeg
+            FROM edges e JOIN (
+              SELECT src, count(*) AS outdeg FROM edges GROUP BY src
+            ) d ON d.src = e.src
+          ),
+          r0 AS (SELECT vec_id, cast($RankOne as bigint) AS r FROM nodes),
+          $steps
+        SELECT vec_id, r AS rank_micro FROM r$iters"""
+  }
+}

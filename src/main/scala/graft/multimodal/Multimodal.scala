@@ -722,4 +722,335 @@ object Multimodal {
         element_at(col("features"), 3).cast("int").as("first_byte"),
         element_at(col("features"), 4).cast("int").as("last_byte"))
   }
+
+  // ---------------------------------------------------------------------
+  // Real decode path #4 (r15): GIF. The third compression algorithm in
+  // the family — WAV is raw PCM, BMP raw pixels, PNG zlib/DEFLATE (via
+  // the JDK); GIF's LZW has NO JDK implementation, so both the variable-
+  // code-width LSB-first LZW codec and the 4-pass interlace walk below
+  // are implemented from the public GIF89a specification (CompuServe
+  // 1990, appendix F) — still squarely inside the stub contract's
+  // "public byte arithmetic" line (the mandated STUB keeps standing in
+  // for real codec LIBRARIES: JPEG/MP4/opus). The parser walks the
+  // block stream (extensions skipped by their sub-block framing), reads
+  // the first image descriptor, concatenates its data sub-blocks,
+  // LZW-decodes (clear/end codes, code-width growth at dict fill,
+  // KwKwK, 4096-entry reset), de-interlaces when flagged, and features
+  // the decoded INDEX raster (palette application is a lookup the
+  // caller owns; the fixture's global palette maps index→intensity so
+  // the oracle stays payload-derivable). Malformed bytes verdict
+  // (decode_ok=0), never throw; allocations capped like PNG.
+  // ---------------------------------------------------------------------
+
+  case class GifFeatures(doc_id: Long, decode_ok: Int, width: Int,
+                         height: Int, n_pixels: Int, mean_px: Double,
+                         first_px: Int, interlaced: Int, n_ext: Int)
+
+  /** GIF interlace pass structure (GIF89a appendix E): logical row
+    * indices in STORED order — pass 1 every 8th from 0, pass 2 every
+    * 8th from 4, pass 3 every 4th from 2, pass 4 every 2nd from 1.
+    */
+  private[graft] def interlaceOrder(h: Int): Array[Int] = {
+    val out = new Array[Int](h)
+    var i = 0
+    for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
+      var r = start
+      while (r < h) { out(i) = r; i += 1; r += step }
+    }
+    out
+  }
+
+  /** GIF-variant LZW encode of an index raster: variable code width
+    * starting at minCodeSize+1, clear code emitted first and on dict
+    * overflow at 4096, end code last, codes packed LSB-first.
+    */
+  private[graft] def lzwEncode(indices: Array[Byte],
+                                    minCodeSize: Int): Array[Byte] = {
+    val clear = 1 << minCodeSize
+    val end = clear + 1
+    val out = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L; var bitCnt = 0
+    var codeSize = minCodeSize + 1
+    def emit(code: Int): Unit = {
+      bitBuf |= code.toLong << bitCnt; bitCnt += codeSize
+      while (bitCnt >= 8) {
+        out.write((bitBuf & 0xff).toInt); bitBuf >>>= 8; bitCnt -= 8
+      }
+    }
+    // (prefixCode << 8 | nextByte) -> code
+    var dict = new java.util.HashMap[Integer, Integer]()
+    var next = end + 1
+    def reset(): Unit = {
+      dict = new java.util.HashMap[Integer, Integer]()
+      next = end + 1; codeSize = minCodeSize + 1
+    }
+    emit(clear)
+    if (indices.nonEmpty) {
+      var cur = indices(0) & 0xff
+      var i = 1
+      while (i < indices.length) {
+        val k = indices(i) & 0xff
+        val key = Integer.valueOf((cur << 8) | k)
+        val hit = dict.get(key)
+        if (hit != null) cur = hit.intValue()
+        else {
+          emit(cur)
+          dict.put(key, Integer.valueOf(next))
+          next += 1
+          // decoder grows its width when ITS next-free reaches
+          // 1<<codeSize — mirror that exactly, capped at 12 bits
+          if (next == (1 << codeSize) + 1 && codeSize < 12) codeSize += 1
+          if (next >= 4096) { emit(clear); reset() }
+          cur = k
+        }
+        i += 1
+      }
+      emit(cur)
+    }
+    emit(end)
+    if (bitCnt > 0) out.write((bitBuf & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** GIF-variant LZW decode. Returns null on any malformation (bad
+    * code, truncated stream, output past `maxOut`).
+    */
+  private[graft] def lzwDecode(data: Array[Byte], minCodeSize: Int,
+                                    maxOut: Int): Array[Byte] = {
+    if (minCodeSize < 2 || minCodeSize > 8) return null
+    val clear = 1 << minCodeSize
+    val end = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val out = new java.io.ByteArrayOutputStream()
+    var codeSize = minCodeSize + 1
+    var next = end + 1
+    var prev = -1
+    var bitBuf = 0L; var bitCnt = 0; var pos = 0
+    val stack = new Array[Byte](4096)
+    // push `code`'s sequence to the output, return its FIRST byte
+    def expand(code: Int): Int = {
+      var c = code; var sp = 0
+      while (c >= clear) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+      out.write(c)
+      while (sp > 0) { sp -= 1; out.write(stack(sp) & 0xff) }
+      c
+    }
+    while (true) {
+      while (bitCnt < codeSize) {
+        if (pos >= data.length) return null // no end code seen
+        bitBuf |= (data(pos) & 0xffL) << bitCnt; bitCnt += 8; pos += 1
+      }
+      val code = (bitBuf & ((1L << codeSize) - 1)).toInt
+      bitBuf >>>= codeSize; bitCnt -= codeSize
+      if (code == clear) {
+        next = end + 1; codeSize = minCodeSize + 1; prev = -1
+      } else if (code == end) {
+        return out.toByteArray
+      } else if (prev < 0) { // first code after clear must be a root
+        if (code >= clear) return null
+        out.write(code); prev = code
+        if (out.size > maxOut) return null
+      } else {
+        if (code > next) return null
+        val first =
+          if (code == next) { // KwKwK: sequence = seq(prev) + first(prev)
+            val f = expand(prev); out.write(f); f
+          } else expand(code)
+        if (next < 4096) {
+          prefix(next) = prev; suffix(next) = first.toByte
+          next += 1
+          if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        prev = code
+        if (out.size > maxOut) return null
+      }
+    }
+    null // unreachable
+  }
+
+  /** Deterministic GIF fixture: GIF89a, 8-bit global grayscale palette
+    * (index IS the intensity, like [[bmpFixture]]'s), width keyed off
+    * `docId`, logical pixels = the payload bytes row-major top-down
+    * (zero-filled to the last row) — the SAME logical image as the
+    * BMP/PNG fixtures, so all three image gates share one oracle shape.
+    * Rotations: every 4th doc is INTERLACED (rows stored in the 4-pass
+    * order — the de-interlace walk is what its oracle row proves);
+    * every even doc carries a Graphics Control Extension and every 3rd
+    * a Comment Extension, so the extension skip path is exercised. The
+    * pixel stream is REAL LZW ([[lzwEncode]]) packaged in ≤255-byte
+    * sub-blocks — any GIF reader opens the file.
+    */
+  def gifFixture(docId: Long, payload: Array[Byte]): Array[Byte] = {
+    val w = 1 + (docId % 8).toInt
+    val n = payload.length
+    val h = math.max(1, (n + w - 1) / w)
+    val interlaced = docId % 4 == 3
+    val px = new Array[Byte](w * h)
+    System.arraycopy(payload, 0, px, 0, n)
+    // stored raster: logical rows reordered by the interlace passes
+    val stored =
+      if (!interlaced) px
+      else {
+        val o = new Array[Byte](w * h)
+        val order = interlaceOrder(h)
+        var i = 0
+        while (i < h) {
+          System.arraycopy(px, order(i) * w, o, i * w, w)
+          i += 1
+        }
+        o
+      }
+    val lzw = lzwEncode(stored, 8)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    le16(w); le16(h)
+    out.write(0xf7) // GCT present, 8-bit color resolution, 256 entries
+    out.write(0)    // background color index
+    out.write(0)    // pixel aspect ratio
+    var i = 0
+    while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+    if (docId % 2 == 0) { // Graphics Control Extension
+      out.write(0x21); out.write(0xf9); out.write(4)
+      out.write(0); le16(0); out.write(0); out.write(0)
+    }
+    if (docId % 3 == 0) { // Comment Extension
+      val c = s"graft fixture $docId".getBytes("US-ASCII")
+      out.write(0x21); out.write(0xfe); out.write(c.length)
+      out.write(c); out.write(0)
+    }
+    out.write(0x2c) // image descriptor
+    le16(0); le16(0); le16(w); le16(h)
+    out.write(if (interlaced) 0x40 else 0x00)
+    out.write(8) // LZW minimum code size
+    var off = 0
+    while (off < lzw.length) {
+      val len = math.min(255, lzw.length - off)
+      out.write(len); out.write(lzw, off, len)
+      off += len
+    }
+    out.write(0)    // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** Parse a GIF byte buffer. Returns (ok, width, height, nPixels,
+    * meanIndexByte, firstPx, interlaced, nExtensions) over the FIRST
+    * image's decoded index raster (logical order — de-interlaced when
+    * the descriptor flags it). NOT ok when: short / bad signature /
+    * truncated descriptor chain / unknown block type / LZW error /
+    * decoded raster shorter than width×height / dimensions past the
+    * allocation cap. Never throws.
+    */
+  def parseGif(bytes: Array[Byte]): (Boolean, Int, Int, Int, Double, Int, Int, Int) = {
+    val bad = (false, 0, 0, 0, 0.0, 0, 0, 0)
+    if (bytes.length < 13) return bad
+    val sig = new String(bytes, 0, 6, "US-ASCII")
+    if (sig != "GIF87a" && sig != "GIF89a") return bad
+    def u16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    val flags = bytes(10) & 0xff
+    var p = 13
+    if ((flags & 0x80) != 0) p += 3 * (1 << ((flags & 7) + 1)) // skip GCT
+    var nExt = 0
+    while (true) {
+      if (p >= bytes.length) return bad
+      (bytes(p) & 0xff) match {
+        case 0x21 => // extension: label byte + sub-block chain
+          nExt += 1
+          p += 2
+          var done = false
+          while (!done) {
+            if (p >= bytes.length) return bad
+            val len = bytes(p) & 0xff
+            p += 1 + len
+            if (len == 0) done = true
+          }
+        case 0x2c => // image descriptor
+          if (p + 10 > bytes.length) return bad
+          val iw = u16(p + 5); val ih = u16(p + 7)
+          val iflags = bytes(p + 9) & 0xff
+          val interlaced = (iflags & 0x40) != 0
+          p += 10
+          if ((iflags & 0x80) != 0) p += 3 * (1 << ((iflags & 7) + 1))
+          if (iw <= 0 || ih <= 0 || iw.toLong * ih > maxPngPixels) return bad
+          if (p >= bytes.length) return bad
+          val minCode = bytes(p) & 0xff
+          p += 1
+          val data = new java.io.ByteArrayOutputStream()
+          var done = false
+          while (!done) {
+            if (p >= bytes.length) return bad
+            val len = bytes(p) & 0xff
+            p += 1
+            if (len == 0) done = true
+            else {
+              if (p + len > bytes.length) return bad
+              data.write(bytes, p, len); p += len
+            }
+          }
+          val stored = lzwDecode(data.toByteArray, minCode, iw * ih)
+          if (stored == null || stored.length < iw * ih) return bad
+          val raster =
+            if (!interlaced) stored
+            else {
+              val o = new Array[Byte](iw * ih)
+              val order = interlaceOrder(ih)
+              var i = 0
+              while (i < ih) {
+                System.arraycopy(stored, i * iw, o, order(i) * iw, iw)
+                i += 1
+              }
+              o
+            }
+          var sum = 0L; var i = 0
+          val nPx = iw * ih
+          while (i < nPx) { sum += raster(i) & 0xff; i += 1 }
+          return (true, iw, ih, nPx, sum / nPx.toDouble,
+            raster(0) & 0xff, if (interlaced) 1 else 0, nExt)
+        case 0x3b => return bad // trailer before any image
+        case _ => return bad
+      }
+    }
+    bad // unreachable
+  }
+
+  /** Synthesize the GIF-media frame for the decode gate (the
+    * [[asBmpMedia]]/[[asPngMedia]] twin — same logical pixels,
+    * LZW-compressed container).
+    */
+  def asGifMedia(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    documents.select(col("doc_id"),
+        coalesce(encode(col("text"), "UTF-8"), lit(Array.empty[Byte]))
+          .as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) => (id, gifFixture(id, p)) })
+      .toDF("doc_id", "payload")
+  }
+
+  /** Decode GIF payloads into typed features — same batch shape and
+    * never-throw verdicting as the other decode paths.
+    */
+  def decodeGifFeatures(spark: SparkSession, media: DataFrame): Dataset[GifFeatures] = {
+    import spark.implicits._
+    media.select(col("doc_id"),
+        coalesce(col("payload"), lit(Array.empty[Byte])).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (ok, w, h, n, mean, first, il, ext) = parseGif(bytes)
+        GifFeatures(id, if (ok) 1 else 0, w, h, n, mean, first, il, ext)
+      })
+  }
+
+  /** End-to-end GIF gate frame: synthesize → LZW-decode (+de-interlace)
+    * → features, halfUp on the mean (the byte-ratio midpoint
+    * discipline).
+    */
+  def gifPipeline(spark: SparkSession, documents: DataFrame): DataFrame =
+    decodeGifFeatures(spark, asGifMedia(spark, documents)).toDF()
+      .select(col("doc_id"), col("decode_ok"), col("width"), col("height"),
+        col("n_pixels"),
+        graft.text.Text.halfUp(col("mean_px"), 4).as("mean_px"),
+        col("first_px"), col("interlaced"), col("n_ext"))
 }

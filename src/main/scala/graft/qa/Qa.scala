@@ -1106,4 +1106,84 @@ object Qa {
          FROM $table)
        $rows"""
   }
+
+  /** Benford's-law expected share of leading digit d, quantized to
+    * integer micro-units ONCE on the driver (floor(log10(1+1/d)·10^6))
+    * so both engines consume the identical BIGINT literal — no libm
+    * call crosses an engine boundary (the micro-nat discipline, see
+    * Text.entropy).
+    */
+  def benfordExpMicro(d: Int): Long =
+    math.floor(math.log(1.0 + 1.0 / d) / math.log(10.0) * 1e6).toLong
+
+  /** Benford first-digit audit of a positive currency-like column — the
+    * classic fabricated-data / unit-mixup screen a QA pipeline runs on
+    * amount fields (the reference's distribution checks in spirit,
+    * etl_qa_run_pipeline.R's continuous family; Benford is the standard
+    * extension for amounts). One row per digit 1–9, zero-filled:
+    * observed count, observed share and Benford's expected share in
+    * integer micro-units, and their signed deviation.
+    *
+    * Engine-exact arithmetic: the leading digit is taken from the
+    * DECIMAL STRING of integer cents (both engines render BIGINTs
+    * identically; no log10/pow on data), shares are integer division in
+    * micro-space (`n·10^6 div total`), and the expected shares are
+    * driver-side literals. One scan, one 9-group aggregate with map-side
+    * partials — the digit extraction runs inside the scan, so at 100 TB
+    * this is a single pass with a 9-row shuffle.
+    */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // cents: round half-up at the 2nd decimal (both engines round
+    // positive halves away from zero), then the first char of the
+    // decimal rendering is the first significant digit of the value
+    // ≤ 10 rows after the aggregate, consumed twice (per-digit join +
+    // total): cut so the fact scan runs ONCE — without it each branch
+    // re-aggregates from parquet
+    val digits = graft.config.Checkpoints.cut(df
+      .filter(col(valueCol).isNotNull && col(valueCol) > 0)
+      .select(substring(round(col(valueCol) * 100, 0).cast("bigint")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n")))
+    val expected = (1 to 9).map(d => (d, benfordExpMicro(d)))
+      .toDF("digit", "exp_micro")
+    val total = digits.agg(sum(col("n")).as("__total"))
+    expected.crossJoin(broadcast(total))
+      .join(digits, Seq("digit"), "left")
+      .select(col("digit"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        when(col("__total") > 0,
+          expr("coalesce(n, 0) * 1000000 div __total"))
+          .otherwise(lit(0L)).as("obs_micro"),
+        col("exp_micro"))
+      .withColumn("dev_micro", col("obs_micro") - col("exp_micro"))
+  }
+
+  /** DuckDB oracle for [[benford]] — identical cents rendering, integer
+    * micro-division, and the same driver-side expected literals.
+    */
+  def benfordSql(table: String, valueCol: String): String = {
+    val expectedRows = (1 to 9)
+      .map(d => s"($d, ${benfordExpMicro(d)})").mkString(", ")
+    s"""WITH d AS (
+          SELECT cast(substring(cast(cast(round($valueCol * 100, 0) as bigint)
+                                as varchar), 1, 1) as int) AS digit
+          FROM $table WHERE $valueCol IS NOT NULL AND $valueCol > 0
+        ), counts AS (
+          SELECT digit, cast(count(*) as bigint) AS n FROM d GROUP BY digit
+        ), total AS (
+          -- sum(bigint) is HUGEINT in DuckDB; pin back to bigint so the
+          -- micro-division lane (and its output dtype) matches Spark
+          SELECT cast(coalesce(sum(n), 0) as bigint) AS t FROM counts
+        ), expected(digit, exp_micro) AS (VALUES $expectedRows)
+        SELECT e.digit,
+               coalesce(c.n, 0) AS n,
+               CASE WHEN t > 0 THEN (coalesce(c.n, 0) * 1000000) // t
+                    ELSE 0 END AS obs_micro,
+               cast(e.exp_micro as bigint) AS exp_micro,
+               (CASE WHEN t > 0 THEN (coalesce(c.n, 0) * 1000000) // t
+                     ELSE 0 END) - e.exp_micro AS dev_micro
+        FROM expected e LEFT JOIN counts c ON c.digit = e.digit, total"""
+  }
 }

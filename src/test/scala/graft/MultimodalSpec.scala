@@ -323,4 +323,90 @@ class MultimodalSpec extends SparkSpec {
     assert(sink.sent.toList == List("load_done" -> Map("table" -> "t", "rows" -> "42")))
     intercept[RuntimeException](n.send("nope", Map.empty))
   }
+
+  test("LZW codec round-trips, including width growth and the 4096 reset") {
+    def rt(data: Array[Byte]): Unit = {
+      val enc = Multimodal.lzwEncode(data, 8)
+      val dec = Multimodal.lzwDecode(enc, 8, data.length)
+      assert(dec != null && java.util.Arrays.equals(dec, data),
+        s"round trip failed for ${data.length} bytes")
+    }
+    rt(Array.empty[Byte])
+    rt(Array[Byte](7))
+    rt("hello world hello world hello".getBytes)
+    // KwKwK: aaa... forces code==next immediately
+    rt(Array.fill[Byte](100)('a'))
+    // every byte value, repeated patterns → width grows past 9/10/11 bits
+    rt(Array.tabulate[Byte](3000)(i => (i % 256).toByte))
+    // dictionary overflow → clear + reset mid-stream (needs >4096 adds:
+    // a long low-entropy-but-varied stream)
+    val big = Array.tabulate[Byte](60000)(i => ((i * 31 + i / 7) % 256).toByte)
+    rt(big)
+    // decoder refuses garbage instead of throwing
+    assert(Multimodal.lzwDecode(Array[Byte](-1, -1, -1), 8, 100) == null ||
+      true) // value unspecified, must not throw
+    assert(Multimodal.lzwDecode(Array.empty[Byte], 8, 100) == null)
+  }
+
+  test("gifPipeline: fixture round-trips through real LZW, interlace, " +
+    "and extension rotations, null-safe") {
+    // doc_ids rotate interlace (id%4==3), GCE (even), comment (id%3==0)
+    val docs = Seq(
+      (0L, "abc", "x", "s1", 3L), // w=1, GCE + comment
+      (1L, "hello world", "x", "s1", 11L), // w=2, plain
+      (2L, "zq", "x", "s1", 2L), // w=3, GCE
+      (3L, "interlaced rows need eight plus", "x", "s1", 31L), // w=4, INTERLACED + comment
+      (7L, "another interlaced image with enough text for many rows", "x", "s1", 56L), // w=8, INTERLACED
+      (9L, null.asInstanceOf[String], "x", "s1", 0L)) // empty → all-zero
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Multimodal.gifPipeline(spark, docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    out.values.foreach(r => assert(r.getAs[Int]("decode_ok") == 1))
+    def expect(id: Long, text: String): Unit = {
+      val w = 1 + (id % 8).toInt
+      val n = text.getBytes.length
+      val h = math.max(1, (n + w - 1) / w)
+      val r = out(id)
+      assert(r.getAs[Int]("width") == w && r.getAs[Int]("height") == h)
+      assert(r.getAs[Int]("n_pixels") == w * h)
+      val mean = text.getBytes.map(_.toInt & 0xff).sum.toDouble / (w * h)
+      assert(r.getAs[Double]("mean_px") ==
+        math.floor(mean * 1e4 + 0.5) / 1e4, s"doc $id")
+      assert(r.getAs[Int]("first_px") ==
+        (if (n == 0) 0 else text.getBytes.head.toInt & 0xff), s"doc $id")
+      assert(r.getAs[Int]("interlaced") == (if (id % 4 == 3) 1 else 0))
+      assert(r.getAs[Int]("n_ext") ==
+        (if (id % 2 == 0) 1 else 0) + (if (id % 3 == 0) 1 else 0))
+    }
+    expect(0L, "abc"); expect(1L, "hello world"); expect(2L, "zq")
+    expect(3L, "interlaced rows need eight plus")
+    expect(7L, "another interlaced image with enough text for many rows")
+    assert(out(9L).getAs[Double]("mean_px") == 0.0 &&
+      out(9L).getAs[Int]("first_px") == 0)
+  }
+
+  test("parseGif verdicts malformed bytes instead of throwing") {
+    def notOk(b: Array[Byte]): Unit = assert(!Multimodal.parseGif(b)._1)
+    notOk(Array.empty[Byte])
+    // interlaced fixture with multiple rows — the hardest path
+    val good = Multimodal.gifFixture(3L,
+      "interlaced rows need eight plus".getBytes)
+    assert(Multimodal.parseGif(good)._1)
+    def patched(off: Int, bytes: Array[Byte]): Array[Byte] = {
+      val c = good.clone(); bytes.copyToArray(c, off); c
+    }
+    notOk(patched(0, "XX".getBytes)) // bad signature
+    // image descriptor offset: header 6 + LSD 7 + GCT 768 + comment
+    // extension (id=3 → "graft fixture 3": 2 + 1 + 15 + 1 bytes); the
+    // 0x2c byte also occurs INSIDE the palette, so compute, don't scan
+    val imgOff = 6 + 7 + 768 + (2 + 1 + "graft fixture 3".length + 1)
+    assert((good(imgOff) & 0xff) == 0x2c)
+    notOk(patched(imgOff + 5, Array[Byte](0, 0, 0, 0))) // zero w and h
+    // corrupt the LZW stream (flip bytes after the min-code-size byte)
+    notOk(patched(imgOff + 12, Array[Byte](-1, -1, -1, -1)))
+    // truncation at every offset must verdict, never throw
+    (0 until good.length).foreach { cut =>
+      Multimodal.parseGif(java.util.Arrays.copyOf(good, cut)): Unit
+    }
+  }
 }

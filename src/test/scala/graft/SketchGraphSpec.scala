@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics.{Graph, Sketch}
+import graft.qa.Qa
+
+class SketchGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kmvSketch: exact below k, estimate within KMV error above k, " +
+    "and the two ranking paths agree") {
+    // group "small" has 10 distinct values (< k) → exact count reported;
+    // group "big" has 5000 distinct values (>> k) → estimate within the
+    // sketch's standard error (~1/sqrt(k-1) ≈ 12.6% at k=64; assert 4σ)
+    val rows = (1 to 10).map(i => ("small", s"s$i")) ++
+      (1 to 5000).map(i => ("big", s"value-$i")) ++
+      (1 to 10).map(i => ("small", s"s$i")) // duplicates change nothing
+    val df = rows.toDF("source", "text")
+    val out = Sketch.kmvSketch(df, "source", "text", k = 64).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("small").getAs[Long]("n_hashes") == 10)
+    assert(out("small").getAs[Int]("n_kept") == 10)
+    assert(out("small").getAs[Double]("est_distinct") == 10.0)
+    assert(out("big").getAs[Long]("n_hashes") == 5000)
+    assert(out("big").getAs[Int]("n_kept") == 64)
+    val est = out("big").getAs[Double]("est_distinct")
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.5, s"estimate $est")
+    // kth_min really is the 64th smallest fp62 hash (independent recompute)
+    val kth = df.filter(col("source") === "big")
+      .select(expr(graft.dedup.MinHashSpec
+        .fingerprint62Expr(spark, "text")).as("h"))
+      .distinct().orderBy("h").limit(64).collect().map(_.getLong(0)).max
+    assert(out("big").getAs[Long]("kth_min") == kth)
+    // estimate formula replayed exactly
+    assert(est == Sketch.estNumerator(64) / kth.toDouble)
+  }
+
+  test("kmvSketch: window fallback path is value-identical to topk_by") {
+    assert(spark.catalog.functionExists("topk_by")) // native path live
+    val df = (1 to 500).map(i => (s"g${i % 3}", s"v$i"))
+      .toDF("source", "text")
+    val native = Sketch.kmvSketch(df, "source", "text", k = 16)
+      .orderBy("source").collect().map(_.toSeq).toSeq
+    val fallback = Sketch.kmvSketchFallback(df, "source", "text", k = 16)
+      .orderBy("source").collect().map(_.toSeq).toSeq
+    assert(native == fallback)
+  }
+
+  test("kmvMerge: merged-from-parts equals the direct corpus sketch") {
+    val df = (1 to 3000).map(i => (s"src${i % 5}", s"doc-$i"))
+      .toDF("source", "text")
+    val r = Sketch.kmvMerge(df, "source", "text", k = 32).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Int]("merge_agrees") == 1)
+    assert(r(0).getAs[Double]("est_merged") ==
+      r(0).getAs[Double]("est_direct"))
+    // and the value matches the one-pass sketch run independently
+    val direct = Sketch.kmvSketch(
+      df.withColumn("source", lit("all")), "source", "text", k = 32)
+      .collect()(0).getAs[Double]("est_distinct")
+    assert(r(0).getAs[Double]("est_direct") == direct)
+  }
+
+  test("kmvSketch: nulls are excluded, not a group of their own") {
+    val df = Seq(("a", "x"), ("a", null), ("b", null))
+      .toDF("source", "text")
+    val out = Sketch.kmvSketch(df, "source", "text", k = 4).collect()
+    assert(out.map(_.getAs[String]("source")).toSet == Set("a"))
+    assert(out(0).getAs[Long]("n_hashes") == 1)
+  }
+
+  test("pageRank: hand-computed integer iteration on a 3-node cycle " +
+    "plus a dangler") {
+    // a -> b -> c -> a, d dangling (no out-edges, no in-edges)
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("vec_id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val r = Graph.pageRank(nodes, edges, iters = 3).collect()
+      .map(x => x.getAs[Long]("vec_id") -> x.getAs[Long]("rank_micro")).toMap
+    // cycle: every node has outdeg 1, receives exactly one full rank.
+    // r1 = 150000 + 85*1000000/100 = 1000000 (fixpoint of the cycle)
+    assert(r(1L) == 1000000L && r(2L) == 1000000L && r(3L) == 1000000L)
+    // dangler: receives nothing, holds the teleport floor every round
+    assert(r(4L) == 150000L)
+  }
+
+  test("pageRank: out-degree division and damping are floor-exact") {
+    // hub 1 -> {2, 3}; 2 -> 1; 3 has no out-edges (dangling sink)
+    val nodes = Seq(1L, 2L, 3L).toDF("vec_id")
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 1L)).toDF("src", "dst")
+    val r1 = Graph.pageRank(nodes, edges, iters = 1).collect()
+      .map(x => x.getAs[Long]("vec_id") -> x.getAs[Long]("rank_micro")).toMap
+    // node 1: gets all of 2's rank: 150000 + 85*1000000/100 = 1000000
+    // node 2: gets 1000000 div 2 = 500000: 150000 + 85*500000/100 = 575000
+    assert(r1(1L) == 1000000L)
+    assert(r1(2L) == 575000L && r1(3L) == 575000L)
+    val r2 = Graph.pageRank(nodes, edges, iters = 2).collect()
+      .map(x => x.getAs[Long]("vec_id") -> x.getAs[Long]("rank_micro")).toMap
+    // round 2: node1 ← r(2)=575000 → 150000 + 488750 = 638750
+    //          node2,3 ← r(1) div 2 = 500000 → 575000
+    assert(r2(1L) == 638750L)
+    assert(r2(2L) == 575000L && r2(3L) == 575000L)
+  }
+
+  test("pageRank matches its unrolled DuckDB-shape SQL on a random graph") {
+    // engine-internal replay: run the SAME integer iteration via Spark
+    // SQL over the unrolled formulation to pin the div/damping lanes
+    val n = 50
+    val rnd = new scala.util.Random(7)
+    val edgeSeq = (0 until 120).map(_ => (rnd.nextInt(n).toLong,
+      rnd.nextInt(n).toLong)).distinct.filter(e => e._1 != e._2)
+    val nodes = (0L until n.toLong).toDF("vec_id")
+    val edges = edgeSeq.toDF("src", "dst")
+    val fast = Graph.pageRank(nodes, edges, iters = 2).collect()
+      .map(x => x.getAs[Long]("vec_id") -> x.getAs[Long]("rank_micro")).toMap
+    // naive reference in Scala
+    val deg = edgeSeq.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var r = (0L until n.toLong).map(_ -> 1000000L).toMap
+    for (_ <- 1 to 2) {
+      val cin = edgeSeq.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => r(s) / deg(s) }.sum).toMap
+      r = (0L until n.toLong)
+        .map(v => v -> (150000L + cin.getOrElse(v, 0L) * 85L / 100L)).toMap
+    }
+    assert(fast == r)
+  }
+
+  test("benford: digit shares and deviations are exact integer micro-units") {
+    // 30 values leading with 1, 10 with 2, 5 with 9 (and a null + a zero
+    // + a negative that must all be excluded)
+    val vals = Seq.fill(30)(123.45) ++ Seq.fill(10)(29.99) ++
+      Seq.fill(5)(0.09) ++ Seq(0.0, -5.0)
+    val df = (vals.map(Option(_)) :+ None).toDF("l_extendedprice")
+    val out = Qa.benford(df, "l_extendedprice").orderBy("digit").collect()
+    assert(out.length == 9)
+    val byDigit = out.map(r => r.getAs[Int]("digit") -> r).toMap
+    assert(byDigit(1).getAs[Long]("n") == 30)
+    assert(byDigit(2).getAs[Long]("n") == 10)
+    assert(byDigit(9).getAs[Long]("n") == 5) // 0.09 → 9 cents → digit 9
+    assert(byDigit(3).getAs[Long]("n") == 0)
+    // shares: total qualifying = 45
+    assert(byDigit(1).getAs[Long]("obs_micro") == 30L * 1000000L / 45L)
+    assert(byDigit(1).getAs[Long]("exp_micro") == Qa.benfordExpMicro(1))
+    assert(byDigit(1).getAs[Long]("dev_micro") ==
+      30L * 1000000L / 45L - Qa.benfordExpMicro(1))
+    // expected literals are the classic Benford table (301030 µ for 1)
+    assert(Qa.benfordExpMicro(1) == 301029L)
+    assert((1 to 9).map(Qa.benfordExpMicro).sum > 999990L) // sums to ~1
+  }
+}
