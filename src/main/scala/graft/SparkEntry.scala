@@ -1136,6 +1136,15 @@ object SparkEntry {
       val e = Tables(s, dir, "embeddings")
       Similarity.knnJoin(e, e, k = 2, excludeSelf = true)
     }),
+    // MMR diversified re-rank over the kNN shortlist: greedy
+    // relevance-minus-redundancy selection (λ=0.7, top-3 of an 8-deep
+    // shortlist) — the diversity stage between candidate generation
+    // and selection; every greedy argmax is engine-exact
+    "sim_mmr_rerank" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      Similarity.mmrRerank(e.filter(col("vec_id") % 50 === 0),
+        e.filter(col("vec_id") % 50 =!= 0), k = 3, shortlist = 8)
+    }),
     // radius retrieval (FAISS range_search): everything within a cosine
     // radius of each probe — the data-dependent-output twin of the
     // top-k join, same bucketed candidates + exact verify
@@ -1438,6 +1447,18 @@ object SparkEntry {
     "sketch_kmv_merge" -> ((s, dir) =>
       Sketch.kmvMerge(Tables(s, dir, "documents"), "source", "text",
         k = 64)),
+    // pairwise source overlap FROM the sketches (k smallest of A∪B,
+    // fraction in both kept sets) with the exact Jaccard as published
+    // self-validation — the cross-source overlap matrix whose pairwise
+    // stage touches k longs per source, never the corpus
+    "sketch_kmv_jaccard" -> ((s, dir) =>
+      Sketch.kmvJaccard(Tables(s, dir, "documents"), "source", "text",
+        k = 64)),
+    // the LIVE sketch: kept-set state folded per micro-batch over the
+    // documents replay (mergeStep == the kmvMerge algebra), gated
+    // against the BATCH sketch oracle — merge==rebuild, streamed
+    "stream_kmv_sketch" -> ((s, dir) =>
+      graft.streaming.Streams.kmvSketchAvailableNow(s, dir, k = 64)),
     // Benford first-digit audit of the price column: leading digit from
     // the DECIMAL STRING of integer cents, shares in integer
     // micro-units, expected shares as driver literals — one scan, one
@@ -2564,6 +2585,13 @@ object SparkEntry {
       Sketch.kmvSketchDuckdbSql("documents", "source", "text", k = 64),
     "sketch_kmv_merge" ->
       Sketch.kmvMergeDuckdbSql("documents", "source", "text", k = 64),
+    "sketch_kmv_jaccard" ->
+      Sketch.kmvJaccardDuckdbSql("documents", "source", "text", k = 64),
+    // the stream replays the WHOLE documents table, so the batch sketch
+    // SQL (minus the unbounded-state n_hashes column) is the oracle —
+    // merge==rebuild is the property under test
+    "stream_kmv_sketch" ->
+      Sketch.kmvSketchStreamDuckdbSql("documents", "source", "text", k = 64),
 
     // Benford first-digit audit: identical cents rendering, integer
     // micro-division, driver-literal expected shares
@@ -2812,6 +2840,9 @@ object SparkEntry {
     "sim_range_search" -> Similarity.rangeSearchDuckdbSql(
       probeWhere = "vec_id % 50 = 0", corpusWhere = "vec_id % 50 <> 0",
       threshold = 0.3),
+    "sim_mmr_rerank" -> Similarity.mmrRerankDuckdbSql(
+      probeWhere = "vec_id % 50 = 0", corpusWhere = "vec_id % 50 <> 0",
+      k = 3, shortlist = 8),
     "emb_recall_eval" -> Similarity.recallEvalDuckdbSql(
       probeWhere = "vec_id % 50 = 0", corpusWhere = "vec_id % 50 <> 0",
       k = 5),

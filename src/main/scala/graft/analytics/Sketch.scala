@@ -109,6 +109,127 @@ object Sketch {
           .cast("int").as("merge_agrees"))
   }
 
+  /** Pairwise set-similarity FROM SKETCHES: for every group pair
+    * (a < b), the standard KMV Jaccard estimator — take the k smallest
+    * distinct hashes of A∪B (computable from the two kept sets alone),
+    * and estimate J(A,B) as the fraction of them present in BOTH kept
+    * sets. This is how cross-source overlap is measured when the
+    * sources are too big to intersect: the pairwise stage touches ONLY
+    * k longs per group (n_groups² pairs of k-row frames), never the
+    * corpus.
+    *
+    * The gate also publishes the EXACT Jaccard (same union-flag
+    * algebra over the full distinct-hash frame) as self-validation —
+    * the artifact shows estimate-vs-truth per pair. That exact path is
+    * group-count-bounded (the union-all frame is ≤ n_groups × the hash
+    * frame), fine at any gate SF; a 100 TB deployment drops the exact
+    * columns and keeps the k-row algebra — the point of the sketch.
+    *
+    * NULL groups drop out of the pair space (`a < b` is NULL-false in
+    * both engines); ties cannot exist (hashes are distinct per pair by
+    * construction).
+    */
+  def kmvJaccard(df: DataFrame, groupCol: String, valueCol: String,
+                 k: Int): DataFrame = {
+    val hashes = graft.config.Checkpoints.cut(
+      distinctHashes(df, groupCol, valueCol))
+    val sketches = keptHashes(hashes, groupCol, k)
+    // union-with-membership-flags per (a, b) pair, a < b
+    def pairUnion(rows: DataFrame): DataFrame = {
+      val names = rows.select(col(groupCol).as("g")).distinct()
+      val aSide = rows
+        .select(col(groupCol).as("src_a"), col("h"),
+          lit(1).as("in_a"), lit(0).as("in_b"))
+        .join(names.select(col("g").as("src_b")), col("src_a") < col("src_b"))
+      val bSide = rows
+        .select(col(groupCol).as("src_b"), col("h"),
+          lit(0).as("in_a"), lit(1).as("in_b"))
+        .join(names.select(col("g").as("src_a")), col("src_a") < col("src_b"))
+      aSide.unionByName(bSide)
+        .groupBy(col("src_a"), col("src_b"), col("h"))
+        .agg(max(col("in_a")).as("ia"), max(col("in_b")).as("ib"))
+    }
+    // sketch estimate: k smallest of the pair union, fraction in both
+    val w = Window.partitionBy(col("src_a"), col("src_b")).orderBy(col("h"))
+    val sk = pairUnion(sketches)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).cast("int").as("k_used"),
+        sum(col("ia") * col("ib")).as("n_common"))
+    // exact validation: same algebra over the full hash frame
+    val ex = pairUnion(hashes)
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(sum(col("ia") * col("ib")).as("n_inter"),
+        count(lit(1)).as("n_union"))
+    sk.join(ex, Seq("src_a", "src_b"))
+      .select(col("src_a"), col("src_b"), col("k_used"), col("n_common"),
+        (col("n_common").cast("double") / col("k_used")).as("j_est"),
+        (col("n_inter").cast("double") / col("n_union")).as("j_exact"))
+  }
+
+  /** ONE maintenance step of a LIVE sketch — the streaming/crawl-loop
+    * form (shared verbatim by the batch loop and the foreachBatch
+    * stream, the incrementalStep discipline): fold a new batch into the
+    * kept-set state. The batch's own k-minima are taken FIRST (so the
+    * union is ≤ 2k rows per group, never state+batch), then the merged
+    * k-minima re-taken — exactly the [[kmvMerge]] algebra, so
+    * state-after-N-steps == the one-pass sketch of everything seen
+    * (merge==rebuild, the property the stream gate is oracled against).
+    * State is (group, h): k longs per group, the whole point.
+    */
+  def mergeStep(state: DataFrame, batch: DataFrame, groupCol: String,
+                valueCol: String, k: Int): DataFrame =
+    keptHashes(
+      keptHashes(distinctHashes(batch, groupCol, valueCol), groupCol, k)
+        .unionByName(state).distinct(),
+      groupCol, k)
+
+  /** Publish the sketch row from kept-set state: under k kept hashes
+    * the kept set IS the exhaustive distinct set, so n_kept doubles as
+    * the exact count — the state-derivable subset of [[kmvSketch]]'s
+    * columns (exact n_hashes above k would need unbounded state, which
+    * is what the sketch exists to avoid).
+    */
+  def publishSketch(state: DataFrame, groupCol: String, k: Int): DataFrame =
+    state.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("int").as("n_kept"), max(col("h")).as("kth_min"))
+      .select(col(groupCol), col("n_kept"), col("kth_min"),
+        when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit(estNumerator(k)) / col("kth_min").cast("double"))
+          .as("est_distinct"))
+
+  /** Empty kept-set state to seed a sketch maintenance loop. */
+  def emptyState(spark: org.apache.spark.sql.SparkSession,
+                 groupCol: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField(groupCol, StringType),
+        StructField("h", LongType))))
+  }
+
+  /** Oracle for the STREAM gate: [[kmvSketchDuckdbSql]] minus the
+    * unbounded-state n_hashes column (count-below-k doubles as exact).
+    */
+  def kmvSketchStreamDuckdbSql(table: String, groupCol: String,
+                               valueCol: String, k: Int): String =
+    s"""WITH h AS (
+          SELECT DISTINCT $groupCol AS grp,
+                 ${MinHashSpec.duckFingerprint62Sql(valueCol)} AS h
+          FROM $table WHERE $valueCol IS NOT NULL
+        ), ranked AS (
+          SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+          FROM h
+        )
+        SELECT grp AS $groupCol,
+               cast(least(count(*), $k) as int) AS n_kept,
+               max(CASE WHEN rn <= $k THEN h END) AS kth_min,
+               CASE WHEN count(*) < $k THEN cast(count(*) as double)
+                    ELSE ${estNumerator(k)}
+                         / cast(max(CASE WHEN rn <= $k THEN h END) as double)
+               END AS est_distinct
+        FROM ranked GROUP BY grp"""
+
   /** Distinct (group, fp62-hash) pairs — the sketch's input domain. */
   private def distinctHashes(df: DataFrame, groupCol: String,
                              valueCol: String): DataFrame =
@@ -193,6 +314,60 @@ object Sketch {
                          / cast(max(CASE WHEN rn <= $k THEN h END) as double)
                END AS est_distinct
         FROM ranked GROUP BY grp"""
+
+  /** Oracle for [[kmvJaccard]]: the identical union-flag algebra over
+    * kept sets (estimate) and the full hash frame (exact validation).
+    */
+  def kmvJaccardDuckdbSql(table: String, groupCol: String, valueCol: String,
+                          k: Int): String =
+    s"""WITH h AS (
+          SELECT DISTINCT $groupCol AS grp,
+                 ${MinHashSpec.duckFingerprint62Sql(valueCol)} AS h
+          FROM $table WHERE $valueCol IS NOT NULL
+        ), ranked AS (
+          SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+          FROM h
+        ), kept AS (
+          SELECT grp, h FROM ranked WHERE rn <= $k
+        ), names AS (
+          SELECT DISTINCT grp FROM kept
+        ), su AS (
+          SELECT a.grp AS src_a, n.grp AS src_b, a.h, 1 AS in_a, 0 AS in_b
+          FROM kept a JOIN names n ON a.grp < n.grp
+          UNION ALL
+          SELECT n.grp, b.grp, b.h, 0, 1
+          FROM kept b JOIN names n ON n.grp < b.grp
+        ), sg AS (
+          SELECT src_a, src_b, h, max(in_a) AS ia, max(in_b) AS ib
+          FROM su GROUP BY 1, 2, 3
+        ), sx AS (
+          SELECT *, row_number() OVER (PARTITION BY src_a, src_b ORDER BY h)
+                    AS rn
+          FROM sg
+        ), sk AS (
+          SELECT src_a, src_b,
+                 cast(count(*) as int) AS k_used,
+                 cast(sum(ia * ib) as bigint) AS n_common
+          FROM sx WHERE rn <= $k GROUP BY 1, 2
+        ), eu AS (
+          SELECT a.grp AS src_a, n.grp AS src_b, a.h, 1 AS in_a, 0 AS in_b
+          FROM h a JOIN names n ON a.grp < n.grp
+          UNION ALL
+          SELECT n.grp, b.grp, b.h, 0, 1
+          FROM h b JOIN names n ON n.grp < b.grp
+        ), eg AS (
+          SELECT src_a, src_b, h, max(in_a) AS ia, max(in_b) AS ib
+          FROM eu GROUP BY 1, 2, 3
+        ), ex AS (
+          SELECT src_a, src_b,
+                 cast(sum(ia * ib) as bigint) AS n_inter,
+                 cast(count(*) as bigint) AS n_union
+          FROM eg GROUP BY 1, 2
+        )
+        SELECT sk.src_a, sk.src_b, sk.k_used, sk.n_common,
+               cast(sk.n_common as double) / sk.k_used AS j_est,
+               cast(ex.n_inter as double) / ex.n_union AS j_exact
+        FROM sk JOIN ex ON ex.src_a = sk.src_a AND ex.src_b = sk.src_b"""
 
   /** Oracle for [[kmvMerge]]: the same two roll-up paths in SQL. */
   def kmvMergeDuckdbSql(table: String, groupCol: String, valueCol: String,

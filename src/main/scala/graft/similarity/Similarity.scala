@@ -280,6 +280,141 @@ object Similarity {
     } else scored
   }
 
+  /** MMR (Maximal Marginal Relevance, Carbonell & Goldstein SIGIR'98)
+    * diversified re-rank — the retrieval-diversity operator a
+    * training-data pipeline runs between ANN candidate generation and
+    * selection (diverse few-shot pools, dedup-aware retrieval: the
+    * plain top-k of a near-dup-heavy corpus returns k copies of one
+    * document; MMR's redundancy penalty returns the cluster once).
+    *
+    * Greedy selection, unrolled `k` times: pick 1 = pure relevance
+    * (the kNN rank-1); pick i>1 maximizes
+    * λ·cos(probe, c) − (1−λ)·max_{s∈selected} cos(c, s)
+    * over the remaining SHORTLIST (the bounded kNN top-`shortlist`).
+    * Every input cosine is the family's 4-digit rounded value and every
+    * score is the same two-multiply-one-subtract double expression in
+    * both engines, ties broken on cand_id — so the greedy argmax chain
+    * is engine-exact and the oracle replays selection for selection.
+    *
+    * Scale shape: the shortlist bounds everything — pair similarities
+    * are |shortlist|² per probe computed via two vector-attach joins,
+    * and each greedy step's argmax is a per-probe window over ≤
+    * |shortlist| rows (BOUNDED by construction, so the single-reducer
+    * caveat of unbounded windows does not apply). Selection steps are
+    * joins, not driver loops; `k` and `shortlist` are small constants.
+    */
+  def mmrRerank(probes: DataFrame, corpus: DataFrame, k: Int = 3,
+                shortlist: Int = 8, lambda: Double = 0.7,
+                nBits: Int = 6, nTables: Int = 8, dim: Int = 64,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                digits: Int = 4): DataFrame = {
+    require(k >= 1 && k <= shortlist, s"mmrRerank: need 1 <= k <= shortlist")
+    val short = graft.config.Checkpoints.cut(
+      knnJoin(probes, corpus, shortlist, nBits, nTables, dim, idCol,
+        vecCol, excludeSelf = false, digits))
+    val cv = corpus.select(col(idCol).as("__cid"), col(vecCol).as("__cvec"))
+    // pairwise sims WITHIN each probe's shortlist (≤ shortlist² rows
+    // per probe), vectors attached once per side
+    val pairs = graft.config.Checkpoints.cut(short.select(col("probe_id"), col("cand_id").as("c"))
+      .join(short.select(col("probe_id"), col("cand_id").as("s")),
+        Seq("probe_id"))
+      .filter(col("c") =!= col("s"))
+      .join(cv.select(col("__cid").as("c"), col("__cvec").as("va")), Seq("c"))
+      .join(cv.select(col("__cid").as("s"), col("__cvec").as("vb")), Seq("s"))
+      .select(col("probe_id"), col("c"), col("s"),
+        round(expr(cosineSql(corpus, "va", "vb")), digits).as("sim")))
+    val lam = lit(lambda)
+    val oneMinus = lit(1.0 - lambda)
+    var selected = short.filter(col("rnk") === 1)
+      .select(col("probe_id"), lit(1).as("mmr_rank"), col("cand_id"),
+        col("cosine"), col("cosine").as("mmr_score"))
+    var remaining = short.filter(col("rnk") > 1)
+      .select(col("probe_id"), col("cand_id"), col("cosine"))
+    for (step <- 2 to k) {
+      // redundancy = max sim to ANY already-selected member; the join
+      // against `selected` grows by one row per probe per step
+      val scored = remaining
+        .join(pairs.withColumnRenamed("c", "cand_id"), Seq("probe_id", "cand_id"))
+        .join(selected.select(col("probe_id"), col("cand_id").as("s")),
+          Seq("probe_id", "s"))
+        .groupBy(col("probe_id"), col("cand_id"), col("cosine"))
+        .agg(max(col("sim")).as("red"))
+        .withColumn("mmr_score", lam * col("cosine") - oneMinus * col("red"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("mmr_score").desc, col("cand_id"))
+      val pick = scored.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("probe_id"), lit(step).as("mmr_rank"), col("cand_id"),
+          col("cosine"), col("mmr_score"))
+      selected = selected.unionByName(pick)
+      remaining = remaining.join(
+        pick.select(col("probe_id"), col("cand_id")),
+        Seq("probe_id", "cand_id"), "left_anti")
+    }
+    selected
+  }
+
+  /** DuckDB oracle for [[mmrRerank]]: the identical unrolled greedy
+    * chain — one selected/remaining CTE pair per step over the kNN
+    * shortlist oracle.
+    */
+  def mmrRerankDuckdbSql(probeWhere: String, corpusWhere: String,
+                         k: Int = 3, shortlist: Int = 8,
+                         lambda: Double = 0.7,
+                         nBits: Int = 6, nTables: Int = 8, dim: Int = 64,
+                         table: String = "embeddings",
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding",
+                         digits: Int = 4): String = {
+    val lam = lambda
+    val om = 1.0 - lambda
+    val steps = (2 to k).map { i =>
+      s"""pick$i AS (
+            SELECT probe_id, cand_id, cosine, mmr_score FROM (
+              SELECT r.probe_id, r.cand_id, r.cosine,
+                     $lam * r.cosine - $om * max(p.sim) AS mmr_score
+              FROM rem${i - 1} r
+              JOIN pairs p ON p.probe_id = r.probe_id AND p.c = r.cand_id
+              JOIN sel${i - 1} s ON s.probe_id = p.probe_id
+                                AND s.cand_id = p.s
+              GROUP BY r.probe_id, r.cand_id, r.cosine
+            ) QUALIFY row_number() OVER (PARTITION BY probe_id
+                        ORDER BY mmr_score DESC, cand_id) = 1
+          ), sel$i AS (
+            SELECT probe_id, cand_id FROM sel${i - 1}
+            UNION ALL SELECT probe_id, cand_id FROM pick$i
+          ), rem$i AS (
+            SELECT r.* FROM rem${i - 1} r
+            ANTI JOIN pick$i p USING (probe_id, cand_id)
+          )"""
+    }.mkString(", ")
+    val out = (2 to k).map(i =>
+      s"UNION ALL SELECT probe_id, $i AS mmr_rank, cand_id, cosine, mmr_score FROM pick$i")
+      .mkString("\n         ")
+    s"""WITH short AS (
+          ${knnJoinDuckdbSql(probeWhere, corpusWhere, shortlist, nBits,
+            nTables, dim, table, idCol, vecCol, excludeSelf = false, digits)}
+        ), pairs AS (
+          SELECT a.probe_id, a.cand_id AS c, b.cand_id AS s,
+                 ${duckdbCosine(s"ea.$vecCol", s"eb.$vecCol", digits)} AS sim
+          FROM short a
+          JOIN short b ON b.probe_id = a.probe_id
+                      AND b.cand_id <> a.cand_id
+          JOIN $table ea ON ea.$idCol = a.cand_id
+          JOIN $table eb ON eb.$idCol = b.cand_id
+        ), pick1 AS (
+          SELECT probe_id, cand_id, cosine, cosine AS mmr_score
+          FROM short WHERE rnk = 1
+        ), sel1 AS (
+          SELECT probe_id, cand_id FROM pick1
+        ), rem1 AS (
+          SELECT probe_id, cand_id, cosine FROM short WHERE rnk > 1
+        ), $steps
+        SELECT probe_id, 1 AS mmr_rank, cand_id, cosine, mmr_score
+        FROM pick1
+         $out"""
+  }
+
   /** ANN recall@k evaluation — the measurement loop of the ANN family:
     * the bucketed kNN join ([[knnJoin]]) scored against brute-force
     * ground truth on a probe TABLE, one (n_hits, recall) row per probe.

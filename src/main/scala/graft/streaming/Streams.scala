@@ -533,6 +533,71 @@ object Streams {
     spark.read.parquet(out).drop("batch_id")
   }
 
+  /** LIVE KMV distinct sketch over the staged documents replay — the
+    * streaming form of `sketch_distinct_kmv` (the estimator's WHOLE
+    * selling point is this loop: O(k)-longs-per-group state folded
+    * batch by batch, mergeStep == kmvMerge's algebra, so the state
+    * after the last micro-batch equals the one-pass batch sketch —
+    * merge==rebuild, and the gate's oracle IS the batch SQL minus the
+    * unbounded-state n_hashes column). Every micro-batch writes the
+    * running snapshot through the idempotent sink (replayed batches
+    * overwrite their own partition); the gate reads back the LAST
+    * snapshot. State lives in a cut frame across foreachBatch calls,
+    * exactly like the incremental-dedup loop's corpus/index pair.
+    */
+  def kmvSketchAvailableNow(spark: SparkSession, sfDir: String,
+                            k: Int = 64, chunks: Int = 4): DataFrame = {
+    import graft.analytics.Sketch
+    lastRunStats = None
+    val in = stageDocsReplay(spark, sfDir, chunks)
+    val out = tempDir("graft_stream_out")
+    val ckpt = ckptDir("graft_stream_ckpt")
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevOverwrite =
+      spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.shuffle.partitions", chunks.toString)
+    try {
+      var state = Sketch.emptyState(spark, "source")
+      val sink = idempotentBatchWriter(out)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(in).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in)
+      val q = stream.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+          if (!batch.isEmpty) {
+            // a foreachBatch frame is only readable DURING its call —
+            // the carried state must be a materialized copy
+            state = Sketch.mergeStep(state, batch.select("source", "text"),
+              "source", "text", k).cutLineage()
+            sink(Sketch.publishSketch(state, "source", k), id)
+          }
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val prog = q.recentProgress
+      lastRunStats = Some(RunStats(
+        batches = prog.length,
+        dataBatches = prog.count(_.numInputRows > 0),
+        statefulOps = prog.map(_.stateOperators.length)
+          .foldLeft(0)(math.max),
+        stateRowsTotal = prog.lastOption
+          .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)))
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevOverwrite)
+      rmTree(ckpt)
+    }
+    val all = spark.read.parquet(out)
+    // partition-column type is inference-dependent (int when it fits) —
+    // pin to long before the max/filter
+    val last = all.agg(max(col("batch_id").cast("long"))).first().getLong(0)
+    all.filter(col("batch_id").cast("long") === last).drop("batch_id")
+  }
+
   def lshCandidatesAvailableNow(spark: SparkSession, sfDir: String,
                                 chunks: Int = 4): DataFrame = {
     val in = stageDocsReplay(spark, sfDir, chunks)

@@ -62,6 +62,36 @@ class SketchGraphSpec extends SparkSpec {
     assert(r(0).getAs[Double]("est_direct") == direct)
   }
 
+  test("kmvJaccard: estimate tracks exact overlap; disjoint pairs are 0, " +
+    "identical sets are 1") {
+    // a and b share exactly half their values; c is disjoint from both;
+    // d is identical to c
+    val shared = (1 to 200).map(i => s"shared-$i")
+    val rows =
+      shared.map(("a", _)) ++ (1 to 200).map(i => ("a", s"only-a-$i")) ++
+      shared.map(("b", _)) ++ (1 to 200).map(i => ("b", s"only-b-$i")) ++
+      (1 to 150).map(i => ("c", s"c-$i")) ++
+      (1 to 150).map(i => ("d", s"c-$i"))
+    val out = Sketch.kmvJaccard(rows.toDF("source", "text"),
+      "source", "text", k = 64).collect()
+      .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) -> r)
+      .toMap
+    assert(out.size == 6) // 4 choose 2
+    val ab = out(("a", "b"))
+    assert(ab.getAs[Double]("j_exact") == 200.0 / 600.0)
+    // estimate within ~4σ of truth at k=64 (σ ≈ sqrt(J(1-J)/k) ≈ 0.06)
+    assert(math.abs(ab.getAs[Double]("j_est") - 1.0 / 3.0) < 0.25)
+    assert(ab.getAs[Int]("k_used") == 64)
+    val ac = out(("a", "c")); val cd = out(("c", "d"))
+    assert(ac.getAs[Double]("j_est") == 0.0 &&
+      ac.getAs[Double]("j_exact") == 0.0)
+    assert(cd.getAs[Double]("j_est") == 1.0 &&
+      cd.getAs[Double]("j_exact") == 1.0)
+    // j_est is exactly n_common / k_used
+    assert(ab.getAs[Double]("j_est") ==
+      ab.getAs[Long]("n_common").toDouble / ab.getAs[Int]("k_used"))
+  }
+
   test("kmvSketch: nulls are excluded, not a group of their own") {
     val df = Seq(("a", "x"), ("a", null), ("b", null))
       .toDF("source", "text")
@@ -123,6 +153,46 @@ class SketchGraphSpec extends SparkSpec {
         .map(v => v -> (150000L + cin.getOrElse(v, 0L) * 85L / 100L)).toMap
     }
     assert(fast == r)
+  }
+
+  test("mmrRerank: greedy diversity — picks the relevant-but-redundant " +
+    "candidate last") {
+    import graft.similarity.Similarity
+    // probe 0 at e1; candidates: 1 and 2 near-identical (both very
+    // close to the probe), 3 orthogonal-ish but still relevant. Plain
+    // top-3 ranks (1, 2, 3); MMR must pick 1, then PENALIZE 2 for its
+    // redundancy with 1 and pick 3 second.
+    def v(parts: (Int, Double)*): Seq[Float] = {
+      val a = Array.fill(64)(0.001f)
+      parts.foreach { case (i, x) => a(i) = x.toFloat }
+      a.toSeq
+    }
+    // geometry: c1/c2 are near-duplicates (sim ≈ 1.0, cos ≈ 0.74 to the
+    // probe); c3 is moderately diverse (sim to c1 ≈ 0.53) at cos ≈ 0.71.
+    // Plain ranking: (c1, c2, c3). MMR step 2: score(c2) ≈
+    // 0.7·0.740 − 0.3·1.0 ≈ 0.218 < score(c3) ≈ 0.7·0.707 − 0.3·0.53
+    // ≈ 0.337 → c3 second. nBits=1 keeps all four in colliding buckets.
+    val probe = Seq((0L, v(0 -> 1.0), 0))
+    val cands = Seq(
+      (1L, v(0 -> 1.0, 1 -> 0.90), 0),
+      (2L, v(0 -> 1.0, 1 -> 0.91), 0),   // near-duplicate of 1
+      (3L, v(0 -> 1.0, 2 -> 1.00), 0))   // diverse, slightly less relevant
+    val df = (probe ++ cands).toDF("vec_id", "embedding", "label")
+    def run() = Similarity.mmrRerank(
+      df.filter($"vec_id" === 0L), df.filter($"vec_id" =!= 0L),
+      k = 3, shortlist = 8, nBits = 1)
+    val out = run().collect()
+      .map(r => r.getAs[Int]("mmr_rank") -> r.getAs[Long]("cand_id")).toMap
+    assert(out.size == 3, s"expected 3 MMR picks, got $out")
+    assert(out(1) == 1L) // rank 1 = pure relevance (tie-broken by id)
+    assert(out(2) == 3L, s"MMR rank 2 must be the diverse candidate, got $out")
+    assert(out(3) == 2L)
+    // scores are the published selection-time values: rank1 = cosine
+    val rows = run().collect()
+    val r1 = rows.find(_.getAs[Int]("mmr_rank") == 1).get
+    assert(r1.getAs[Double]("mmr_score") == r1.getAs[Double]("cosine"))
+    val r2 = rows.find(_.getAs[Int]("mmr_rank") == 2).get
+    assert(r2.getAs[Double]("mmr_score") < r2.getAs[Double]("cosine"))
   }
 
   test("benford: digit shares and deviations are exact integer micro-units") {

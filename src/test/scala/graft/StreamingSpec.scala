@@ -430,6 +430,25 @@ class StreamingSpec extends SparkSpec {
     assert(rows(2) == (("click", us("2024-01-01 10:20:00"), None)))
   }
 
+  test("live KMV sketch: streamed kept-set state equals the one-pass " +
+    "batch sketch, with zero streaming state operators") {
+    import graft.analytics.Sketch
+    val streamed = Streams.kmvSketchAvailableNow(spark, sfDir, k = 16)
+      .collect().map(_.toSeq).toSet
+    val stats = Streams.lastRunStats.get
+    // merge==rebuild: the folded state publishes the batch sketch
+    val batch = Sketch.kmvSketch(Tables(spark, sfDir, "documents"),
+      "source", "text", k = 16)
+      .select(col("source"), col("n_kept"), col("kth_min"),
+        col("est_distinct"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"stream≠batch: ${(streamed diff batch).take(3)} vs ${(batch diff streamed).take(3)}")
+    // the loop is foreachBatch-stateful, not runtime-stateful: state is
+    // the cut kept-set frame, the streaming plan itself carries none
+    assert(stats.dataBatches == 4 && stats.statefulOps == 0, stats.toString)
+  }
+
   test("AvailableNow harness: streamed sessionize equals the batch twin") {
     // The end-to-end replay harness (event-time-ordered staged files,
     // flush sentinel, foreachBatch sink) backs five oracle-gated
