@@ -1435,6 +1435,17 @@ object SparkEntry {
     // onto the skip path. Same logical image as the BMP/PNG gates.
     "mm_decode_gif" -> ((s, dir) =>
       Multimodal.gifPipeline(s, Tables(s, dir, "documents"))),
+    // the TRANSFORM verb (r15): 2:1 audio decimation with a 2-tap mean
+    // anti-alias filter in INTEGER arithmetic — the resampled signal
+    // itself is engine-exact, the oracle replays it over text bytes
+    "mm_resample_wav" -> ((s, dir) =>
+      Multimodal.resamplePipeline(s, Tables(s, dir, "documents"))),
+    // the FRAME-SAMPLE verb (r15): a real AVI container walk (nested
+    // RIFF/LIST grammar, avih header, per-frame movi chunks) with the
+    // frame PAYLOAD kept opaque — exactly the codec boundary the
+    // multimodal stub mandates
+    "mm_parse_avi" -> ((s, dir) =>
+      Multimodal.aviPipeline(s, Tables(s, dir, "documents"))),
     // KMV bottom-k distinct sketch per source: O(k) state per group,
     // bounded-heap partial agg — the cardinality estimator whose
     // estimate the oracle replays VALUE-EXACT (fp62 hashes + one IEEE
@@ -2577,6 +2588,68 @@ object SparkEntry {
                 cast((CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
                      + (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) as int)
                   AS n_ext
+         FROM dims, guard WHERE guard.ok = 1""",
+
+    // the resampled SIGNAL is integer-exact: out[i] = (s[2i]+s[2i+1])//2
+    // over the fixture's byte samples, so every feature reduces to byte
+    // arithmetic over text (pairs; odd tail drops)
+    "mm_resample_wav" ->
+      s"""WITH guard AS (
+           SELECT CASE WHEN count(*) = 0 THEN 1
+                       ELSE cast(error('mm_resample_wav oracle requires a pure-ASCII corpus') AS int)
+                  END AS ok
+           FROM documents
+           WHERE text IS NOT NULL AND octet_length(encode(text)) <> length(text)
+         ), dims AS (
+           SELECT doc_id, text,
+                  cast(8000 + (doc_id % 8) * 1000 as int) AS rate_in,
+                  cast(coalesce(octet_length(encode(text)), 0) as int) AS n
+           FROM documents
+         )
+         SELECT doc_id,
+                1 AS decode_ok,
+                rate_in,
+                cast(rate_in // 2 as int) AS rate_out,
+                n AS n_in,
+                cast(n // 2 as int) AS n_out,
+                CASE WHEN n < 2 THEN 0.0 ELSE ${Text.halfUpSql(
+        """cast(list_sum(list_transform(range(1, n // 2 + 1),
+               i -> (ascii(substring(text, 2 * i - 1, 1))
+                     + ascii(substring(text, 2 * i, 1))) // 2)) as double)
+           / (n // 2)""", 4)} END AS mean_out,
+                cast(CASE WHEN n < 2 THEN 0
+                          ELSE (ascii(substring(text, 1, 1))
+                                + ascii(substring(text, 2, 1))) // 2
+                     END as int) AS first_out
+         FROM dims, guard WHERE guard.ok = 1""",
+
+    // container features replay from the fixture spec: 16-byte frames
+    // (last zero-padded, ≥1), dims keyed off doc_id; the declared and
+    // walked frame counts must agree — the oracle proves the nested
+    // LIST walk found every movi chunk
+    "mm_parse_avi" ->
+      s"""WITH guard AS (
+           SELECT CASE WHEN count(*) = 0 THEN 1
+                       ELSE cast(error('mm_parse_avi oracle requires a pure-ASCII corpus') AS int)
+                  END AS ok
+           FROM documents
+           WHERE text IS NOT NULL AND octet_length(encode(text)) <> length(text)
+         ), dims AS (
+           SELECT doc_id, text,
+                  cast(coalesce(octet_length(encode(text)), 0) as int) AS n
+           FROM documents
+         )
+         SELECT doc_id,
+                1 AS decode_ok,
+                cast(16 * (1 + doc_id % 4) as int) AS width,
+                cast(8 * (1 + doc_id % 3) as int) AS height,
+                cast(greatest(1, (n + 15) // 16) as int) AS n_frames_declared,
+                cast(greatest(1, (n + 15) // 16) as int) AS n_frames_found,
+                cast(coalesce(list_sum(list_transform(
+                       range(1, least(n, 16) + 1),
+                       i -> ascii(substring(text, i, 1)))), 0) as bigint)
+                  AS first_frame_sum,
+                cast(16 * greatest(1, (n + 15) // 16) as bigint) AS total_bytes
          FROM dims, guard WHERE guard.ok = 1""",
 
     // sketch family: the oracle replays the KMV estimate value-exact

@@ -1053,4 +1053,234 @@ object Multimodal {
         col("n_pixels"),
         graft.text.Text.halfUp(col("mean_px"), 4).as("mean_px"),
         col("first_px"), col("interlaced"), col("n_ext"))
+
+  // ---------------------------------------------------------------------
+  // Real TRANSFORM path (r15): audio resample. The decode family reads
+  // containers; a pipeline also has to TRANSFORM what it decoded (the
+  // stub contract's named verbs: decode / feature-extract / RESIZE /
+  // frame-sample — this is the audio resize). 2:1 decimation with a
+  // 2-tap mean anti-alias filter, entirely in INTEGER arithmetic
+  // (floor((s0+s1)/2) per output sample), so the resampled signal —
+  // not just its summary — is engine-exact and the oracle replays it
+  // as byte arithmetic. Odd tail sample drops (decimation convention).
+  // ---------------------------------------------------------------------
+
+  case class ResampleFeatures(doc_id: Long, decode_ok: Int, rate_in: Int,
+                              rate_out: Int, n_in: Int, n_out: Int,
+                              mean_out: Double, first_out: Int)
+
+  /** Parse an 8-bit mono PCM WAV and decimate 2:1 with the 2-tap mean.
+    * Returns (ok, rateIn, rateOut, nIn, nOut, meanOut, firstOut); NOT
+    * ok on anything [[parseWav]] rejects, or non-8-bit / non-mono input
+    * (the integer filter is defined on unsigned bytes; a 16-bit or
+    * multichannel resample is a per-channel loop a deployment adds
+    * without touching the walk). Never throws.
+    */
+  def resampleWav2x(bytes: Array[Byte]): (Boolean, Int, Int, Int, Int, Double, Int) = {
+    val bad = (false, 0, 0, 0, 0, 0.0, 0)
+    if (bytes == null || bytes.length < 12) return bad
+    if (tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE") return bad
+    var off = 12
+    var fmtOk = false
+    var audioFormat = 0; var channels = 0; var sampleRate = 0; var bits = 0
+    var dataOff = -1; var dataLen = 0
+    while (off + 8 <= bytes.length) {
+      val id = tag(bytes, off)
+      val size = u32(bytes, off + 4)
+      if (size > Int.MaxValue || off + 8 + size > bytes.length) return bad
+      val sz = size.toInt
+      if (id == "fmt " && sz >= 16) {
+        audioFormat = u16(bytes, off + 8)
+        channels = u16(bytes, off + 10)
+        sampleRate = u32(bytes, off + 12).toInt
+        bits = u16(bytes, off + 22)
+        fmtOk = true
+      } else if (id == "data") { dataOff = off + 8; dataLen = sz }
+      off += 8 + sz + (sz & 1)
+    }
+    if (!fmtOk || dataOff < 0 || audioFormat != 1 || channels != 1 ||
+        bits != 8 || sampleRate <= 0) return bad
+    val nOut = dataLen / 2
+    var sum = 0L
+    var first = 0
+    var i = 0
+    while (i < nOut) {
+      val v = ((bytes(dataOff + 2 * i) & 0xff) +
+        (bytes(dataOff + 2 * i + 1) & 0xff)) / 2
+      if (i == 0) first = v
+      sum += v
+      i += 1
+    }
+    val mean = if (nOut == 0) 0.0 else sum.toDouble / nOut
+    (true, sampleRate, sampleRate / 2, dataLen, nOut, mean, first)
+  }
+
+  /** End-to-end resample gate frame: synthesize the WAV fixture →
+    * container walk + integer decimation → features (halfUp mean).
+    */
+  def resamplePipeline(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    asWavMedia(spark, documents)
+      .select(col("doc_id"),
+        coalesce(col("payload"), lit(Array.empty[Byte])).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (ok, ri, ro, ni, no, mean, first) = resampleWav2x(bytes)
+        ResampleFeatures(id, if (ok) 1 else 0, ri, ro, ni, no, mean, first)
+      })
+      .toDF()
+      .select(col("doc_id"), col("decode_ok"), col("rate_in"),
+        col("rate_out"), col("n_in"), col("n_out"),
+        graft.text.Text.halfUp(col("mean_out"), 4).as("mean_out"),
+        col("first_out"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Real FRAME-SAMPLE path (r15): AVI. The video verb of the stub
+  // contract gets a real CONTAINER: RIFF 'AVI ' with the standard
+  // hdrl/avih header (frame count, dimensions), a movi LIST of per-
+  // frame chunks, and an idx1 index — the parser walks the nested
+  // LIST grammar, reads avih, iterates the movi frames, and samples
+  // every frame's bytes. The FRAME PAYLOAD stays opaque (that is the
+  // codec boundary the stub mandates — a deployment hands each chunk
+  // to its decoder); the container walk, frame count/offsets, and
+  // per-frame byte features are real.
+  // ---------------------------------------------------------------------
+
+  case class AviFeatures(doc_id: Long, decode_ok: Int, width: Int,
+                         height: Int, n_frames_declared: Int,
+                         n_frames_found: Int, first_frame_sum: Long,
+                         total_bytes: Long)
+
+  /** Frame size of the AVI fixture: payload bytes per '00dc' chunk. */
+  val AviFrameBytes = 16
+
+  /** Deterministic AVI fixture: RIFF('AVI ') { LIST(hdrl){avih},
+    * LIST(movi){'00dc' × n}, idx1 } — the payload split into 16-byte
+    * frames (≥1; the last zero-padded), width/height keyed off docId,
+    * a JUNK chunk rotated before/after movi so the walk is exercised.
+    */
+  def aviFixture(docId: Long, payload: Array[Byte]): Array[Byte] = {
+    val w = 16 * (1 + (docId % 4).toInt)
+    val h = 8 * (1 + (docId % 3).toInt)
+    val nFrames = math.max(1, (payload.length + AviFrameBytes - 1) / AviFrameBytes)
+    val out = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >>> 24) & 0xff)
+    }
+    def fourcc(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    // avih payload: 14 dwords (56 bytes)
+    val avih = new java.io.ByteArrayOutputStream()
+    def a32(v: Int): Unit = {
+      avih.write(v & 0xff); avih.write((v >> 8) & 0xff)
+      avih.write((v >> 16) & 0xff); avih.write((v >>> 24) & 0xff)
+    }
+    a32(33333) // µs per frame (30fps)
+    a32(0); a32(0); a32(0x10) // maxBytesPerSec, padding, flags HASINDEX
+    a32(nFrames); a32(0); a32(1) // totalFrames, initialFrames, streams
+    a32(AviFrameBytes) // suggested buffer
+    a32(w); a32(h); a32(0); a32(0); a32(0); a32(0)
+    val hdrlLen = 4 + 8 + avih.size // 'hdrl' + avih chunk
+    val frames = (0 until nFrames).map { i =>
+      val f = new Array[Byte](AviFrameBytes)
+      val lo = i * AviFrameBytes
+      val n = math.min(AviFrameBytes, math.max(0, payload.length - lo))
+      if (n > 0) System.arraycopy(payload, lo, f, 0, n)
+      f
+    }
+    val junkLen = (docId % 5).toInt * 4
+    val moviLen = 4 + frames.map(8 + _.length).sum
+    val idxLen = nFrames * 16
+    val junkTotal = 8 + junkLen
+    val riffBody = 4 + (8 + hdrlLen) + junkTotal + (8 + moviLen) + (8 + idxLen)
+    fourcc("RIFF"); le32(riffBody); fourcc("AVI ")
+    fourcc("LIST"); le32(hdrlLen); fourcc("hdrl")
+    fourcc("avih"); le32(avih.size); out.write(avih.toByteArray)
+    fourcc("JUNK"); le32(junkLen)
+    (0 until junkLen).foreach(_ => out.write('x'))
+    fourcc("LIST"); le32(moviLen); fourcc("movi")
+    frames.foreach { f => fourcc("00dc"); le32(f.length); out.write(f) }
+    fourcc("idx1"); le32(idxLen)
+    var off = 4 // idx1 offsets are movi-relative
+    frames.foreach { f =>
+      fourcc("00dc"); le32(0x10) // AVIIF_KEYFRAME
+      le32(off); le32(f.length); off += 8 + f.length
+    }
+    out.toByteArray
+  }
+
+  /** Parse an AVI byte buffer: walk the RIFF/LIST grammar, read avih,
+    * count + byte-sample the movi frames. Returns (ok, width, height,
+    * declaredFrames, foundFrames, firstFrameByteSum, totalFrameBytes).
+    * NOT ok when: short / wrong magics / truncated chunk / no avih /
+    * no movi. Unknown chunks (JUNK, idx1, strl, …) skip by size —
+    * never throws.
+    */
+  def parseAvi(bytes: Array[Byte]): (Boolean, Int, Int, Int, Int, Long, Long) = {
+    val bad = (false, 0, 0, 0, 0, 0L, 0L)
+    if (bytes == null || bytes.length < 12) return bad
+    if (tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "AVI ") return bad
+    var w = 0; var h = 0; var declared = -1
+    var found = 0; var firstSum = 0L; var total = 0L
+    var sawMovi = false
+    def walk(lo: Int, hi: Int): Boolean = { // false = malformed
+      var off = lo
+      while (off + 8 <= hi) {
+        val id = tag(bytes, off)
+        val size = u32(bytes, off + 4)
+        if (size > Int.MaxValue || off + 8 + size > hi) return false
+        val sz = size.toInt
+        if (id == "LIST" && sz >= 4) {
+          val kind = tag(bytes, off + 8)
+          if (kind == "movi") {
+            sawMovi = true
+            // frame chunks: '##dc'/'##db' compressed/uncompressed video
+            var f = off + 12
+            while (f + 8 <= off + 8 + sz) {
+              val fid = tag(bytes, f)
+              val fsz = u32(bytes, f + 4)
+              if (fsz > Int.MaxValue || f + 8 + fsz > off + 8 + sz)
+                return false
+              if (fid.endsWith("dc") || fid.endsWith("db")) {
+                var s = 0L
+                var j = 0
+                while (j < fsz.toInt) { s += bytes(f + 8 + j) & 0xff; j += 1 }
+                if (found == 0) firstSum = s
+                found += 1; total += fsz
+              }
+              f += 8 + fsz.toInt + (fsz.toInt & 1)
+            }
+          } else if (!walk(off + 12, off + 8 + sz)) return false
+        } else if (id == "avih" && sz >= 56) {
+          declared = u32(bytes, off + 8 + 16).toInt
+          w = u32(bytes, off + 8 + 32).toInt
+          h = u32(bytes, off + 8 + 36).toInt
+        }
+        off += 8 + sz + (sz & 1)
+      }
+      true
+    }
+    if (!walk(12, bytes.length) || declared < 0 || !sawMovi) return bad
+    (true, w, h, declared, found, firstSum, total)
+  }
+
+  /** End-to-end AVI gate frame: synthesize → container walk + frame
+    * sample → features.
+    */
+  def aviPipeline(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    documents.select(col("doc_id"),
+        coalesce(encode(col("text"), "UTF-8"), lit(Array.empty[Byte]))
+          .as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        val (ok, w, h, dec, fnd, fs, tb) = parseAvi(aviFixture(id, p))
+        AviFeatures(id, if (ok) 1 else 0, w, h, dec, fnd, fs, tb)
+      })
+      .toDF()
+      .select(col("doc_id"), col("decode_ok"), col("width"), col("height"),
+        col("n_frames_declared"), col("n_frames_found"),
+        col("first_frame_sum"), col("total_bytes"))
+  }
 }

@@ -385,6 +385,53 @@ class MultimodalSpec extends SparkSpec {
       out(9L).getAs[Int]("first_px") == 0)
   }
 
+  test("resampleWav2x: integer 2-tap decimation over the container walk") {
+    // "ab" → one output sample (97+98)/2 = 97 (floor); odd tail drops
+    val (ok, ri, ro, ni, no, mean, first) =
+      Multimodal.resampleWav2x(Multimodal.wavFixture(3L, "abc".getBytes))
+    assert(ok && ri == 11000 && ro == 5500)
+    assert(ni == 3 && no == 1 && first == 97 && mean == 97.0)
+    // empty payload: a valid WAV with zero output samples
+    val empty = Multimodal.resampleWav2x(Multimodal.wavFixture(0L, Array.empty))
+    assert(empty._1 && empty._5 == 0 && empty._6 == 0.0)
+    // non-mono/non-8-bit verdicts, never throws; truncation sweep
+    val good = Multimodal.wavFixture(1L, "hello world!".getBytes)
+    (0 until good.length).foreach { cut =>
+      Multimodal.resampleWav2x(java.util.Arrays.copyOf(good, cut)): Unit
+    }
+    assert(!Multimodal.resampleWav2x(Array.empty[Byte])._1)
+    // pipeline over a frame, null-safe
+    val docs = Seq((2L, "wxyz", "x", "s1", 4L),
+      (9L, null.asInstanceOf[String], "x", "s1", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Multimodal.resamplePipeline(spark, docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(2L).getAs[Int]("n_out") == 2)
+    assert(out(2L).getAs[Int]("first_out") == ('w' + 'x') / 2)
+    assert(out(9L).getAs[Int]("decode_ok") == 1 &&
+      out(9L).getAs[Double]("mean_out") == 0.0)
+  }
+
+  test("parseAvi walks the nested RIFF grammar and samples every frame") {
+    val payload = ("f" * 40).getBytes // 3 frames: 16+16+8(+pad)
+    val avi = Multimodal.aviFixture(5L, payload)
+    val (ok, w, h, dec, fnd, firstSum, total) = Multimodal.parseAvi(avi)
+    assert(ok)
+    assert(w == 16 * (1 + 5 % 4) && h == 8 * (1 + 5 % 3))
+    assert(dec == 3 && fnd == 3)
+    assert(firstSum == 16L * 'f')
+    assert(total == 48L)
+    // empty payload: one all-zero frame
+    val e = Multimodal.parseAvi(Multimodal.aviFixture(0L, Array.empty))
+    assert(e._1 && e._4 == 1 && e._5 == 1 && e._6 == 0L)
+    // malformed: bad magic, truncation at every offset — never throws
+    assert(!Multimodal.parseAvi("RIFFxxxxWAVE".getBytes)._1)
+    (0 until avi.length).foreach { cut =>
+      Multimodal.parseAvi(java.util.Arrays.copyOf(avi, cut)): Unit
+    }
+    assert(!Multimodal.parseAvi(java.util.Arrays.copyOf(avi, avi.length - 1))._1)
+  }
+
   test("parseGif verdicts malformed bytes instead of throwing") {
     def notOk(b: Array[Byte]): Unit = assert(!Multimodal.parseGif(b)._1)
     notOk(Array.empty[Byte])
