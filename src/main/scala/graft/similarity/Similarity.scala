@@ -346,10 +346,16 @@ object Similarity {
         .filter(col("__rn") === 1)
         .select(col("probe_id"), lit(step).as("mmr_rank"), col("cand_id"),
           col("cosine"), col("mmr_score"))
-      selected = selected.unionByName(pick)
-      remaining = remaining.join(
+      // cut BOTH loop-carried frames each step (≤ probes×shortlist
+      // rows): without the cut the final plan embeds every prior
+      // step's subtree and AQE's timing-dependent exchange reuse makes
+      // the plan SHAPE nondeterministic (observed 17/18/19 exchanges
+      // across identical runs) — the plan-audit flap class. Cutting
+      // bounds the audited plan to the last step; value-identical.
+      selected = graft.config.Checkpoints.cut(selected.unionByName(pick))
+      remaining = graft.config.Checkpoints.cut(remaining.join(
         pick.select(col("probe_id"), col("cand_id")),
-        Seq("probe_id", "cand_id"), "left_anti")
+        Seq("probe_id", "cand_id"), "left_anti"))
     }
     selected
   }
