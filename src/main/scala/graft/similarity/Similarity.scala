@@ -346,16 +346,21 @@ object Similarity {
         .filter(col("__rn") === 1)
         .select(col("probe_id"), lit(step).as("mmr_rank"), col("cand_id"),
           col("cosine"), col("mmr_score"))
-      // cut BOTH loop-carried frames each step (≤ probes×shortlist
-      // rows): without the cut the final plan embeds every prior
-      // step's subtree and AQE's timing-dependent exchange reuse makes
-      // the plan SHAPE nondeterministic (observed 17/18/19 exchanges
-      // across identical runs) — the plan-audit flap class. Cutting
-      // bounds the audited plan to the last step; value-identical.
-      selected = graft.config.Checkpoints.cut(selected.unionByName(pick))
-      remaining = graft.config.Checkpoints.cut(remaining.join(
-        pick.select(col("probe_id"), col("cand_id")),
-        Seq("probe_id", "cand_id"), "left_anti"))
+      // cut THE PICK each step (k rows per probe): without a cut the
+      // final plan embeds every prior step's subtree and AQE's
+      // timing-dependent exchange reuse makes the plan SHAPE
+      // nondeterministic (observed 17/18/19 exchanges across identical
+      // runs) — the plan-audit flap class. With cut picks, `selected`
+      // is a union of checkpoint scans and `remaining` an anti-join
+      // chain against them, so the audited plan is 0-exchange
+      // deterministic at ONE extra job per step (cutting selected AND
+      // remaining too was measured 1.7× more shuffle volume for the
+      // same determinism). Value-identical either way.
+      val pickCut = graft.config.Checkpoints.cut(pick)
+      selected = selected.unionByName(pickCut)
+      remaining = remaining.join(
+        pickCut.select(col("probe_id"), col("cand_id")),
+        Seq("probe_id", "cand_id"), "left_anti")
     }
     selected
   }
