@@ -1446,6 +1446,11 @@ object SparkEntry {
     // multimodal stub mandates
     "mm_parse_avi" -> ((s, dir) =>
       Multimodal.aviPipeline(s, Tables(s, dir, "documents"))),
+    // the IMAGE-RESIZE verb (r15): 2x2 integer box-mean downsample of
+    // the decoded BMP grid — the resized image itself is engine-exact,
+    // the oracle replays it as indexed byte arithmetic over text
+    "mm_image_resize" -> ((s, dir) =>
+      Multimodal.resizeBmpPipeline(s, Tables(s, dir, "documents"))),
     // KMV bottom-k distinct sketch per source: O(k) state per group,
     // bounded-heap partial agg — the cardinality estimator whose
     // estimate the oracle replays VALUE-EXACT (fp62 hashes + one IEEE
@@ -1476,6 +1481,11 @@ object SparkEntry {
     // 9-group aggregate
     "qa_benford" -> ((s, dir) =>
       Qa.benford(Tables(s, dir, "lineitem"), "l_extendedprice")),
+    // temporal QA: lag-1 autocorrelation of the daily order volume —
+    // integer Pearson sums over the calendar-bounded daily frame, one
+    // rounded double at the end
+    "qa_autocorr" -> ((s, dir) =>
+      Qa.autocorrDaily(Tables(s, dir, "orders"), "o_orderdate")),
     // iterative graph compute: 3 PageRank supersteps over the kNN graph
     // (sim_knn_graph's edges), entirely in integer micro-units — order-
     // free sums, so the rank of every vector is engine- and
@@ -1485,9 +1495,31 @@ object SparkEntry {
       val edges = Similarity.knnJoin(e, e, k = 2, excludeSelf = true)
         .select(col("probe_id").as("src"), col("cand_id").as("dst"))
       Graph.pageRank(e, edges, iters = 3)
+    }),
+    // exact triangles + local clustering coefficient over the same kNN
+    // edge set: degree-ordered compact-forward (wedge space bounded
+    // O(m^1.5) — the skew-proof enumeration), integer micro-unit lcc —
+    // the cohesion signal next to pagerank's hubness
+    "graph_triangles" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val edges = Similarity.knnJoin(e, e, k = 2, excludeSelf = true)
+        .select(col("probe_id").as("src"), col("cand_id").as("dst"))
+      Graph.triangles(edges)
     }))
 
   private def probeList: String = (0 until 10).mkString(", ")
+
+  // mm_image_resize oracle helpers: logical-image byte k of the BMP
+  // fixture (text byte when k < n, zero-fill otherwise), and the 2x2
+  // box-mean output pixel at (r, c) — four lookups, one floor-div
+  private def bmpByteSql(k: String): String =
+    s"(CASE WHEN ($k) < n THEN ascii(substring(text, ($k) + 1, 1)) " +
+      "ELSE 0 END)"
+  private def resizePxSql(rExpr: String, cExpr: String): String = {
+    val k1 = s"(($rExpr) * 2 * w + ($cExpr) * 2)"
+    s"(${bmpByteSql(k1)} + ${bmpByteSql(s"$k1 + 1")} + " +
+      s"${bmpByteSql(s"$k1 + w")} + ${bmpByteSql(s"$k1 + w + 1")}) // 4"
+  }
 
   // BM25 query vocabulary — shared by the Spark query and its oracle.
   private val bm25Terms = Seq("spark", "window", "merge", "customer")
@@ -2652,6 +2684,43 @@ object SparkEntry {
                 cast(16 * greatest(1, (n + 15) // 16) as bigint) AS total_bytes
          FROM dims, guard WHERE guard.ok = 1""",
 
+    // the resized GRID is integer-exact: out(r,c) = the 2x2 box mean
+    // over the BMP's logical image (text bytes row-major at width
+    // w = 1 + doc_id%8, zero-filled), odd tails dropped — every output
+    // pixel reduces to four indexed byte lookups and one floor-div
+    "mm_image_resize" ->
+      s"""WITH guard AS (
+           SELECT CASE WHEN count(*) = 0 THEN 1
+                       ELSE cast(error('mm_image_resize oracle requires a pure-ASCII corpus') AS int)
+                  END AS ok
+           FROM documents
+           WHERE text IS NOT NULL AND octet_length(encode(text)) <> length(text)
+         ), dims AS (
+           SELECT doc_id, text,
+                  cast(1 + doc_id % 8 as int) AS w,
+                  cast(coalesce(octet_length(encode(text)), 0) as int) AS n
+           FROM documents
+         ), d2 AS (
+           SELECT doc_id, text, w, n,
+                  cast(greatest(1, (n + w - 1) // w) as int) AS h,
+                  cast(w // 2 as int) AS wo,
+                  cast(greatest(1, (n + w - 1) // w) // 2 as int) AS ho
+           FROM dims
+         )
+         SELECT doc_id,
+                1 AS decode_ok,
+                w AS w_in, h AS h_in, wo AS w_out, ho AS h_out,
+                cast(wo * ho as int) AS n_out,
+                CASE WHEN wo * ho = 0 THEN 0.0
+                     ELSE ${Text.halfUpSql(
+        "cast(list_sum(list_transform(range(0, wo * ho), i -> " +
+          resizePxSql("i // wo", "i % wo") + ")) as double) / (wo * ho)",
+        4)} END AS mean_out,
+                cast(CASE WHEN wo * ho = 0 THEN 0
+                          ELSE ${resizePxSql("0", "0")} END as int)
+                  AS first_out
+         FROM d2, guard WHERE guard.ok = 1""",
+
     // sketch family: the oracle replays the KMV estimate value-exact
     // (fp62 hashes, exact BIGINT ordering, driver-literal numerator)
     "sketch_distinct_kmv" ->
@@ -2670,6 +2739,10 @@ object SparkEntry {
     // micro-division, driver-literal expected shares
     "qa_benford" -> Qa.benfordSql("lineitem", "l_extendedprice"),
 
+    // lag-1 autocorrelation: identical integer Pearson sums, identical
+    // one-shot double coefficient
+    "qa_autocorr" -> Qa.autocorrDailySql("orders", "o_orderdate"),
+
     // integer-space PageRank over the kNN graph: the edge subquery IS
     // the sim_knn_graph oracle; 3 supersteps unrolled as CTEs
     "graph_pagerank" -> Graph.pageRankDuckdbSql(
@@ -2678,6 +2751,13 @@ object SparkEntry {
         Similarity.knnJoinDuckdbSql(probeWhere = "1 = 1",
           corpusWhere = "1 = 1", k = 2, excludeSelf = true) + ")",
       iters = 3),
+
+    // triangles/lcc: the edge subquery IS the sim_knn_graph oracle;
+    // identical degree-ordered orientation, exact integer counts
+    "graph_triangles" -> Graph.trianglesDuckdbSql(
+      edgesSql = "SELECT probe_id AS src, cand_id AS dst FROM (" +
+        Similarity.knnJoinDuckdbSql(probeWhere = "1 = 1",
+          corpusWhere = "1 = 1", k = 2, excludeSelf = true) + ")"),
 
     "sample_stratified" ->
       s"""SELECT doc_id, lang FROM documents

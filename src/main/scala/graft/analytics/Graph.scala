@@ -84,6 +84,118 @@ object Graph {
     ranks.select(col("vec_id"), col("r").as("rank_micro"))
   }
 
+  /** Exact triangle count + local clustering coefficient per node over
+    * the UNDIRECTED closure of `edges` (src, dst) — the cohesion signal
+    * a curation pipeline reads off its similarity graph (a node whose
+    * neighbours also neighbour each other sits inside a dense near-dup
+    * community; a hub with lcc≈0 bridges unrelated clusters).
+    *
+    * Algorithm: compact-forward / node-iterator with DEGREE ordering.
+    * Each undirected edge is oriented from its (degree, id)-smaller
+    * endpoint to the larger; a triangle {u<v<w} in that total order is
+    * found exactly once as wedge u→v→w closed by u→w. Degree ordering
+    * bounds every node's oriented out-degree by O(√m), so the wedge
+    * join materializes O(m^1.5) rows worst-case instead of Σ deg² —
+    * the difference between a skewed hub exploding the shuffle and a
+    * bounded pair space at 100 TB. Per-node counts and
+    * `lcc_micro = 2·tri·10^6 div (deg·(deg−1))` are integer arithmetic
+    * over exact counts, so the result is partitioning- and ENGINE-exact
+    * (the micro-nat discipline), and orientation-invariance means the
+    * oracle does not even need the same tie-break to agree — it uses
+    * the identical one anyway ([[trianglesDuckdbSql]]).
+    *
+    * Scale shape: one distinct (exchange on the canonical pair), one
+    * degree agg, the wedge self-join keyed on the middle vertex, one
+    * semi-style closing join on the (u, w) pair, then a 3-way corner
+    * union aggregated by node. The oriented frame is cut once and
+    * reused by all three consumers.
+    */
+  def triangles(edges: DataFrame): DataFrame = {
+    // undirected closure: canonical (a < b) pairs, self-loops dropped,
+    // parallel/reciprocal edges collapsed
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(col("a").as("x"))
+      .unionAll(und.select(col("b").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("deg"))
+    // total order: rank = deg·2^32 + id (ids are 32-bit; the composite
+    // fits a BIGINT and both engines compare it as plain integers)
+    val rk = (d: org.apache.spark.sql.Column, id: org.apache.spark.sql.Column) =>
+      d * lit(4294967296L) + id
+    val oriented = graft.config.Checkpoints.cut(und
+      .join(deg.select(col("x").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("x").as("b"), col("deg").as("db")), Seq("b"))
+      .select(
+        when(rk(col("da"), col("a")) < rk(col("db"), col("b")), col("a"))
+          .otherwise(col("b")).as("u"),
+        when(rk(col("da"), col("a")) < rk(col("db"), col("b")), col("b"))
+          .otherwise(col("a")).as("v")))
+    val tris = oriented.select(col("u"), col("v"))
+      .join(oriented.select(col("u").as("v"), col("v").as("w")), Seq("v"))
+      .join(oriented.select(col("u"), col("v").as("w")), Seq("u", "w"))
+      .select(col("u"), col("v"), col("w"))
+    val corners = tris.select(col("u").as("x"))
+      .unionAll(tris.select(col("v").as("x")))
+      .unionAll(tris.select(col("w").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("tri_cnt"))
+    deg.join(corners, Seq("x"), "left")
+      .select(col("x").as("vec_id"), col("deg"),
+        coalesce(col("tri_cnt"), lit(0L)).as("tri_cnt"),
+        when(col("deg") < 2, lit(0L))
+          .otherwise(expr(s"2 * coalesce(tri_cnt, 0) * ${RankOne}" +
+            " div (deg * (deg - 1))")).as("lcc_micro"))
+  }
+
+  /** DuckDB oracle for [[triangles]]: the identical degree-ordered
+    * compact-forward enumeration over an `edgesSql` subquery yielding
+    * (src, dst).
+    */
+  def trianglesDuckdbSql(edgesSql: String): String =
+    s"""WITH raw AS ($edgesSql),
+          und AS (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM raw WHERE src <> dst
+          ),
+          deg AS (
+            SELECT x, count(*) AS deg FROM (
+              SELECT a AS x FROM und UNION ALL SELECT b AS x FROM und
+            ) GROUP BY x
+          ),
+          oriented AS (
+            SELECT CASE WHEN da.deg * 4294967296 + u.a
+                           < db.deg * 4294967296 + u.b
+                        THEN u.a ELSE u.b END AS u,
+                   CASE WHEN da.deg * 4294967296 + u.a
+                           < db.deg * 4294967296 + u.b
+                        THEN u.b ELSE u.a END AS v
+            FROM und u
+            JOIN deg da ON da.x = u.a
+            JOIN deg db ON db.x = u.b
+          ),
+          tris AS (
+            SELECT e1.u, e1.v, e2.v AS w
+            FROM oriented e1
+            JOIN oriented e2 ON e2.u = e1.v
+            JOIN oriented e3 ON e3.u = e1.u AND e3.v = e2.v
+          ),
+          corners AS (
+            SELECT x, cast(count(*) as bigint) AS tri_cnt FROM (
+              SELECT u AS x FROM tris
+              UNION ALL SELECT v AS x FROM tris
+              UNION ALL SELECT w AS x FROM tris
+            ) GROUP BY x
+          )
+        SELECT d.x AS vec_id, d.deg,
+               cast(coalesce(c.tri_cnt, 0) as bigint) AS tri_cnt,
+               cast(CASE WHEN d.deg < 2 THEN 0
+                         ELSE (2 * coalesce(c.tri_cnt, 0) * $RankOne)
+                              // (d.deg * (d.deg - 1)) END as bigint)
+                 AS lcc_micro
+        FROM deg d LEFT JOIN corners c ON c.x = d.x"""
+
   /** DuckDB oracle for [[pageRank]]: the identical integer iteration,
     * unrolled as one CTE per superstep over an `edgesSql` subquery that
     * yields (src, dst) and a `nodesSql` subquery that yields (vec_id).

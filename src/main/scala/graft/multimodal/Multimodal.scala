@@ -1135,6 +1135,91 @@ object Multimodal {
         col("first_out"))
   }
 
+  case class ResizeFeatures(doc_id: Long, decode_ok: Int, w_in: Int,
+                            h_in: Int, w_out: Int, h_out: Int, n_out: Int,
+                            mean_out: Double, first_out: Int)
+
+  /** Parse an 8-bit BMP and downsample 2× with a 2×2 box-mean filter —
+    * the IMAGE twin of [[resampleWav2x]] (the stub contract's "image
+    * resize", made real over the decode family's own container).
+    * Returns (ok, wIn, hIn, wOut, hOut, nOut, meanOut, firstOut);
+    * out(r,c) = ⌊(p(2r,2c)+p(2r,2c+1)+p(2r+1,2c)+p(2r+1,2c+1))/4⌋ over
+    * the LOGICAL (row-order-recovered) image, odd tail row/column
+    * dropped — all integer arithmetic, so the resized grid itself is
+    * engine-exact, and `first_out` (the top-left output pixel) stays
+    * order-sensitive exactly like [[parseBmp]]'s first_px. NOT ok on
+    * anything parseBmp rejects or 24-bit input (a channel loop a
+    * deployment adds without touching the walk — the resampleWav2x
+    * mono restriction applied to images). Never throws.
+    */
+  def resizeBmp2x(bytes: Array[Byte]): (Boolean, Int, Int, Int, Int, Int, Double, Int) = {
+    val bad = (false, 0, 0, 0, 0, 0, 0.0, 0)
+    if (bytes == null || bytes.length < 54) return bad
+    if (bytes(0) != 'B'.toByte || bytes(1) != 'M'.toByte) return bad
+    val dataOff = u32(bytes, 10)
+    val hdrSize = u32(bytes, 14)
+    if (hdrSize < 40 || 14 + hdrSize > bytes.length) return bad
+    val width = u32(bytes, 18).toInt
+    val rawH = u32(bytes, 22).toInt
+    val planes = u16(bytes, 26)
+    val bpp = u16(bytes, 28)
+    val compression = u32(bytes, 30)
+    if (width <= 0 || rawH == 0 || planes != 1 || compression != 0L) return bad
+    if (bpp != 8) return bad // the integer box filter's single-channel lane
+    val topDown = rawH < 0
+    val heightL = math.abs(rawH.toLong)
+    if (heightL > Int.MaxValue) return bad
+    val height = heightL.toInt
+    val strideL = (width.toLong + 3) & ~3L
+    if (dataOff < 14 + hdrSize || dataOff > bytes.length) return bad
+    if (strideL > (bytes.length - dataOff) / height) return bad
+    val off = dataOff.toInt
+    val stride = strideL.toInt
+    def px(r: Int, c: Int): Int = {
+      val stored = if (topDown) r else height - 1 - r
+      bytes(off + stored * stride + c) & 0xff
+    }
+    val wo = width / 2
+    val ho = height / 2
+    var sum = 0L
+    var first = 0
+    var r = 0
+    while (r < ho) {
+      var c = 0
+      while (c < wo) {
+        val v = (px(2 * r, 2 * c) + px(2 * r, 2 * c + 1) +
+          px(2 * r + 1, 2 * c) + px(2 * r + 1, 2 * c + 1)) / 4
+        if (r == 0 && c == 0) first = v
+        sum += v
+        c += 1
+      }
+      r += 1
+    }
+    val nOut = wo * ho
+    val mean = if (nOut == 0) 0.0 else sum.toDouble / nOut
+    (true, width, height, wo, ho, nOut, mean, first)
+  }
+
+  /** End-to-end image-resize gate frame: BMP fixture → header-driven
+    * walk + 2×2 integer box downsample → features (halfUp mean).
+    */
+  def resizeBmpPipeline(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    asBmpMedia(spark, documents)
+      .select(col("doc_id"),
+        coalesce(col("payload"), lit(Array.empty[Byte])).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (ok, wi, hi, wo, ho, n, mean, first) = resizeBmp2x(bytes)
+        ResizeFeatures(id, if (ok) 1 else 0, wi, hi, wo, ho, n, mean, first)
+      })
+      .toDF()
+      .select(col("doc_id"), col("decode_ok"), col("w_in"), col("h_in"),
+        col("w_out"), col("h_out"), col("n_out"),
+        graft.text.Text.halfUp(col("mean_out"), 4).as("mean_out"),
+        col("first_out"))
+  }
+
   // ---------------------------------------------------------------------
   // Real FRAME-SAMPLE path (r15): AVI. The video verb of the stub
   // contract gets a real CONTAINER: RIFF 'AVI ' with the standard

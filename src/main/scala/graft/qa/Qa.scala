@@ -1186,4 +1186,88 @@ object Qa {
                      ELSE 0 END) - e.exp_micro AS dev_micro
         FROM expected e LEFT JOIN counts c ON c.digit = e.digit, total"""
   }
+
+  /** Lag-1 autocorrelation of the DAILY VOLUME series — the temporal
+    * structure screen next to [[volumeAnomaly]]'s level screen: a load
+    * whose consecutive days strongly co-move (r→1) is trend/batch-
+    * driven; r→−1 flags alternating over/under-delivery (a half-feed
+    * arriving every other day); r≈0 is memoryless. The reference's
+    * time-series QA family in spirit (qa_compare_periods generalized
+    * from one period pair to the whole series).
+    *
+    * Engine-exactness: daily counts are exact BIGINTs; consecutive
+    * OBSERVED days pair via lead() over the date order; all six
+    * Pearson sums (n, Σx, Σy, Σxy, Σx², Σy²) stay integer, and the
+    * coefficient is ONE double expression over them — numerator and
+    * both variance terms cast exactly (they fit 2^53 comfortably at
+    * any tested SF), sqrt is correctly-rounded IEEE in both engines,
+    * rounded once via the halfUp spelling. Zero-variance series pin
+    * r = 0.0 instead of dividing by zero.
+    *
+    * Scale shape: one scan → one groupBy(day) with map-side partials
+    * (shuffle = |days| rows), then the lead() window and the final
+    * 1-row aggregate run over the DAILY frame, whose size is bounded
+    * by the calendar span — not the data — so the unpartitioned
+    * window's single-reducer stage touches thousands of rows at any
+    * corpus size. Integer envelope: exact while n·Σx² < 2^63, i.e.
+    * daily volumes to ~10^7 over decades; beyond that the sums want
+    * the decimal lane (documented, not silently wrong — ANSI mode
+    * faults the overflow loudly).
+    */
+  def autocorrDaily(df: DataFrame, dateCol: String): DataFrame = {
+    val daily = df.filter(col(dateCol).isNotNull)
+      .groupBy(col(dateCol).as("__d")).agg(count(lit(1)).as("c"))
+    val pairs = daily
+      .withColumn("cnext", lead(col("c"), 1).over(Window.orderBy(col("__d"))))
+      .filter(col("cnext").isNotNull)
+    val sums = pairs.agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("c")).as("sx"),
+      sum(col("cnext")).as("sy"),
+      sum(col("c") * col("cnext")).as("sxy"),
+      sum(col("c") * col("c")).as("sxx"),
+      sum(col("cnext") * col("cnext")).as("syy"))
+    val vx = col("n_pairs") * col("sxx") - col("sx") * col("sx")
+    val vy = col("n_pairs") * col("syy") - col("sy") * col("sy")
+    val num = col("n_pairs") * col("sxy") - col("sx") * col("sy")
+    sums.select(col("n_pairs"), col("sx"), col("sy"), col("sxy"),
+      col("sxx"), col("syy"),
+      when(vx > 0 && vy > 0,
+        graft.text.Text.halfUp(
+          num.cast("double") / sqrt(vx.cast("double") * vy.cast("double")),
+          6))
+        .otherwise(lit(0.0)).as("r_lag1"))
+  }
+
+  /** DuckDB oracle for [[autocorrDaily]] — identical integer sums
+    * (HUGEINT lanes pinned back to bigint) and the same one-shot
+    * double expression.
+    */
+  def autocorrDailySql(table: String, dateCol: String): String = {
+    val num = "cast(n_pairs * sxy - sx * sy as double)"
+    val den = "sqrt(cast(n_pairs * sxx - sx * sx as double) * " +
+      "cast(n_pairs * syy - sy * sy as double))"
+    s"""WITH daily AS (
+          SELECT $dateCol AS d, cast(count(*) as bigint) AS c
+          FROM $table WHERE $dateCol IS NOT NULL GROUP BY 1
+        ), p AS (
+          SELECT c, lead(c) OVER (ORDER BY d) AS cnext FROM daily
+        ), q AS (
+          SELECT c, cnext FROM p WHERE cnext IS NOT NULL
+        ), s AS (
+          SELECT cast(count(*) as bigint)      AS n_pairs,
+                 cast(sum(c) as bigint)        AS sx,
+                 cast(sum(cnext) as bigint)    AS sy,
+                 cast(sum(c * cnext) as bigint)     AS sxy,
+                 cast(sum(c * c) as bigint)         AS sxx,
+                 cast(sum(cnext * cnext) as bigint) AS syy
+          FROM q
+        )
+        SELECT n_pairs, sx, sy, sxy, sxx, syy,
+               CASE WHEN n_pairs * sxx - sx * sx > 0
+                     AND n_pairs * syy - sy * sy > 0
+                    THEN ${graft.text.Text.halfUpSql(s"$num / $den", 6)}
+                    ELSE 0.0 END AS r_lag1
+        FROM s"""
+  }
 }

@@ -412,6 +412,45 @@ class MultimodalSpec extends SparkSpec {
       out(9L).getAs[Double]("mean_out") == 0.0)
   }
 
+  test("resizeBmp2x: 2x2 integer box downsample over the recovered " +
+    "logical image") {
+    // doc 3 → w=4 top-down; 16 bytes a..p → 4×4 logical grid, 2×2 out:
+    // (97+98+101+102)/4=99, (99+100+103+104)/4=101,
+    // (105+106+109+110)/4=107, (107+108+111+112)/4=109 → mean 104
+    val (ok, wi, hi, wo, ho, n, mean, first) = Multimodal.resizeBmp2x(
+      Multimodal.bmpFixture(3L, "abcdefghijklmnop".getBytes))
+    assert(ok && wi == 4 && hi == 4 && wo == 2 && ho == 2 && n == 4)
+    assert(first == 99 && mean == 104.0)
+    // even id → bottom-up storage; identical logical payload semantics
+    // (w=3, h=2: one output pixel over a,b,d,e)
+    val even = Multimodal.resizeBmp2x(
+      Multimodal.bmpFixture(10L, "abcdef".getBytes))
+    assert(even._1 && even._2 == 3 && even._3 == 2 && even._6 == 1)
+    assert(even._8 == (97 + 98 + 100 + 101) / 4 && even._7 == 99.0)
+    // w=1 → zero output columns: n_out 0, mean pinned 0.0
+    val thin = Multimodal.resizeBmp2x(
+      Multimodal.bmpFixture(0L, "abc".getBytes))
+    assert(thin._1 && thin._4 == 0 && thin._6 == 0 && thin._7 == 0.0)
+    // 24-bit verdicts (single-channel lane), truncation never throws
+    val good = Multimodal.bmpFixture(3L, "abcdefgh".getBytes)
+    val bpp24 = good.clone(); bpp24(28) = 24.toByte; bpp24(29) = 0.toByte
+    assert(!Multimodal.resizeBmp2x(bpp24)._1)
+    (0 until good.length).foreach { cut =>
+      Multimodal.resizeBmp2x(java.util.Arrays.copyOf(good, cut)): Unit
+    }
+    assert(!Multimodal.resizeBmp2x(Array.empty[Byte])._1)
+    // pipeline over a frame, null-safe (null text ≡ w×1 all-zero image)
+    val docs = Seq((3L, "abcdefghijklmnop", "x", "s1", 16L),
+      (9L, null.asInstanceOf[String], "x", "s1", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Multimodal.resizeBmpPipeline(spark, docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(3L).getAs[Int]("n_out") == 4)
+    assert(out(3L).getAs[Double]("mean_out") == 104.0)
+    assert(out(9L).getAs[Int]("decode_ok") == 1 &&
+      out(9L).getAs[Int]("n_out") == 0)
+  }
+
   test("parseAvi walks the nested RIFF grammar and samples every frame") {
     val payload = ("f" * 40).getBytes // 3 frames: 16+16+8(+pad)
     val avi = Multimodal.aviFixture(5L, payload)

@@ -15,6 +15,38 @@ class QaSpec extends SparkSpec {
     ("p2", Some(7.0), Some("b"))
   ).toDF("period", "num", "cat")
 
+  test("autocorrDaily: alternating volumes give exactly -1, constants " +
+    "pin 0, degenerate series are null-safe") {
+    def days(counts: Seq[Int]) = counts.zipWithIndex.flatMap {
+      case (c, i) => Seq.fill(c)(f"2024-01-${i + 1}%02d")
+    }.toDF("ds").select(to_date(col("ds")).as("d"))
+    // counts 2,4,2,4 → pairs (2,4)(4,2)(2,4): n=3 sx=8 sy=10 sxy=24
+    // sxx=24 syy=36 → r = (72-80)/sqrt(8·8) = -1 exactly
+    val alt = Qa.autocorrDaily(days(Seq(2, 4, 2, 4)), "d").collect()(0)
+    assert(alt.getAs[Long]("n_pairs") == 3L)
+    assert(alt.getAs[Long]("sx") == 8L && alt.getAs[Long]("sy") == 10L)
+    assert(alt.getAs[Long]("sxy") == 24L && alt.getAs[Long]("sxx") == 24L
+      && alt.getAs[Long]("syy") == 36L)
+    assert(alt.getAs[Double]("r_lag1") == -1.0)
+    // rising trend co-moves: counts 1,2,3,4,5 → r = +1 exactly
+    assert(Qa.autocorrDaily(days(Seq(1, 2, 3, 4, 5)), "d")
+      .collect()(0).getAs[Double]("r_lag1") == 1.0)
+    // constant series: zero variance → r pinned 0.0, not a div-by-zero
+    assert(Qa.autocorrDaily(days(Seq(3, 3, 3)), "d")
+      .collect()(0).getAs[Double]("r_lag1") == 0.0)
+    // single day → no pairs; sums are SQL-null, r still pinned 0.0
+    val one = Qa.autocorrDaily(days(Seq(5)), "d").collect()(0)
+    assert(one.getAs[Long]("n_pairs") == 0L)
+    assert(one.isNullAt(one.fieldIndex("sx")))
+    assert(one.getAs[Double]("r_lag1") == 0.0)
+    // null dates are excluded, not a day of their own
+    val withNull = days(Seq(2, 4, 2, 4))
+      .unionByName(Seq.fill(7)("x").toDF("s")
+        .select(to_date(lit(null).cast("string")).as("d")))
+    assert(Qa.autocorrDaily(withNull, "d")
+      .collect()(0).getAs[Double]("r_lag1") == -1.0)
+  }
+
   test("missingness counts nulls and proportions per period/column") {
     val out = Qa.missingness(fixture, "period", Seq("num", "cat"))
       .collect().map(r => ((r.getString(0), r.getString(1)),

@@ -195,6 +195,48 @@ class SketchGraphSpec extends SparkSpec {
     assert(r2.getAs[Double]("mmr_score") < r2.getAs[Double]("cosine"))
   }
 
+  test("triangles: hand graph — closure collapse, counts, lcc, pendant") {
+    // K4 on {1,2,3,4} minus edge (3,4), plus pendant 5—1; noise rows
+    // exercise the undirected closure: reciprocal (2,1), duplicate
+    // (1,3), self-loop (3,3). Triangles: {1,2,3} and {1,2,4}.
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (1L, 4L), (2L, 3L),
+      (2L, 4L), (1L, 5L), (3L, 3L)).toDF("src", "dst")
+    val out = Graph.triangles(edges).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("deg"), r.getAs[Long]("tri_cnt"),
+          r.getAs[Long]("lcc_micro")))).toMap
+    assert(out(1L) == ((4L, 2L, 2L * 2 * 1000000L / (4 * 3))))
+    assert(out(2L) == ((3L, 2L, 2L * 2 * 1000000L / (3 * 2))))
+    assert(out(3L) == ((2L, 1L, 1000000L)))
+    assert(out(4L) == ((2L, 1L, 1000000L)))
+    assert(out(5L) == ((1L, 0L, 0L))) // deg < 2 → lcc pinned 0
+    assert(out.size == 5)
+  }
+
+  test("triangles matches a brute-force reference on a random graph") {
+    val n = 40
+    val rnd = new scala.util.Random(11)
+    val edgeSeq = (0 until 150).map(_ =>
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).distinct
+    val out = Graph.triangles(edgeSeq.toDF("src", "dst")).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("deg"), r.getAs[Long]("tri_cnt")))).toMap
+    // reference: undirected adjacency sets, count closed neighbour pairs
+    val und = edgeSeq.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+    val adj = und.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    adj.foreach { case (v, nb) =>
+      val tri = nb.toSeq.combinations(2)
+        .count(p => und.contains((math.min(p(0), p(1)),
+          math.max(p(0), p(1)))))
+      assert(out(v)._1 == nb.size.toLong, s"deg of $v")
+      assert(out(v)._2 == tri.toLong, s"tri of $v")
+    }
+    assert(out.keySet == adj.keySet)
+  }
+
   test("benford: digit shares and deviations are exact integer micro-units") {
     // 30 values leading with 1, 10 with 2, 5 with 9 (and a null + a zero
     // + a negative that must all be excluded)
