@@ -112,15 +112,20 @@ object Graph {
     */
   def triangles(edges: DataFrame): DataFrame = {
     // undirected closure: canonical (a < b) pairs, self-loops dropped,
-    // parallel/reciprocal edges collapsed
-    val und = edges
+    // parallel/reciprocal edges collapsed. Cut: the (potentially
+    // expensive) edge derivation upstream runs ONCE — `und` feeds the
+    // degree agg and the orientation join
+    val und = graft.config.Checkpoints.cut(edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b"))
-      .distinct()
-    val deg = und.select(col("a").as("x"))
-      .unionAll(und.select(col("b").as("x")))
-      .groupBy(col("x")).agg(count(lit(1)).as("deg"))
+      .distinct())
+    // |V|-row frame consumed three times (both orientation sides + the
+    // final join) — cut so the degree agg runs once
+    val deg = graft.config.Checkpoints.cut(
+      und.select(col("a").as("x"))
+        .unionAll(und.select(col("b").as("x")))
+        .groupBy(col("x")).agg(count(lit(1)).as("deg")))
     // total order: rank = deg·2^32 + id (ids are 32-bit; the composite
     // fits a BIGINT and both engines compare it as plain integers)
     val rk = (d: org.apache.spark.sql.Column, id: org.apache.spark.sql.Column) =>
@@ -137,9 +142,11 @@ object Graph {
       .join(oriented.select(col("u").as("v"), col("v").as("w")), Seq("v"))
       .join(oriented.select(col("u"), col("v").as("w")), Seq("u", "w"))
       .select(col("u"), col("v"), col("w"))
-    val corners = tris.select(col("u").as("x"))
-      .unionAll(tris.select(col("v").as("x")))
-      .unionAll(tris.select(col("w").as("x")))
+    // ONE pass over the (possibly huge) triangle stream: explode the
+    // three corners instead of a 3-branch union that would re-run the
+    // wedge joins per branch (and reopen the AQE reuse-timing flap)
+    val corners = tris
+      .select(explode(array(col("u"), col("v"), col("w"))).as("x"))
       .groupBy(col("x")).agg(count(lit(1)).as("tri_cnt"))
     deg.join(corners, Seq("x"), "left")
       .select(col("x").as("vec_id"), col("deg"),
