@@ -1475,6 +1475,10 @@ object SparkEntry {
     // against the BATCH sketch oracle — merge==rebuild, streamed
     "stream_kmv_sketch" -> ((s, dir) =>
       graft.streaming.Streams.kmvSketchAvailableNow(s, dir, k = 64)),
+    // live Benford audit: per-batch digit counts folded through the
+    // count monoid, gated on the BATCH oracle — merge==rebuild streamed
+    "stream_benford" -> ((s, dir) =>
+      graft.streaming.Streams.benfordAvailableNow(s, dir)),
     // Benford first-digit audit of the price column: leading digit from
     // the DECIMAL STRING of integer cents, shares in integer
     // micro-units, expected shares as driver literals — one scan, one
@@ -1486,6 +1490,10 @@ object SparkEntry {
     // rounded double at the end
     "qa_autocorr" -> ((s, dir) =>
       Qa.autocorrDaily(Tables(s, dir, "orders"), "o_orderdate")),
+    // seasonality: weekday volume profile in integer micro-shares, dow
+    // from pure day arithmetic (no engine dow() convention)
+    "qa_seasonality_dow" -> ((s, dir) =>
+      Qa.seasonalityDow(Tables(s, dir, "orders"), "o_orderdate")),
     // iterative graph compute: 3 PageRank supersteps over the kNN graph
     // (sim_knn_graph's edges), entirely in integer micro-units — order-
     // free sums, so the rank of every vector is engine- and
@@ -1505,6 +1513,15 @@ object SparkEntry {
       val edges = Similarity.knnJoin(e, e, k = 2, excludeSelf = true)
         .select(col("probe_id").as("src"), col("cand_id").as("dst"))
       Graph.triangles(edges)
+    }),
+    // bounded-round k-core peel over the same kNN edges: the dense-
+    // substructure extractor (k=2, 3 rounds) — filter-driven iteration
+    // next to pagerank's value propagation
+    "graph_kcore" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val edges = Similarity.knnJoin(e, e, k = 2, excludeSelf = true)
+        .select(col("probe_id").as("src"), col("cand_id").as("dst"))
+      Graph.kCore(edges, k = 2, rounds = 3)
     }))
 
   private def probeList: String = (0 until 10).mkString(", ")
@@ -2739,9 +2756,17 @@ object SparkEntry {
     // micro-division, driver-literal expected shares
     "qa_benford" -> Qa.benfordSql("lineitem", "l_extendedprice"),
 
+    // the stream replays the WHOLE documents table and folds digit
+    // counts through a monoid, so the batch SQL over the same column
+    // is the oracle — merge==rebuild streamed
+    "stream_benford" -> Qa.benfordSql("documents", "n_chars"),
+
     // lag-1 autocorrelation: identical integer Pearson sums, identical
     // one-shot double coefficient
     "qa_autocorr" -> Qa.autocorrDailySql("orders", "o_orderdate"),
+
+    // weekday profile: identical day arithmetic, micro-division lanes
+    "qa_seasonality_dow" -> Qa.seasonalityDowSql("orders", "o_orderdate"),
 
     // integer-space PageRank over the kNN graph: the edge subquery IS
     // the sim_knn_graph oracle; 3 supersteps unrolled as CTEs
@@ -2758,6 +2783,13 @@ object SparkEntry {
       edgesSql = "SELECT probe_id AS src, cand_id AS dst FROM (" +
         Similarity.knnJoinDuckdbSql(probeWhere = "1 = 1",
           corpusWhere = "1 = 1", k = 2, excludeSelf = true) + ")"),
+
+    // k-core: identical unrolled peel rounds over the same edge oracle
+    "graph_kcore" -> Graph.kCoreDuckdbSql(
+      edgesSql = "SELECT probe_id AS src, cand_id AS dst FROM (" +
+        Similarity.knnJoinDuckdbSql(probeWhere = "1 = 1",
+          corpusWhere = "1 = 1", k = 2, excludeSelf = true) + ")",
+      k = 2, rounds = 3),
 
     "sample_stratified" ->
       s"""SELECT doc_id, lang FROM documents

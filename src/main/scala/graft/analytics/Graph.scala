@@ -203,6 +203,95 @@ object Graph {
                  AS lcc_micro
         FROM deg d LEFT JOIN corners c ON c.x = d.x"""
 
+  /** Bounded-round k-core peel over the UNDIRECTED closure of `edges`
+    * — the dense-substructure extractor next to [[triangles]]' local
+    * cohesion: a node survives round i iff its degree within the
+    * still-alive subgraph is ≥ k. `rounds` is a fixed small constant
+    * (the caller's dial, like [[pageRank]]'s iters): after R rounds the
+    * alive set is the R-step approximation of the true k-core, exact
+    * whenever peeling converges within R (it converges fast on
+    * similarity graphs, whose peel cascades are shallow; the
+    * full-fixpoint loop is the same code with a convergence check a
+    * deployment adds). Output per ORIGINAL node: in_core flag and the
+    * node's degree within the surviving subgraph (0 once peeled or for
+    * a non-member) — all exact integers, so engine-exact and the
+    * oracle unrolls the identical rounds as CTEs.
+    *
+    * Scale shape: the undirected closure is cut once; each round is
+    * two semi-joins of the edge frame against the alive set (shuffle ∝
+    * edges) and one count per node — the peel never materializes
+    * anything beyond the |V|-row alive/degree frames, which are cut
+    * per round to bound lineage, exactly the pageRank discipline.
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1 && rounds <= 20,
+      s"kCore: need k >= 1 and rounds in [1, 20], got k=$k rounds=$rounds")
+    val und = graft.config.Checkpoints.cut(edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct())
+    val nodes = graft.config.Checkpoints.cut(
+      und.select(col("a").as("x"))
+        .unionAll(und.select(col("b").as("x")))
+        .distinct())
+    var alive = nodes
+    var aliveDeg: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val live = und
+        .join(alive.select(col("x").as("a")), Seq("a"), "left_semi")
+        .join(alive.select(col("x").as("b")), Seq("b"), "left_semi")
+      aliveDeg = graft.config.Checkpoints.cut(
+        live.select(col("a").as("x"))
+          .unionAll(live.select(col("b").as("x")))
+          .groupBy(col("x")).agg(count(lit(1)).as("deg")))
+      alive = aliveDeg.filter(col("deg") >= k).select(col("x"))
+    }
+    // survivors' degree = their count in the LAST round's subgraph,
+    // re-thresholded (a node can fall below k in the final round and
+    // be out even though it was counted); peeled nodes report 0
+    val fin = aliveDeg.filter(col("deg") >= k)
+    nodes.join(fin, Seq("x"), "left")
+      .select(col("x").as("vec_id"),
+        when(col("deg").isNotNull, lit(1)).otherwise(lit(0)).as("in_core"),
+        coalesce(col("deg"), lit(0L)).as("core_deg"))
+  }
+
+  /** DuckDB oracle for [[kCore]]: the identical unrolled peel. */
+  def kCoreDuckdbSql(edgesSql: String, k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""deg$i AS (
+            SELECT x, count(*) AS deg FROM (
+              SELECT e.a AS x FROM und e
+              JOIN alive${i - 1} p ON p.x = e.a
+              JOIN alive${i - 1} q ON q.x = e.b
+              UNION ALL
+              SELECT e.b AS x FROM und e
+              JOIN alive${i - 1} p ON p.x = e.a
+              JOIN alive${i - 1} q ON q.x = e.b
+            ) GROUP BY x
+          ), alive$i AS (SELECT x FROM deg$i WHERE deg >= $k)"""
+    }.mkString(", ")
+    s"""WITH raw AS ($edgesSql),
+          und AS (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM raw WHERE src <> dst
+          ),
+          nodes AS (
+            SELECT DISTINCT x FROM (
+              SELECT a AS x FROM und UNION ALL SELECT b AS x FROM und
+            )
+          ),
+          alive0 AS (SELECT x FROM nodes),
+          $steps
+        SELECT n.x AS vec_id,
+               CASE WHEN f.deg IS NOT NULL THEN 1 ELSE 0 END AS in_core,
+               cast(coalesce(f.deg, 0) as bigint) AS core_deg
+        FROM nodes n LEFT JOIN (
+          SELECT x, deg FROM deg$rounds WHERE deg >= $k
+        ) f ON f.x = n.x"""
+  }
+
   /** DuckDB oracle for [[pageRank]]: the identical integer iteration,
     * unrolled as one CTE per superstep over an `edgesSql` subquery that
     * yields (src, dst) and a `nodesSql` subquery that yields (vec_id).

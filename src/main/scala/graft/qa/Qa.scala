@@ -1132,20 +1132,46 @@ object Qa {
     * partials — the digit extraction runs inside the scan, so at 100 TB
     * this is a single pass with a 9-row shuffle.
     */
-  def benford(df: DataFrame, valueCol: String): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    // cents: round half-up at the 2nd decimal (both engines round
-    // positive halves away from zero), then the first char of the
-    // decimal rendering is the first significant digit of the value
+  def benford(df: DataFrame, valueCol: String): DataFrame =
     // ≤ 10 rows after the aggregate, consumed twice (per-digit join +
     // total): cut so the fact scan runs ONCE — without it each branch
     // re-aggregates from parquet
-    val digits = graft.config.Checkpoints.cut(df
-      .filter(col(valueCol).isNotNull && col(valueCol) > 0)
-      .select(substring(round(col(valueCol) * 100, 0).cast("bigint")
-        .cast("string"), 1, 1).cast("int").as("digit"))
-      .groupBy(col("digit")).agg(count(lit(1)).as("n")))
+    benfordPublish(graft.config.Checkpoints.cut(
+      benfordCounts(df, valueCol)))
+
+  /** The foldable half of [[benford]]: (digit, n) counts — a monoid
+    * under [[benfordMerge]], which is what lets the audit run LIVE
+    * (per-micro-batch counts folded into ≤9 rows of carried state, see
+    * Streams.benfordAvailableNow) with the batch gate's oracle intact.
+    * Cents: round half-up at the 2nd decimal (both engines round
+    * positive halves away from zero), then the first char of the
+    * decimal rendering is the first significant digit of the value.
+    */
+  def benfordCounts(df: DataFrame, valueCol: String): DataFrame = df
+    .filter(col(valueCol).isNotNull && col(valueCol) > 0)
+    .select(substring(round(col(valueCol) * 100, 0).cast("bigint")
+      .cast("string"), 1, 1).cast("int").as("digit"))
+    .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+
+  /** Fold a batch's counts into the running state — ≤ 9+9 input rows,
+    * ≤ 9 out; associative and commutative, so state == rebuild.
+    */
+  def benfordMerge(state: DataFrame, batchCounts: DataFrame): DataFrame =
+    state.unionByName(batchCounts)
+      .groupBy(col("digit")).agg(sum(col("n")).as("n"))
+
+  /** Empty [[benfordCounts]] state for the streaming fold. */
+  def benfordEmptyState(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Int, Long)].toDF("digit", "n")
+  }
+
+  /** Render the digit-counts state into the gate frame (zero-filled
+    * digits 1–9, micro-unit shares, expected table, deviations).
+    */
+  def benfordPublish(digits: DataFrame): DataFrame = {
+    val spark = digits.sparkSession
+    import spark.implicits._
     val expected = (1 to 9).map(d => (d, benfordExpMicro(d)))
       .toDF("digit", "exp_micro")
     val total = digits.agg(sum(col("n")).as("__total"))
@@ -1186,6 +1212,62 @@ object Qa {
                      ELSE 0 END) - e.exp_micro AS dev_micro
         FROM expected e LEFT JOIN counts c ON c.digit = e.digit, total"""
   }
+
+  /** Day-of-week volume profile — the seasonality screen next to
+    * [[autocorrDaily]]'s serial-correlation screen: one row per weekday
+    * 0=Monday..6=Sunday (zero-filled) with observed count, share in
+    * integer micro-units, and signed deviation from the uniform 1/7
+    * (⌊10^6/7⌋ = 142857 micro, a driver literal). A feed that "only
+    * delivers weekdays" or double-ships Mondays shows up as a ±micro
+    * deviation no calendar library disagreement can fake: the weekday
+    * comes from pure day arithmetic ((days-since-epoch + 3) mod 7,
+    * epoch day 0 being a Thursday) — no engine dow() convention
+    * (Sunday=0 vs 1 vs 7) crosses the oracle boundary. One scan, one
+    * 7-group map-side-combining aggregate; shares are integer division
+    * in micro-space. The [[benford]] scale shape: a 7-row shuffle at
+    * any corpus size.
+    */
+  def seasonalityDow(df: DataFrame, dateCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = graft.config.Checkpoints.cut(df
+      .filter(col(dateCol).isNotNull)
+      .select(expr(
+        s"cast(((datediff($dateCol, DATE'1970-01-01') + 3) % 7 + 7) % 7" +
+          " as int)").as("dow"))
+      .groupBy(col("dow")).agg(count(lit(1)).as("n")))
+    val dows = (0 to 6).toDF("dow")
+    val total = counts.agg(sum(col("n")).as("__total"))
+    dows.crossJoin(broadcast(total))
+      .join(counts, Seq("dow"), "left")
+      .select(col("dow"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        when(col("__total") > 0,
+          expr("coalesce(n, 0) * 1000000 div __total"))
+          .otherwise(lit(0L)).as("share_micro"))
+      .withColumn("dev_micro", col("share_micro") - lit(142857L))
+  }
+
+  /** DuckDB oracle for [[seasonalityDow]] — identical day arithmetic
+    * and integer micro-division.
+    */
+  def seasonalityDowSql(table: String, dateCol: String): String =
+    s"""WITH d AS (
+          SELECT cast((((date_diff('day', DATE '1970-01-01', $dateCol) + 3)
+                        % 7 + 7) % 7) as int) AS dow
+          FROM $table WHERE $dateCol IS NOT NULL
+        ), counts AS (
+          SELECT dow, cast(count(*) as bigint) AS n FROM d GROUP BY dow
+        ), total AS (
+          SELECT cast(coalesce(sum(n), 0) as bigint) AS t FROM counts
+        ), dows(dow) AS (VALUES (0), (1), (2), (3), (4), (5), (6))
+        SELECT w.dow,
+               coalesce(c.n, 0) AS n,
+               CASE WHEN t > 0 THEN (coalesce(c.n, 0) * 1000000) // t
+                    ELSE 0 END AS share_micro,
+               (CASE WHEN t > 0 THEN (coalesce(c.n, 0) * 1000000) // t
+                     ELSE 0 END) - 142857 AS dev_micro
+        FROM dows w LEFT JOIN counts c ON c.dow = w.dow, total"""
 
   /** Lag-1 autocorrelation of the DAILY VOLUME series — the temporal
     * structure screen next to [[volumeAnomaly]]'s level screen: a load

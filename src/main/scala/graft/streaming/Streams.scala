@@ -598,6 +598,69 @@ object Streams {
     all.filter(col("batch_id").cast("long") === last).drop("batch_id")
   }
 
+  /** LIVE Benford digit audit over the staged documents replay — the
+    * streaming form of `qa_benford` on the n_chars column (a length
+    * distribution is exactly the kind of feed a QA monitor watches
+    * live). Per-micro-batch digit counts ([[graft.qa.Qa.benfordCounts]])
+    * fold into ≤ 9 rows of carried state via the count monoid
+    * ([[graft.qa.Qa.benfordMerge]]) — associative + commutative, so the
+    * state after the last micro-batch equals the one-pass batch counts
+    * and the gate's oracle IS the batch SQL (merge==rebuild, the
+    * [[kmvSketchAvailableNow]] class). Snapshot published through the
+    * idempotent sink each batch; the gate reads the LAST snapshot.
+    * State is a cut ≤9-row frame, not runtime state: statefulOps = 0.
+    */
+  def benfordAvailableNow(spark: SparkSession, sfDir: String,
+                          chunks: Int = 4): DataFrame = {
+    import graft.qa.Qa
+    lastRunStats = None
+    val in = stageDocsReplay(spark, sfDir, chunks)
+    val out = tempDir("graft_stream_out")
+    val ckpt = ckptDir("graft_stream_ckpt")
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevOverwrite =
+      spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.shuffle.partitions", chunks.toString)
+    try {
+      var state = Qa.benfordEmptyState(spark)
+      val sink = idempotentBatchWriter(out)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(in).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in)
+      val q = stream.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+          if (!batch.isEmpty) {
+            // a foreachBatch frame is only readable DURING its call —
+            // the carried state must be a materialized copy
+            state = Qa.benfordMerge(state,
+              Qa.benfordCounts(batch, "n_chars")).cutLineage()
+            sink(Qa.benfordPublish(state), id)
+          }
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val prog = q.recentProgress
+      lastRunStats = Some(RunStats(
+        batches = prog.length,
+        dataBatches = prog.count(_.numInputRows > 0),
+        statefulOps = prog.map(_.stateOperators.length)
+          .foldLeft(0)(math.max),
+        stateRowsTotal = prog.lastOption
+          .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)))
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevOverwrite)
+      rmTree(ckpt)
+    }
+    val all = spark.read.parquet(out)
+    val last = all.agg(max(col("batch_id").cast("long"))).first().getLong(0)
+    all.filter(col("batch_id").cast("long") === last).drop("batch_id")
+  }
+
   def lshCandidatesAvailableNow(spark: SparkSession, sfDir: String,
                                 chunks: Int = 4): DataFrame = {
     val in = stageDocsReplay(spark, sfDir, chunks)

@@ -47,6 +47,28 @@ class QaSpec extends SparkSpec {
       .collect()(0).getAs[Double]("r_lag1") == -1.0)
   }
 
+  test("seasonalityDow: pure day arithmetic, zero-filled weekdays, " +
+    "micro shares") {
+    // 2024-01-01 was a Monday: dow 0. Three Mondays, one Tuesday,
+    // one Sunday (2024-01-07).
+    val df = Seq("2024-01-01", "2024-01-08", "2024-01-15", "2024-01-02",
+      "2024-01-07").toDF("ds").select(to_date(col("ds")).as("d"))
+    val out = Qa.seasonalityDow(df, "d").collect()
+      .map(r => r.getAs[Int]("dow") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("share_micro"),
+          r.getAs[Long]("dev_micro")))).toMap
+    assert(out.size == 7)
+    assert(out(0) == ((3L, 600000L, 600000L - 142857L)))
+    assert(out(1) == ((1L, 200000L, 200000L - 142857L)))
+    assert(out(6) == ((1L, 200000L, 200000L - 142857L)))
+    assert(out(2) == ((0L, 0L, -142857L))) // zero-filled weekday
+    // pre-epoch dates stay non-negative: 1969-12-31 was a Wednesday
+    val pre = Qa.seasonalityDow(
+      Seq("1969-12-31").toDF("ds").select(to_date(col("ds")).as("d")), "d")
+      .collect().map(r => r.getAs[Int]("dow") -> r.getAs[Long]("n")).toMap
+    assert(pre(2) == 1L)
+  }
+
   test("missingness counts nulls and proportions per period/column") {
     val out = Qa.missingness(fixture, "period", Seq("num", "cat"))
       .collect().map(r => ((r.getString(0), r.getString(1)),

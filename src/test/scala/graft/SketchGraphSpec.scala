@@ -237,6 +237,29 @@ class SketchGraphSpec extends SparkSpec {
     assert(out.keySet == adj.keySet)
   }
 
+  test("kCore: peel cascades round by round; survivors report their " +
+    "core degree") {
+    // triangle {1,2,3} + tail 3—4—5. k=2: round 1 peels 5 (deg 1);
+    // round 2 peels 4, whose degree drops to 1 once 5 is gone; round 3
+    // is the fixpoint {1,2,3} with core degrees 2,2,2.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val out = Graph.kCore(edges, k = 2, rounds = 3).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Int]("in_core"), r.getAs[Long]("core_deg")))).toMap
+    assert(out(1L) == ((1, 2L)) && out(2L) == ((1, 2L))
+      && out(3L) == ((1, 2L)))
+    assert(out(4L) == ((0, 0L)) && out(5L) == ((0, 0L)))
+    assert(out.size == 5)
+    // one round only: 4 still counts as alive (deg 2 in the full graph)
+    val r1 = Graph.kCore(edges, k = 2, rounds = 1).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("in_core")).toMap
+    assert(r1(4L) == 1 && r1(5L) == 0)
+    // k above the max degree empties the core but keeps every node row
+    val none = Graph.kCore(edges, k = 5, rounds = 2).collect()
+    assert(none.length == 5 && none.forall(_.getAs[Int]("in_core") == 0))
+  }
+
   test("benford: digit shares and deviations are exact integer micro-units") {
     // 30 values leading with 1, 10 with 2, 5 with 9 (and a null + a zero
     // + a negative that must all be excluded)

@@ -430,6 +430,19 @@ class StreamingSpec extends SparkSpec {
     assert(rows(2) == (("click", us("2024-01-01 10:20:00"), None)))
   }
 
+  test("live Benford audit: folded digit-count state equals the " +
+    "one-pass batch audit, with zero streaming state operators") {
+    import graft.qa.Qa
+    val streamed = Streams.benfordAvailableNow(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val stats = Streams.lastRunStats.get
+    val batch = Qa.benford(Tables(spark, sfDir, "documents"), "n_chars")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"stream≠batch: ${(streamed diff batch).take(3)} vs ${(batch diff streamed).take(3)}")
+    assert(stats.dataBatches == 4 && stats.statefulOps == 0, stats.toString)
+  }
+
   test("live KMV sketch: streamed kept-set state equals the one-pass " +
     "batch sketch, with zero streaming state operators") {
     import graft.analytics.Sketch
