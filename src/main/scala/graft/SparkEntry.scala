@@ -884,6 +884,13 @@ object SparkEntry {
       graft.etl.Sampling.shuffleShards(
         Tables(s, dir, "documents").select("doc_id", "source"), "doc_id",
         nShards = 16)),
+    // source-interleaved training-stream order: sort keys (shard,
+    // rank, src_idx) cycle sources round-robin — no dense global
+    // position (that would be a total-order window at 100 TB)
+    "corpus_interleave" -> ((s, dir) =>
+      graft.etl.Sampling.interleaveSources(
+        Tables(s, dir, "documents").select("doc_id", "source"), "source",
+        "doc_id", nShards = 16)),
     "sample_mix_upsample" -> ((s, dir) =>
       graft.etl.Sampling.upsampleEpochs(Tables(s, dir, "documents"),
         "source", "doc_id", upsampleFactors)
@@ -2810,6 +2817,10 @@ object SparkEntry {
 
     "corpus_shuffle" -> graft.etl.Sampling.shuffleShardsSql(
       "documents", "doc_id", nShards = 16, selectCols = "doc_id, source"),
+
+    "corpus_interleave" -> graft.etl.Sampling.interleaveSourcesSql(
+      "documents", "source", "doc_id", nShards = 16,
+      selectCols = "doc_id, source"),
 
     "sample_mix_upsample" -> graft.etl.Sampling.upsampleEpochsSql(
       "documents", "source", "doc_id", upsampleFactors,

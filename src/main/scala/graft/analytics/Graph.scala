@@ -158,20 +158,25 @@ object Graph {
 
   /** DuckDB oracle for [[triangles]]: the identical degree-ordered
     * compact-forward enumeration over an `edgesSql` subquery yielding
-    * (src, dst).
+    * (src, dst). Every multiply-referenced CTE is MATERIALIZED:
+    * DuckDB inlines plain CTEs per reference, so without it the kNN
+    * edge replay re-executes once per downstream mention (≈12× through
+    * the wedge join's three `oriented` references) — observed as a
+    * 72 GB temp spill + disk exhaustion at sf1 where the materialized
+    * form runs in seconds.
     */
   def trianglesDuckdbSql(edgesSql: String): String =
-    s"""WITH raw AS ($edgesSql),
-          und AS (
+    s"""WITH raw AS MATERIALIZED ($edgesSql),
+          und AS MATERIALIZED (
             SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
             FROM raw WHERE src <> dst
           ),
-          deg AS (
+          deg AS MATERIALIZED (
             SELECT x, count(*) AS deg FROM (
               SELECT a AS x FROM und UNION ALL SELECT b AS x FROM und
             ) GROUP BY x
           ),
-          oriented AS (
+          oriented AS MATERIALIZED (
             SELECT CASE WHEN da.deg * 4294967296 + u.a
                            < db.deg * 4294967296 + u.b
                         THEN u.a ELSE u.b END AS u,
@@ -182,7 +187,7 @@ object Graph {
             JOIN deg da ON da.x = u.a
             JOIN deg db ON db.x = u.b
           ),
-          tris AS (
+          tris AS MATERIALIZED (
             SELECT e1.u, e1.v, e2.v AS w
             FROM oriented e1
             JOIN oriented e2 ON e2.u = e1.v
@@ -257,10 +262,16 @@ object Graph {
         coalesce(col("deg"), lit(0L)).as("core_deg"))
   }
 
-  /** DuckDB oracle for [[kCore]]: the identical unrolled peel. */
+  /** DuckDB oracle for [[kCore]]: the identical unrolled peel. Every
+    * multiply-referenced CTE is MATERIALIZED — the peel references
+    * `und` and each round's alive set several times per round, and
+    * DuckDB inlines plain CTEs per reference (the trianglesDuckdbSql
+    * 72 GB-spill lesson; here the re-execution would compound PER
+    * ROUND).
+    */
   def kCoreDuckdbSql(edgesSql: String, k: Int, rounds: Int): String = {
     val steps = (1 to rounds).map { i =>
-      s"""deg$i AS (
+      s"""deg$i AS MATERIALIZED (
             SELECT x, count(*) AS deg FROM (
               SELECT e.a AS x FROM und e
               JOIN alive${i - 1} p ON p.x = e.a
@@ -270,19 +281,20 @@ object Graph {
               JOIN alive${i - 1} p ON p.x = e.a
               JOIN alive${i - 1} q ON q.x = e.b
             ) GROUP BY x
-          ), alive$i AS (SELECT x FROM deg$i WHERE deg >= $k)"""
+          ), alive$i AS MATERIALIZED (
+            SELECT x FROM deg$i WHERE deg >= $k)"""
     }.mkString(", ")
-    s"""WITH raw AS ($edgesSql),
-          und AS (
+    s"""WITH raw AS MATERIALIZED ($edgesSql),
+          und AS MATERIALIZED (
             SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
             FROM raw WHERE src <> dst
           ),
-          nodes AS (
+          nodes AS MATERIALIZED (
             SELECT DISTINCT x FROM (
               SELECT a AS x FROM und UNION ALL SELECT b AS x FROM und
             )
           ),
-          alive0 AS (SELECT x FROM nodes),
+          alive0 AS MATERIALIZED (SELECT x FROM nodes),
           $steps
         SELECT n.x AS vec_id,
                CASE WHEN f.deg IS NOT NULL THEN 1 ELSE 0 END AS in_core,

@@ -104,6 +104,65 @@ object Sampling {
       .drop("__h")
   }
 
+  /** Deterministic SOURCE-INTERLEAVED emit order — the training-stream
+    * assembly step after [[shuffleShards]]' plain shuffle: within each
+    * (source, shard) docs rank on the hash lane, each source gets a
+    * stable lexicographic index, and the global emit order is the
+    * lexicographic sort on (shard, rank, src_idx) — consecutive
+    * positions CYCLE through sources round-robin (every source
+    * contributes its rank-r doc before any source contributes rank
+    * r+1 within a shard), so a 100×-larger source cannot clump the
+    * stream the way a plain hash shuffle lets it. Sort keys are
+    * emitted as columns rather than a dense global position: a global
+    * row_number is a total-order window (single reducer at 100 TB),
+    * while the keys sort/partition distributively and any consumer
+    * that needs densification does it per shard.
+    *
+    * Scale shape: one scan, ONE exchange on (source, shard) for the
+    * bounded ranking window (shard count is the same parallelism dial
+    * as shuffleShards), plus a broadcast of the tiny source-index
+    * frame. Engine-exact: hash lane + row_number with full tie-break,
+    * lexicographic source indexing.
+    */
+  def interleaveSources(df: DataFrame, sourceCol: String, keyCol: String,
+                        nShards: Int = 16): DataFrame = {
+    require(nShards > 0, "interleaveSources: nShards must be positive")
+    val h = expr(
+      s"${MinHashSpec.hpExpr(df.sparkSession, s"cast($keyCol as string)")}")
+    // n_sources rows: the unpartitioned window is bounded by the
+    // source vocabulary, not the corpus
+    val srcIdx = df.select(col(sourceCol)).distinct()
+      .withColumn("src_idx",
+        row_number().over(Window.orderBy(col(sourceCol))).cast("int"))
+    val withH = df.withColumn("__h", h)
+      .withColumn("shard", (col("__h") % nShards).cast("int"))
+    val w = Window.partitionBy(col(sourceCol), col("shard"))
+      .orderBy(col("__h"), col(keyCol))
+    withH.withColumn("rank", row_number().over(w))
+      .join(broadcast(srcIdx), Seq(sourceCol))
+      .drop("__h")
+  }
+
+  /** DuckDB oracle twin of [[interleaveSources]] over a table. */
+  def interleaveSourcesSql(table: String, sourceCol: String,
+                           keyCol: String, nShards: Int = 16,
+                           selectCols: String = "*"): String = {
+    val h = s"(md5_number_lower(cast($keyCol as varchar)) % ${MinHashSpec.P})"
+    s"""WITH s AS (
+         SELECT $selectCols, $h AS __h, cast($h % $nShards as int) AS shard
+         FROM $table),
+       si AS (
+         SELECT $sourceCol,
+                cast(row_number() OVER (ORDER BY $sourceCol) as int)
+                  AS src_idx
+         FROM (SELECT DISTINCT $sourceCol FROM $table))
+       SELECT $selectCols, shard,
+              cast(row_number() OVER (PARTITION BY $sourceCol, shard
+                                      ORDER BY __h, $keyCol) as int) AS rank,
+              si.src_idx
+       FROM s JOIN si USING ($sourceCol)"""
+  }
+
   /** DuckDB oracle twin of [[shuffleShards]] over a table. */
   def shuffleShardsSql(table: String, keyCol: String, nShards: Int = 64,
                        selectCols: String = "*"): String = {

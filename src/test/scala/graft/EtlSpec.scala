@@ -709,6 +709,45 @@ class EtlSpec extends SparkSpec {
     assert(orderWithin(after) == orderWithin(out))
   }
 
+  test("interleaveSources: sort keys cycle sources round-robin within " +
+    "a shard; deterministic under layout") {
+    val df = spark.range(300)
+      .selectExpr("id as k", "concat('src', cast(id % 3 as string)) as src")
+    val out = graft.etl.Sampling
+      .interleaveSources(df, "src", "k", nShards = 4).collect()
+    assert(out.length == 300)
+    // src_idx is the lexicographic source index
+    val idx = out.map(r => r.getAs[String]("src") -> r.getAs[Int]("src_idx"))
+      .toMap
+    assert(idx == Map("src0" -> 1, "src1" -> 2, "src2" -> 3))
+    // within each (source, shard): ranks are exactly 1..count
+    out.groupBy(r => (r.getAs[String]("src"), r.getAs[Int]("shard")))
+      .values.foreach { rs =>
+        assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rs.length))
+      }
+    // ROUND-ROBIN: in the (shard, rank, src_idx) emit order, every
+    // source present at rank r in a shard appears before ANY source's
+    // rank r+1 doc — no source can clump
+    out.groupBy(_.getAs[Int]("shard")).values.foreach { rs =>
+      val ordered = rs.sortBy(r =>
+        (r.getAs[Int]("rank"), r.getAs[Int]("src_idx")))
+      val ranks = ordered.map(_.getAs[Int]("rank")).toSeq
+      assert(ranks == ranks.sorted) // ranks never regress in emit order
+      // consecutive same-rank entries are distinct sources in idx order
+      ordered.toSeq.groupBy(_.getAs[Int]("rank")).values.foreach { g =>
+        val idxs = g.map(_.getAs[Int]("src_idx"))
+        assert(idxs == idxs.sorted && idxs.distinct == idxs)
+      }
+    }
+    // deterministic under physical layout
+    val out2 = graft.etl.Sampling
+      .interleaveSources(df.repartition(7), "src", "k", nShards = 4)
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Int]("shard"),
+        r.getAs[Int]("rank"), r.getAs[Int]("src_idx"))).toSet
+    assert(out2 == out.map(r => (r.getAs[Long]("k"), r.getAs[Int]("shard"),
+      r.getAs[Int]("rank"), r.getAs[Int]("src_idx"))).toSet)
+  }
+
   test("funnel: out-of-order stages don't convert; strictly-after rule enforced") {
     import spark.implicits._
     val dir = tempDir("graft_funnel")
