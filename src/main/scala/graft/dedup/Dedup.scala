@@ -829,19 +829,38 @@ object Dedup {
     require(batches.nonEmpty, "incrementalLoop needs at least one batch")
     var corp = corpus.select(col(idCol), col(textCol))
     var idx = index
-    val out = batches.map { case (tag, batch) =>
-      val (flags, kept, merged) = incrementalStep(corp, idx, batch,
-        idCol, textCol, k, threshold, digits, maxBucket)
-      // the superseded index version's blocks are dead once its merged
-      // successor materializes — every consumer already ran in the step
-      dropCut(idx.hashes, idx.bands)
-      idx = merged
-      corp = corp.union(kept)
+    val out = batches.zipWithIndex.map { case ((tag, batch), i) =>
+      val flags =
+        if (i == batches.size - 1) {
+          // FINAL batch: nothing downstream consumes the merged index or
+          // the kept docs — a bounded run's last screen is screen-ONLY.
+          // Skipping the merge (and the step's eager flags/bands cuts,
+          // each of which is a multi-stage Spark job of its own) removes
+          // ~a third of the loop's job count; the emitted flags are the
+          // identical incrementalFromIndex computation, so the
+          // rebuild-from-scratch oracle is unaffected. A production loop
+          // that KEEPS its index across runs calls incrementalStep per
+          // batch instead (the streaming ingest does exactly that).
+          incrementalFromIndex(corp, idx, batch, idCol, textCol,
+            k, threshold, digits, maxBucket = maxBucket)
+        } else {
+          val (f, kept, merged) = incrementalStep(corp, idx, batch,
+            idCol, textCol, k, threshold, digits, maxBucket)
+          // the superseded index version's blocks are dead once its
+          // merged successor materializes — every consumer already ran
+          dropCut(idx.hashes, idx.bands)
+          idx = merged
+          corp = corp.union(kept)
+          f
+        }
       flags.withColumn("batch", lit(tag))
     }.reduce(_.union(_))
-    // the loop returns per-batch flags (all cut) — the final index
-    // version feeds nothing downstream
-    dropCut(idx.hashes, idx.bands)
+    // Superseded index versions were released inside the loop. The LAST
+    // surviving version must stay resident: the final batch's screen is
+    // lazy and still references its blocks (a localCheckpoint cannot
+    // recompute after unpersist). One version's residency is the loop's
+    // documented steady-state footprint; the harness (and any caller's
+    // session hygiene) reclaims it after the query runs.
     out
   }
 
