@@ -243,6 +243,12 @@ object SparkEntry {
     val corpus = e.filter(col("vec_id") % 50 =!= 0)
     val trained = java.nio.file.Files
       .createTempDirectory(s"graft_$key").toString
+    // ONE bounded-sample collect feeds both trainers (r15): the IVF and
+    // PQ Lloyd loops train on the identical deterministic sample, so the
+    // second TakeOrdered+collect job per gate was pure overhead
+    def sampleOf(df: DataFrame) =
+      Similarity.trainSample(df, "vec_id", "embedding", dim = 64,
+        maxTrainSamples = 4096)
     if (kcSqrt) {
       // kc = ⌈√n⌉ as code (VERDICT-r13 item 5): the index builder
       // derives its cluster count from the corpus instead of a caller
@@ -252,11 +258,12 @@ object SparkEntry {
       // CORRECTNESS, not just this comment. Dials otherwise D64b's
       // (m=32, nprobe=8).
       val kcUsed = Similarity.kcSqrtN(corpus)
+      val smp = sampleOf(corpus)
       Similarity.saveCentroids(s,
-        Similarity.ivfCentroids(corpus, k = kcUsed, iters = 5),
+        Similarity.ivfCentroidsFrom(smp, k = kcUsed, iters = 5, dim = 64),
         s"$trained/ivf")
       Similarity.savePqCodebooks(s,
-        Similarity.pqCodebooks(corpus, m = m, k = 16, iters = 5),
+        Similarity.pqCodebooksFrom(smp, m = m, k = 16, iters = 5, dim = 64),
         s"$trained/pq")
       val cents = Similarity.loadCentroids(s, s"$trained/ivf")
       val cbs = Similarity.loadPqCodebooks(s, s"$trained/pq")
@@ -282,10 +289,12 @@ object SparkEntry {
       val (meanT, compsT) = Similarity.pcaFit(corpus, p = 64)
       Similarity.saveCentroids(s, meanT +: compsT, s"$trained/pca")
       val rotT = Similarity.pcaRotate(corpus, meanT, compsT)
+      val smp = sampleOf(rotT)
       Similarity.saveCentroids(s,
-        Similarity.ivfCentroids(rotT, k = kc, iters = 5), s"$trained/ivf")
+        Similarity.ivfCentroidsFrom(smp, k = kc, iters = 5, dim = 64),
+        s"$trained/ivf")
       Similarity.savePqCodebooks(s,
-        Similarity.pqCodebooks(rotT, m = m, k = 16, iters = 5),
+        Similarity.pqCodebooksFrom(smp, m = m, k = 16, iters = 5, dim = 64),
         s"$trained/pq")
       val pcaRows = Similarity.loadCentroids(s, s"$trained/pca")
       val (mean, comps) = (pcaRows.head, pcaRows.tail)
@@ -300,10 +309,12 @@ object SparkEntry {
         mean, comps, nprobe = nprobe, m = m,
         centroids = Some(cents), codebooks = Some(cbs))
     }
+    val smp = sampleOf(corpus)
     Similarity.saveCentroids(s,
-      Similarity.ivfCentroids(corpus, k = kc, iters = 5), s"$trained/ivf")
+      Similarity.ivfCentroidsFrom(smp, k = kc, iters = 5, dim = 64),
+      s"$trained/ivf")
     Similarity.savePqCodebooks(s,
-      Similarity.pqCodebooks(corpus, m = m, k = 16, iters = 5),
+      Similarity.pqCodebooksFrom(smp, m = m, k = 16, iters = 5, dim = 64),
       s"$trained/pq")
     val cents = Similarity.loadCentroids(s, s"$trained/ivf")
     val cbs = Similarity.loadPqCodebooks(s, s"$trained/pq")

@@ -1029,11 +1029,16 @@ object Similarity {
     */
   private def centroidDistsCol(df: DataFrame, vecCol: String,
                                cents: Array[Array[Double]]): Column =
-    if (df.sparkSession.catalog.functionExists("centroid_dists")) {
-      // Double.toString round-trips exactly through cast(varchar as double)
-      val lit2d = cents.map(sparkVecLit).mkString("array(", ",", ")")
-      expr(s"centroid_dists($vecCol, $lit2d)")
-    } else array(cents.toIndexedSeq.map(c => l2Sq(vecCol, c)): _*)
+    if (df.sparkSession.catalog.functionExists("centroid_dists"))
+      // Direct construction (r15): the kernel holds the matrix as a
+      // reference object, so spelling it as SQL text only to be folded
+      // back at resolution paid a parse+analyze of k×dim cast nodes per
+      // frame — ~10⁴ expression nodes for a √n-sized quantizer.
+      org.apache.spark.sql.GraftPlanBridge.column(
+        graft.functions.CentroidDists(
+          org.apache.spark.sql.GraftPlanBridge.expression(expr(vecCol)),
+          cents))
+    else array(cents.toIndexedSeq.map(c => l2Sq(vecCol, c)): _*)
 
   /** The default coarse-quantizer size rule, kc = ⌈√n⌉ over the corpus'
     * non-null vector count, bounded by the trainer's sample size — the
@@ -1062,21 +1067,19 @@ object Similarity {
     * IVF "train then probe" shape; assignments and averages stay
     * distributed.
     */
-  def ivfCentroids(embeddings: DataFrame, k: Int = 16, iters: Int = 5,
-                   dim: Int = 64, idCol: String = "vec_id",
-                   vecCol: String = "embedding",
-                   maxTrainSamples: Int = 4096): Array[Array[Double]] = {
-    // Standard IVF practice (FAISS-style): train the coarse quantizer on
-    // a BOUNDED sample, not the corpus. The collect is
-    // O(maxTrainSamples × dim) — constant in corpus size — and the Lloyd
-    // iterations then run on the driver in microseconds, instead of
-    // `iters` distributed rounds that each pay plan+codegen+job overhead
-    // on k×dim-literal expression trees. Deterministic sample: lowest
-    // ids via TakeOrdered (one parallel pass, no full sort).
-    // pad/truncate every sample to `dim` (copyOf zero-fills) so the local
-    // loops below never index past a short vector — matching the scoring
-    // paths' min(|vec|, dim) tolerance
-    val sample: Array[Array[Double]] = embeddings
+  /** The deterministic bounded training sample every driver-side trainer
+    * ([[ivfCentroids]], [[pqCodebooks]], [[pcaFit]]) collects: the first
+    * `maxTrainSamples` NON-NULL vectors by id (TakeOrdered — one
+    * parallel pass, no full sort), each padded/truncated to `dim`
+    * (copyOf zero-fills) so the local Lloyd/power loops never index past
+    * a short vector — matching the scoring paths' min(|vec|, dim)
+    * tolerance. Factored out (r15) so a gate that trains BOTH quantizers
+    * on the same corpus collects the sample once, not once per trainer.
+    */
+  private[graft] def trainSample(embeddings: DataFrame, idCol: String,
+                                 vecCol: String, dim: Int,
+                                 maxTrainSamples: Int): Array[Array[Double]] =
+    embeddings
       .select(col(idCol), col(vecCol))
       // null vectors carry no training signal and would NPE the
       // driver-side Lloyd loops; the seeded contract is therefore the
@@ -1086,6 +1089,25 @@ object Similarity {
       .select(col(vecCol)).collect()
       .map(r => java.util.Arrays.copyOf(
         r.getSeq[Float](0).toArray.map(_.toDouble), dim))
+
+  def ivfCentroids(embeddings: DataFrame, k: Int = 16, iters: Int = 5,
+                   dim: Int = 64, idCol: String = "vec_id",
+                   vecCol: String = "embedding",
+                   maxTrainSamples: Int = 4096): Array[Array[Double]] =
+    // Standard IVF practice (FAISS-style): train the coarse quantizer on
+    // a BOUNDED sample, not the corpus. The collect is
+    // O(maxTrainSamples × dim) — constant in corpus size — and the Lloyd
+    // iterations then run on the driver in microseconds, instead of
+    // `iters` distributed rounds that each pay plan+codegen+job overhead
+    // on k×dim-literal expression trees.
+    ivfCentroidsFrom(
+      trainSample(embeddings, idCol, vecCol, dim, maxTrainSamples),
+      k, iters, dim)
+
+  /** [[ivfCentroids]] over an already-collected [[trainSample]]. */
+  private[graft] def ivfCentroidsFrom(sample: Array[Array[Double]],
+                                      k: Int, iters: Int,
+                                      dim: Int): Array[Array[Double]] = {
     var cents: Array[Array[Double]] = sample.take(k).map(_.clone())
     for (_ <- 1 to iters) {
       val sums = Array.fill(k, dim)(0.0)
@@ -1267,13 +1289,7 @@ object Similarity {
              maxTrainSamples: Int = 4096, powerIters: Int = 100)
       : (Array[Double], Array[Array[Double]]) = {
     require(p >= 1 && p <= dim, s"pcaFit: p=$p out of range 1..$dim")
-    val sample: Array[Array[Double]] = embeddings
-      .select(col(idCol), col(vecCol))
-      .where(col(vecCol).isNotNull).orderBy(col(idCol))
-      .limit(maxTrainSamples)
-      .select(col(vecCol)).collect()
-      .map(r => java.util.Arrays.copyOf(
-        r.getSeq[Float](0).toArray.map(_.toDouble), dim))
+    val sample = trainSample(embeddings, idCol, vecCol, dim, maxTrainSamples)
     if (sample.isEmpty)
       return (new Array[Double](dim),
         Array.tabulate(p)(c => Array.tabulate(dim)(d => if (d == c) 1.0 else 0.0)))
@@ -1427,8 +1443,12 @@ object Similarity {
                 vecCol: String = "embedding"): DataFrame = {
     val rotated =
       if (embeddings.sparkSession.catalog.functionExists("mat_rotate"))
-        expr(s"mat_rotate($vecCol, ${sparkVecLit(mean)}, " +
-          comps.map(sparkVecLit).mkString("array(", ",", ")") + ")")
+        // direct construction — no (1+p)×dim literal tree (see
+        // centroidDistsCol)
+        org.apache.spark.sql.GraftPlanBridge.column(
+          graft.functions.MatRotate(
+            org.apache.spark.sql.GraftPlanBridge.expression(expr(vecCol)),
+            mean, comps))
       else pcaRotateComposedCol(vecCol, mean, comps)
     embeddings.where(col(vecCol).isNotNull)
       .select(col(idCol), rotated.as(vecCol))
@@ -1652,19 +1672,17 @@ object Similarity {
   def pqCodebooks(embeddings: DataFrame, m: Int = 8, k: Int = 16,
                   iters: Int = 5, dim: Int = 64, idCol: String = "vec_id",
                   vecCol: String = "embedding",
-                  maxTrainSamples: Int = 4096): Array[Array[Array[Double]]] = {
+                  maxTrainSamples: Int = 4096): Array[Array[Array[Double]]] =
+    pqCodebooksFrom(
+      trainSample(embeddings, idCol, vecCol, dim, maxTrainSamples),
+      m, k, iters, dim)
+
+  /** [[pqCodebooks]] over an already-collected [[trainSample]]. */
+  private[graft] def pqCodebooksFrom(sample: Array[Array[Double]],
+                                     m: Int, k: Int, iters: Int,
+                                     dim: Int): Array[Array[Array[Double]]] = {
     require(dim % m == 0, s"pqCodebooks: m=$m must divide dim=$dim")
     val sub = dim / m
-    val sample: Array[Array[Double]] = embeddings
-      .select(col(idCol), col(vecCol))
-      // null vectors carry no training signal and would NPE the
-      // driver-side Lloyd loops; the seeded contract is therefore the
-      // first k NON-NULL vectors by id (oracle carves filter identically)
-      .where(col(vecCol).isNotNull).orderBy(col(idCol))
-      .limit(maxTrainSamples)
-      .select(col(vecCol)).collect()
-      .map(r => java.util.Arrays.copyOf(
-        r.getSeq[Float](0).toArray.map(_.toDouble), dim))
     Array.tabulate(m) { s =>
       val subSample = sample.map(v => v.slice(s * sub, (s + 1) * sub))
       var cents = subSample.take(k).map(_.clone())
@@ -1742,8 +1760,12 @@ object Similarity {
       // threshold — the scan silently runs interpreted, measured 30×
       // slower than the identical m=8 query. Values are bit-equal
       // (spec-asserted): same slices, same index-order folds, same
-      // first-minimum tie rule.
-      expr(s"pq_codes($vecCol, ${codebooksLit(cbs)})")
+      // first-minimum tie rule. Direct construction — no m×k×sub
+      // literal tree (see centroidDistsCol).
+      org.apache.spark.sql.GraftPlanBridge.column(
+        graft.functions.PqCodes(
+          org.apache.spark.sql.GraftPlanBridge.expression(expr(vecCol)),
+          cbs))
     else array(cbs.indices.map { s =>
       val dists = centroidDistsCol(df,
         s"slice($vecCol, ${s * sub + 1}, $sub)", cbs(s))
@@ -1759,7 +1781,10 @@ object Similarity {
                       cbs: Array[Array[Array[Double]]],
                       sub: Int): Column =
     if (df.sparkSession.catalog.functionExists("pq_dt"))
-      expr(s"pq_dt($vecCol, ${codebooksLit(cbs)})")
+      org.apache.spark.sql.GraftPlanBridge.column(
+        graft.functions.PqDistTable(
+          org.apache.spark.sql.GraftPlanBridge.expression(expr(vecCol)),
+          cbs))
     else array(cbs.indices.map { s =>
       centroidDistsCol(df, s"slice($vecCol, ${s * sub + 1}, $sub)", cbs(s))
     }: _*)
