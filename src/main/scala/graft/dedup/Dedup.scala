@@ -194,16 +194,11 @@ object Dedup {
                    k: Int = 3, threshold: Double = 0.5,
                    digits: Int = 4): DataFrame = {
     val raw = shingledWords(df, idCol, textCol, blockCol, k)
-    // one (blk, w) exchange feeds BOTH self-join sides (ReuseExchange)
+    // one (blk, w) exchange feeds BOTH self-join sides (ReuseExchange);
+    // sizes reads the raw frame so its shuffle is the doc-sized partial
+    // aggregate, not the exploded table
     val words = raw.repartition(col("blk"), col("w"))
-    // |shingle set| is SCAN-LOCAL: shingleExpr is array_distinct per doc,
-    // so size(array) == the explode's per-id row count — no aggregation
-    // exchange, no second pass over the exploded table. (Ids are the
-    // document key by contract; the exploded count and this size agree
-    // exactly under that contract.)
-    val sizes = df.withColumn("__toks", Text.tokens(col(textCol)))
-      .select(col(idCol).as("id"),
-        size(expr(Text.shingleExpr("__toks", k))).cast("long").as("n_words"))
+    val sizes = raw.groupBy(col("id")).agg(count(lit(1)).as("n_words"))
     val a = words.select(col("blk"), col("id").as("id_a"), col("w"))
     val b = words.select(col("blk"), col("id").as("id_b"), col("w"))
     val inter = a.join(b, Seq("blk", "w"))
@@ -244,18 +239,12 @@ object Dedup {
     // verify a handful of pairs.
     val candIds = cand
       .select(explode(array(col("doc_a"), col("doc_b"))).as("id")).distinct()
-    val shingled = df
+    val words = df
       .join(candIds, df(idCol) === candIds("id"), "left_semi")
       .withColumn("__toks", Text.tokens(col(textCol)))
       .select(col(idCol).as("id"),
-        expr(Text.shingleExpr("__toks", k)).as("__sh"))
-    val words = shingled.select(col("id"), explode(col("__sh")).as("w"))
-    // scan-local |shingle set| (array_distinct per doc): replaces the
-    // groupBy(id) re-aggregation of the exploded table — one fewer
-    // exchange and one fewer pass, identical values under the id-key
-    // contract
-    val sizes = shingled.select(col("id"),
-      size(col("__sh")).cast("long").as("n_words"))
+        explode(expr(Text.shingleExpr("__toks", k))).as("w"))
+    val sizes = words.groupBy(col("id")).agg(count(lit(1)).as("n_words"))
     val inter = cand
       .join(words.select(col("id").as("doc_a"), col("w")), Seq("doc_a"))
       .join(words.select(col("id").as("doc_b"), col("w")), Seq("doc_b", "w"))
@@ -471,21 +460,16 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig"))
       .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
       .distinct().cutLineage()
-    def shingled(df: DataFrame, side: String) = df
+    def words(df: DataFrame, side: String) = df
       .join(cand.select(col(side).as("id")).distinct(),
         df(idCol) === col("id"), "left_semi")
       .withColumn("__toks", Text.tokens(col(textCol)))
       .select(col(idCol).as("id"),
-        expr(Text.shingleExpr("__toks", k)).as("__sh"))
-    val ta = shingled(incoming, "doc_a")
-    val tb = shingled(corpus, "doc_b")
-    def words(t: DataFrame) = t.select(col("id"), explode(col("__sh")).as("w"))
-    val wa = words(ta)
-    val wb = words(tb)
-    // scan-local |shingle set| (array_distinct per doc) instead of
-    // re-aggregating the exploded tables: two fewer exchanges per screen
-    val sa = ta.select(col("id"), size(col("__sh")).cast("long").as("n_a"))
-    val sb = tb.select(col("id"), size(col("__sh")).cast("long").as("n_b"))
+        explode(expr(Text.shingleExpr("__toks", k))).as("w"))
+    val wa = words(incoming, "doc_a")
+    val wb = words(corpus, "doc_b")
+    val sa = wa.groupBy(col("id")).agg(count(lit(1)).as("n_a"))
+    val sb = wb.groupBy(col("id")).agg(count(lit(1)).as("n_b"))
     val nearDup = cand
       .join(wa.select(col("id").as("doc_a"), col("w")), Seq("doc_a"))
       .join(wb.select(col("id").as("doc_b"), col("w")), Seq("doc_b", "w"))
