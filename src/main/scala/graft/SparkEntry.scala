@@ -259,14 +259,17 @@ object SparkEntry {
       // (m=32, nprobe=8).
       val kcUsed = Similarity.kcSqrtN(corpus)
       val smp = sampleOf(corpus)
-      Similarity.saveCentroids(s,
-        Similarity.ivfCentroidsFrom(smp, k = kcUsed, iters = 5, dim = 64),
-        s"$trained/ivf")
-      Similarity.savePqCodebooks(s,
-        Similarity.pqCodebooksFrom(smp, m = m, k = 16, iters = 5, dim = 64),
-        s"$trained/pq")
-      val cents = Similarity.loadCentroids(s, s"$trained/ivf")
-      val cbs = Similarity.loadPqCodebooks(s, s"$trained/pq")
+      // both models persist + reload through ONE parquet round trip
+      // (saveModelBundle, r15) — the per-model write/read jobs were the
+      // measured bulk of this gate's frame-construction time
+      Similarity.saveModelBundle(s, Seq(
+        "ivf" -> Array(
+          Similarity.ivfCentroidsFrom(smp, k = kcUsed, iters = 5, dim = 64)),
+        "pq" -> Similarity.pqCodebooksFrom(smp, m = m, k = 16, iters = 5,
+          dim = 64)), trained)
+      val bundle = Similarity.loadModelBundle(s, trained)
+      val cents = bundle("ivf")(0)
+      val cbs = bundle("pq")
       deleteRecursively(new java.io.File(trained))
       stashTrainedOracle(key, dir,
         s"""SELECT *, cast($kcUsed as int) AS kc FROM (
@@ -287,19 +290,22 @@ object SparkEntry {
       // model rides the centroid layout: mean as row 0, components as
       // rows 1..p), score recall against ORIGINAL-space exact L2.
       val (meanT, compsT) = Similarity.pcaFit(corpus, p = 64)
-      Similarity.saveCentroids(s, meanT +: compsT, s"$trained/pca")
       val rotT = Similarity.pcaRotate(corpus, meanT, compsT)
       val smp = sampleOf(rotT)
-      Similarity.saveCentroids(s,
-        Similarity.ivfCentroidsFrom(smp, k = kc, iters = 5, dim = 64),
-        s"$trained/ivf")
-      Similarity.savePqCodebooks(s,
-        Similarity.pqCodebooksFrom(smp, m = m, k = 16, iters = 5, dim = 64),
-        s"$trained/pq")
-      val pcaRows = Similarity.loadCentroids(s, s"$trained/pca")
+      // all three models through ONE bundle round trip (r15): the
+      // former three save jobs + three read+collect jobs were the
+      // measured bulk of this gate's 1.6-1.9 s frame construction
+      Similarity.saveModelBundle(s, Seq(
+        "pca" -> Array(meanT +: compsT),
+        "ivf" -> Array(
+          Similarity.ivfCentroidsFrom(smp, k = kc, iters = 5, dim = 64)),
+        "pq" -> Similarity.pqCodebooksFrom(smp, m = m, k = 16, iters = 5,
+          dim = 64)), trained)
+      val bundle = Similarity.loadModelBundle(s, trained)
+      val pcaRows = bundle("pca")(0)
       val (mean, comps) = (pcaRows.head, pcaRows.tail)
-      val cents = Similarity.loadCentroids(s, s"$trained/ivf")
-      val cbs = Similarity.loadPqCodebooks(s, s"$trained/pq")
+      val cents = bundle("ivf")(0)
+      val cbs = bundle("pq")
       deleteRecursively(new java.io.File(trained))
       stashTrainedOracle(key, dir,
         Similarity.recallIvfPqPcaTrainedDuckdbSql(
@@ -310,14 +316,15 @@ object SparkEntry {
         centroids = Some(cents), codebooks = Some(cbs))
     }
     val smp = sampleOf(corpus)
-    Similarity.saveCentroids(s,
-      Similarity.ivfCentroidsFrom(smp, k = kc, iters = 5, dim = 64),
-      s"$trained/ivf")
-    Similarity.savePqCodebooks(s,
-      Similarity.pqCodebooksFrom(smp, m = m, k = 16, iters = 5, dim = 64),
-      s"$trained/pq")
-    val cents = Similarity.loadCentroids(s, s"$trained/ivf")
-    val cbs = Similarity.loadPqCodebooks(s, s"$trained/pq")
+    // ONE bundle round trip for both models (r15, see the kcSqrt branch)
+    Similarity.saveModelBundle(s, Seq(
+      "ivf" -> Array(
+        Similarity.ivfCentroidsFrom(smp, k = kc, iters = 5, dim = 64)),
+      "pq" -> Similarity.pqCodebooksFrom(smp, m = m, k = 16, iters = 5,
+        dim = 64)), trained)
+    val bundle = Similarity.loadModelBundle(s, trained)
+    val cents = bundle("ivf")(0)
+    val cbs = bundle("pq")
     deleteRecursively(new java.io.File(trained))
     if (refine > 0) {
       stashTrainedOracle(key, dir,
@@ -1390,10 +1397,12 @@ object SparkEntry {
       val (mean, comps) = Similarity.pcaFit(e, p = 4)
       val trained = java.nio.file.Files
         .createTempDirectory("graft_emb_pca").toString
-      Similarity.saveCentroids(s, Array(mean), s"$trained/mean")
-      Similarity.saveCentroids(s, comps, s"$trained/comps")
-      val mean2 = Similarity.loadCentroids(s, s"$trained/mean").head
-      val comps2 = Similarity.loadCentroids(s, s"$trained/comps")
+      // mean stacked as row 0 over the component rows — ONE table, ONE
+      // write job + ONE read job instead of two of each (r15; the same
+      // row-0 layout the OPQ gate's PCA model uses)
+      Similarity.saveCentroids(s, mean +: comps, trained)
+      val pcaRows = Similarity.loadCentroids(s, trained)
+      val (mean2, comps2) = (pcaRows.head, pcaRows.tail)
       deleteRecursively(new java.io.File(trained))
       stashTrainedOracle("emb_pca", dir,
         Similarity.pcaProjectDuckdbSql(mean2, comps2))

@@ -1183,6 +1183,46 @@ object Similarity {
       .groupBy(_._1).toArray.sortBy(_._1)
       .map(_._2.map(_._2))
 
+  /** Persist SEVERAL trained models through ONE parquet round trip —
+    * the multi-model twin of [[saveCentroids]]/[[savePqCodebooks]]
+    * (r15): a trained-index job that fits both quantizers (and
+    * optionally a rotation) was paying one write job + one read+collect
+    * job PER model for frames of a few KB each, and those four-to-six
+    * driver-side jobs were the measured bulk of the gate's frame-
+    * construction time (GateSplitProbe: 1.2-1.9 s construct vs 0.6-0.9 s
+    * execute). One bundle table keeps the identical production contract
+    * — train once, persist, every query job reloads bit-exact parquet
+    * doubles — at a single round trip. Layout: (model, i, j, centroid)
+    * with each model a [i][j][*] cube; 2-D models (IVF centroids, the
+    * stacked PCA mean+components) ride as cube slice i=0, j=row.
+    */
+  def saveModelBundle(spark: SparkSession,
+                      models: Seq[(String, Array[Array[Array[Double]]])],
+                      path: String): Unit = {
+    import spark.implicits._
+    models.flatMap { case (name, cube) =>
+      for { i <- cube.indices; j <- cube(i).indices }
+        yield (name, i, j, cube(i)(j).toSeq)
+    }.toDF("model", "i", "j", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Read back a bundle written by [[saveModelBundle]]: model name →
+    * [i][j][*] cube, inner arrays in (i, j) order (positions are the
+    * layout contract, exactly as the single-model loaders).
+    */
+  def loadModelBundle(spark: SparkSession, path: String)
+      : Map[String, Array[Array[Array[Double]]]] =
+    spark.read.parquet(path)
+      .orderBy(col("model"), col("i"), col("j"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2),
+        r.getSeq[Double](3).toArray))
+      .groupBy(_._1).map { case (m, rows) =>
+        m -> rows.groupBy(_._2).toArray.sortBy(_._1)
+          .map(_._2.sortBy(_._3).map(_._4))
+      }
+
   /** K-MEANS CLUSTERING as a first-class corpus operator: every vector
     * labeled with its nearest trained centroid plus the squared-L2
     * distance to it — the semantic-clustering primitive of curation

@@ -496,11 +496,16 @@ object Streams {
         .outputMode("append")
         .option("checkpointLocation", ckpt)
         .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-          if (!batch.isEmpty) {
-            // the staged tag column is constant per chunk (1-row read,
-            // bounded by construction) — the flags carry it so the
-            // output matches the batch loop's per-batch tagging
-            val tag = batch.select(min(col("batch"))).first().getString(0)
+          // ONE aggregate job doubles as the emptiness probe and the tag
+          // read (r15): min over an empty micro-batch is null, so the
+          // former `!batch.isEmpty` guard — its own take(1) Spark job on
+          // EVERY micro-batch, data or not, ahead of this read — folds
+          // into the aggregate the data path already paid. The tag
+          // column is constant per chunk (bounded 1-row read); the
+          // flags carry it so the output matches the batch loop's
+          // per-batch tagging.
+          val tag = batch.select(min(col("batch"))).first().getString(0)
+          if (tag != null) {
             val (flags, kept, merged) = Dedup.incrementalStep(
               corp, idx, batch.drop("batch"), idCol, textCol)
             // a foreachBatch frame is only readable DURING its call —

@@ -277,6 +277,29 @@ class SimilaritySpec extends SparkSpec {
       ls.zip(ts).forall { case (l, t) => l.sameElements(t) } })
   }
 
+  test("model bundle round-trips a whole trained set bit-exact in one table " +
+    "(r15: equals the per-model save/load it replaced)") {
+    val cents = Similarity.ivfCentroids(emb, k = 8, iters = 3)
+    val cbs = Similarity.pqCodebooks(emb, m = 16, k = 16, iters = 5)
+    val (mean, comps) = Similarity.pcaFit(emb, p = 4)
+    val dir = tempDir("graft-bundle")
+    Similarity.saveModelBundle(spark, Seq(
+      "ivf" -> Array(cents),
+      "pq" -> cbs,
+      "pca" -> Array(mean +: comps)), s"$dir/models")
+    val b = Similarity.loadModelBundle(spark, s"$dir/models")
+    // IVF: 2-D model rides as cube slice 0, cluster order = positions
+    assert(b("ivf")(0).zip(cents).forall { case (a, c) => a.sameElements(c) })
+    // PQ: [m][k][sub] positions preserved — identical to the per-model
+    // loader's layout contract
+    assert(b("pq").length == 16 &&
+      b("pq").zip(cbs).forall { case (ls, ts) =>
+        ls.zip(ts).forall { case (l, t) => l.sameElements(t) } })
+    // PCA: mean as row 0, components as rows 1..p (the OPQ layout)
+    assert(b("pca")(0).head.sameElements(mean) &&
+      b("pca")(0).tail.zip(comps).forall { case (a, c) => a.sameElements(c) })
+  }
+
   test("trained IVFPQ recall: training + tuned dials beat the untrained index decisively") {
     // The train-your-index loop the two recall gates motivate, spec-bound:
     // the untrained (seeded) quantizers cap recall regardless of dials,
