@@ -431,7 +431,8 @@ object Dedup {
                            k: Int = 3, threshold: Double = 0.5,
                            digits: Int = 4,
                            incomingBands: Option[DataFrame] = None,
-                           maxBucket: Int = Int.MaxValue)
+                           maxBucket: Int = Int.MaxValue,
+                           emitHash: Boolean = false)
       : DataFrame = {
     val exactDup = incoming
       .select(col(idCol), md5(col(textCol)).as("content_hash"))
@@ -481,15 +482,27 @@ object Dedup {
         (col("n_a") + col("n_b") - col("n_common")), digits) >= threshold)
       .select(col("doc_a").as(idCol)).distinct()
       .withColumn("is_dup_near", lit(1))
-    incoming.select(col(idCol))
+    // emitHash (r15): a caller that MERGES the kept docs into the index
+    // (the loop / streaming step) needs their content hashes right
+    // after the screen — carrying them on the flags spine (the spine
+    // scans `incoming` anyway; the md5 is incremental scan-local CPU)
+    // lets the merge read the MATERIALIZED flags instead of re-scanning
+    // and re-hashing the batch. Hidden column, appended LAST; callers
+    // drop it before the flags frame leaves the operator.
+    val spine =
+      if (emitHash)
+        incoming.select(col(idCol), md5(col(textCol)).as("__content_hash"))
+      else incoming.select(col(idCol))
+    spine
       .join(exactDup, Seq(idCol), "left")
       .join(nearDup, Seq(idCol), "left")
-      .select(col(idCol),
+      .select(Seq(col(idCol),
         coalesce(col("is_dup_exact"), lit(0)).as("is_dup_exact"),
         coalesce(col("is_dup_near"), lit(0)).as("is_dup_near"),
         (coalesce(col("is_dup_exact"), lit(0)) === 0 &&
           coalesce(col("is_dup_near"), lit(0)) === 0)
-          .cast("int").as("kept"))
+          .cast("int").as("kept")) ++
+        (if (emitHash) Seq(col("__content_hash")) else Nil): _*)
   }
 
   /** Serialize the index's content-hash set into a Bloom filter (Spark's
@@ -798,14 +811,26 @@ object Dedup {
       : (DataFrame, DataFrame, DedupIndex) = {
     val bands = MinHashSpec.bandedSignatures(batch, idCol, textCol)
       .cutLineage()
+    // emitHash: the screen's flags carry the kept docs' content hashes
+    // (hidden trailing column — the step's callers drop it at emit), so
+    // the hash half of the merge below reads the MATERIALIZED flags
+    // instead of re-scanning + re-hashing the batch (r15; same values —
+    // mergeIndex's md5-over-kept-docs, already computed on the spine)
     val flags = incrementalFromIndex(corp, idx, batch, idCol, textCol,
       k, threshold, digits, incomingBands = Some(bands),
-      maxBucket = maxBucket).cutLineage()
+      maxBucket = maxBucket, emitHash = true).cutLineage()
     val keptIds = flags.filter(col("kept") === 1).select(col(idCol))
     val kept = batch.select(col(idCol), col(textCol))
       .join(keptIds, Seq(idCol), "left_semi")
-    val merged = cutIdx(mergeIndex(idx, kept, idCol, textCol,
-      keptBands = Some(bands.join(keptIds.select(col(idCol).as("id")),
+    // inlined mergeIndex with both halves sourced from already-
+    // materialized frames: hashes from the flags' carried md5 (the
+    // same union+distinct — distinct still collapses within-batch
+    // duplicate content), bands from the batch signatures the screen
+    // derived (mergeIndex's keptBands path, verbatim)
+    val merged = cutIdx(DedupIndex(
+      idx.hashes.union(flags.filter(col("kept") === 1)
+        .select(col("__content_hash").as("content_hash"))).distinct(),
+      idx.bands.union(bands.join(keptIds.select(col(idCol).as("id")),
         Seq("id"), "left_semi"))))
     // the merged successor is materialized (cutIdx is eager), so this
     // batch's band blocks are dead — both consumers (screen, merge) ran
@@ -853,7 +878,9 @@ object Dedup {
           corp = corp.union(kept)
           f
         }
-      flags.withColumn("batch", lit(tag))
+      // the step's flags carry the hidden merge-hash column; the final
+      // batch's screen-only flags don't — drop is a no-op there
+      flags.drop("__content_hash").withColumn("batch", lit(tag))
     }.reduce(_.union(_))
     // Superseded index versions were released inside the loop. The LAST
     // surviving version must stay resident: the final batch's screen is

@@ -512,7 +512,9 @@ object Streams {
             // the growing corpus must hold a materialized copy of the
             // kept docs, not a lazy view over this micro-batch
             val keptM = kept.cutLineage()
-            sink(flags.withColumn("batch", lit(tag)), id)
+            // drop the step's hidden merge-hash column before the sink
+            // (the gate's output schema is the screen flags + batch tag)
+            sink(flags.drop("__content_hash").withColumn("batch", lit(tag)), id)
             Dedup.releaseIndex(idx)
             idx = merged
             corp = corp.union(keptM)
